@@ -1,0 +1,37 @@
+import json
+
+from amphion_tpu.utils.config import JsonHParams, load_config, override_config
+
+
+def test_override_config_deep_merge():
+    base = {"a": 1, "b": {"x": 1, "y": 2}, "c": [1, 2]}
+    new = {"b": {"y": 3, "z": 4}, "c": [5]}
+    out = override_config(base, new)
+    assert out == {"a": 1, "b": {"x": 1, "y": 3, "z": 4}, "c": [5]}
+    # base untouched
+    assert base["b"]["y"] == 2
+
+
+def test_base_config_inheritance(tmp_path):
+    (tmp_path / "base.json").write_text(
+        '{\n  // comment\n  "train": {"lr": 1e-4, "epochs": 10,},\n  "model_type": "Base",\n}'
+    )
+    (tmp_path / "child.json").write_text(
+        json.dumps({"base_config": "base.json", "train": {"lr": 2e-4}})
+    )
+    cfg = load_config(tmp_path / "child.json")
+    assert cfg.train.lr == 2e-4
+    assert cfg.train.epochs == 10
+    assert cfg.model_type == "Base"
+
+
+def test_jsonhparams_access():
+    h = JsonHParams(**{"a": {"b": [1, {"c": 2}]}, "d": 3})
+    assert h.a.b[1].c == 2
+    assert h["d"] == 3
+    assert h.get("missing", 7) == 7
+    assert "a" in h
+    h.e = {"f": 1}
+    assert h.e.f == 1
+    back = h.to_dict()
+    assert back["a"]["b"][1]["c"] == 2
