@@ -1,0 +1,264 @@
+"""Llama-style transformer backbone: AR (KV-cache decode) and NAR (adaptive
+RMSNorm) variants.
+
+This is the workhorse behind the flagship models, covering the reference's
+uses of Llama architectures (reference: `models/tts/maskgct/llama_nar.py:202`
+`DiffLlama` / `:427` `DiffLlamaPrefix` — adaptive-RMSNorm NAR backbones for
+MaskGCT T2S/S2A; `models/vc/autoregressive_transformer/ar_model.py:79` —
+`LlamaForCausalLM` for Vevo's AR transformer; VALL-E's AR/NAR decoders).
+
+TPU design notes:
+- rotary embeddings precomputed as compile-time constants;
+- decode uses a fixed-size KV cache updated with `dynamic_update_slice`
+  inside `lax.scan` — static shapes, no recompilation per token;
+- the adaptive (timestep-conditioned) RMSNorm modulation is a single fused
+  (scale, shift, gate) projection per block, as in DiT/adaLN.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    hidden_size: int = 1024
+    num_layers: int = 16
+    num_heads: int = 16
+    num_kv_heads: int | None = None  # GQA; None = MHA
+    intermediate_size: int | None = None  # None = 4 * hidden (SwiGLU 8/3 applied)
+    rope_theta: float = 1e4
+    max_position: int = 4096
+    adaptive: bool = False  # adaLN conditioning (NAR diffusion backbones)
+    dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def ffn_dim(self) -> int:
+        if self.intermediate_size is not None:
+            return self.intermediate_size
+        # Llama convention: 2/3 * 4h rounded to multiple of 256
+        d = int(2 * 4 * self.hidden_size / 3)
+        return (d + 255) // 256 * 256
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
+
+
+class AdaptiveRMSNorm(nn.Module):
+    """RMSNorm with conditioning-dependent scale/shift (MaskGCT adaLN,
+    ref `llama_nar.py:28-56`)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, cond):
+        # cond: (B, D) or (B, T, D)
+        var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        normed = (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        mod = nn.Dense(2 * x.shape[-1], kernel_init=nn.initializers.zeros)(
+            nn.silu(cond)
+        )
+        if mod.ndim == 2:
+            mod = mod[:, None, :]
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        return normed * (1.0 + scale) + shift
+
+
+def rotary_tables(max_pos: int, head_dim: int, theta: float = 1e4):
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    t = np.arange(max_pos, dtype=np.float64)
+    freqs = np.outer(t, inv)
+    return np.cos(freqs).astype(np.float32), np.sin(freqs).astype(np.float32)
+
+
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, T, H, D); cos/sin: (T, D/2)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, bias=None, positions=None, cache=None, cache_index=None):
+        """x: (B, T, D). If ``cache`` is given, T is the new-token count and
+        keys/values are appended at ``cache_index``; returns updated cache."""
+        c = self.cfg
+        b, t, _ = x.shape
+        q = nn.Dense(c.num_heads * c.head_dim, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(c.kv_heads * c.head_dim, use_bias=False, name="k_proj")(x)
+        v = nn.Dense(c.kv_heads * c.head_dim, use_bias=False, name="v_proj")(x)
+        q = q.reshape(b, t, c.num_heads, c.head_dim)
+        k = k.reshape(b, t, c.kv_heads, c.head_dim)
+        v = v.reshape(b, t, c.kv_heads, c.head_dim)
+
+        cos_t, sin_t = rotary_tables(c.max_position, c.head_dim, c.rope_theta)
+        cos_t, sin_t = jnp.asarray(cos_t), jnp.asarray(sin_t)
+        if positions is None:
+            if cache_index is not None:
+                positions = cache_index + jnp.arange(t)
+            else:
+                positions = jnp.arange(t)
+        cos = jnp.take(cos_t, positions, axis=0)
+        sin = jnp.take(sin_t, positions, axis=0)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            ck, cv = cache  # (B, S, Hkv, D)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            k, v = ck, cv
+            new_cache = (ck, cv)
+
+        if c.kv_heads != c.num_heads:
+            rep = c.num_heads // c.kv_heads
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(c.head_dim)
+        if cache is not None:
+            # mask out cache slots beyond cache_index + t
+            s = k.shape[1]
+            pos_k = jnp.arange(s)[None, None, None, :]
+            scores = jnp.where(
+                pos_k <= (cache_index + t - 1), scores, jnp.finfo(scores.dtype).min
+            )
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(b, t, c.num_heads * c.head_dim)
+        out = nn.Dense(c.hidden_size, use_bias=False, name="o_proj")(out)
+        return (out, new_cache) if cache is not None else out
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = nn.Dense(c.ffn_dim, use_bias=False, name="gate_proj")(x)
+        up = nn.Dense(c.ffn_dim, use_bias=False, name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False, name="down_proj")(
+            nn.silu(gate) * up
+        )
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cond=None, bias=None, positions=None, cache=None,
+                 cache_index=None):
+        c = self.cfg
+        if c.adaptive:
+            assert cond is not None
+            h = AdaptiveRMSNorm(name="input_norm")(x, cond)
+        else:
+            h = RMSNorm(name="input_norm")(x)
+        attn_out = LlamaAttention(c, name="attn")(
+            h, bias=bias, positions=positions, cache=cache, cache_index=cache_index
+        )
+        if cache is not None:
+            attn_out, new_cache = attn_out
+        else:
+            new_cache = None
+        x = x + attn_out
+        if c.adaptive:
+            h = AdaptiveRMSNorm(name="post_norm")(x, cond)
+        else:
+            h = RMSNorm(name="post_norm")(x)
+        x = x + LlamaMLP(c, name="mlp")(h)
+        return (x, new_cache) if cache is not None else x
+
+
+class LlamaEncoder(nn.Module):
+    """NAR (bidirectional) stack; ``adaptive=True`` gives the MaskGCT-style
+    diffusion backbone conditioned on the timestep embedding."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cond=None, mask=None):
+        bias = None
+        if mask is not None:
+            bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
+        for i in range(self.cfg.num_layers):
+            x = LlamaBlock(self.cfg, name=f"layer_{i}")(x, cond=cond, bias=bias)
+        if self.cfg.adaptive:
+            return AdaptiveRMSNorm(name="final_norm")(x, cond)
+        return RMSNorm(name="final_norm")(x)
+
+
+class LlamaDecoder(nn.Module):
+    """AR (causal) stack with prefill + single-token decode via KV cache."""
+
+    cfg: LlamaConfig
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        c = self.cfg
+        return [
+            (
+                jnp.zeros((batch, max_len, c.kv_heads, c.head_dim), dtype),
+                jnp.zeros((batch, max_len, c.kv_heads, c.head_dim), dtype),
+            )
+            for _ in range(c.num_layers)
+        ]
+
+    @nn.compact
+    def __call__(self, x, mask=None, caches=None, cache_index=None):
+        """Causal forward. With ``caches`` (list per layer) the call appends
+        at ``cache_index`` and returns (hidden, new_caches)."""
+        t = x.shape[1]
+        if caches is None:
+            bias = jnp.where(
+                jnp.tril(jnp.ones((t, t), bool)), 0.0, jnp.finfo(jnp.float32).min
+            )[None, None]
+            if mask is not None:
+                bias = bias + jnp.where(
+                    mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min
+                )
+            for i in range(self.cfg.num_layers):
+                x = LlamaBlock(self.cfg, name=f"layer_{i}")(x, bias=bias)
+            return RMSNorm(name="final_norm")(x)
+        new_caches = []
+        if t > 1:
+            # prefill: causal within the new chunk
+            q_pos = cache_index + jnp.arange(t)[:, None]
+            k_pos = jnp.arange(caches[0][0].shape[1])[None, :]
+            bias = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+        else:
+            bias = None
+        for i in range(self.cfg.num_layers):
+            x, cch = LlamaBlock(self.cfg, name=f"layer_{i}")(
+                x, bias=bias, cache=caches[i], cache_index=cache_index
+            )
+            new_caches.append(cch)
+        return RMSNorm(name="final_norm")(x), new_caches
