@@ -110,15 +110,21 @@ class ResBlock2(nn.Module):
 
 
 class HiFiGANGenerator(nn.Module):
-    """mel (B, N, n_mel) → waveform (B, N * hop) in [-1, 1]."""
+    """mel/latent (B, N, n_mel) → waveform (B, N * hop) in [-1, 1].
+
+    ``g`` is optional global conditioning (B, 1, G) — used when this stack is
+    the VITS speaker-conditioned decoder (ref `hifigan.py:376` HiFiGAN_vits).
+    """
 
     cfg: HiFiGANConfig = field(default_factory=HiFiGANConfig)
 
     @nn.compact
-    def __call__(self, mel: jax.Array) -> jax.Array:
+    def __call__(self, mel: jax.Array, g: jax.Array | None = None) -> jax.Array:
         c = self.cfg
         resblock_cls = ResBlock1 if c.resblock == "1" else ResBlock2
         x = nn.WeightNorm(nn.Conv(c.upsample_initial_channel, (7,), padding="SAME"))(mel)
+        if g is not None:
+            x = x + nn.Dense(c.upsample_initial_channel, name="cond")(g)
         for i, (rate, kernel) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             x = nn.leaky_relu(x, LRELU_SLOPE)
