@@ -1,0 +1,216 @@
+"""VALL-E: zero-shot codec-language-model TTS (AR + NAR stages).
+
+Same capability surface as the reference (reference:
+`models/tts/valle/valle.py:25` — AR decoder over codec codebook 0 with phone
+prefix + prompt continuation, NAR decoder over codebooks 1..7 conditioned on
+the sum of lower codebooks and a stage embedding; two-stage training
+`--train_stage 1|2`, top-k sampled AR decoding), re-designed TPU-first:
+
+- both stages ride the shared Llama backbone (`amphion_tpu/modules/llama.py`);
+  the NAR stage uses its adaptive RMSNorm conditioned on the stage embedding
+  (the reference uses stage-specific LayerNorm params, `valle.py` AdaptiveLN);
+- AR generation is a `lax.scan` over a static max length with a fixed-size KV
+  cache and top-k sampling — one compiled program per shape bucket;
+- training computes both losses from one batch: AR CE on codebook 0 and NAR
+  CE on a randomly drawn stage j in [1, Q).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from amphion_tpu.modules.llama import LlamaConfig, LlamaDecoder, LlamaEncoder
+from amphion_tpu.ops.sampling import sample_logits
+
+
+@dataclass(frozen=True)
+class VALLEConfig:
+    num_phones: int = 512
+    audio_vocab: int = 1024  # EnCodec-style codebook size
+    num_quantizers: int = 8
+    hidden: int = 1024
+    num_layers: int = 12
+    num_heads: int = 16
+    max_position: int = 4096
+
+    @property
+    def eos_id(self) -> int:
+        return self.audio_vocab  # extra symbol appended to codebook-0 vocab
+
+    def llama(self, adaptive: bool = False) -> LlamaConfig:
+        return LlamaConfig(
+            hidden_size=self.hidden,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            max_position=self.max_position,
+            adaptive=adaptive,
+        )
+
+
+class VALLE(nn.Module):
+    cfg: VALLEConfig
+
+    def setup(self):
+        c = self.cfg
+        self.phone_embed = nn.Embed(c.num_phones, c.hidden)
+        # codebook 0 embedding has an extra EOS slot
+        self.audio_embeds = [
+            nn.Embed(c.audio_vocab + (1 if q == 0 else 0), c.hidden,
+                     name=f"audio_embed_{q}")
+            for q in range(c.num_quantizers)
+        ]
+        self.ar = LlamaDecoder(c.llama(False))
+        self.nar = LlamaEncoder(c.llama(True))
+        self.stage_embed = nn.Embed(c.num_quantizers - 1, c.hidden)
+        self.ar_head = nn.Dense(c.audio_vocab + 1)
+        self.nar_head = nn.Dense(c.audio_vocab)
+
+    # ---- AR stage --------------------------------------------------------
+
+    def ar_forward(self, phones, phone_mask, tokens, token_mask):
+        """Teacher-forced AR logits. tokens: (B, T) codebook-0 ids.
+
+        Returns logits (B, T+1, V+1) predicting tokens shifted by one plus
+        EOS (input sequence = [phones; BOS-less tokens])."""
+        c = self.cfg
+        pe = self.phone_embed(phones)
+        te = self.audio_embeds[0](tokens)
+        x = jnp.concatenate([pe, te], axis=1)
+        mask = jnp.concatenate([phone_mask, token_mask], axis=1)
+        h = self.ar(x, mask=mask)
+        lp = phones.shape[1]
+        # positions predicting audio: last phone position predicts token 0,
+        # token t predicts token t+1 (final one predicts EOS)
+        h_audio = h[:, lp - 1 :]
+        return self.ar_head(h_audio)
+
+    def ar_loss(self, phones, phone_mask, tokens, token_mask):
+        logits = self.ar_forward(phones, phone_mask, tokens, token_mask)
+        c = self.cfg
+        t = tokens.shape[1]
+        targets = jnp.concatenate(
+            [tokens, jnp.full_like(tokens[:, :1], c.eos_id)], axis=1
+        )
+        # weight: predict all real tokens + the EOS right after the last one
+        w = jnp.concatenate([token_mask, jnp.zeros_like(token_mask[:, :1])], axis=1)
+        lengths = jnp.sum(token_mask, axis=1).astype(jnp.int32)
+        w = w.at[jnp.arange(w.shape[0]), lengths].set(1.0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    # ---- NAR stage -------------------------------------------------------
+
+    def nar_forward(self, phones, phone_mask, tokens_all, token_mask, stage):
+        """NAR logits for codebook ``stage`` (int array (B,) in [1, Q)).
+
+        tokens_all: (B, Q, T) ground-truth codes; the input embedding sums
+        codebooks < stage (ref `valle.py` NAR embedding sum)."""
+        c = self.cfg
+        pe = self.phone_embed(phones)
+        # sum of embeddings of codebooks below `stage`
+        acc = self.audio_embeds[0](tokens_all[:, 0])
+        for q in range(1, c.num_quantizers - 1):
+            contrib = self.audio_embeds[q](tokens_all[:, q])
+            acc = acc + jnp.where((stage > q)[:, None, None], contrib, 0.0)
+        x = jnp.concatenate([pe, acc], axis=1)
+        mask = jnp.concatenate([phone_mask, token_mask], axis=1)
+        cond = self.stage_embed(stage - 1)
+        h = self.nar(x, cond=cond, mask=mask)
+        return self.nar_head(h[:, phones.shape[1] :])
+
+    def nar_loss(self, phones, phone_mask, tokens_all, token_mask, stage):
+        logits = self.nar_forward(phones, phone_mask, tokens_all, token_mask, stage)
+        targets = jnp.take_along_axis(
+            tokens_all, stage[:, None, None], axis=1
+        )[:, 0]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return -jnp.sum(ll * token_mask) / jnp.maximum(jnp.sum(token_mask), 1.0)
+
+    def train_loss(self, phones, phone_mask, tokens_all, token_mask, rng):
+        """Joint training objective (both stages; the reference trains them
+        in separate runs via --train_stage, both supported here)."""
+        c = self.cfg
+        ar = self.ar_loss(phones, phone_mask, tokens_all[:, 0], token_mask)
+        stage = jax.random.randint(rng, (phones.shape[0],), 1, c.num_quantizers)
+        nar = self.nar_loss(phones, phone_mask, tokens_all, token_mask, stage)
+        return ar + nar, {"ar_loss": ar, "nar_loss": nar}
+
+    # ---- generation ------------------------------------------------------
+
+    def ar_prefill(self, phones, prompt_tokens, caches):
+        """Prefill the KV cache with [phones; prompt]; returns (logits, caches)."""
+        pe = self.phone_embed(phones)
+        te = self.audio_embeds[0](prompt_tokens)
+        x = jnp.concatenate([pe, te], axis=1)
+        h, caches = self.ar(x, caches=caches, cache_index=0)
+        return self.ar_head(h[:, -1]), caches
+
+    def ar_step(self, token, caches, cache_index):
+        """One decode step: token (B,) → (logits (B, V+1), caches)."""
+        emb = self.audio_embeds[0](token)[:, None, :]
+        h, caches = self.ar(emb, caches=caches, cache_index=cache_index)
+        return self.ar_head(h[:, -1]), caches
+
+    def make_cache(self, batch: int, total_len: int):
+        return self.ar.init_cache(batch, total_len)
+
+    def nar_generate(self, phones, phone_mask, tokens0, token_mask):
+        """Greedy NAR decoding of codebooks 1..Q-1 given codebook 0."""
+        c = self.cfg
+        b, t = tokens0.shape
+        all_tokens = jnp.zeros((b, c.num_quantizers, t), tokens0.dtype)
+        all_tokens = all_tokens.at[:, 0].set(tokens0)
+        for q in range(1, c.num_quantizers):
+            stage = jnp.full((b,), q, jnp.int32)
+            logits = self.nar_forward(phones, phone_mask, all_tokens, token_mask, stage)
+            all_tokens = all_tokens.at[:, q].set(jnp.argmax(logits, axis=-1))
+        return all_tokens
+
+
+def ar_generate(
+    model: VALLE,
+    params,
+    phones: jax.Array,
+    prompt_tokens: jax.Array,
+    rng: jax.Array,
+    max_new: int = 512,
+    temperature: float = 1.0,
+    top_k: int = 50,
+):
+    """Sampled AR continuation of codebook-0 after [phones; prompt].
+
+    Pure function over params — the decode loop is a `lax.scan` with a
+    fixed-size KV cache (jit once per (shapes, max_new) bucket). Returns
+    (tokens (B, max_new), lengths (B,)); positions past EOS are zero.
+    """
+    c = model.cfg
+    b, lp = phones.shape
+    lt = prompt_tokens.shape[1]
+    total = lp + lt + max_new
+    caches = LlamaDecoder(c.llama(False)).init_cache(b, total)
+    logits, caches = model.apply(
+        {"params": params}, phones, prompt_tokens, caches, method=VALLE.ar_prefill
+    )
+
+    def body(carry, i):
+        caches, logits, rng, gen_len, done = carry
+        rng, r = jax.random.split(rng)
+        tok = sample_logits(r, logits, temperature, top_k)
+        done_new = done | (tok == c.eos_id)
+        tok_clean = jnp.where(done_new, 0, tok)
+        logits_new, caches_new = model.apply(
+            {"params": params}, tok_clean, caches, lp + lt + i,
+            method=VALLE.ar_step,
+        )
+        gen_len = jnp.where(done_new, gen_len, i + 1)
+        return (caches_new, logits_new, rng, gen_len, done_new), tok_clean
+
+    init = (caches, logits, rng, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool))
+    (_, _, _, gen_len, _), toks = jax.lax.scan(body, init, jnp.arange(max_new))
+    return jnp.moveaxis(toks, 0, 1), gen_len
