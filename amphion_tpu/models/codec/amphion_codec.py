@@ -1,0 +1,138 @@
+"""AmphionCodec: SEANet-style convolutional audio codec with residual VQ.
+
+Same capability surface as the reference codec (reference:
+`models/codec/amphion_codec/codec.py:100` `CodecEncoder`, `:168`
+`CodecDecoder` with pluggable VQ/FVQ/RVQ/LFQ quantizers from
+`models/codec/amphion_codec/quantize/`; this is MaskGCT's acoustic codec),
+re-designed for TPU: NLC layouts, snake activations, weight-norm convs, and
+the quantizer family from `amphion_tpu/modules/quantize.py`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from amphion_tpu.modules.activations import Snake
+from amphion_tpu.modules.quantize import ResidualVQ
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    sample_rate: int = 24000
+    encoder_dim: int = 32
+    latent_dim: int = 256
+    decoder_dim: int = 32
+    strides: tuple[int, ...] = (2, 4, 5, 6)  # hop = 240 @24k -> 100 Hz
+    num_quantizers: int = 8
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    quantizer_type: str = "fvq"
+
+    @property
+    def hop(self) -> int:
+        h = 1
+        for s in self.strides:
+            h *= s
+        return h
+
+
+class ResidualUnit(nn.Module):
+    channels: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = Snake(self.channels, name="act1")(x)
+        y = nn.WeightNorm(nn.Conv(self.channels, (7,), kernel_dilation=(self.dilation,),
+                                  padding="SAME"))(y)
+        y = Snake(self.channels, name="act2")(y)
+        y = nn.WeightNorm(nn.Conv(self.channels, (1,)))(y)
+        return x + y
+
+
+class CodecEncoder(nn.Module):
+    """(B, T) waveform → (B, T/hop, latent_dim)."""
+
+    cfg: CodecConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.WeightNorm(nn.Conv(c.encoder_dim, (7,), padding="SAME"))(x[..., None])
+        ch = c.encoder_dim
+        for i, s in enumerate(c.strides):
+            for d in (1, 3, 9):
+                h = ResidualUnit(ch, d, name=f"res_{i}_{d}")(h)
+            ch = ch * 2
+            h = Snake(h.shape[-1], name=f"down_act_{i}")(h)
+            h = nn.WeightNorm(
+                nn.Conv(ch, (2 * s,), strides=(s,), padding=[(s // 2 + s % 2, s // 2)])
+            )(h)
+        h = Snake(ch, name="final_act")(h)
+        return nn.WeightNorm(nn.Conv(c.latent_dim, (3,), padding="SAME"))(h)
+
+
+class CodecDecoder(nn.Module):
+    """(B, N, latent_dim) → (B, N*hop) waveform."""
+
+    cfg: CodecConfig
+
+    @nn.compact
+    def __call__(self, z):
+        c = self.cfg
+        ch = c.decoder_dim * (2 ** len(c.strides))
+        h = nn.WeightNorm(nn.Conv(ch, (7,), padding="SAME"))(z)
+        for i, s in enumerate(reversed(c.strides)):
+            ch = ch // 2
+            h = Snake(h.shape[-1], name=f"up_act_{i}")(h)
+            k = 2 * s
+            p = (k - s) // 2
+            h = nn.WeightNorm(
+                nn.ConvTranspose(ch, (k,), strides=(s,),
+                                 padding=((k - 1 - p, k - 1 - (k - s - p)),))
+            )(h)
+            for d in (1, 3, 9):
+                h = ResidualUnit(ch, d, name=f"res_{i}_{d}")(h)
+        h = Snake(ch, name="final_act")(h)
+        h = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME"))(h)
+        return jnp.tanh(h)[..., 0]
+
+
+class AmphionCodec(nn.Module):
+    """Full codec: encode → RVQ → decode, with encode/decode token APIs."""
+
+    cfg: CodecConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = CodecEncoder(c)
+        self.decoder = CodecDecoder(c)
+        self.quantizer = ResidualVQ(
+            num_quantizers=c.num_quantizers,
+            codebook_size=c.codebook_size,
+            codebook_dim=c.codebook_dim,
+            input_dim=c.latent_dim,
+            quantizer_type=c.quantizer_type,
+        )
+
+    def __call__(self, audio, train: bool = False, rng=None):
+        """audio (B, T) → (recon (B, T), codes (Q, B, N), vq_losses)."""
+        z = self.encoder(audio)
+        zq, codes, vq_losses = self.quantizer(z, train=train, rng=rng)
+        recon = self.decoder(zq)
+        return recon, codes, vq_losses
+
+    def encode(self, audio):
+        """audio → codes (Q, B, N)."""
+        z = self.encoder(audio)
+        _, codes, _ = self.quantizer(z)
+        return codes
+
+    def decode_codes(self, codes):
+        """codes (Q, B, N) → waveform."""
+        zq = self.quantizer.decode(codes)
+        return self.decoder(zq)
