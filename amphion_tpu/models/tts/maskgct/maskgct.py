@@ -1,0 +1,433 @@
+"""MaskGCT: masked generative codec transformer (flagship zero-shot TTS).
+
+Two stages, same capability surface as the reference (reference:
+`models/tts/maskgct/maskgct_t2s.py:35` — T2S text→semantic with sin(t·π/2)
+masking schedule, prompt-prefix conditioning, CFG with rescale, iterative
+confidence-based re-masking `reverse_diffusion:226`;
+`models/tts/maskgct/maskgct_s2a.py:35` — S2A semantic→acoustic over RVQ
+layers, SoundStorm-style per-layer mask-predict `reverse_diffusion:318`;
+backbone `llama_nar.py:202/427` adaptive-RMSNorm Llama), re-designed TPU-first:
+
+- the backbone is the shared adaptive `LlamaEncoder` conditioned on the
+  continuous mask-ratio timestep through adaLN;
+- the ENTIRE iterative sampler is one `lax.scan`: re-mask counts come from a
+  precomputed schedule and the top-k "keep most confident" selection is done
+  with rank comparisons (static shapes, no per-step host sync) — the
+  reference's python loop does ~50 sequential GPU dispatches per utterance;
+- classifier-free guidance runs the conditional and unconditional branches
+  inside the same compiled program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amphion_tpu.modules.diffusion import timestep_embedding
+from amphion_tpu.modules.llama import LlamaConfig, LlamaEncoder
+
+
+def _gumbel(rng, shape):
+    u = jax.random.uniform(rng, shape, minval=1e-10, maxval=1.0)
+    return -jnp.log(-jnp.log(u))
+
+
+def _topk_filter_frac(logits: jax.Array, thres: float) -> jax.Array:
+    """Keep the top ceil((1-thres)·V) logits (ref `maskgct_t2s.py:14-19`)."""
+    v = logits.shape[-1]
+    k = max(1, int(np.ceil((1 - thres) * v)))
+    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def mask_prob_schedule(t: jax.Array) -> jax.Array:
+    """sin(t·π/2) masking ratio (ref `maskgct_t2s.py:110`)."""
+    return jnp.sin(t * jnp.pi / 2.0)
+
+
+@dataclass(frozen=True)
+class T2SConfig:
+    hidden: int = 1024
+    num_layers: int = 16
+    num_heads: int = 16
+    codebook_size: int = 8192  # semantic vocab
+    phone_vocab: int = 1024
+    cond_drop_prob: float = 0.2  # CFG dropout (ref `cfg_scale`)
+    max_position: int = 8192
+
+    def llama(self) -> LlamaConfig:
+        return LlamaConfig(
+            hidden_size=self.hidden, num_layers=self.num_layers,
+            num_heads=self.num_heads, adaptive=True,
+            max_position=self.max_position,
+        )
+
+
+class MaskGCTT2S(nn.Module):
+    cfg: T2SConfig
+
+    def setup(self):
+        c = self.cfg
+        self.phone_emb = nn.Embed(c.phone_vocab, c.hidden)
+        self.cond_emb = nn.Embed(c.codebook_size, c.hidden)
+        self.mask_emb = self.param(
+            "mask_emb", nn.initializers.normal(0.02), (c.hidden,)
+        )
+        self.backbone = LlamaEncoder(c.llama())
+        self.to_logit = nn.Dense(c.codebook_size)
+        self.time_mlp = nn.Dense(c.hidden)
+
+    def _time_cond(self, t):
+        return self.time_mlp(nn.silu(timestep_embedding(t * 1000.0, self.cfg.hidden)))
+
+    def estimate(self, x_emb, t, x_mask, phone_emb=None, phone_mask=None):
+        """Run the backbone over [phone prefix; token embeddings]."""
+        if phone_emb is not None:
+            h = jnp.concatenate([phone_emb, x_emb], axis=1)
+            m = jnp.concatenate([phone_mask, x_mask], axis=1)
+            lp = phone_emb.shape[1]
+        else:
+            h, m, lp = x_emb, x_mask, 0
+        out = self.backbone(h, cond=self._time_cond(t), mask=m)
+        return out[:, lp:]
+
+    def compute_loss(self, x0, x_mask, phone_id, phone_mask, rng):
+        """Masked-token CE. x0: (B, T) semantic tokens."""
+        c = self.cfg
+        b, t_len = x0.shape
+        r_t, r_mask, r_prompt, r_drop = jax.random.split(rng, 4)
+        t = jnp.clip(jax.random.uniform(r_t, (b,)), 1e-5, 1.0)
+        mp = jnp.maximum(mask_prob_schedule(t), 0.2)
+
+        # prompt prefix of random length (dropped for CFG with cond_drop_prob)
+        use_cond = jax.random.uniform(r_drop, (b,)) > c.cond_drop_prob
+        max_pl = max(1, int(t_len * 0.4))
+        prompt_len = jax.random.randint(r_prompt, (b,), 0, max_pl)
+        prompt_len = jnp.where(use_cond, prompt_len, 0)
+        pos = jnp.arange(t_len)[None, :]
+        is_prompt = pos < prompt_len[:, None]
+
+        mask = jax.random.bernoulli(r_mask, mp[:, None], (b, t_len))
+        mask = mask & ~is_prompt
+        # ensure at least one masked position per row
+        none_masked = ~jnp.any(mask, axis=1)
+        force = pos == prompt_len[:, None]
+        mask = mask | (none_masked[:, None] & force)
+
+        x_emb = jnp.where(
+            mask[..., None], self.mask_emb[None, None, :], self.cond_emb(x0)
+        )
+        phone_emb = self.phone_emb(phone_id)
+        # CFG: drop phone condition together with the prompt
+        phone_mask_eff = phone_mask * use_cond[:, None].astype(phone_mask.dtype)
+        logits = self.to_logit(
+            self.estimate(x_emb, t, x_mask, phone_emb, phone_mask_eff)
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, x0[..., None], axis=-1)[..., 0]
+        w = mask.astype(jnp.float32) * x_mask
+        loss = -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        acc = jnp.sum((logits.argmax(-1) == x0) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, {"t2s_loss": loss, "t2s_acc": acc}
+
+    def sample_step(self, seq, mask, t, prompt_tokens, phone_id, cfg_scale,
+                    rescale_cfg):
+        """One reverse step: returns logits after CFG (B, T, V)."""
+        c = self.cfg
+        tok_emb = jnp.where(
+            mask[..., None], self.mask_emb[None, None, :], self.cond_emb(seq)
+        )
+        prompt_emb = self.cond_emb(prompt_tokens)
+        x_emb = jnp.concatenate([prompt_emb, tok_emb], axis=1)
+        b, total = x_emb.shape[:2]
+        x_mask = jnp.ones((b, total))
+        phone_emb = self.phone_emb(phone_id)
+        phone_mask = jnp.ones_like(phone_id, jnp.float32)
+        embeds = self.estimate(x_emb, t, x_mask, phone_emb, phone_mask)
+        embeds = embeds[:, prompt_tokens.shape[1] :]
+        # unconditional branch: no prompt, no phones
+        un = self.estimate(tok_emb, t, jnp.ones_like(mask, jnp.float32))
+        # CFG with std rescale (ref `maskgct_t2s.py:296-305`)
+        std_pos = jnp.std(embeds)
+        g = embeds + cfg_scale * (embeds - un)
+        g_rescaled = g * std_pos / jnp.maximum(jnp.std(g), 1e-6)
+        g = rescale_cfg * g_rescaled + (1 - rescale_cfg) * g
+        return self.to_logit(g)
+
+
+def t2s_sample(
+    model: MaskGCTT2S,
+    params,
+    prompt_tokens: jax.Array,  # (B, Lp) semantic prompt
+    phone_id: jax.Array,  # (B, Lphone)
+    target_len: int,
+    rng: jax.Array,
+    n_steps: int = 25,
+    temp: float = 0.9,
+    filter_thres: float = 0.98,
+    cfg: float = 1.0,
+    rescale_cfg: float = 0.75,
+):
+    """Iterative mask-predict decoding as a single lax.scan."""
+    b = prompt_tokens.shape[0]
+    t_list = np.asarray([1.0 - i / n_steps for i in range(n_steps + 1)], np.float32)
+    # number of tokens still masked after each step
+    next_mask_nums = np.asarray(
+        [int(np.sin(t * np.pi / 2) * target_len) for t in t_list[1:]], np.int32
+    )
+
+    seq0 = jnp.zeros((b, target_len), jnp.int32)
+    mask0 = jnp.ones((b, target_len), bool)
+
+    def body(carry, inp):
+        seq, mask, rng = carry
+        step_i, t_val, next_num = inp
+        rng, r_samp, r_choice = jax.random.split(rng, 3)
+        t = jnp.full((b,), t_val)
+        logits = model.apply(
+            {"params": params}, seq, mask, t, prompt_tokens, phone_id,
+            cfg, rescale_cfg, method=MaskGCTT2S.sample_step,
+        )
+        logits = _topk_filter_frac(logits, filter_thres)
+        anneal = t_val
+        temp_i = jnp.maximum(temp * anneal, 1e-3)
+        is_last = step_i == n_steps - 1
+        gumbel_ids = jnp.argmax(
+            logits / temp_i + _gumbel(r_samp, logits.shape), axis=-1
+        )
+        greedy_ids = jnp.argmax(logits, axis=-1)
+        sampled = jnp.where(is_last, greedy_ids, gumbel_ids)
+        seq = jnp.where(mask, sampled, seq)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+        conf = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+        scores = (1.0 - conf) + temp * anneal * _gumbel(r_choice, conf.shape)
+        # only previously-masked positions are candidates for re-masking
+        scores = jnp.where(mask, scores, -jnp.inf)
+        # re-mask the next_num highest scores (least confident)
+        order = jnp.argsort(-scores, axis=-1)
+        rank = jnp.argsort(order, axis=-1)
+        new_mask = (rank < next_num) & mask
+        seq = jnp.where(new_mask, 0, seq)
+        return (seq, new_mask, rng), None
+
+    xs = (
+        jnp.arange(n_steps),
+        jnp.asarray(t_list[:-1]),
+        jnp.asarray(next_mask_nums),
+    )
+    (seq, _, _), _ = jax.lax.scan(body, (seq0, mask0, rng), xs)
+    return seq
+
+
+# ---------------------------------------------------------------------------
+# S2A — semantic → acoustic RVQ layers (SoundStorm-style)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class S2AConfig:
+    hidden: int = 1024
+    num_layers: int = 16
+    num_heads: int = 16
+    codebook_size: int = 1024  # acoustic codebook size per RVQ layer
+    num_quantizers: int = 12
+    semantic_dim: int = 384  # dim of quantized semantic features
+    cond_drop_prob: float = 0.2
+    max_position: int = 8192
+
+    def llama(self) -> LlamaConfig:
+        return LlamaConfig(
+            hidden_size=self.hidden, num_layers=self.num_layers,
+            num_heads=self.num_heads, adaptive=True,
+            max_position=self.max_position,
+        )
+
+
+class MaskGCTS2A(nn.Module):
+    cfg: S2AConfig
+
+    def setup(self):
+        c = self.cfg
+        self.token_embs = [
+            nn.Embed(c.codebook_size, c.hidden, name=f"tok_emb_{q}")
+            for q in range(c.num_quantizers)
+        ]
+        self.mask_embs = self.param(
+            "mask_embs", nn.initializers.normal(0.02), (c.num_quantizers, c.hidden)
+        )
+        self.sem_proj = nn.Dense(c.hidden)
+        self.time_proj = nn.Dense(c.hidden)
+        self.layer_emb = nn.Embed(c.num_quantizers, c.hidden)
+        self.backbone = LlamaEncoder(c.llama())
+        self.heads = [
+            nn.Dense(c.codebook_size, name=f"head_{q}")
+            for q in range(c.num_quantizers)
+        ]
+
+    def _time_cond(self, t, layer):
+        te = timestep_embedding(t * 1000.0, self.cfg.hidden)
+        return self.time_proj(nn.silu(te)) + self.layer_emb(layer)
+
+    def _sum_below(self, tokens_all, layer):
+        """Sum token embeddings of RVQ layers < layer. tokens_all (B, Q, T)."""
+        acc = self.token_embs[0](tokens_all[:, 0]) * (layer > 0)[:, None, None]
+        for q in range(1, self.cfg.num_quantizers):
+            acc = acc + self.token_embs[q](tokens_all[:, q]) * (
+                (layer > q)[:, None, None]
+            )
+        return acc
+
+    def _layer_logits(self, h, layer):
+        """Select per-item head output for its layer (B,)-varying."""
+        outs = jnp.stack([head(h) for head in self.heads], axis=1)  # (B, Q, T, V)
+        return jnp.take_along_axis(
+            outs, layer[:, None, None, None], axis=1
+        )[:, 0]
+
+    def _mask_emb_of(self, layer):
+        return jnp.take(self.mask_embs, layer, axis=0)[:, None, :]  # (B, 1, H)
+
+    def compute_loss(self, tokens_all, x_mask, semantic_feats, rng):
+        """tokens_all (B, Q, T); semantic_feats (B, T, semantic_dim)."""
+        c = self.cfg
+        b, q_n, t_len = tokens_all.shape
+        r_t, r_mask, r_layer, r_prompt, r_drop = jax.random.split(rng, 5)
+        layer = jax.random.randint(r_layer, (b,), 0, c.num_quantizers)
+        t = jnp.clip(jax.random.uniform(r_t, (b,)), 1e-5, 1.0)
+        mp = jnp.maximum(mask_prob_schedule(t), 0.2)
+
+        use_cond = jax.random.uniform(r_drop, (b,)) > c.cond_drop_prob
+        max_pl = max(1, int(t_len * 0.4))
+        prompt_len = jnp.where(
+            use_cond, jax.random.randint(r_prompt, (b,), 0, max_pl), 0
+        )
+        pos = jnp.arange(t_len)[None, :]
+        is_prompt = pos < prompt_len[:, None]
+
+        mask = jax.random.bernoulli(r_mask, mp[:, None], (b, t_len)) & ~is_prompt
+        none_masked = ~jnp.any(mask, axis=1)
+        mask = mask | (none_masked[:, None] & (pos == prompt_len[:, None]))
+
+        target = jnp.take_along_axis(tokens_all, layer[:, None, None], axis=1)[:, 0]
+        cur_emb = jnp.stack(
+            [self.token_embs[q](tokens_all[:, q]) for q in range(c.num_quantizers)],
+            axis=1,
+        )
+        cur_emb = jnp.take_along_axis(
+            cur_emb, layer[:, None, None, None], axis=1
+        )[:, 0]
+        x_emb = (
+            self._sum_below(tokens_all, layer)
+            + jnp.where(mask[..., None], self._mask_emb_of(layer), cur_emb)
+            + self.sem_proj(semantic_feats)
+        )
+        h = self.backbone(x_emb, cond=self._time_cond(t, layer), mask=x_mask)
+        logits = self._layer_logits(h, layer)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+        w = mask.astype(jnp.float32) * x_mask
+        loss = -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, {"s2a_loss": loss}
+
+    def sample_layer_step(self, tokens_all, mask, layer, t, semantic_feats,
+                          prompt_tokens_all, cfg_scale):
+        """Logits for one mask-predict step on RVQ layer `layer` with acoustic
+        prompt prefix. prompt_tokens_all: (B, Q, Lp)."""
+        c = self.cfg
+        b, q_n, t_len = tokens_all.shape
+        lp = prompt_tokens_all.shape[2]
+        full = jnp.concatenate([prompt_tokens_all, tokens_all], axis=2)
+        cur_emb = jnp.stack(
+            [self.token_embs[q](full[:, q]) for q in range(c.num_quantizers)], axis=1
+        )
+        cur_l = jnp.take_along_axis(cur_emb, layer[:, None, None, None], axis=1)[:, 0]
+        full_mask = jnp.concatenate([jnp.zeros((b, lp), bool), mask], axis=1)
+        # prompt positions: all layers known → sum layers <= layer... use
+        # sum_below + current-layer emb (known for prompt)
+        x_emb = (
+            self._sum_below(full, layer)
+            + jnp.where(full_mask[..., None], self._mask_emb_of(layer), cur_l)
+            + self.sem_proj(semantic_feats)  # (B, lp+T, D) expected
+        )
+        am = jnp.ones((b, lp + t_len))
+        h = self.backbone(x_emb, cond=self._time_cond(t, layer), mask=am)
+        logits_c = self._layer_logits(h, layer)[:, lp:]
+        # unconditional: no prompt, no semantic features
+        x_emb_u = self._sum_below(tokens_all, layer) + jnp.where(
+            mask[..., None], self._mask_emb_of(layer),
+            jnp.take_along_axis(
+                jnp.stack([self.token_embs[q](tokens_all[:, q]) for q in
+                           range(c.num_quantizers)], axis=1),
+                layer[:, None, None, None], axis=1)[:, 0],
+        )
+        h_u = self.backbone(
+            x_emb_u, cond=self._time_cond(t, layer), mask=jnp.ones((b, t_len))
+        )
+        logits_u = self._layer_logits(h_u, layer)
+        return logits_u + cfg_scale * (logits_c - logits_u)
+
+
+def s2a_sample(
+    model: MaskGCTS2A,
+    params,
+    semantic_feats: jax.Array,  # (B, Lp+T, D) covering prompt + target
+    prompt_tokens_all: jax.Array,  # (B, Q, Lp)
+    target_len: int,
+    rng: jax.Array,
+    first_layer_steps: int = 16,
+    rest_layer_steps: int = 1,
+    temp: float = 1.0,
+    cfg: float = 1.0,
+):
+    """Layer-by-layer mask-predict: iterative for layer 0, few-step for rest
+    (ref `maskgct_s2a.py:318` — '1-layer then full, per RVQ layer')."""
+    c = model.cfg
+    b = prompt_tokens_all.shape[0]
+    tokens = jnp.zeros((b, c.num_quantizers, target_len), jnp.int32)
+
+    for q in range(c.num_quantizers):
+        n_steps = first_layer_steps if q == 0 else rest_layer_steps
+        layer = jnp.full((b,), q, jnp.int32)
+        t_list = np.asarray([1.0 - i / n_steps for i in range(n_steps + 1)], np.float32)
+        nums = np.asarray(
+            [int(np.sin(t * np.pi / 2) * target_len) for t in t_list[1:]], np.int32
+        )
+        mask = jnp.ones((b, target_len), bool)
+
+        def body(carry, inp):
+            tokens, mask, rng = carry
+            step_i, t_val, next_num = inp
+            rng, r_s, r_c = jax.random.split(rng, 3)
+            t = jnp.full((b,), t_val)
+            logits = model.apply(
+                {"params": params}, tokens, mask, layer, t, semantic_feats,
+                prompt_tokens_all, cfg, method=MaskGCTS2A.sample_layer_step,
+            )
+            temp_i = jnp.maximum(temp * t_val, 1e-3)
+            sampled = jnp.argmax(logits / temp_i + _gumbel(r_s, logits.shape), -1)
+            sampled = jnp.where(step_i == n_steps - 1, jnp.argmax(logits, -1), sampled)
+            cur = jnp.take_along_axis(tokens, layer[:, None, None], axis=1)[:, 0]
+            cur = jnp.where(mask, sampled, cur)
+            probs = jax.nn.softmax(logits, axis=-1)
+            conf = jnp.take_along_axis(probs, sampled[..., None], -1)[..., 0]
+            scores = jnp.where(mask, (1 - conf) + temp * t_val * _gumbel(r_c, conf.shape), -jnp.inf)
+            order = jnp.argsort(-scores, axis=-1)
+            rank = jnp.argsort(order, axis=-1)
+            new_mask = (rank < next_num) & mask
+            cur = jnp.where(new_mask, 0, cur)
+            tokens = jnp.expand_dims(cur, 1) * jax.nn.one_hot(
+                layer, c.num_quantizers, dtype=tokens.dtype
+            )[:, :, None] + tokens * (
+                1 - jax.nn.one_hot(layer, c.num_quantizers, dtype=tokens.dtype)
+            )[:, :, None]
+            return (tokens, new_mask, rng), None
+
+        xs = (jnp.arange(n_steps), jnp.asarray(t_list[:-1]), jnp.asarray(nums))
+        rng, r = jax.random.split(rng)
+        (tokens, _, _), _ = jax.lax.scan(body, (tokens, mask, r), xs)
+    return tokens
