@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from amphion_tpu.models.vc.ar_transformer import (
+    ARTransformer,
+    ARTransformerConfig,
+    ar_transformer_generate,
+)
+from amphion_tpu.models.vc.flow_matching_transformer import (
+    FlowMatchingTransformer,
+    FMTConfig,
+    fmt_inference,
+)
+from amphion_tpu.models.vocoders.vocos import VocosConfig, VocosGenerator
+
+AR_TINY = ARTransformerConfig(
+    input_vocab=8, output_vocab=16, hidden=32, num_layers=2, num_heads=4,
+    max_position=128, use_global_timbre=True,
+)
+FMT_TINY = FMTConfig(
+    token_vocab=16, n_mel=8, hidden=32, num_layers=2, num_heads=4,
+    max_position=128,
+)
+
+
+def test_vocos_generator(rng):
+    cfg = VocosConfig(n_mel=16, dim=32, intermediate_dim=64, num_layers=2,
+                      n_fft=64, hop_size=16)
+    gen = VocosGenerator(cfg)
+    mel = jnp.asarray(rng.standard_normal((2, 20, 16)).astype(np.float32))
+    params = gen.init(jax.random.key(0), mel)["params"]
+    wav = gen.apply({"params": params}, mel)
+    assert wav.shape == (2, 20 * 16)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_ar_transformer_loss_and_generate(rng):
+    model = ARTransformer(AR_TINY)
+    inp = jnp.asarray(rng.integers(0, 8, (2, 6)))
+    out = jnp.asarray(rng.integers(0, 16, (2, 10)))
+    imask = jnp.ones((2, 6), jnp.float32)
+    omask = jnp.ones((2, 10), jnp.float32)
+    ref_mel = jnp.asarray(rng.standard_normal((2, 16, 80)).astype(np.float32))
+    params = model.init(
+        jax.random.key(0), inp, imask, out, omask, ref_mel,
+        method=ARTransformer.loss,
+    )["params"]
+    loss, aux = model.apply(
+        {"params": params}, inp, imask, out, omask, ref_mel,
+        method=ARTransformer.loss,
+    )
+    assert np.isfinite(float(loss))
+    assert abs(float(loss) - np.log(18)) < 1.0
+
+    toks, lens = ar_transformer_generate(
+        model, params, inp, jax.random.key(1), max_new=8, top_k=5, ref_mel=ref_mel
+    )
+    assert toks.shape == (2, 8)
+    assert (np.asarray(toks) <= AR_TINY.eos_id).all()
+
+
+def test_fmt_loss_overfit_and_inference(rng):
+    model = FlowMatchingTransformer(FMT_TINY)
+    b, t = 2, 12
+    mel = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 16, (b, t)))
+    pmask = jnp.asarray(
+        np.stack([np.r_[np.ones(4), np.zeros(8)], np.zeros(12)])
+    ).astype(jnp.float32)
+    xmask = jnp.ones((b, t), jnp.float32)
+    params = model.init(
+        jax.random.key(0), mel, tokens, pmask, xmask, jax.random.key(1),
+        method=FlowMatchingTransformer.loss,
+    )["params"]
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, rng):
+        def loss_fn(p):
+            return model.apply(
+                {"params": p}, mel, tokens, pmask, xmask, rng,
+                method=FlowMatchingTransformer.loss,
+            )
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    losses = [float(step(params, opt, jax.random.key(i))[2]) for i in range(1)]
+    for i in range(25):
+        params, opt, loss = step(params, opt, jax.random.key(i))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    out = fmt_inference(
+        model, params, tokens, mel, pmask, jax.random.key(9), num_steps=8,
+        cfg_scale=0.7,
+    )
+    assert out.shape == mel.shape
+    # prompt frames pass through unchanged
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :4], np.asarray(mel)[0, :4], atol=1e-6
+    )
+    assert np.isfinite(np.asarray(out)).all()
