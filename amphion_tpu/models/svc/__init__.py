@@ -1,0 +1,7 @@
+from amphion_tpu.models.svc.diffusion_svc import (
+    DiffusionSVC,
+    DiffusionSVCConfig,
+    diffusion_svc_sample,
+)
+from amphion_tpu.models.svc.comosvc import ComoSVC, consistency_distill_step
+from amphion_tpu.models.svc.transformer_svc import TransformerSVC, TransformerSVCConfig

