@@ -114,6 +114,18 @@ class CheckpointManager:
             return new_state, epoch, step
         return self._from_save_tree(state, restored), epoch, step
 
+    def restore_raw(self, checkpoint_path: str | None = None):
+        """Restore the raw checkpoint pytree (no target structure needed) —
+        for inference-time loading of a subset (e.g. generator params only).
+        Returns (tree, epoch, step)."""
+        path = Path(checkpoint_path or self.latest() or "")
+        if not path.name:
+            raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        epoch, step = parse_ckpt_name(path.name)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            tree = ckptr.restore(path.resolve())
+        return tree, epoch, step
+
     # -- pytree packing -----------------------------------------------------
 
     @staticmethod
