@@ -1,0 +1,203 @@
+"""SSL content-feature extraction (reference: `processors/content_extractor.py`
+— WhisperExtractor:267, ContentvecExtractor:317, WenetExtractor:357,
+MertExtractor:446, HubertExtractor:502, with frame-rate re-alignment
+`offline_resolution_transformation:101`).
+
+Each extractor wraps a frozen `transformers` checkpoint on the host (the
+reference does the same with torch/fairseq checkpoints):
+- whisper   → WhisperModel encoder states (50 Hz)
+- contentvec/hubert → HubertModel hidden states (50 Hz)
+- mert      → music SSL features (Wav2Vec2-family interface)
+- wenet     → conformer ASR features; approximated by a Wav2Vec2Conformer
+  checkpoint (the reference vendors an 11.7k-LoC WeNet stack solely to get
+  frozen conformer features)
+- w2v-bert  → Wav2Vec2BertModel (MaskGCT semantic features)
+
+`align_content_features` resamples the feature rate to the mel frame rate
+(ref `offline_resolution_transformation`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MODEL_CACHE: dict = {}
+
+
+def _to_16k(audio: np.ndarray, sample_rate: int) -> np.ndarray:
+    if sample_rate == 16000:
+        return np.asarray(audio, np.float32)
+    from amphion_tpu.data.audio_io import resample
+
+    return resample(np.asarray(audio, np.float32), sample_rate, 16000)
+
+
+def _cached(key, builder):
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = builder()
+    return _MODEL_CACHE[key]
+
+
+def whisper_extractor(model_name: str = "openai/whisper-base"):
+    def build():
+        import torch
+        from transformers import WhisperModel, WhisperProcessor
+
+        proc = WhisperProcessor.from_pretrained(model_name)
+        model = WhisperModel.from_pretrained(model_name).eval()
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            inputs = proc(x, sampling_rate=16000, return_tensors="pt")
+            with torch.no_grad():
+                enc = model.encoder(inputs.input_features).last_hidden_state
+            n_frames = int(len(x) / 16000 * 50)
+            return enc[0, :n_frames].numpy()
+
+        return extract
+
+    return _cached(("whisper", model_name), build)
+
+
+def hubert_extractor(model_name: str = "facebook/hubert-base-ls960",
+                     layer: int = -1):
+    def build():
+        import torch
+        from transformers import AutoFeatureExtractor, HubertModel
+
+        fe = AutoFeatureExtractor.from_pretrained(model_name)
+        model = HubertModel.from_pretrained(model_name).eval()
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            inputs = fe(x, sampling_rate=16000, return_tensors="pt")
+            with torch.no_grad():
+                out = model(inputs.input_values, output_hidden_states=True)
+            return out.hidden_states[layer][0].numpy()
+
+        return extract
+
+    return _cached(("hubert", model_name, layer), build)
+
+
+def contentvec_extractor(model_name: str = "facebook/hubert-base-ls960"):
+    """ContentVec = speaker-disentangled HuBERT; same interface/rate. The
+    reference loads a fairseq ContentVec ckpt — any HuBERT-family checkpoint
+    converted to transformers plugs in here."""
+    return hubert_extractor(model_name, layer=-1)
+
+
+def mert_extractor(model_name: str = "m-a-p/MERT-v1-95M"):
+    def build():
+        import torch
+        from transformers import AutoModel, Wav2Vec2FeatureExtractor
+
+        fe = Wav2Vec2FeatureExtractor.from_pretrained(model_name)
+        model = AutoModel.from_pretrained(model_name, trust_remote_code=True).eval()
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            sr = fe.sampling_rate
+            if sample_rate != sr:
+                from amphion_tpu.data.audio_io import resample
+
+                audio = resample(np.asarray(audio, np.float32), sample_rate, sr)
+            inputs = fe(audio, sampling_rate=sr, return_tensors="pt")
+            with torch.no_grad():
+                return model(**inputs).last_hidden_state[0].numpy()
+
+        return extract
+
+    return _cached(("mert", model_name), build)
+
+
+def wenet_extractor(model_name: str = "facebook/wav2vec2-conformer-rope-large-960h-ft"):
+    def build():
+        import torch
+        from transformers import AutoFeatureExtractor, Wav2Vec2ConformerModel
+
+        fe = AutoFeatureExtractor.from_pretrained(model_name)
+        model = Wav2Vec2ConformerModel.from_pretrained(model_name).eval()
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            inputs = fe(x, sampling_rate=16000, return_tensors="pt")
+            with torch.no_grad():
+                return model(inputs.input_values).last_hidden_state[0].numpy()
+
+        return extract
+
+    return _cached(("wenet", model_name), build)
+
+
+def w2v_bert_extractor(model_name: str = "facebook/w2v-bert-2.0",
+                       layer: int = 17):
+    """MaskGCT semantic features (ref `maskgct_utils.py:46` uses w2v-bert-2.0
+    hidden layer 17)."""
+
+    def build():
+        import torch
+        from transformers import AutoFeatureExtractor, Wav2Vec2BertModel
+
+        fe = AutoFeatureExtractor.from_pretrained(model_name)
+        model = Wav2Vec2BertModel.from_pretrained(model_name).eval()
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            inputs = fe(x, sampling_rate=16000, return_tensors="pt")
+            with torch.no_grad():
+                out = model(**inputs, output_hidden_states=True)
+            return out.hidden_states[layer][0].numpy()
+
+        return extract
+
+    return _cached(("w2v_bert", model_name, layer), build)
+
+
+EXTRACTORS = {
+    "whisper": whisper_extractor,
+    "hubert": hubert_extractor,
+    "contentvec": contentvec_extractor,
+    "mert": mert_extractor,
+    "wenet": wenet_extractor,
+    "w2v_bert": w2v_bert_extractor,
+}
+
+
+def align_content_features(feats: np.ndarray, target_frames: int) -> np.ndarray:
+    """Resample (T_src, D) features to target_frames by linear interpolation
+    (ref `offline_resolution_transformation:101`)."""
+    src = feats.shape[0]
+    if src == target_frames:
+        return feats
+    x_old = np.linspace(0.0, 1.0, src)
+    x_new = np.linspace(0.0, 1.0, target_frames)
+    out = np.empty((target_frames, feats.shape[1]), feats.dtype)
+    for d in range(feats.shape[1]):
+        out[:, d] = np.interp(x_new, x_old, feats[:, d])
+    return out
+
+
+def extract_content_features(
+    extractor_name: str,
+    utterances,
+    output_dir,
+    sample_rate: int,
+    target_hop: int | None = None,
+    **extractor_kw,
+):
+    """Offline extraction loop → per-uid .npy (ref
+    `content_extractor.py:561`)."""
+    from pathlib import Path
+
+    from amphion_tpu.data.audio_io import load_wav
+
+    out = Path(output_dir) / extractor_name
+    out.mkdir(parents=True, exist_ok=True)
+    extract = EXTRACTORS[extractor_name](**extractor_kw)
+    for u in utterances:
+        x, sr = load_wav(u.path, sr=sample_rate)
+        feats = extract(x, sample_rate)
+        if target_hop is not None:
+            feats = align_content_features(feats, len(x) // target_hop)
+        np.save(out / f"{u.uid}.npy", feats)
+    return out

@@ -1,0 +1,139 @@
+"""Vevo zero-shot voice imitation pipeline (VC / AC / style / TTS).
+
+Assembly equivalent of the reference (reference:
+`models/vc/vevo/vevo_utils.py:175` `VevoInferencePipeline` —
+`inference_ar_and_fm:403`, `inference_fm:572`; duration-reduced content
+tokens `:306`; Vevo1.5 singing variant `models/svc/vevosing/
+vevosing_utils.py:153`):
+
+- content tokenizer: HuBERT features → VQ-32 (style-removed, duration-
+  reduced); content-style tokenizer: VQ-8192;
+- AR transformer maps content/phone tokens → content-style tokens
+  (Vevo-Voice / Vevo-TTS);
+- flow-matching transformer renders mel with prompt-prefix timbre;
+- Vocos vocoder → waveform.
+
+Four products map to flags (ref `models/vc/vevo/README.md:16-21`):
+Vevo-Timbre (fm only), Vevo-Style/-Voice (ar + fm), Vevo-TTS (phone ar + fm).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amphion_tpu.models.codec.repcodec import RepCodec
+from amphion_tpu.models.vc.ar_transformer import ARTransformer, ar_transformer_generate
+from amphion_tpu.models.vc.flow_matching_transformer import (
+    FlowMatchingTransformer,
+    fmt_inference,
+)
+from amphion_tpu.models.vocoders.vocos import VocosGenerator
+from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+
+
+def duration_reduce(tokens: np.ndarray) -> np.ndarray:
+    """Collapse consecutive duplicate tokens (ref `vevo_utils.py:306`)."""
+    tokens = np.asarray(tokens)
+    if tokens.size == 0:
+        return tokens
+    keep = np.concatenate([[True], tokens[1:] != tokens[:-1]])
+    return tokens[keep]
+
+
+@dataclass
+class VevoPipeline:
+    content_tokenizer: RepCodec  # vocab 32
+    style_tokenizer: RepCodec  # vocab 8192
+    ar: ARTransformer
+    fm: FlowMatchingTransformer
+    vocoder: VocosGenerator
+    params: dict  # {"content_tokenizer","style_tokenizer","ar","fm","vocoder"}
+    hubert_extractor: object = None  # (audio, sr) -> (T, D)
+    mel_cfg: MelConfig = MelConfig()
+
+    # -- tokenization --------------------------------------------------------
+
+    def _ssl(self, audio: np.ndarray) -> jax.Array:
+        feats = self.hubert_extractor(audio, self.mel_cfg.sample_rate)
+        return jnp.asarray(feats)[None]
+
+    def content_tokens(self, audio: np.ndarray, reduce: bool = True) -> np.ndarray:
+        toks = self.content_tokenizer.apply(
+            {"params": self.params["content_tokenizer"]}, self._ssl(audio),
+            method=RepCodec.encode,
+        )
+        toks = np.asarray(toks)[0]
+        return duration_reduce(toks) if reduce else toks
+
+    def style_tokens(self, audio: np.ndarray) -> np.ndarray:
+        toks = self.style_tokenizer.apply(
+            {"params": self.params["style_tokenizer"]}, self._ssl(audio),
+            method=RepCodec.encode,
+        )
+        return np.asarray(toks)[0]
+
+    # -- stages (ref vevo_utils.py:403-600) ---------------------------------
+
+    def ar_stage(self, input_tokens: np.ndarray, rng, max_new=2048, **sample_kw):
+        tokens, lengths = ar_transformer_generate(
+            self.ar, self.params["ar"], jnp.asarray(input_tokens)[None], rng,
+            max_new=max_new, **sample_kw,
+        )
+        n = int(lengths[0])
+        return np.asarray(tokens)[0, :n]
+
+    def fm_stage(self, style_tokens: np.ndarray, prompt_audio: np.ndarray,
+                 rng, flow_matching_steps: int = 32) -> jax.Array:
+        hop = self.mel_cfg.hop_size
+        t_prompt = len(prompt_audio) // hop * hop
+        prompt_mel = mel_spectrogram(
+            jnp.asarray(prompt_audio[:t_prompt])[None], self.mel_cfg
+        ).transpose(0, 2, 1)  # (1, Np, n_mel)
+        n_p = prompt_mel.shape[1]
+        n_t = len(style_tokens)
+        total = n_p + n_t
+        mel_buf = jnp.zeros((1, total, self.mel_cfg.n_mel))
+        mel_buf = mel_buf.at[:, :n_p].set(prompt_mel)
+        pmask = jnp.zeros((1, total)).at[:, :n_p].set(1.0)
+        # prompt token region: use style tokens of the prompt itself if the
+        # caller provides them concatenated; zeros otherwise
+        tok = jnp.zeros((1, total), jnp.int32)
+        tok = tok.at[:, n_p:].set(jnp.asarray(style_tokens)[None])
+        mel = fmt_inference(
+            self.fm, self.params["fm"], tok, mel_buf, pmask, rng,
+            num_steps=flow_matching_steps,
+        )
+        return mel[:, n_p:]
+
+    def vocode(self, mel: jax.Array) -> np.ndarray:
+        wav = self.vocoder.apply({"params": self.params["vocoder"]}, mel)
+        return np.asarray(wav)[0]
+
+    # -- products ------------------------------------------------------------
+
+    def inference_fm(self, src_audio, ref_audio, rng, **kw):
+        """Vevo-Timbre: keep source style tokens, re-render with ref timbre."""
+        style = self.style_tokens(src_audio)
+        mel = self.fm_stage(style, ref_audio, rng, **kw)
+        return self.vocode(mel)
+
+    def inference_ar_and_fm(self, src_audio, style_ref_audio, timbre_ref_audio,
+                            rng, **kw):
+        """Vevo-Voice/-Style: content of src → style tokens of style-ref →
+        timbre of timbre-ref."""
+        r1, r2 = jax.random.split(rng)
+        content = self.content_tokens(src_audio)
+        style = self.ar_stage(content, r1)
+        mel = self.fm_stage(style, timbre_ref_audio, r2, **kw)
+        return self.vocode(mel)
+
+    def inference_tts(self, phone_ids: list[int], timbre_ref_audio, rng, **kw):
+        """Vevo-TTS: phones → style tokens → mel with reference timbre."""
+        r1, r2 = jax.random.split(rng)
+        style = self.ar_stage(np.asarray(phone_ids), r1)
+        mel = self.fm_stage(style, timbre_ref_audio, r2, **kw)
+        return self.vocode(mel)
