@@ -15,6 +15,7 @@ import jax.numpy as jnp
 class Snake(nn.Module):
     channels: int
     alpha_logscale: bool = False
+    use_pallas: bool = False  # fused Pallas kernel (fwd + recompute-bwd)
 
     @nn.compact
     def __call__(self, x):
@@ -22,6 +23,10 @@ class Snake(nn.Module):
         alpha = self.param("alpha", init, (self.channels,))
         if self.alpha_logscale:
             alpha = jnp.exp(alpha)
+        if self.use_pallas and x.ndim == 3:
+            from amphion_tpu.ops.pallas_kernels import snake_pallas
+
+            return snake_pallas(x, alpha)
         return x + (1.0 / (alpha + 1e-9)) * jnp.sin(alpha * x) ** 2
 
 
