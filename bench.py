@@ -21,7 +21,7 @@ def main() -> None:
     cfg = HiFiGANConfig()  # V1, 24 kHz / hop 120
     gen = HiFiGANGenerator(cfg)
 
-    batch, frames = 8, 800  # 8 x 4 s utterances at 24 kHz
+    batch, frames = 64, 1600  # 64 x 8 s utterances at 24 kHz (offline batch)
     rng = jax.random.key(0)
     mel = jax.random.normal(rng, (batch, frames, cfg.n_mel), jnp.float32)
     params = gen.init(rng, mel[:1, :8])["params"]
