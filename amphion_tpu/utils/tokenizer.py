@@ -1,0 +1,47 @@
+"""Audio tokenizer facade (reference: `utils/tokenizer.py:18` — EnCodec
+wrapper feeding VALL-E).
+
+Uniform encode/decode over any of the framework's codecs — the VALL-E /
+codec-LM trainers consume this interface instead of a specific model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class AudioTokenizer:
+    """codec: AmphionCodec | DualCodec | RepCodec-like module with params."""
+
+    codec: object
+    params: dict
+    sample_rate: int = 24000
+
+    def encode(self, audio: np.ndarray) -> np.ndarray:
+        """(T,) or (B, T) waveform → (B, Q, N) codes."""
+        x = jnp.asarray(audio)
+        if x.ndim == 1:
+            x = x[None]
+        codes = self.codec.apply(
+            {"params": self.params}, x, method=type(self.codec).encode
+        )
+        codes = np.asarray(codes)
+        if codes.ndim == 2:  # single-stream codecs → (B, 1, N)
+            codes = codes[:, None, :]
+        elif codes.ndim == 3 and codes.shape[0] != x.shape[0]:
+            codes = np.transpose(codes, (1, 0, 2))  # (Q, B, N) → (B, Q, N)
+        return codes
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """(B, Q, N) codes → (B, T) waveform."""
+        c = jnp.asarray(codes)
+        decode_fn = getattr(type(self.codec), "decode_codes", None) or getattr(
+            type(self.codec), "decode_tokens"
+        )
+        arg = jnp.transpose(c, (1, 0, 2)) if c.ndim == 3 else c
+        wav = self.codec.apply({"params": self.params}, arg, method=decode_fn)
+        return np.asarray(wav)
