@@ -60,3 +60,19 @@ class ValueWindow:
 
     def reset(self) -> None:
         self._values.clear()
+
+
+def model_summary(params, logger=None) -> int:
+    """Log per-top-level-module parameter counts (ref
+    `models/base/new_trainer.py:706-714`); returns the total count."""
+    import jax
+
+    log = (logger or get_logger()).info
+    total = 0
+    tree = params if isinstance(params, dict) else {"params": params}
+    for name, sub in tree.items():
+        n = sum(x.size for x in jax.tree_util.tree_leaves(sub))
+        total += n
+        log(f"  {name}: {n / 1e6:.2f}M params")
+    log(f"  total: {total / 1e6:.2f}M params")
+    return total
