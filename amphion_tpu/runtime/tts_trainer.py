@@ -174,3 +174,156 @@ class VITSTrainer:
 
     def train_loop(self):
         return self.loop.run()
+
+
+class VALLETrainer:
+    """VALL-E codec-LM trainer (ref `models/tts/valle/valle_trainer.py:25`):
+    consumes phone sequences + codec codes extracted by
+    `bins/tts/preprocess.py --extract_codes`. Trains both AR and NAR stages
+    jointly (the reference's --train_stage 1|2 split is subsumed: each batch
+    computes the AR loss on codebook 0 and the NAR loss on a random stage)."""
+
+    def __init__(self, args, cfg):
+        import optax
+
+        from amphion_tpu.data.samplers import LengthBucketSampler
+        from amphion_tpu.models.tts.valle.valle import VALLE, VALLEConfig
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.args = args
+        self.cfg = cfg
+        self.logger = get_logger("valle", level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        self.utts = []
+        for ds in cfg.dataset:
+            self.utts.extend(
+                load_metadata(Path(p.processed_dir) / ds / "train.json")
+            )
+        self.code_dir = {
+            ds: Path(p.processed_dir) / ds / "codes" for ds in cfg.dataset
+        }
+        self.phone_dir = {
+            ds: Path(p.processed_dir) / ds / p.phone_dir for ds in cfg.dataset
+        }
+        # keep only utterances that have both phones and codes
+        self.utts = [
+            u for u in self.utts
+            if (self.code_dir[u.dataset] / f"{u.uid}.npy").is_file()
+            and (self.phone_dir[u.dataset] / f"{u.uid}.json").is_file()
+        ]
+        assert self.utts, "no utterances with codes+phones; run preprocess with --extract_codes"
+        self.symbols = SymbolTable.from_file(
+            Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict
+        )
+
+        m = cfg.model.get("valle", None)
+        self.model = VALLE(VALLEConfig(
+            num_phones=max(len(self.symbols) + 1, 64),
+            audio_vocab=m.audio_vocab if m else 1024,
+            num_quantizers=m.num_quantizers if m else 8,
+            hidden=m.hidden if m else 1024,
+            num_layers=m.num_layers if m else 12,
+            num_heads=m.num_heads if m else 16,
+            max_position=m.get("max_position", 4096) if m else 4096,
+        ))
+        t = cfg.train
+        lengths = []
+        for u in self.utts:
+            codes = np.load(self.code_dir[u.dataset] / f"{u.uid}.npy",
+                            mmap_mode="r")
+            lengths.append(int(codes.shape[-1]))
+        self.sampler = LengthBucketSampler(
+            lengths, max_tokens=t.get("max_tokens", 8192),
+            min_bucket=t.get("min_bucket", 64), seed=t.get("seed", 0),
+        )
+        self.max_phones = t.get("max_phones", 256)
+
+        first = next(iter(self.sampler))
+        example = self._make_batch(*first)
+        tx = optax.adamw(t.adamw.lr, b1=t.adamw.get("adam_b1", 0.9),
+                         b2=t.adamw.get("adam_b2", 0.95),
+                         weight_decay=t.adamw.get("weight_decay", 0.01))
+        tx = optax.chain(optax.clip_by_global_norm(1.0), tx)
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)), example["phones"],
+            example["phone_mask"], example["tokens"], example["token_mask"],
+            jax.random.key(1), method=type(self.model).train_loss,
+        )["params"]
+        from amphion_tpu.utils.logging import model_summary
+
+        model_summary(params, self.logger)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=self.model.apply, tx=tx,
+        )
+
+        import functools
+
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(prm):
+                return model.apply(
+                    {"params": prm}, batch["phones"], batch["phone_mask"],
+                    batch["tokens"], batch["token_mask"], sub,
+                    method=type(model).train_loss,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _make_batch(self, indices, bucket):
+        phones, codes, code_lens = [], [], []
+        for i in indices:
+            u = self.utts[i]
+            ph = json.loads((self.phone_dir[u.dataset] / f"{u.uid}.json").read_text())
+            phones.append(np.asarray(ph[: self.max_phones], np.int32))
+            c = np.load(self.code_dir[u.dataset] / f"{u.uid}.npy")  # (Q, N)
+            codes.append(c[:, :bucket])
+            code_lens.append(min(c.shape[1], bucket))
+        ph, ph_len = pad_batch(phones)
+        q = codes[0].shape[0]
+        toks = np.zeros((len(codes), q, bucket), np.int32)
+        for r, c in enumerate(codes):
+            toks[r, :, : c.shape[1]] = c
+        token_mask = (
+            np.arange(bucket)[None, :] < np.asarray(code_lens)[:, None]
+        ).astype(np.float32)
+        phone_mask = (
+            np.arange(ph.shape[1])[None, :] < ph_len[:, None]
+        ).astype(np.float32)
+        return {
+            "phones": jnp.asarray(ph), "phone_mask": jnp.asarray(phone_mask),
+            "tokens": jnp.asarray(toks), "token_mask": jnp.asarray(token_mask),
+        }
+
+    def _data(self):
+        def gen():
+            for indices, bucket in self.sampler:
+                yield self._make_batch(indices, bucket)
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()

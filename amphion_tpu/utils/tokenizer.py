@@ -21,15 +21,27 @@ class AudioTokenizer:
     params: dict
     sample_rate: int = 24000
 
+    def __post_init__(self):
+        import jax
+
+        # jitted closures (unjitted apply dispatches op-by-op on TPU)
+        self._encode = jax.jit(
+            lambda p, x: self.codec.apply({"params": p}, x,
+                                          method=type(self.codec).encode)
+        )
+        decode_fn = getattr(type(self.codec), "decode_codes", None) or getattr(
+            type(self.codec), "decode_tokens"
+        )
+        self._decode = jax.jit(
+            lambda p, c: self.codec.apply({"params": p}, c, method=decode_fn)
+        )
+
     def encode(self, audio: np.ndarray) -> np.ndarray:
         """(T,) or (B, T) waveform → (B, Q, N) codes."""
         x = jnp.asarray(audio)
         if x.ndim == 1:
             x = x[None]
-        codes = self.codec.apply(
-            {"params": self.params}, x, method=type(self.codec).encode
-        )
-        codes = np.asarray(codes)
+        codes = np.asarray(self._encode(self.params, x))
         if codes.ndim == 2:  # single-stream codecs → (B, 1, N)
             codes = codes[:, None, :]
         elif codes.ndim == 3 and codes.shape[0] != x.shape[0]:
@@ -39,9 +51,5 @@ class AudioTokenizer:
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """(B, Q, N) codes → (B, T) waveform."""
         c = jnp.asarray(codes)
-        decode_fn = getattr(type(self.codec), "decode_codes", None) or getattr(
-            type(self.codec), "decode_tokens"
-        )
         arg = jnp.transpose(c, (1, 0, 2)) if c.ndim == 3 else c
-        wav = self.codec.apply({"params": self.params}, arg, method=decode_fn)
-        return np.asarray(wav)
+        return np.asarray(self._decode(self.params, arg))

@@ -5,20 +5,21 @@ from __future__ import annotations
 
 import argparse
 
-from amphion_tpu.runtime.tts_trainer import VITSTrainer
+from amphion_tpu.runtime.tts_trainer import VALLETrainer, VITSTrainer
 from amphion_tpu.utils.config import load_config
 
 
 def build_trainer(args, cfg):
     supported_trainer = {
         "VITS": VITSTrainer,
+        "VALLE": VALLETrainer,
     }
     if cfg.model_type not in supported_trainer:
         raise NotImplementedError(
             f"model_type {cfg.model_type!r}: the model library implements "
-            "FastSpeech2/VALLE/NaturalSpeech2/Jets/MaskGCT (see "
+            "FastSpeech2/NaturalSpeech2/Jets/MaskGCT/Metis (see "
             "amphion_tpu/models/tts/) — their config-driven CLI trainers land "
-            "with their recipes; VITS is fully wired."
+            "with their recipes; VITS and VALLE are fully wired."
         )
     return supported_trainer[cfg.model_type](args, cfg)
 
