@@ -137,3 +137,41 @@ class VevoPipeline:
         style = self.ar_stage(np.asarray(phone_ids), r1)
         mel = self.fm_stage(style, timbre_ref_audio, r2, **kw)
         return self.vocode(mel)
+
+
+@dataclass
+class VevoSingPipeline(VevoPipeline):
+    """Vevo1.5 singing variant (reference:
+    `models/svc/vevosing/vevosing_utils.py:153` — adds the Coco prosody
+    tokenizer at 6.25 Hz next to the 12.5 Hz content-style stream; supports
+    TTS/VC/SVS/SVC/editing).
+
+    prosody_tokenizer: a `CocoCodec` in "style" mode; its tokens condition
+    the AR stage alongside content tokens (concatenated input streams)."""
+
+    prosody_tokenizer: object = None  # CocoCodec(style) module
+    prosody_params: dict | None = None
+
+    def prosody_tokens(self, audio: np.ndarray, f0: np.ndarray) -> np.ndarray:
+        assert self.prosody_tokenizer is not None
+        import jax
+
+        toks = self.prosody_tokenizer.apply(
+            {"params": self.prosody_params}, None, jnp.asarray(f0)[None],
+            method=type(self.prosody_tokenizer).encode,
+        )
+        return np.asarray(toks)[0]
+
+    def inference_svc(self, src_audio, src_f0, timbre_ref_audio, rng, **kw):
+        """Singing voice conversion: content + prosody of source → timbre of
+        reference."""
+        import jax
+
+        r1, r2 = jax.random.split(rng)
+        content = self.content_tokens(src_audio)
+        prosody = self.prosody_tokens(src_audio, src_f0)
+        # interleave prosody into the AR conditioning stream
+        inp = np.concatenate([prosody, content])
+        style = self.ar_stage(inp, r1)
+        mel = self.fm_stage(style, timbre_ref_audio, r2, **kw)
+        return self.vocode(mel)

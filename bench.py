@@ -38,7 +38,7 @@ def main() -> None:
 
     # NOTE: on the axon-tunneled TPU, block_until_ready() returns before the
     # computation finishes; a scalar device->host fetch is the reliable fence.
-    n_iters = 30
+    n_iters = 15
     t0 = time.perf_counter()
     outs = [synthesize(params_bf16, mel) for _ in range(n_iters)]
     for o in outs:
