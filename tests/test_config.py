@@ -35,3 +35,18 @@ def test_jsonhparams_access():
     assert h.e.f == 1
     back = h.to_dict()
     assert back["a"]["b"][1]["c"] == 2
+
+
+def test_legacy_hparams():
+    from amphion_tpu.utils.hparam import HParams
+
+    h = HParams(lr=0.1, steps=100, name="m", flag=False, dims=[1, 2])
+    h.parse("lr=0.5,steps=20,flag=true,name=x,dims=[3,4]")
+    assert h.lr == 0.5 and h.steps == 20 and h.flag is True
+    assert h.name == "x" and h.dims == [3, 4]
+    back = HParams.from_json(h.to_json())
+    assert back.lr == 0.5
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        h.parse("unknown=1")
