@@ -327,3 +327,181 @@ class VALLETrainer:
 
     def train_loop(self):
         return self.loop.run()
+
+
+class FastSpeech2Trainer:
+    """FastSpeech2 trainer (ref `models/tts/fastspeech2/fs2_trainer.py` +
+    MFA recipe `egs/tts/FastSpeech2/{run.sh,prepare_mfa.sh}`): phone +
+    duration supervision comes from MFA TextGrids
+    (`<processed>/<ds>/textgrids/<uid>.TextGrid`), parsed natively; pitch /
+    energy / mel are computed on device per batch (normalized log-F0)."""
+
+    def __init__(self, args, cfg):
+        import optax
+
+        from amphion_tpu.data.processors.duration import textgrid_to_durations
+        from amphion_tpu.models.tts.fastspeech2.fs2 import (
+            FastSpeech2,
+            FastSpeech2Config,
+            fastspeech2_loss,
+        )
+        from amphion_tpu.ops.energy import energy_from_log_mel
+        from amphion_tpu.ops.f0 import F0Config, yin_f0
+        from amphion_tpu.ops.mel import mel_spectrogram
+        from amphion_tpu.runtime.train_state import TrainState
+        from amphion_tpu.text.symbol_table import SymbolTable
+
+        self.args = args
+        self.cfg = cfg
+        self.logger = get_logger("fs2", level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        self.f0_cfg = F0Config.from_preprocess_cfg(p)
+        self.hop = p.hop_size
+        self._mel_fn = mel_spectrogram
+        self._f0_fn = yin_f0
+        self._energy_fn = energy_from_log_mel
+
+        utts, self.align = [], {}
+        table = SymbolTable.from_symbols(["_", "sil"])
+        for ds in cfg.dataset:
+            for u in load_metadata(Path(p.processed_dir) / ds / "train.json"):
+                tg = Path(p.processed_dir) / ds / "textgrids" / f"{u.uid}.TextGrid"
+                if not tg.is_file():
+                    continue
+                phones, durs = textgrid_to_durations(
+                    tg, self.hop, p.sample_rate
+                )
+                for ph in phones:
+                    table.add(ph)
+                self.align[u.uid] = (phones, durs)
+                utts.append(u)
+        assert utts, ("no utterances with TextGrids; run MFA over the corpus "
+                      "exported by prepare_mfa_corpus()")
+        self.utts = utts
+        self.symbols = table
+        speakers = sorted({u.speaker or "default" for u in utts})
+        self.spk2id = {s: i for i, s in enumerate(speakers)}
+
+        t = cfg.train
+        self.batch_size = t.batch_size
+        self.max_frames = t.get("max_frames", 600)
+        m = cfg.model.get("fastspeech2", None)
+        self.model = FastSpeech2(FastSpeech2Config(
+            num_phones=max(len(table) + 1, 64),
+            hidden=m.hidden if m else 256,
+            n_enc_layers=m.n_enc_layers if m else 4,
+            n_dec_layers=m.n_dec_layers if m else 6,
+            n_heads=m.n_heads if m else 2,
+            ffn_hidden=m.ffn_hidden if m else 1024,
+            kernel_size=m.get("kernel_size", 9) if m else 9,
+            n_mel=p.n_mel,
+            max_frames=self.max_frames,
+            n_speakers=len(speakers) if len(speakers) > 1 else 0,
+        ))
+        self._loss_fn = fastspeech2_loss
+
+        example = self._make_batch(self.utts[: self.batch_size])
+        tx = optax.adamw(t.adamw.lr)
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)), example["phones"],
+            example["phone_mask"], example["durations"], example["pitch"],
+            example["energy"], example["sid"],
+        )["params"]
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(1),
+            apply_fn=self.model.apply, tx=tx,
+        )
+
+        import functools
+
+        model, loss_fn = self.model, self._loss_fn
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            def lf(prm):
+                out = model.apply(
+                    {"params": prm}, batch["phones"], batch["phone_mask"],
+                    batch["durations"], batch["pitch"], batch["energy"],
+                    batch["sid"],
+                )
+                return loss_fn(out, batch)
+
+            (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+            return state.apply_gradients(grads), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.symbols.to_file(ckpt_dir.parent / "symbols.dict")
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _make_batch(self, utts):
+        mf = self.max_frames
+        b = len(utts)
+        audios = []
+        phone_rows, dur_rows = [], []
+        for u in utts:
+            phones, durs = self.align[u.uid]
+            ids = np.asarray([self.symbols[p] for p in phones], np.int32)
+            # clip total duration to max_frames
+            cum = np.cumsum(durs)
+            keep = cum <= mf
+            if not keep.any():  # first phone alone exceeds max_frames
+                keep[0] = True
+                durs = np.minimum(durs, mf)
+            phone_rows.append(ids[keep])
+            dur_rows.append(np.asarray(durs)[keep])
+            x, _ = load_wav(u.path, sr=self.mel_cfg.sample_rate)
+            n = int(np.asarray(durs)[keep].sum())
+            seg = np.zeros(mf * self.hop, np.float32)
+            seg[: min(len(x), n * self.hop)] = x[: n * self.hop]
+            audios.append(seg)
+        ph, ph_len = pad_batch(phone_rows)
+        du, _ = pad_batch(dur_rows)
+        au = np.stack(audios)
+        mel = self._mel_fn(jnp.asarray(au), self.mel_cfg)  # (B, M, N)
+        f0, _ = self._f0_fn(jnp.asarray(au), self.f0_cfg)
+        energy = self._energy_fn(mel)
+        # normalized log-F0 (dataset-free running normalization: log1p/std≈1)
+        pitch = jnp.log1p(f0)
+        pitch = (pitch - jnp.mean(pitch)) / (jnp.std(pitch) + 1e-5)
+        energy_n = (energy - jnp.mean(energy)) / (jnp.std(energy) + 1e-5)
+        phone_mask = (
+            np.arange(ph.shape[1])[None, :] < ph_len[:, None]
+        ).astype(np.float32)
+        sids = np.asarray([self.spk2id.get(u.speaker or "default", 0)
+                           for u in utts], np.int32)
+        return {
+            "phones": jnp.asarray(ph), "phone_mask": jnp.asarray(phone_mask),
+            "durations": jnp.asarray(du),
+            "pitch": pitch, "energy": energy_n,
+            "mel": mel.transpose(0, 2, 1),
+            "sid": jnp.asarray(sids),
+        }
+
+    def _data(self):
+        order = np.random.default_rng(self.loop.epoch).permutation(len(self.utts))
+
+        def gen():
+            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                yield self._make_batch(
+                    [self.utts[j] for j in order[i : i + self.batch_size]]
+                )
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()

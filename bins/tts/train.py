@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import argparse
 
-from amphion_tpu.runtime.tts_trainer import VALLETrainer, VITSTrainer
+from amphion_tpu.runtime.tts_trainer import (
+    FastSpeech2Trainer,
+    VALLETrainer,
+    VITSTrainer,
+)
 from amphion_tpu.utils.config import load_config
 
 
@@ -13,6 +17,7 @@ def build_trainer(args, cfg):
     supported_trainer = {
         "VITS": VITSTrainer,
         "VALLE": VALLETrainer,
+        "FastSpeech2": FastSpeech2Trainer,
     }
     if cfg.model_type not in supported_trainer:
         raise NotImplementedError(
