@@ -22,9 +22,9 @@ def build_trainer(args, cfg):
     if cfg.model_type not in supported_trainer:
         raise NotImplementedError(
             f"model_type {cfg.model_type!r}: the model library implements "
-            "FastSpeech2/NaturalSpeech2/Jets/MaskGCT/Metis (see "
-            "amphion_tpu/models/tts/) — their config-driven CLI trainers land "
-            "with their recipes; VITS and VALLE are fully wired."
+            "NaturalSpeech2/Jets/MaskGCT/Metis (see amphion_tpu/models/tts/) — "
+            "their config-driven CLI trainers land with their recipes; "
+            "VITS, VALLE, and FastSpeech2 are fully wired."
         )
     return supported_trainer[cfg.model_type](args, cfg)
 
