@@ -505,3 +505,201 @@ class FastSpeech2Trainer:
 
     def train_loop(self):
         return self.loop.run()
+
+
+class MaskGCTTrainer:
+    """MaskGCT trainer: joint T2S + S2A masked-generative objectives.
+
+    Consumes `bins/tts/preprocess.py --extract_semantic` (semantic tokens +
+    quantized latents) and `--extract_codes` (acoustic RVQ codes), plus phone
+    sequences — the same two-stage data contract as the reference
+    (`models/tts/maskgct/` trainers with w2v-bert semantic tokens)."""
+
+    def __init__(self, args, cfg):
+        import optax
+
+        from amphion_tpu.data.samplers import LengthBucketSampler
+        from amphion_tpu.models.tts.maskgct.maskgct import (
+            MaskGCTS2A,
+            MaskGCTT2S,
+            S2AConfig,
+            T2SConfig,
+        )
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.args = args
+        self.cfg = cfg
+        self.logger = get_logger("maskgct", level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        self.utts = []
+        for ds in cfg.dataset:
+            self.utts.extend(
+                load_metadata(Path(p.processed_dir) / ds / "train.json")
+            )
+        root = {ds: Path(p.processed_dir) / ds for ds in cfg.dataset}
+        self.dirs = {
+            "phones": {ds: r / p.phone_dir for ds, r in root.items()},
+            "semantic": {ds: r / "semantic" for ds, r in root.items()},
+            "semantic_feats": {ds: r / "semantic_feats" for ds, r in root.items()},
+            "codes": {ds: r / "codes" for ds, r in root.items()},
+        }
+        self.utts = [
+            u for u in self.utts
+            if all((self.dirs[k][u.dataset] / f"{u.uid}.{ext}").is_file()
+                   for k, ext in [("phones", "json"), ("semantic", "npy"),
+                                  ("semantic_feats", "npy"), ("codes", "npy")])
+        ]
+        assert self.utts, ("missing features: run preprocess with "
+                           "--extract_semantic --extract_codes")
+        self.symbols = SymbolTable.from_file(
+            Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict
+        )
+
+        mt = cfg.model.get("t2s", None)
+        ms = cfg.model.get("s2a", None)
+        sem_dim = int(np.load(
+            self.dirs["semantic_feats"][self.utts[0].dataset]
+            / f"{self.utts[0].uid}.npy").shape[-1])
+        n_q = int(np.load(
+            self.dirs["codes"][self.utts[0].dataset]
+            / f"{self.utts[0].uid}.npy").shape[0])
+        self.t2s = MaskGCTT2S(T2SConfig(
+            hidden=mt.hidden if mt else 1024,
+            num_layers=mt.num_layers if mt else 16,
+            num_heads=mt.num_heads if mt else 16,
+            codebook_size=mt.codebook_size if mt else 8192,
+            phone_vocab=max(len(self.symbols) + 1, 64),
+        ))
+        self.s2a = MaskGCTS2A(S2AConfig(
+            hidden=ms.hidden if ms else 1024,
+            num_layers=ms.num_layers if ms else 16,
+            num_heads=ms.num_heads if ms else 16,
+            codebook_size=ms.codebook_size if ms else 1024,
+            num_quantizers=n_q,
+            semantic_dim=sem_dim,
+        ))
+
+        t = cfg.train
+        lengths = []
+        for u in self.utts:
+            lengths.append(int(np.load(
+                self.dirs["semantic"][u.dataset] / f"{u.uid}.npy",
+                mmap_mode="r").shape[-1]))
+        self.sampler = LengthBucketSampler(
+            lengths, max_tokens=t.get("max_tokens", 8192),
+            min_bucket=t.get("min_bucket", 64), seed=t.get("seed", 0),
+        )
+        self.max_phones = t.get("max_phones", 256)
+
+        example = self._make_batch(*next(iter(self.sampler)))
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr)
+        )
+        r = jax.random.key(t.get("seed", 0))
+        t2s_params = self.t2s.init(
+            r, example["semantic"], example["x_mask"], example["phones"],
+            example["phone_mask"], jax.random.key(1),
+            method=MaskGCTT2S.compute_loss,
+        )["params"]
+        s2a_params = self.s2a.init(
+            r, example["codes"], example["x_mask"], example["semantic_feats"],
+            jax.random.key(1), method=MaskGCTS2A.compute_loss,
+        )["params"]
+        params = {"t2s": t2s_params, "s2a": s2a_params}
+        from amphion_tpu.utils.logging import model_summary
+
+        model_summary(params, self.logger)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=None, tx=tx,
+        )
+
+        import functools
+
+        t2s, s2a = self.t2s, self.s2a
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, batch):
+            rng, r1, r2 = jax.random.split(state.rng, 3)
+
+            def loss_fn(prm):
+                l1, a1 = t2s.apply(
+                    {"params": prm["t2s"]}, batch["semantic"], batch["x_mask"],
+                    batch["phones"], batch["phone_mask"], r1,
+                    method=MaskGCTT2S.compute_loss,
+                )
+                l2, a2 = s2a.apply(
+                    {"params": prm["s2a"]}, batch["codes"], batch["x_mask"],
+                    batch["semantic_feats"], r2,
+                    method=MaskGCTS2A.compute_loss,
+                )
+                return l1 + l2, {**a1, **a2}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step_fn, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _make_batch(self, indices, bucket):
+        b = len(indices)
+        phones_rows = []
+        sem = np.zeros((b, bucket), np.int32)
+        codes = None
+        feats = None
+        x_len = np.zeros(b, np.int32)
+        for r, i in enumerate(indices):
+            u = self.utts[i]
+            ph = json.loads(
+                (self.dirs["phones"][u.dataset] / f"{u.uid}.json").read_text()
+            )
+            phones_rows.append(np.asarray(ph[: self.max_phones], np.int32))
+            s = np.load(self.dirs["semantic"][u.dataset] / f"{u.uid}.npy")
+            c = np.load(self.dirs["codes"][u.dataset] / f"{u.uid}.npy")
+            f = np.load(self.dirs["semantic_feats"][u.dataset] / f"{u.uid}.npy")
+            n = min(len(s), c.shape[1], f.shape[0], bucket)
+            x_len[r] = n
+            sem[r, :n] = s[:n]
+            if codes is None:
+                codes = np.zeros((b, c.shape[0], bucket), np.int32)
+                feats = np.zeros((b, bucket, f.shape[1]), np.float32)
+            codes[r, :, :n] = c[:, :n]
+            feats[r, :n] = f[:n]
+        ph, ph_len = pad_batch(phones_rows)
+        return {
+            "phones": jnp.asarray(ph),
+            "phone_mask": jnp.asarray(
+                (np.arange(ph.shape[1])[None] < ph_len[:, None]).astype(np.float32)
+            ),
+            "semantic": jnp.asarray(sem),
+            "codes": jnp.asarray(codes),
+            "semantic_feats": jnp.asarray(feats),
+            "x_mask": jnp.asarray(
+                (np.arange(bucket)[None] < x_len[:, None]).astype(np.float32)
+            ),
+        }
+
+    def _data(self):
+        def gen():
+            for indices, bucket in self.sampler:
+                yield self._make_batch(indices, bucket)
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()

@@ -70,6 +70,80 @@ def extract_codes(utts, out_dir, cfg, codec_ckpt, logger):
         np.save(code_dir / f"{u.uid}.npy", codes.astype(np.int32))
 
 
+
+def extract_semantic(utts, out_dir, cfg, semantic_ckpt, logger):
+    """Semantic tokenization for MaskGCT (ref `maskgct_utils.py:111`):
+    features → RepCodec tokens + quantized latents. Feature source is
+    w2v-bert when available (`processors/content.py`), else the on-device
+    mel front end (self-contained fallback; `preprocess.semantic_source`)."""
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amphion_tpu.data.audio_io import load_wav
+    from amphion_tpu.models.codec.repcodec import RepCodec, RepCodecConfig
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+
+    p = cfg.preprocess
+    source = p.get("semantic_source", "mel")
+    m = cfg.model.get("semantic_codec", None)
+    feature_dim = p.n_mel if source == "mel" else (m.feature_dim if m else 1024)
+    sem_cfg = RepCodecConfig(
+        feature_dim=feature_dim,
+        hidden=m.get("hidden", 384) if m else 384,
+        codebook_size=m.codebook_size if m else 8192,
+        codebook_dim=m.get("codebook_dim", 8) if m else 8,
+        num_blocks=m.get("num_blocks", 4) if m else 4,
+    )
+    codec = RepCodec(sem_cfg)
+    if semantic_ckpt:
+        from amphion_tpu.runtime.checkpoint import CheckpointManager
+
+        tree, epoch, step = CheckpointManager(semantic_ckpt).restore_raw()
+        params = tree.get("g", tree)["params"] if "g" in tree else tree["params"]
+        logger.info(f"semantic codec restored from step {step}")
+    else:
+        logger.warning("no --semantic_ckpt: RANDOM semantic codec (smoke only)")
+        params = codec.init(
+            jax.random.key(0), jnp.zeros((1, 8, feature_dim))
+        )["params"]
+
+    mel_cfg = MelConfig.from_preprocess_cfg(p)
+    if source != "mel":
+        from amphion_tpu.data.processors.content import EXTRACTORS
+
+        extractor = EXTRACTORS[source]()
+
+    encode = jax.jit(lambda prm, f: codec.apply(
+        {"params": prm}, f, method=RepCodec.encode))
+    decode = jax.jit(lambda prm, t: codec.apply(
+        {"params": prm}, t, method=RepCodec.decode_tokens))
+
+    tok_dir = Path(out_dir) / "semantic"
+    lat_dir = Path(out_dir) / "semantic_feats"
+    tok_dir.mkdir(parents=True, exist_ok=True)
+    lat_dir.mkdir(parents=True, exist_ok=True)
+    bucket = mel_cfg.hop_size * 64
+    for u in utts:
+        x, _ = load_wav(u.path, sr=p.sample_rate)
+        t = max(len(x) // mel_cfg.hop_size * mel_cfg.hop_size, mel_cfg.hop_size)
+        n = t // mel_cfg.hop_size
+        if source == "mel":
+            padded = np.zeros(((t + bucket - 1) // bucket) * bucket, np.float32)
+            padded[:t] = x[:t]
+            feats = mel_spectrogram(jnp.asarray(padded)[None], mel_cfg)
+            feats = feats.transpose(0, 2, 1)
+        else:
+            feats = jnp.asarray(extractor(x[:t], p.sample_rate))[None]
+            n = feats.shape[1]
+        tokens = encode(params, feats)[:, :n]
+        latents = decode(params, tokens)
+        np.save(tok_dir / f"{u.uid}.npy", np.asarray(tokens)[0].astype(np.int32))
+        np.save(lat_dir / f"{u.uid}.npy", np.asarray(latents)[0].astype(np.float32))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -78,6 +152,10 @@ def main():
                         help="tokenize audio with a codec ckpt (VALL-E)")
     parser.add_argument("--codec_ckpt", default="",
                         help="checkpoint dir of a trained AmphionCodec")
+    parser.add_argument("--extract_semantic", action="store_true",
+                        help="semantic tokens via RepCodec (MaskGCT)")
+    parser.add_argument("--semantic_ckpt", default="",
+                        help="checkpoint dir of a trained RepCodec")
     args = parser.parse_args()
     cfg = load_config(args.config)
     logger = get_logger("preprocess")
@@ -101,6 +179,8 @@ def main():
             )
         if args.extract_codes:
             extract_codes(train + test, out, cfg, args.codec_ckpt, logger)
+        if args.extract_semantic:
+            extract_semantic(train + test, out, cfg, args.semantic_ckpt, logger)
         logger.info(f"  done: {len(train)} train / {len(test)} test")
 
 

@@ -7,6 +7,7 @@ import argparse
 
 from amphion_tpu.runtime.tts_trainer import (
     FastSpeech2Trainer,
+    MaskGCTTrainer,
     VALLETrainer,
     VITSTrainer,
 )
@@ -18,13 +19,14 @@ def build_trainer(args, cfg):
         "VITS": VITSTrainer,
         "VALLE": VALLETrainer,
         "FastSpeech2": FastSpeech2Trainer,
+        "MaskGCT": MaskGCTTrainer,
     }
     if cfg.model_type not in supported_trainer:
         raise NotImplementedError(
             f"model_type {cfg.model_type!r}: the model library implements "
-            "NaturalSpeech2/Jets/MaskGCT/Metis (see amphion_tpu/models/tts/) — "
+            "NaturalSpeech2/Jets/Metis (see amphion_tpu/models/tts/) — "
             "their config-driven CLI trainers land with their recipes; "
-            "VITS, VALLE, and FastSpeech2 are fully wired."
+            "VITS, VALLE, FastSpeech2, and MaskGCT are fully wired."
         )
     return supported_trainer[cfg.model_type](args, cfg)
 
