@@ -173,7 +173,28 @@ class VALLE(nn.Module):
         return all_tokens
 
 
-def ar_generate(
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _ar_generate_jitted(model, max_new, temperature, top_k):
+    core = functools.partial(
+        _ar_generate_impl, model, max_new=max_new, temperature=temperature,
+        top_k=top_k,
+    )
+    return jax.jit(core)
+
+
+def ar_generate(model, params, phones, prompt_tokens, rng, max_new=512,
+                temperature=1.0, top_k=50):
+    """Sampled AR continuation, fully jit-compiled (eager scans cost ~100x
+    through the TPU tunnel)."""
+    return _ar_generate_jitted(model, max_new, temperature, top_k)(
+        params, phones, prompt_tokens, rng
+    )
+
+
+def _ar_generate_impl(
     model: VALLE,
     params,
     phones: jax.Array,

@@ -136,16 +136,36 @@ class ARTransformer(nn.Module):
         return self.decoder.init_cache(batch, total_len)
 
 
-def ar_transformer_generate(
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _ar_generate_jitted(model, max_new, temperature, top_k, top_p):
+    core = functools.partial(
+        _ar_transformer_generate_impl, model, max_new=max_new,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+    )
+    return jax.jit(core)
+
+
+def ar_transformer_generate(model, params, input_tokens, rng, max_new=1024,
+                            temperature=1.0, top_k=40, top_p=1.0, ref_mel=None):
+    """KV-cache sampled decode, fully jit-compiled."""
+    return _ar_generate_jitted(model, max_new, temperature, top_k, top_p)(
+        params, input_tokens, rng, ref_mel
+    )
+
+
+def _ar_transformer_generate_impl(
     model: ARTransformer,
     params,
     input_tokens: jax.Array,
     rng: jax.Array,
+    ref_mel: jax.Array | None = None,
     max_new: int = 1024,
     temperature: float = 1.0,
     top_k: int = 40,
     top_p: float = 1.0,
-    ref_mel: jax.Array | None = None,
 ):
     """KV-cache sampled decode (ref `ar_model.py:238`), one lax.scan."""
     c = model.cfg

@@ -12,10 +12,13 @@ import jax.numpy as jnp
 
 
 def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
-    """Keep the k largest logits per row, set the rest to -inf."""
+    """Keep the k largest logits per row, set the rest to -inf.
+
+    lax.top_k, not a full sort — full-vocab sorts are ~10x a transformer
+    forward on the TPU VPU."""
     if k <= 0:
         return logits
-    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
