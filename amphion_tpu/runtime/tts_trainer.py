@@ -703,3 +703,203 @@ class MaskGCTTrainer:
 
     def train_loop(self):
         return self.loop.run()
+
+
+class JetsTrainer:
+    """JETS trainer (ref `models/tts/jets/jets.py` + GAN losses
+    `jets_loss.py`): end-to-end text→wave with the internal aligner — no
+    external durations needed. Mel/pitch/energy targets come from the
+    on-device front end; D and G update in one fused step."""
+
+    def __init__(self, args, cfg):
+        import functools
+
+        from amphion_tpu.models.tts.jets.jets import Jets, JetsConfig
+        from amphion_tpu.models.tts.fastspeech2.fs2 import FastSpeech2Config
+        from amphion_tpu.models.vocoders.gan_trainer import (
+            CombinedDiscriminator as _CD, GANTrainConfig, make_optimizer,
+        )
+        from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig as _HG
+        from amphion_tpu.models.vocoders.losses import (
+            discriminator_loss, feature_loss, generator_adv_loss, mel_loss,
+        )
+        from amphion_tpu.ops.energy import energy_from_log_mel
+        from amphion_tpu.ops.f0 import F0Config, yin_f0
+        from amphion_tpu.ops.mel import mel_spectrogram
+        from amphion_tpu.runtime.train_state import TrainState, create_train_state
+
+        self.cfg = cfg
+        self.logger = get_logger("jets", level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        self.f0_cfg = F0Config.from_preprocess_cfg(p)
+        self.hop = p.hop_size
+        self._mel_fn, self._f0_fn, self._energy_fn = (
+            mel_spectrogram, yin_f0, energy_from_log_mel,
+        )
+
+        self.utts = []
+        for ds in cfg.dataset:
+            self.utts.extend(
+                load_metadata(Path(p.processed_dir) / ds / "train.json")
+            )
+        self.symbols = SymbolTable.from_file(
+            Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict
+        )
+        self.phone_dir = {
+            ds: Path(p.processed_dir) / ds / p.phone_dir for ds in cfg.dataset
+        }
+        t = cfg.train
+        self.batch_size = t.batch_size
+        self.max_frames = t.get("max_frames", 256)
+        self.max_phones = t.get("max_phones", 64)
+
+        m = cfg.model.get("jets", None)
+        dec_m = cfg.model.get("decoder", None)
+        hidden = m.hidden if m else 256
+        fs2 = FastSpeech2Config(
+            num_phones=max(len(self.symbols) + 1, 64), hidden=hidden,
+            n_enc_layers=m.get("n_enc_layers", 2) if m else 2,
+            n_dec_layers=m.get("n_dec_layers", 2) if m else 2,
+            n_heads=m.get("n_heads", 2) if m else 2,
+            ffn_hidden=m.get("ffn_hidden", 4 * hidden) if m else 4 * hidden,
+            n_mel=p.n_mel, max_frames=self.max_frames,
+        )
+        dec = (
+            _HG.from_model_cfg(dec_m, n_mel=hidden) if dec_m
+            else _HG(n_mel=hidden)
+        )
+        self.model = Jets(JetsConfig(fs2=fs2, decoder=dec))
+        self.discriminator = _CD(
+            use=tuple(cfg.model.get("discriminators", ["mpd", "msd"])),
+            mpd_periods=tuple(cfg.model.get("mpd_periods", (2, 3, 5, 7, 11))),
+            msd_scales=cfg.model.get("msd_scales", 3),
+            channel_mult=cfg.model.get("discriminator_channel_mult_factor", 1.0),
+        )
+        gan_cfg = GANTrainConfig(lr=t.adamw.lr, adam_b1=t.adamw.get("adam_b1", 0.8),
+                                 adam_b2=t.adamw.get("adam_b2", 0.99))
+        tx = make_optimizer(gan_cfg)
+        example = self._make_batch(self.utts[: self.batch_size])
+        rng = jax.random.key(t.get("seed", 0))
+        g_params = self.model.init(
+            rng, example["phones"], example["phone_mask"], example["mel"],
+            example["mel_mask"], example["pitch"], example["energy"],
+            method=type(self.model).train_forward,
+        )["params"]
+        gstate = TrainState(
+            step=jnp.zeros((), jnp.int32), params=g_params,
+            opt_state=tx.init(g_params), rng=rng,
+            apply_fn=self.model.apply, tx=tx,
+        )
+        dstate = create_train_state(
+            self.discriminator, jax.random.key(1), example["audio"], tx
+        )
+        self.states = {"g": gstate, "d": dstate}
+        model, mel_cfg = self.model, self.mel_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(states, batch):
+            g, d = states["g"], states["d"]
+
+            def fwd(prm):
+                return model.apply(
+                    {"params": prm}, batch["phones"], batch["phone_mask"],
+                    batch["mel"], batch["mel_mask"], batch["pitch"],
+                    batch["energy"], method=type(model).train_forward,
+                )
+
+            wav0, _, _ = fwd(g.params)
+            fake0 = jax.lax.stop_gradient(wav0)
+            real = batch["audio"]
+
+            def d_loss_fn(dp):
+                lr_, _ = d.apply_fn({"params": dp}, real)
+                lf_, _ = d.apply_fn({"params": dp}, fake0)
+                loss, _, _ = discriminator_loss(lr_, lf_)
+                return loss
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d.params)
+            d = d.apply_gradients(d_grads)
+
+            def g_loss_fn(gp):
+                wav, fmask, aux = fwd(gp)
+                lr_, fr_ = d.apply_fn({"params": d.params}, real)
+                lf_, ff_ = d.apply_fn({"params": d.params}, wav)
+                adv = generator_adv_loss(lf_)
+                fm = feature_loss(fr_, ff_)
+                ml = mel_loss(real, wav, mel_cfg)
+                pitch_l = jnp.mean((aux["pitch_pred"] - batch["pitch"]) ** 2)
+                energy_l = jnp.mean((aux["energy_pred"] - batch["energy"]) ** 2)
+                total = (adv + fm + ml + 2.0 * aux["align_loss"]
+                         + aux["dur_loss"] + pitch_l + energy_l)
+                return total, {"g_adv": adv, "g_fm": fm, "g_mel": ml,
+                               "align": aux["align_loss"], "dur": aux["dur_loss"]}
+
+            (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                g.params
+            )
+            g = g.apply_gradients(g_grads)
+            return {"g": g, "d": d}, {"d_loss": d_loss, "g_loss": g_loss, **aux}
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.states, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _make_batch(self, utts):
+        mf = self.max_frames
+        phones = []
+        audios = np.zeros((len(utts), mf * self.hop), np.float32)
+        mel_len = np.zeros(len(utts), np.int32)
+        for r, u in enumerate(utts):
+            ph = json.loads(
+                (self.phone_dir[u.dataset] / f"{u.uid}.json").read_text()
+            )
+            phones.append(np.asarray(ph[: self.max_phones], np.int32))
+            x, _ = load_wav(u.path, sr=self.mel_cfg.sample_rate)
+            n = min(len(x) // self.hop, mf)
+            audios[r, : n * self.hop] = x[: n * self.hop]
+            mel_len[r] = n
+        ph, ph_len = pad_batch(phones)
+        au = jnp.asarray(audios)
+        mel = self._mel_fn(au, self.mel_cfg).transpose(0, 2, 1)
+        f0, _ = self._f0_fn(au, self.f0_cfg)
+        energy = self._energy_fn(mel.transpose(0, 2, 1))
+        pitch = jnp.log1p(f0)
+        pitch = (pitch - jnp.mean(pitch)) / (jnp.std(pitch) + 1e-5)
+        energy = (energy - jnp.mean(energy)) / (jnp.std(energy) + 1e-5)
+        return {
+            "phones": jnp.asarray(ph),
+            "phone_mask": jnp.asarray(
+                (np.arange(ph.shape[1])[None] < ph_len[:, None]).astype(np.float32)
+            ),
+            "mel": mel,
+            "mel_mask": jnp.asarray(
+                (np.arange(mf)[None] < mel_len[:, None]).astype(np.float32)
+            ),
+            "pitch": pitch, "energy": energy, "audio": au,
+        }
+
+    def _data(self):
+        order = np.random.default_rng(self.loop.epoch).permutation(len(self.utts))
+
+        def gen():
+            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                yield self._make_batch(
+                    [self.utts[j] for j in order[i : i + self.batch_size]]
+                )
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()

@@ -7,6 +7,7 @@ import argparse
 
 from amphion_tpu.runtime.tts_trainer import (
     FastSpeech2Trainer,
+    JetsTrainer,
     MaskGCTTrainer,
     VALLETrainer,
     VITSTrainer,
@@ -20,13 +21,14 @@ def build_trainer(args, cfg):
         "VALLE": VALLETrainer,
         "FastSpeech2": FastSpeech2Trainer,
         "MaskGCT": MaskGCTTrainer,
+        "Jets": JetsTrainer,
     }
     if cfg.model_type not in supported_trainer:
         raise NotImplementedError(
             f"model_type {cfg.model_type!r}: the model library implements "
-            "NaturalSpeech2/Jets/Metis (see amphion_tpu/models/tts/) — "
+            "NaturalSpeech2/Metis (see amphion_tpu/models/tts/) — "
             "their config-driven CLI trainers land with their recipes; "
-            "VITS, VALLE, FastSpeech2, and MaskGCT are fully wired."
+            "VITS, VALLE, FastSpeech2, MaskGCT, and Jets are fully wired."
         )
     return supported_trainer[cfg.model_type](args, cfg)
 
