@@ -903,3 +903,164 @@ class JetsTrainer:
 
     def train_loop(self):
         return self.loop.run()
+
+
+class NS2Trainer:
+    """NaturalSpeech2 trainer (ref `models/tts/naturalspeech2/ns2_trainer.py`):
+    latent diffusion over continuous frame representations with prompt-based
+    zero-shot conditioning. Latents default to mel (self-contained); a codec
+    checkpoint can supply true codec latents. Durations from TextGrids."""
+
+    def __init__(self, args, cfg):
+        import functools
+        import optax
+
+        from amphion_tpu.data.processors.duration import textgrid_to_durations
+        from amphion_tpu.models.tts.naturalspeech2.ns2 import (
+            NaturalSpeech2, NS2Config,
+        )
+        from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
+        from amphion_tpu.ops.f0 import F0Config, yin_f0
+        from amphion_tpu.ops.mel import mel_spectrogram
+        from amphion_tpu.runtime.train_state import TrainState
+        from amphion_tpu.text.symbol_table import SymbolTable
+
+        self.cfg = cfg
+        self.logger = get_logger("ns2", level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        self.f0_cfg = F0Config.from_preprocess_cfg(p)
+        self.hop = p.hop_size
+        self._mel_fn, self._f0_fn = mel_spectrogram, yin_f0
+
+        utts, self.align = [], {}
+        table = SymbolTable.from_symbols(["_", "sil"])
+        for ds in cfg.dataset:
+            for u in load_metadata(Path(p.processed_dir) / ds / "train.json"):
+                tg = Path(p.processed_dir) / ds / "textgrids" / f"{u.uid}.TextGrid"
+                if not tg.is_file():
+                    continue
+                phones, durs = textgrid_to_durations(tg, self.hop, p.sample_rate)
+                for ph in phones:
+                    table.add(ph)
+                self.align[u.uid] = (phones, durs)
+                utts.append(u)
+        assert utts, "no TextGrids found (see FastSpeech2 recipe for MFA)"
+        self.utts, self.symbols = utts, table
+
+        t = cfg.train
+        self.batch_size = t.batch_size
+        self.max_frames = t.get("max_frames", 600)
+        self.prompt_frames = t.get("prompt_frames", 32)
+        m = cfg.model.get("ns2", None)
+        self.model = NaturalSpeech2(NS2Config(
+            num_phones=max(len(table) + 1, 64),
+            latent_dim=p.n_mel,  # mel-as-latent (codec latents via ckpt later)
+            hidden=m.hidden if m else 256,
+            n_layers=m.get("n_layers", 4) if m else 4,
+            n_heads=m.get("n_heads", 4) if m else 4,
+            max_frames=self.max_frames,
+            mode=m.get("mode", "diffusion") if m else "diffusion",
+            denoiser=WaveNetDenoiserConfig(
+                in_dim=p.n_mel, hidden=m.hidden if m else 256,
+                num_layers=m.get("denoiser_layers", 12) if m else 12,
+                cond_dim=m.hidden if m else 256,
+            ),
+        ))
+        example = self._make_batch(self.utts[: self.batch_size])
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr))
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)), example["latent"],
+            example["phones"], example["phone_mask"], example["prompt"],
+            example["durations"], example["pitch"], jax.random.key(1),
+            method=NaturalSpeech2.loss,
+        )["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=self.model.apply, tx=tx,
+        )
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(prm):
+                return model.apply(
+                    {"params": prm}, batch["latent"], batch["phones"],
+                    batch["phone_mask"], batch["prompt"], batch["durations"],
+                    batch["pitch"], sub, method=NaturalSpeech2.loss,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _make_batch(self, utts):
+        mf, pf = self.max_frames, self.prompt_frames
+        b = len(utts)
+        phone_rows, dur_rows = [], []
+        audios = np.zeros((b, mf * self.hop), np.float32)
+        for r, u in enumerate(utts):
+            phones, durs = self.align[u.uid]
+            ids = np.asarray([self.symbols[ph] for ph in phones], np.int32)
+            cum = np.cumsum(durs)
+            keep = cum <= mf
+            if not keep.any():
+                keep[0] = True
+                durs = np.minimum(durs, mf)
+            phone_rows.append(ids[keep])
+            dur_rows.append(np.asarray(durs)[keep])
+            x, _ = load_wav(u.path, sr=self.mel_cfg.sample_rate)
+            n = int(np.asarray(durs)[keep].sum())
+            audios[r, : min(len(x), n * self.hop)] = x[: n * self.hop]
+        ph, ph_len = pad_batch(phone_rows)
+        du, _ = pad_batch(dur_rows)
+        au = jnp.asarray(audios)
+        latent = self._mel_fn(au, self.mel_cfg).transpose(0, 2, 1)
+        f0, _ = self._f0_fn(au, self.f0_cfg)
+        pitch = jnp.log1p(f0)
+        pitch = (pitch - jnp.mean(pitch)) / (jnp.std(pitch) + 1e-5)
+        # prompt = the utterance's own leading frames (zero-shot conditioning)
+        prompt = latent[:, :pf]
+        return {
+            "latent": latent,
+            "phones": jnp.asarray(ph),
+            "phone_mask": jnp.asarray(
+                (np.arange(ph.shape[1])[None] < ph_len[:, None]).astype(np.float32)
+            ),
+            "prompt": prompt,
+            "durations": jnp.asarray(du),
+            "pitch": pitch,
+        }
+
+    def _data(self):
+        order = np.random.default_rng(self.loop.epoch).permutation(len(self.utts))
+
+        def gen():
+            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                yield self._make_batch(
+                    [self.utts[j] for j in order[i : i + self.batch_size]]
+                )
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()

@@ -9,6 +9,7 @@ from amphion_tpu.runtime.tts_trainer import (
     FastSpeech2Trainer,
     JetsTrainer,
     MaskGCTTrainer,
+    NS2Trainer,
     VALLETrainer,
     VITSTrainer,
 )
@@ -22,13 +23,12 @@ def build_trainer(args, cfg):
         "FastSpeech2": FastSpeech2Trainer,
         "MaskGCT": MaskGCTTrainer,
         "Jets": JetsTrainer,
+        "NaturalSpeech2": NS2Trainer,
     }
     if cfg.model_type not in supported_trainer:
         raise NotImplementedError(
-            f"model_type {cfg.model_type!r}: the model library implements "
-            "NaturalSpeech2/Metis (see amphion_tpu/models/tts/) — "
-            "their config-driven CLI trainers land with their recipes; "
-            "VITS, VALLE, FastSpeech2, MaskGCT, and Jets are fully wired."
+            f"model_type {cfg.model_type!r} is not in the trainer registry; "
+            f"available: {sorted(supported_trainer)}"
         )
     return supported_trainer[cfg.model_type](args, cfg)
 
