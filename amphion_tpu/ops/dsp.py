@@ -113,3 +113,22 @@ def slice_audio(
     if n - start >= min_int:
         chunks.append((start * hop, len(x)))
     return chunks or [(0, len(x))]
+
+
+def ssim(x: jax.Array, y: jax.Array, window: int = 7, c1: float = 0.01**2,
+         c2: float = 0.03**2) -> jax.Array:
+    """Structural similarity over spectrogram 'images' (ref `utils/util.py`
+    SSIM used for mel evaluation). x, y: (B, T, F) in [0, 1]; returns (B,)."""
+    def _avg_pool(img):
+        return jax.lax.reduce_window(
+            img, 0.0, jax.lax.add, (1, window, window), (1, 1, 1), "VALID"
+        ) / (window * window)
+
+    mu_x, mu_y = _avg_pool(x), _avg_pool(y)
+    sigma_x = _avg_pool(x * x) - mu_x**2
+    sigma_y = _avg_pool(y * y) - mu_y**2
+    sigma_xy = _avg_pool(x * y) - mu_x * mu_y
+    s = ((2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)) / (
+        (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    )
+    return jnp.mean(s, axis=(1, 2))

@@ -180,3 +180,97 @@ def test_singvisio_artifacts(tmp_path, rng):
     keys = select_key_steps(d, 3)
     assert 1 <= len(keys) <= 3
     assert all(0 <= k < 10 for k in keys)
+
+
+def test_diagonal_gaussian():
+    import jax
+    import jax.numpy as jnp
+
+    from amphion_tpu.modules.distributions import DiagonalGaussian
+
+    mean = jnp.zeros((2, 4))
+    logvar = jnp.zeros((2, 4))
+    d = DiagonalGaussian(mean, logvar)
+    s = d.sample(jax.random.key(0))
+    assert s.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(d.kl()), 0.0, atol=1e-6)  # N(0,1)||N(0,1)
+    d2 = DiagonalGaussian(mean + 1.0, logvar)
+    assert float(d2.kl().sum()) > 0
+
+
+def test_ssim():
+    import jax.numpy as jnp
+
+    from amphion_tpu.ops.dsp import ssim
+
+    rng_ = np.random.default_rng(0)
+    x = jnp.asarray(rng_.uniform(0, 1, (1, 20, 20)).astype(np.float32))
+    assert float(ssim(x, x)[0]) > 0.999
+    y = jnp.asarray(rng_.uniform(0, 1, (1, 20, 20)).astype(np.float32))
+    assert float(ssim(x, y)[0]) < 0.5
+
+
+def test_picoaudio_timing_roll_and_model():
+    import jax
+    import jax.numpy as jnp
+
+    from amphion_tpu.models.tta.audioldm import AudioLDMConfig
+    from amphion_tpu.models.tta.picoaudio import (
+        PicoAudio,
+        PicoAudioConfig,
+        events_to_timing_roll,
+        picoaudio_sample,
+    )
+
+    roll = events_to_timing_roll([[(0.0, 1.0), (2.0, 3.0)]], 4, 40, 4.0)
+    assert roll.shape == (1, 40, 4)
+    assert roll[0, 5, 0] == 1.0 and roll[0, 25, 1] == 1.0 and roll[0, 35, :].sum() == 0
+
+    cfg = PicoAudioConfig(
+        ldm=AudioLDMConfig(latent_channels=4, base_channels=8,
+                           channel_mults=(1, 2), attn_levels=(1,), num_heads=2,
+                           text_dim=16, num_train_steps=10),
+        num_event_types=4,
+    )
+    model = PicoAudio(cfg)
+    z0 = jnp.zeros((1, 8, 4, 4))
+    text = jnp.zeros((1, 5, 16))
+    timing = jnp.asarray(roll[:, :8])
+    params = model.init(
+        jax.random.key(0), z0, text, timing, jax.random.key(1),
+        method=PicoAudio.loss,
+    )["params"]
+    out = picoaudio_sample(model, params, text, timing, (1, 8, 4, 4),
+                           jax.random.key(2), num_steps=2)
+    assert out.shape == (1, 8, 4, 4)
+
+
+def test_debatts_assembly():
+    import jax
+    import jax.numpy as jnp
+
+    from amphion_tpu.models.tts.debatts import DebaTTS, DebaTTSConfig
+    from amphion_tpu.models.tts.maskgct.maskgct import (
+        MaskGCTS2A, MaskGCTT2S, S2AConfig, T2SConfig,
+    )
+
+    cfg = DebaTTSConfig(
+        t2s=T2SConfig(hidden=32, num_layers=1, num_heads=4, codebook_size=24,
+                      phone_vocab=16, max_position=128),
+        s2a=S2AConfig(hidden=32, num_layers=1, num_heads=4, codebook_size=16,
+                      num_quantizers=2, semantic_dim=8, max_position=128),
+    )
+    t2s = MaskGCTT2S(cfg.t2s)
+    rng_ = np.random.default_rng(0)
+    x0 = jnp.asarray(rng_.integers(0, 24, (1, 8)))
+    params = {"t2s": t2s.init(
+        jax.random.key(0), x0, jnp.ones((1, 8)),
+        jnp.asarray(rng_.integers(0, 16, (1, 4))), jnp.ones((1, 4)),
+        jax.random.key(1), method=MaskGCTT2S.compute_loss)["params"]}
+    model = DebaTTS(cfg, params)
+    out = model.synthesize_semantic(
+        jnp.asarray(rng_.integers(0, 24, (1, 6))), x0,
+        jnp.asarray(rng_.integers(0, 16, (1, 4))), 10, jax.random.key(2),
+        n_steps=3,
+    )
+    assert out.shape == (1, 10)
