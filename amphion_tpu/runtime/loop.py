@@ -31,6 +31,8 @@ class LoopConfig:
     keep_last: list[int] = field(default_factory=lambda: [-1])
     save_checkpoints_steps: int = 0  # step-mode checkpoint cadence
     nan_guard: bool = True
+    metrics_path: str = ""  # JSONL per-step metrics tracker (ref: trackers)
+    profile_steps: tuple = ()  # (start, stop): jax.profiler trace window
 
 
 class TrainLoop:
@@ -54,6 +56,12 @@ class TrainLoop:
         self.step = 0
         self.epoch = 0
         self._window = ValueWindow(100)
+        self._metrics_file = None
+        if cfg.metrics_path:
+            import pathlib
+
+            pathlib.Path(cfg.metrics_path).parent.mkdir(parents=True, exist_ok=True)
+            self._metrics_file = open(cfg.metrics_path, "a")
 
     # -- resume -------------------------------------------------------------
 
@@ -78,10 +86,28 @@ class TrainLoop:
             n_batches = 0
             for batch in self.data_fn():
                 t0 = time.perf_counter()
+                if self.cfg.profile_steps and self.step == self.cfg.profile_steps[0]:
+                    import jax.profiler
+
+                    jax.profiler.start_trace("/tmp/jax_trace")
+                    self.logger.info("profiler trace started -> /tmp/jax_trace")
                 self.states, metrics = self.train_step(self.states, batch)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 self._window.append(time.perf_counter() - t0)
                 self.step += 1
+                if (self.cfg.profile_steps
+                        and self.step == self.cfg.profile_steps[1]):
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                    self.logger.info("profiler trace stopped")
+                if self._metrics_file is not None:
+                    import json as _json
+
+                    self._metrics_file.write(_json.dumps(
+                        {"step": self.step, "epoch": self.epoch,
+                         "sec_per_step": self._window.average, **metrics}) + "\n")
+                    self._metrics_file.flush()
                 n_batches += 1
                 for k, v in metrics.items():
                     epoch_metrics[k] = epoch_metrics.get(k, 0.0) + v

@@ -132,3 +132,22 @@ def test_train_loop_step_mode_resume(tmp_path):
     )
     loop2.resume()
     assert loop2.step == 5 and int(loop2.states.step) == 5
+
+
+def test_train_loop_metrics_tracker(tmp_path):
+    import json
+
+    state = _state()
+
+    @jax.jit
+    def step(state, batch):
+        return state, {"loss": jnp.float32(1.5)}
+
+    loop = TrainLoop(
+        LoopConfig(max_steps=3, metrics_path=str(tmp_path / "m.jsonl")),
+        step, state, lambda: iter([{}] * 10),
+    )
+    loop.run()
+    lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert len(lines) == 3
+    assert lines[-1]["step"] == 3 and lines[-1]["loss"] == 1.5
