@@ -112,3 +112,179 @@ def _snake_bwd(interpret, res, g):
 
 
 snake_pallas.defvjp(_snake_fwd, _snake_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused anti-aliased Snake: downFIR2( snake( upFIR2(x) ) ) in one VMEM pass.
+# BigVGAN's AMP activation (modules/anti_aliasing.Activation1d) is three
+# HBM passes at 2x sample rate; this kernel computes the polyphase
+# decomposition in VMEM: u0/u1 (the even/odd 2x-rate phases) are 6-tap FIRs
+# of x, snake applies elementwise, and the decimating FIR mixes 6 taps of
+# each phase — HBM traffic drops from ~5x to ~2x of the signal size.
+# ---------------------------------------------------------------------------
+
+_AA_HALO = 6
+
+
+@functools.lru_cache(maxsize=4)
+def _aa_polyphase_taps(ratio: int = 2, kernel_size: int = 12):
+    """Numerically probe the jnp up/down samplers for exact polyphase taps.
+
+    Returns (u0_taps, u1_taps, z0_taps, z1_taps) where
+      u0[i] = sum_d u0_taps[d] * x[i + d - 3]   (even 2x phase)
+      u1[i] = sum_d u1_taps[d] * x[i + d - 3]   (odd 2x phase; taps include
+                                                 the shifted window)
+      z[i]  = sum_d z0_taps[d] * s0[i + d - 3] + z1_taps[d] * s1[i + d - 3]
+    """
+    import numpy as _np
+
+    from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
+
+    # probing may be triggered from inside a jit trace: force eager eval
+    eager = jax.ensure_compile_time_eval()
+    eager.__enter__()
+    t = 64
+    center = 16
+    u_taps = {0: _np.zeros(7, _np.float32), 1: _np.zeros(7, _np.float32)}
+    for pos in range(t):
+        e = _np.zeros((1, t, 1), _np.float32)
+        e[0, pos, 0] = 1.0
+        y = _np.asarray(upsample1d(jnp.asarray(e), ratio))[0, :, 0]
+        for p in (0, 1):
+            v = y[2 * center + p]
+            d = pos - center
+            if abs(v) > 1e-8 and -3 <= d <= 3:
+                u_taps[p][d + 3] = v
+    t2 = 128
+    center2 = 32
+    z_taps = {0: _np.zeros(7, _np.float32), 1: _np.zeros(7, _np.float32)}
+    for pos in range(t2):
+        e = _np.zeros((1, t2, 1), _np.float32)
+        e[0, pos, 0] = 1.0
+        z = _np.asarray(downsample1d(jnp.asarray(e), ratio))[0, :, 0]
+        v = z[center2]
+        if abs(v) > 1e-8:
+            rel = pos - 2 * center2  # position in the 2x signal
+            p = rel % 2
+            d = (rel - p) // 2
+            if -3 <= d <= 3:
+                z_taps[p][d + 3] = v
+    eager.__exit__(None, None, None)
+    return (tuple(u_taps[0].tolist()), tuple(u_taps[1].tolist()),
+            tuple(z_taps[0].tolist()), tuple(z_taps[1].tolist()))
+
+
+def _aa_snake_kernel_factory(u0_t, u1_t, z0_t, z1_t, tile):
+    h = _AA_HALO
+
+    def kernel(x_ref, alpha_ref, out_ref):
+        xt = x_ref[0]  # (tile + 2h, C)
+        alpha = alpha_ref[:]  # (1, C)
+        m = tile + 2 * h - 6  # length of the u arrays (margin 3 both sides)
+
+        def fir(taps, buf, base):
+            acc = None
+            for d, w in enumerate(taps):
+                if w == 0.0:
+                    continue
+                term = w * buf[base + d : base + d + m]
+                acc = term if acc is None else acc + term
+            return acc
+
+        u0 = fir(u0_t, xt, 0)
+        u1 = fir(u1_t, xt, 0)
+
+        def snake(u):
+            s = jnp.sin(alpha * u)
+            return u + s * s / (alpha + 1e-9)
+
+        s0 = snake(u0)
+        s1 = snake(u1)
+
+        mz = tile  # final length
+
+        def fir2(taps, buf):
+            acc = None
+            for d, w in enumerate(taps):
+                if w == 0.0:
+                    continue
+                term = w * buf[d : d + mz]
+                acc = term if acc is None else acc + term
+            return acc
+
+        out_ref[0] = fir2(z0_t, s0) + fir2(z1_t, s1)
+
+    return kernel
+
+
+_AA_TILE = 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def aa_snake_pallas(x: jax.Array, alpha: jax.Array, interpret: bool = False):
+    """Fused anti-aliased Snake activation: x (B, T, C), alpha (C,)."""
+    return _aa_snake_fwd(x, alpha, interpret)[0]
+
+
+def _aa_snake_forward(x, alpha, interpret):
+    from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
+
+    if not _HAS_PALLAS:
+        s = upsample1d(x, 2)
+        a = alpha[None, None, :]
+        s = s + jnp.sin(a * s) ** 2 / (a + 1e-9)
+        return downsample1d(s, 2)
+
+    b, t, c = x.shape
+    taps = _aa_polyphase_taps()
+    h = _AA_HALO
+    pad_t = (-t) % _AA_TILE
+    xp = jnp.pad(x, ((0, 0), (h, h + pad_t), (0, 0)), mode="edge")
+    tiles = (t + pad_t) // _AA_TILE
+    # pre-frame overlapping windows (halo duplication ~2% extra HBM traffic;
+    # BlockSpec index maps are in block units so windows can't overlap there)
+    windows = jnp.stack(
+        [xp[:, k * _AA_TILE : k * _AA_TILE + _AA_TILE + 2 * h] for k in range(tiles)],
+        axis=1,
+    ).reshape(b * tiles, _AA_TILE + 2 * h, c)
+    kernel = _aa_snake_kernel_factory(*taps, _AA_TILE)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * tiles, _AA_TILE, c), x.dtype),
+        grid=(b * tiles,),
+        in_specs=[
+            pl.BlockSpec((1, _AA_TILE + 2 * h, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _AA_TILE, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(windows, alpha[None, :])
+    return out.reshape(b, tiles * _AA_TILE, c)[:, :t]
+
+
+def _aa_snake_fwd(x, alpha, interpret):
+    return _aa_snake_forward(x, alpha, interpret), (x, alpha)
+
+
+def _aa_snake_bwd(interpret, res, g):
+    """Backward via the jnp reference chain (linear FIRs + snake'); XLA fuses
+    it acceptably — the forward is the inference-critical path."""
+    x, alpha = res
+
+    def ref(x, alpha):
+        from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
+
+        s = upsample1d(x, 2)
+        a = alpha[None, None, :]
+        s = s + jnp.sin(a * s) ** 2 / (a + 1e-9)
+        return downsample1d(s, 2)
+
+    _, vjp = jax.vjp(ref, x, alpha)
+    dx, dalpha = vjp(g)
+    return dx, dalpha
+
+
+aa_snake_pallas.defvjp(_aa_snake_fwd, _aa_snake_bwd)

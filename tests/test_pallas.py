@@ -45,3 +45,48 @@ def test_snake_pallas_ragged_time(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(_ref_snake(x, alpha)), atol=1e-5
     )
+
+
+def _ref_aa_snake(x, alpha):
+    from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
+
+    s = upsample1d(x, 2)
+    a = alpha[None, None, :]
+    s = s + jnp.sin(a * s) ** 2 / (a + 1e-9)
+    return downsample1d(s, 2)
+
+
+def test_aa_snake_matches_reference(rng):
+    from amphion_tpu.ops.pallas_kernels import aa_snake_pallas
+
+    x = jnp.asarray(rng.standard_normal((2, 700, 8)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.5, 2.0, 8).astype(np.float32))
+    out = aa_snake_pallas(x, alpha, True)
+    ref = _ref_aa_snake(x, alpha)
+    assert out.shape == ref.shape
+    # interior must match tightly; edges differ slightly because the kernel
+    # edge-pads per call while the reference pads inside up/down separately
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 8:-8], np.asarray(ref)[:, 8:-8], atol=2e-4
+    )
+
+
+def test_aa_snake_gradients(rng):
+    from amphion_tpu.ops.pallas_kernels import aa_snake_pallas
+
+    x = jnp.asarray(rng.standard_normal((1, 512, 4)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.5, 2.0, 4).astype(np.float32))
+    gx, ga = jax.grad(
+        lambda x, a: jnp.sum(aa_snake_pallas(x, a, True) ** 2), argnums=(0, 1)
+    )(x, alpha)
+    gx_ref, ga_ref = jax.grad(
+        lambda x, a: jnp.sum(_ref_aa_snake(x, a) ** 2), argnums=(0, 1)
+    )(x, alpha)
+    # backward is the exact reference vjp; the forward's different edge
+    # handling perturbs the cotangent only at the boundary samples
+    np.testing.assert_allclose(
+        np.asarray(gx)[:, 10:-10], np.asarray(gx_ref)[:, 10:-10], atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), rtol=2e-2,
+                               atol=1e-2)
