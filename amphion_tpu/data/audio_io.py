@@ -37,7 +37,8 @@ def load_wav(path: str | Path, sr: int | None = None) -> tuple[np.ndarray, int]:
 def save_wav(path: str | Path, x: np.ndarray, sr: int) -> None:
     """Write float waveform as PCM16."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    x = np.nan_to_num(np.asarray(x, np.float32))
+    x = np.clip(x, -1.0, 1.0)
     wavfile.write(str(path), sr, (x * 32767.0).astype(np.int16))
 
 

@@ -132,3 +132,24 @@ def ssim(x: jax.Array, y: jax.Array, window: int = 7, c1: float = 0.01**2,
         (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
     )
     return jnp.mean(s, axis=(1, 2))
+
+
+def mel_to_audio(
+    log_mel: jax.Array,
+    cfg,
+    n_iters: int = 32,
+) -> jax.Array:
+    """Invert log-mel to waveform via filterbank pseudo-inverse + Griffin-Lim
+    (the reference's vocoder-free fallback; `utils/dsp.py` Griffin-Lim path).
+
+    log_mel: (B, n_mel, N); cfg: MelConfig. Returns (B, N * hop).
+    """
+    from amphion_tpu.ops.mel import mel_filterbank
+
+    fb = np.asarray(
+        mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mel, cfg.fmin, cfg.fmax)
+    )
+    pinv = jnp.asarray(np.linalg.pinv(fb))  # (F, n_mel)
+    log_mel = jnp.clip(log_mel, -12.0, 6.0)  # guard exp overflow
+    mag = jnp.maximum(jnp.einsum("fm,bmn->bfn", pinv, jnp.exp(log_mel)), 1e-8)
+    return griffin_lim(mag, cfg.n_fft, cfg.hop_size, cfg.win_size, n_iters)

@@ -102,6 +102,10 @@ class DiffWaveNetSVCTrainer:
             ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
             list(t.get("keep_last", [-1])),
         )
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        (ckpt_dir.parent / "singer2id.json").write_text(
+            __import__("json").dumps(self.singer2id)
+        )
         self.loop = TrainLoop(
             LoopConfig(max_epoch=t.get("max_epoch", -1),
                        max_steps=t.get("max_steps", -1),
