@@ -149,6 +149,93 @@ class DiffWaveNetSVCTrainer:
         return self.loop.run()
 
 
+
+class TransformerSVCTrainer(DiffWaveNetSVCTrainer):
+    """TransformerSVC (ref `models/svc/transformer/`): same conditioning
+    pipeline, direct mel regression with masked L1+MSE instead of diffusion."""
+
+    def __init__(self, args, cfg):
+        # reuse the diffusion trainer's data plumbing, swap model + step
+        import functools
+
+        from amphion_tpu.models.svc.transformer_svc import (
+            TransformerSVC,
+            TransformerSVCConfig,
+            transformer_svc_loss,
+        )
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.cfg = cfg
+        self.logger = get_logger("tsvc")
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        self.f0_cfg = F0Config.from_preprocess_cfg(p)
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        singers = sorted({u.singer or u.speaker or "default" for u in utts})
+        self.singer2id = {s: i for i, s in enumerate(singers)}
+        self.utts = utts
+        m = cfg.model
+        cond = ConditionEncoderConfig(
+            output_dim=m.get("cond_dim", 384), num_singers=max(len(singers), 2),
+        )
+        self.model = TransformerSVC(TransformerSVCConfig(
+            n_mel=p.n_mel, hidden=m.get("cond_dim", 384),
+            num_layers=m.get("num_layers", 6), num_heads=m.get("n_heads", 4),
+            ffn_hidden=m.get("ffn_hidden", 4 * m.get("cond_dim", 384)),
+            condition=cond,
+        ))
+        t = cfg.train
+        self.batch_size = t.batch_size
+        self.dataset = SegmentAudioDataset(
+            utts, p.sample_rate, t.get("segment_frames", 256) * p.hop_size
+        )
+        example = self._batch(list(range(min(self.batch_size, len(utts)))))
+        tx = optax.adamw(t.adamw.lr)
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)), example["features"], example["mask"]
+        )["params"]
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=self.model.apply, tx=tx,
+        )
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            def loss_fn(prm):
+                pred = model.apply({"params": prm}, batch["features"],
+                                   batch["mask"])
+                return transformer_svc_loss(pred, batch["mel"], batch["mask"])
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        (ckpt_dir.parent / "singer2id.json").write_text(
+            __import__("json").dumps(self.singer2id)
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -157,7 +244,8 @@ def main():
     parser.add_argument("--resume_type", default="resume")
     args = parser.parse_args()
     cfg = load_config(args.config)
-    supported_trainer = {"DiffWaveNetSVC": DiffWaveNetSVCTrainer}
+    supported_trainer = {"DiffWaveNetSVC": DiffWaveNetSVCTrainer,
+                         "TransformerSVC": TransformerSVCTrainer}
     trainer = supported_trainer[cfg.model_type](args, cfg)
     trainer.train_loop()
 
