@@ -19,3 +19,5 @@ from amphion_tpu.ops.f0 import (
     yin_f0,
 )
 from amphion_tpu.ops.energy import energy_from_log_mel, energy_from_waveform
+from amphion_tpu.ops.mas import maximum_path
+from amphion_tpu.ops.sampling import sample_logits, top_k_filter, top_p_filter
