@@ -173,12 +173,13 @@ def istft(
         jnp.tile(w * w, n_frames)
     )
     sig = sig / jnp.maximum(wsq, 1e-11)
-    # center=True trimming
+    # center=True trimming: with an explicit length, torch trims only the
+    # leading n_fft//2 and cuts to length (the symmetric end-trim would zero
+    # the last partial-overlap samples); without it, trim both ends.
     start = n_fft // 2
-    end = total - n_fft // 2
-    sig = sig[:, start:end]
     if length is not None:
+        sig = sig[:, start:]
         if sig.shape[-1] < length:
             sig = jnp.pad(sig, [(0, 0), (0, length - sig.shape[-1])])
-        sig = sig[:, :length]
-    return sig
+        return sig[:, :length]
+    return sig[:, start : total - n_fft // 2]

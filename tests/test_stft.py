@@ -75,6 +75,19 @@ def test_istft_roundtrip(rng):
     np.testing.assert_allclose(out, y, atol=1e-3)
 
 
+def test_istft_roundtrip_unaligned_length(rng):
+    """Regression: with `length` not hop-aligned the symmetric end-trim used
+    to zero the last partial-overlap samples (torch trims only the start)."""
+    n_fft, hop, win = 1024, 256, 1024
+    t = 24000  # not a multiple of hop
+    y = (rng.standard_normal(t) * 0.3).astype(np.float32)
+    re, im = stft(jnp.asarray(y)[None], n_fft, hop, win, center=True)
+    out = np.asarray(istft(re, im, n_fft, hop, win, length=t))[0]
+    np.testing.assert_allclose(out, y, atol=1e-3)
+    # tail must be reconstructed, not zero-padded
+    assert np.abs(out[-200:]).max() > 0.01
+
+
 def test_linear_spectrogram_shape(rng):
     cfg = MelConfig()
     y = (rng.standard_normal(cfg.hop_size * 20) * 0.1).astype(np.float32)
