@@ -8,6 +8,8 @@ tiny model configs on the CPU mesh.
 import json
 import types
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -100,6 +102,51 @@ def test_valle_trainer_integration(corpus):
     assert trainer.ckpt.latest() is not None
 
 
+def test_valle_zeroshot_inference_cli(corpus):
+    """Train 1 step, then run the zero-shot inference path: prompt audio +
+    prompt text + target text → wav (AR continuation + NAR + codec decode)."""
+    root, processed = corpus
+    from bins.tts.preprocess import extract_codes
+    from amphion_tpu.data.metadata import load_metadata
+    from amphion_tpu.utils.logging import get_logger
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="VALLE",
+        model={
+            "codec": {"strides": [2, 4], "num_quantizers": 3,
+                      "codebook_size": 16, "codebook_dim": 4,
+                      "encoder_dim": 4, "latent_dim": 8, "decoder_dim": 4},
+            "valle": {"audio_vocab": 16, "num_quantizers": 3, "hidden": 32,
+                      "num_layers": 1, "num_heads": 4, "max_position": 1024},
+        },
+    )
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["max_tokens"] = 1024
+    cfg.train["min_bucket"] = 64
+    utts = load_metadata(processed / "ljspeech" / "train.json")
+    extract_codes(utts, processed / "ljspeech", cfg, "", get_logger("t"))
+
+    from amphion_tpu.runtime.tts_trainer import VALLETrainer
+
+    trainer = VALLETrainer(_args("valle_zs"), cfg)
+    trainer.train_loop()
+
+    from bins.tts.inference import valle_inference
+    from amphion_tpu.data.audio_io import load_wav
+
+    out = root / "valle_zs.wav"
+    args = types.SimpleNamespace(
+        exp_name="valle_zs", text="hello world", prompt_text="good morning",
+        prompt_audio=str(root / "LJSpeech-1.1" / "wavs" / "LJ001-0000.wav"),
+        codec_ckpt="", max_new=16, top_k=8, output_path=str(out),
+    )
+    valle_inference(args, cfg, get_logger("t"))
+    wav, sr = load_wav(out)
+    assert sr == 8000 and wav.size >= 8  # >= 1 token * hop
+
+
 def test_maskgct_trainer_integration(corpus):
     root, processed = corpus
     from bins.tts.preprocess import extract_semantic
@@ -174,5 +221,126 @@ def test_fs2_trainer_integration(corpus):
     from amphion_tpu.runtime.tts_trainer import FastSpeech2Trainer
 
     trainer = FastSpeech2Trainer(_args("fs2_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
+def test_svc_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.svc.train import DiffWaveNetSVCTrainer
+
+    cfg = _base_cfg(root, processed, model={"cond_dim": 16, "hidden": 16,
+                                            "num_layers": 2})
+    cfg.train["segment_frames"] = 32
+    trainer = DiffWaveNetSVCTrainer(_args("svc_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
+def test_vevo_fm_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.vc.train import FlowMatchingTransformerTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model={"fm": {"token_vocab": 16, "hidden": 32, "num_layers": 1,
+                      "num_heads": 4},
+               "style_tokenizer": {"hidden": 8, "codebook_dim": 4,
+                                   "num_blocks": 1}},
+    )
+    cfg.train["segment_frames"] = 32
+    trainer = FlowMatchingTransformerTrainer(_args("fm_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
+def test_diffusion_vocoder_trainer_integration(corpus):
+    root, processed = corpus
+    from amphion_tpu.runtime.vocoder_trainer import DiffusionVocoderTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="DiffusionVocoder",
+        model={"diffwave": {"residual_channels": 8, "num_layers": 2,
+                            "dilation_cycle": 2, "num_train_steps": 8}},
+    )
+    cfg.preprocess["hop_size"] = 8
+    cfg.train["segment_frames"] = 16
+    trainer = DiffusionVocoderTrainer(_args("dw_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+    # sampling path: mel → waveform
+    from amphion_tpu.models.vocoders.diffwave import diffwave_sample
+
+    mel = jnp.zeros((1, 8, 16))
+    wav = diffwave_sample(trainer.model, trainer.loop.states.params, mel,
+                          jax.random.key(0))
+    assert wav.shape == (1, 64) and bool(jnp.isfinite(wav).all())
+
+
+def test_audioldm_trainer_and_inference_cli(corpus, monkeypatch):
+    """Stage-1 VAE (1 step) → stage-2 AudioLDM (1 step) → text-to-audio
+    inference CLI (DDIM + CFG + VAE decode + Griffin-Lim)."""
+    root, processed = corpus
+    from bins.tta.train_tta import AudioLDMTrainer, AutoencoderKLTrainer
+
+    model = {
+        "autoencoderkl": {"base_channels": 4, "channel_mults": [1, 2],
+                          "latent_channels": 2},
+        "audioldm": {"base_channels": 8, "channel_mults": [1, 2],
+                     "attn_levels": [1], "num_heads": 2, "text_dim": 16,
+                     "text_backend": "hash"},
+    }
+    cfg = _base_cfg(root, processed, model_type="AutoencoderKL", model=model)
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["segment_frames"] = 32
+    AutoencoderKLTrainer(_args("vae_zs"), cfg).train_loop()
+    vae_ckpt = str(root / "ckpts" / "vae_zs" / "checkpoint")
+
+    cfg2 = _base_cfg(root, processed, model_type="AudioLDM", model=model)
+    cfg2.train["max_steps"] = 1
+    cfg2.train["save_checkpoints_steps"] = 1
+    cfg2.train["segment_frames"] = 32
+    cfg2.train["vae_ckpt"] = vae_ckpt
+    trainer = AudioLDMTrainer(_args("ldm_zs"), cfg2)
+    trainer.train_loop()
+    assert trainer.loop.step == 1
+
+    import sys
+
+    cfg_path = root / "tta.json"
+    cfg_path.write_text(json.dumps(cfg2.to_dict()))
+    out = root / "tta.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--exp_name", "ldm_zs",
+        "--text", "a dog barking", "--output_path", str(out),
+        "--num_steps", "4", "--duration_frames", "32",
+    ])
+    from bins.tta.inference import main as tta_main
+
+    tta_main()
+    from amphion_tpu.data.audio_io import load_wav
+
+    wav, sr = load_wav(out)
+    assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
+
+
+def test_vevo_ar_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.vc.train import AutoregressiveTransformerTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model={"ar": {"input_vocab": 8, "output_vocab": 16, "hidden": 32,
+                      "num_layers": 1, "num_heads": 4},
+               "content_tokenizer": {"hidden": 8, "codebook_dim": 4,
+                                     "num_blocks": 1},
+               "style_tokenizer": {"hidden": 8, "codebook_dim": 4,
+                                   "num_blocks": 1}},
+    )
+    cfg.train["segment_frames"] = 32
+    trainer = AutoregressiveTransformerTrainer(_args("ar_it"), cfg)
     trainer.train_loop()
     assert trainer.loop.step == 2
