@@ -152,29 +152,77 @@ def audioldm_sample(
     num_steps: int = 50,
     guidance_scale: float = 3.0,
 ):
-    """DDIM sampling with classifier-free guidance."""
+    """DDIM sampling with classifier-free guidance (self-jitting — eager
+    scans dispatch op-by-op through the TPU tunnel)."""
     sched = model.schedule
     b = shape[0]
-    null_emb = jnp.zeros_like(text_emb)
 
-    def eps_fn(x, t):
-        tt = jnp.full((b,), t)
-        e_c = model.apply({"params": params}, x, tt, text_emb)
-        e_u = model.apply({"params": params}, x, tt, null_emb)
-        return e_u + guidance_scale * (e_c - e_u)
+    def core(params, text_emb, rng):
+        null_emb = jnp.zeros_like(text_emb)
 
-    return ddim_sample(eps_fn, sched, shape, rng, num_steps)
+        def eps_fn(x, t):
+            tt = jnp.full((b,), t)
+            # one batched fwd for [cond; uncond] halves the step count
+            e2 = model.apply(
+                {"params": params},
+                jnp.concatenate([x, x]), jnp.concatenate([tt, tt]),
+                jnp.concatenate([text_emb, null_emb]),
+            )
+            e_c, e_u = e2[:b], e2[b:]
+            return e_u + guidance_scale * (e_c - e_u)
+
+        return ddim_sample(eps_fn, sched, shape, rng, num_steps)
+
+    return jax.jit(core)(params, text_emb, rng)
 
 
-def encode_text_t5(texts: list[str], model_name: str = "t5-base", device="cpu"):
+def hash_text_embed(texts: list[str], dim: int = 768, max_len: int = 32):
+    """Deterministic hashed token embeddings — an offline text-conditioning
+    fallback for environments without a pretrained-T5 cache. Each whitespace
+    token maps to a fixed pseudo-random unit-scale vector keyed by a stable
+    hash, so the conditioning signal is consistent across train/infer runs
+    (the UNet's ctx projection learns on top of it)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros((len(texts), max_len, dim), np.float32)
+    for b, text in enumerate(texts):
+        for j, tok in enumerate(text.lower().split()[:max_len]):
+            h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "little")
+            out[b, j] = np.random.default_rng(h).standard_normal(dim)
+    return jnp.asarray(out / np.sqrt(dim))
+
+
+def encode_text(texts: list[str], dim: int = 768, backend: str = "auto"):
+    """Text → (B, L, dim) conditioning. backend: 't5' | 'hash' | 'auto'
+    (t5 if a local HF cache has the weights, else hashed embeddings)."""
+    if backend in ("t5", "auto"):
+        try:
+            # auto must not hit the network: only use an existing local cache
+            emb = encode_text_t5(texts, local_files_only=(backend == "auto"))
+            if emb.shape[-1] != dim:
+                raise ValueError(f"t5 dim {emb.shape[-1]} != cfg text_dim {dim}")
+            return emb
+        except Exception:
+            if backend == "t5":
+                raise
+    return hash_text_embed(texts, dim)
+
+
+def encode_text_t5(texts: list[str], model_name: str = "t5-base", device="cpu",
+                   local_files_only: bool = False):
     """Frozen T5 text encoder via transformers (host-side, like the
     reference's torch T5; ref `audioldm_trainer.py` text conditioning)."""
     import numpy as np
     import torch
     from transformers import AutoTokenizer, T5EncoderModel
 
-    tok = AutoTokenizer.from_pretrained(model_name)
-    enc = T5EncoderModel.from_pretrained(model_name).eval()
+    tok = AutoTokenizer.from_pretrained(model_name,
+                                        local_files_only=local_files_only)
+    enc = T5EncoderModel.from_pretrained(
+        model_name, local_files_only=local_files_only
+    ).eval()
     with torch.no_grad():
         batch = tok(texts, return_tensors="pt", padding=True, truncation=True)
         out = enc(**batch).last_hidden_state

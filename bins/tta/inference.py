@@ -1,0 +1,98 @@
+"""TTA inference CLI (reference: `bins/tta/inference.py` +
+`models/tta/ldm/audioldm_inference.py`): text prompt → audio via
+AudioLDM DDIM sampling with classifier-free guidance, AutoencoderKL
+latent decode, and Griffin-Lim mel inversion (no vocoder dependency)."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amphion_tpu.data.audio_io import save_wav
+from amphion_tpu.models.tta.audioldm import (
+    AudioLDM,
+    AudioLDMConfig,
+    audioldm_sample,
+    encode_text,
+)
+from amphion_tpu.models.tta.autoencoder_kl import AutoencoderKL
+from amphion_tpu.ops.dsp import mel_to_audio
+from amphion_tpu.ops.mel import MelConfig
+from amphion_tpu.runtime.checkpoint import CheckpointManager
+from amphion_tpu.utils.config import load_config
+from amphion_tpu.utils.logging import get_logger
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--exp_name", default="exp")
+    parser.add_argument("--text", required=True)
+    parser.add_argument("--output_path", required=True)
+    parser.add_argument("--vae_ckpt", default="",
+                        help="AutoencoderKL checkpoint dir (defaults to "
+                             "cfg.train.vae_ckpt)")
+    parser.add_argument("--num_steps", type=int, default=50)
+    parser.add_argument("--guidance_scale", type=float, default=3.0)
+    parser.add_argument("--duration_frames", type=int, default=256,
+                        help="mel frames of generated audio")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    logger = get_logger("tta_infer")
+    p = cfg.preprocess
+    mel_cfg = MelConfig.from_preprocess_cfg(p)
+
+    from bins.tta.train_tta import _build_vae
+
+    vae = _build_vae(cfg)
+    vae_ckpt = args.vae_ckpt or cfg.train.get("vae_ckpt", "")
+    assert vae_ckpt, "need --vae_ckpt (AutoencoderKL stage-1 checkpoint)"
+    vtree, _, _ = CheckpointManager(vae_ckpt).restore_raw()
+    vae_params = vtree["params"] if "params" in vtree else vtree
+
+    m = cfg.model.get("audioldm", None)
+    model = AudioLDM(AudioLDMConfig(
+        latent_channels=vae.cfg.latent_channels,
+        base_channels=m.get("base_channels", 128) if m else 128,
+        channel_mults=tuple(m.channel_mults) if m else (1, 2, 4),
+        attn_levels=tuple(m.attn_levels) if m else (1, 2),
+        num_heads=m.get("num_heads", 8) if m else 8,
+        text_dim=m.get("text_dim", 768) if m else 768,
+    ))
+    exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+    tree, epoch, step = CheckpointManager(exp_dir / "checkpoint").restore_raw()
+    params = tree["params"] if "params" in tree else tree
+    logger.info(f"AudioLDM restored from epoch {epoch} step {step}")
+
+    # latent grid: mel (T, F) downsampled by the VAE's stride stack
+    ds = 2 ** (len(vae.cfg.channel_mults) - 1)
+    lt = -(-args.duration_frames // ds)
+    lf = -(-mel_cfg.n_mel // ds)
+    text_emb = encode_text(
+        [args.text], model.cfg.text_dim,
+        m.get("text_backend", "auto") if m else "auto",
+    )
+    z = audioldm_sample(
+        model, params, text_emb,
+        (1, lt, lf, vae.cfg.latent_channels), jax.random.key(args.seed),
+        num_steps=args.num_steps, guidance_scale=args.guidance_scale,
+    )
+    decode = jax.jit(lambda prm, z: vae.apply(
+        {"params": prm}, z, method=AutoencoderKL.decode))
+    img = decode(vae_params, z)  # (1, T, F, 1)
+    mel = jnp.transpose(img[..., 0], (0, 2, 1))[:, : mel_cfg.n_mel,
+                                                :args.duration_frames]
+    wav = np.asarray(mel_to_audio(mel, mel_cfg))
+    save_wav(args.output_path, wav[0], p.sample_rate)
+    logger.info(
+        f"wrote {args.output_path} ({wav.shape[1] / p.sample_rate:.2f}s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
