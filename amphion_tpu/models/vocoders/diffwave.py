@@ -83,11 +83,16 @@ class DiffWave(nn.Module):
 
 
 def diffwave_sample(model: DiffWave, params, mel, rng, num_steps=None):
+    """Self-jitting DDPM sampling (eager scans dispatch op-by-op through
+    the TPU tunnel)."""
     sched = model.schedule
     b, n, _ = mel.shape
     shape = (b, n * model.cfg.hop_size)
 
-    def eps_fn(x, t):
-        return model.apply({"params": params}, x, jnp.full((b,), t), mel)
+    def core(params, mel, rng):
+        def eps_fn(x, t):
+            return model.apply({"params": params}, x, jnp.full((b,), t), mel)
 
-    return ddpm_sample(eps_fn, sched, shape, rng, num_steps)
+        return ddpm_sample(eps_fn, sched, shape, rng, num_steps)
+
+    return jax.jit(core)(params, mel, rng)

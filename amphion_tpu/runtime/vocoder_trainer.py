@@ -155,3 +155,110 @@ class GANVocoderTrainer:
 
     def train_loop(self):
         return self.loop.run()
+
+
+class DiffusionVocoderTrainer:
+    """DiffWave trainer (ref `models/vocoders/diffusion/diffusion_vocoder_trainer.py`
+    + registry `bins/vocoder/train.py:18-22` 'DiffusionVocoder'): eps-MSE over
+    (audio segment, mel) pairs, mel computed on device in the data path."""
+
+    def __init__(self, args, cfg):
+        import functools
+
+        import optax
+
+        from amphion_tpu.models.vocoders.diffwave import DiffWave, DiffWaveConfig
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.args = args
+        self.cfg = cfg
+        self.logger = get_logger("diffwave", level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        m = cfg.model.get("diffwave", None)
+        self.model = DiffWave(DiffWaveConfig(
+            n_mel=p.n_mel,
+            hop_size=p.hop_size,
+            residual_channels=m.get("residual_channels", 64) if m else 64,
+            num_layers=m.get("num_layers", 30) if m else 30,
+            dilation_cycle=m.get("dilation_cycle", 10) if m else 10,
+            num_train_steps=m.get("num_train_steps", 50) if m else 50,
+        ))
+
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        t = cfg.train
+        frames = t.get("segment_frames", 64)
+        self.dataset = SegmentAudioDataset(utts, p.sample_rate,
+                                           frames * p.hop_size)
+        self.batch_size = t.batch_size
+
+        example = self._make_batch(list(range(min(self.batch_size, len(utts)))))
+        tx = optax.adamw(t.adamw.lr, b1=t.adamw.get("adam_b1", 0.9),
+                         b2=t.adamw.get("adam_b2", 0.99))
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)), example["audio"], example["mel"],
+            jax.random.key(1), method=DiffWave.loss,
+        )["params"]
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=self.model.apply, tx=tx,
+        )
+
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(prm):
+                loss = model.apply({"params": prm}, batch["audio"],
+                                   batch["mel"], sub, method=DiffWave.loss)
+                return loss, {"diff_loss": loss}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(
+                getattr(args, "resume_from_ckpt_path", None) or None,
+                getattr(args, "resume_type", "resume"),
+            )
+
+    def _make_batch(self, indices):
+        audio = np.stack([self.dataset[i]["audio"] for i in indices])
+        mel = np.asarray(
+            mel_spectrogram(jnp.asarray(audio), self.mel_cfg)
+        ).transpose(0, 2, 1)
+        # align mel frames to exactly T//hop for the repeat-upsampled cond
+        n = audio.shape[1] // self.mel_cfg.hop_size
+        return {"mel": jnp.asarray(mel[:, :n]), "audio": jnp.asarray(audio)}
+
+    def _data(self):
+        n = len(self.dataset)
+        order = np.random.default_rng(self.loop.epoch).permutation(n)
+
+        def gen():
+            for i in range(0, n - self.batch_size + 1, self.batch_size):
+                yield self._make_batch(order[i : i + self.batch_size].tolist())
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()

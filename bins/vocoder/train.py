@@ -5,7 +5,10 @@ from __future__ import annotations
 
 import argparse
 
-from amphion_tpu.runtime.vocoder_trainer import GANVocoderTrainer
+from amphion_tpu.runtime.vocoder_trainer import (
+    DiffusionVocoderTrainer,
+    GANVocoderTrainer,
+)
 from amphion_tpu.utils.config import load_config
 
 
@@ -13,6 +16,7 @@ def build_trainer(args, cfg):
     supported_trainer = {
         "GANVocoder": GANVocoderTrainer,
         "Vocos": GANVocoderTrainer,  # Vocos = GAN trainer with vocos generator
+        "DiffusionVocoder": DiffusionVocoderTrainer,
     }
     return supported_trainer[cfg.model_type](args, cfg)
 
