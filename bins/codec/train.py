@@ -98,6 +98,301 @@ class AmphionCodecTrainer:
         return self.loop.run()
 
 
+class FACodecTrainer(AmphionCodecTrainer):
+    """FACodec trainer (ref `models/codec/facodec/facodec_trainer.py`):
+    factorized prosody/content/detail RVQ branches + global timbre, trained
+    with reconstruction + multiscale mel + VQ + adversarial speaker-removal
+    (gradient reversal) + waveform GAN losses in one fused step."""
+
+    def __init__(self, args, cfg):
+        import functools
+        import json as _json
+
+        from amphion_tpu.models.codec.codec_trainer import multiscale_mel_loss
+        from amphion_tpu.models.codec.facodec import FACodec, FACodecConfig
+        from amphion_tpu.models.vocoders.gan_trainer import make_optimizer
+        from amphion_tpu.models.vocoders.losses import (
+            discriminator_loss,
+            feature_loss,
+            generator_adv_loss,
+        )
+        from amphion_tpu.runtime.train_state import TrainState, create_train_state
+
+        self.cfg = cfg
+        self.logger = get_logger("facodec")
+        p = cfg.preprocess
+        m = cfg.model.get("codec", None)
+        codec_cfg = CodecConfig(
+            sample_rate=p.sample_rate,
+            strides=tuple(m.strides) if m else (2, 4, 5, 6),
+            codebook_size=m.codebook_size if m else 1024,
+            codebook_dim=m.codebook_dim if m else 8,
+            encoder_dim=m.get("encoder_dim", 32) if m else 32,
+            latent_dim=m.get("latent_dim", 256) if m else 256,
+            decoder_dim=m.get("decoder_dim", 32) if m else 32,
+        )
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        speakers = sorted({u.speaker or u.singer or "default" for u in utts})
+        self.spk2id = {s: i for i, s in enumerate(speakers)}
+        f = cfg.model.get("facodec", None)
+        self.codec = FACodec(FACodecConfig(
+            codec=codec_cfg,
+            prosody_layers=f.get("prosody_layers", 1) if f else 1,
+            content_layers=f.get("content_layers", 2) if f else 2,
+            detail_layers=f.get("detail_layers", 3) if f else 3,
+            codebook_size=codec_cfg.codebook_size,
+            codebook_dim=codec_cfg.codebook_dim,
+            timbre_dim=f.get("timbre_dim", 256) if f else 256,
+            num_speakers=max(len(speakers), 2),
+            grl_scale=f.get("grl_scale", 1.0) if f else 1.0,
+        ))
+        disc = CombinedDiscriminator(
+            use=tuple(cfg.model.get("discriminators", ["mpd"])),
+            channel_mult=cfg.model.get("discriminator_channel_mult_factor", 1.0),
+        )
+        t = cfg.train
+        seg = t.get("segment_frames", 64) * codec_cfg.hop
+        self.dataset = SegmentAudioDataset(utts, p.sample_rate, seg)
+        self.batch_size = t.batch_size
+        train_cfg = GANTrainConfig(lr=t.adamw.lr)
+
+        example = self._batch(list(range(min(self.batch_size, len(utts)))))
+        g_rng, d_rng, q_rng = jax.random.split(jax.random.key(t.get("seed", 0)), 3)
+        tx = make_optimizer(train_cfg)
+        g_params = self.codec.init(
+            g_rng, example["audio"], example["sid"], q_rng, True
+        )["params"]
+        gstate = TrainState(
+            step=jnp.zeros((), jnp.int32), params=g_params,
+            opt_state=tx.init(g_params), rng=q_rng,
+            apply_fn=self.codec.apply, tx=tx,
+        )
+        dstate = create_train_state(disc, d_rng, example["audio"], tx)
+        self.states = {"g": gstate, "d": dstate}
+        codec = self.codec
+        sr = p.sample_rate
+        mel_weight = t.get("mel_weight", 15.0)
+        spk_weight = t.get("spk_adv_weight", 1.0)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(states, batch):
+            gstate, dstate = states["g"], states["d"]
+            audio, sid = batch["audio"], batch["sid"]
+            rng, q_rng = jax.random.split(gstate.rng)
+
+            recon0, _, _, _ = codec.apply(
+                {"params": gstate.params}, audio, sid, q_rng, True
+            )
+            fake0 = jax.lax.stop_gradient(recon0)
+
+            def d_loss_fn(dp):
+                lr_, _ = dstate.apply_fn({"params": dp}, audio)
+                lf_, _ = dstate.apply_fn({"params": dp}, fake0)
+                loss, _, _ = discriminator_loss(lr_, lf_)
+                return loss
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dstate.params)
+            dstate = dstate.apply_gradients(d_grads)
+
+            def g_loss_fn(gp):
+                recon, _, _, losses = codec.apply(
+                    {"params": gp}, audio, sid, q_rng, True
+                )
+                lr_, fr_ = dstate.apply_fn({"params": dstate.params}, audio)
+                lf_, ff_ = dstate.apply_fn({"params": dstate.params}, recon)
+                adv = generator_adv_loss(lf_)
+                fm = feature_loss(fr_, ff_)
+                ml = mel_weight * multiscale_mel_loss(audio, recon, sr)
+                wl = jnp.mean(jnp.abs(audio - recon))
+                spk = spk_weight * losses.pop("spk_adv", 0.0)
+                vq = sum(losses.values())
+                total = adv + fm + ml + wl + vq + spk
+                return total, {"g_adv": adv, "g_mel": ml, "g_vq": vq,
+                               "spk_adv": spk}
+
+            (g_loss, aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(gstate.params)
+            gstate = gstate.apply_gradients(g_grads).replace(rng=rng)
+            return {"g": gstate, "d": dstate}, {
+                "d_loss": d_loss, "g_loss": g_loss, **aux}
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        (ckpt_dir.parent / "spk2id.json").write_text(_json.dumps(self.spk2id))
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.states, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _batch(self, idxs):
+        audio = np.stack([self.dataset[i]["audio"] for i in idxs])
+        sids = np.asarray([
+            self.spk2id.get(
+                self.dataset.utts[i].speaker or self.dataset.utts[i].singer
+                or "default", 0)
+            for i in idxs
+        ], np.int32)
+        return {"audio": jnp.asarray(audio), "sid": jnp.asarray(sids)}
+
+
+class CocoTrainer(AmphionCodecTrainer):
+    """RepCoco trainer (ref `models/codec/coco/rep_coco_trainer.py` +
+    registry `bins/codec/train.py:20-24` 'RepCoco'): content-style /
+    content / style FVQ tokenizers over SSL (or mel-proxy) features + F0,
+    feature-reconstruction + VQ commitment losses (no GAN — the codec
+    reconstructs features, not waveforms)."""
+
+    def __init__(self, args, cfg):
+        import functools
+
+        import optax
+
+        from amphion_tpu.models.codec.coco import CocoCodec, CocoConfig
+        from amphion_tpu.ops.f0 import F0Config, yin_f0
+        from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.cfg = cfg
+        self.logger = get_logger("coco")
+        p = cfg.preprocess
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        self.f0_cfg = F0Config.from_preprocess_cfg(p)
+        self._mel = mel_spectrogram
+        self._yin = yin_f0
+        m = cfg.model.get("coco", None)
+        self.mode = m.get("mode", "contentstyle") if m else "contentstyle"
+        # SSL features from content_dir when extracted; else mel proxy
+        self.content_dir = {
+            ds: Path(p.processed_dir) / ds / p.get("content_dir", "content")
+            for ds in cfg.dataset
+        }
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        self.use_ssl = all(
+            (self.content_dir[u.dataset] / f"{u.uid}.npy").is_file()
+            for u in utts
+        ) and len(utts) > 0
+        feature_dim = (
+            int(np.load(self.content_dir[utts[0].dataset]
+                        / f"{utts[0].uid}.npy", mmap_mode="r").shape[-1])
+            if self.use_ssl else p.n_mel
+        )
+        self.model = CocoCodec(CocoConfig(
+            mode=self.mode,
+            feature_dim=feature_dim,
+            hidden=m.get("hidden", 512) if m else 512,
+            codebook_size=m.get("codebook_size", 16384) if m else 16384,
+            codebook_dim=m.get("codebook_dim", 16) if m else 16,
+            downsample=m.get("downsample", 4) if m else 4,
+            num_blocks=m.get("num_blocks", 4) if m else 4,
+        ))
+        t = cfg.train
+        seg = t.get("segment_frames", 128) * p.hop_size
+        self.dataset = SegmentAudioDataset(utts, p.sample_rate, seg)
+        self.batch_size = t.batch_size
+
+        example = self._batch(list(range(min(self.batch_size, len(utts)))))
+        tx = optax.adamw(t.adamw.lr)
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)), example["content"], example["f0"]
+        )["params"]
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=self.model.apply, tx=tx,
+        )
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, batch):
+            def loss_fn(prm):
+                _, _, losses = model.apply(
+                    {"params": prm}, batch["content"], batch["f0"]
+                )
+                return sum(losses.values()), losses
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _batch(self, idxs):
+        if self.use_ssl:
+            return self._batch_ssl(idxs)
+        audio = np.stack([self.dataset[i]["audio"] for i in idxs])
+        au = jnp.asarray(audio)
+        content = f0 = None
+        if self.mode in ("contentstyle", "content"):
+            content = self._mel(au, self.mel_cfg).transpose(0, 2, 1)
+        if self.mode in ("contentstyle", "style"):
+            f0, _ = self._yin(au, self.f0_cfg)
+        if content is not None and f0 is not None:
+            n = min(content.shape[1], f0.shape[1])
+            content, f0 = content[:, :n], f0[:, :n]
+        return {"content": content, "f0": f0}
+
+    def _batch_ssl(self, idxs):
+        """Window over pre-extracted SSL feature frames; F0 from the full
+        utterance is interpolated to the SSL frame rate then windowed."""
+        frames = self.cfg.train.get("segment_frames", 128)
+        rng = np.random.default_rng(self.loop.epoch if hasattr(self, "loop")
+                                    else 0)
+        feats, f0s = [], []
+        for i in idxs:
+            u = self.dataset.utts[i]
+            feat = np.load(self.content_dir[u.dataset] / f"{u.uid}.npy")
+            n = feat.shape[0]
+            if self.mode in ("contentstyle", "style"):
+                au = jnp.asarray(self.dataset.audio(i))[None]
+                f0_full, _ = self._yin(au, self.f0_cfg)
+                f0_full = np.asarray(f0_full)[0]
+                f0 = np.interp(np.linspace(0, len(f0_full) - 1, n),
+                               np.arange(len(f0_full)), f0_full)
+            else:
+                f0 = None
+            if n < frames:
+                feat = np.pad(feat, ((0, frames - n), (0, 0)))
+                if f0 is not None:
+                    f0 = np.pad(f0, (0, frames - n))
+                start = 0
+            else:
+                start = int(rng.integers(0, n - frames + 1))
+            feats.append(feat[start : start + frames])
+            if f0 is not None:
+                f0s.append(f0[start : start + frames])
+        content = (jnp.asarray(np.stack(feats).astype(np.float32))
+                   if self.mode in ("contentstyle", "content") else None)
+        f0 = jnp.asarray(np.stack(f0s).astype(np.float32)) if f0s else None
+        return {"content": content, "f0": f0}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -107,7 +402,11 @@ def main():
     args = parser.parse_args()
     cfg = load_config(args.config)
     supported_trainer = {"AmphionCodec": AmphionCodecTrainer,
-                         "VQVAE": AmphionCodecTrainer}
+                         "VQVAE": AmphionCodecTrainer,
+                         "FAcodec": FACodecTrainer,
+                         "FACodec": FACodecTrainer,
+                         "RepCoco": CocoTrainer,
+                         "Coco": CocoTrainer}
     trainer = supported_trainer[cfg.model_type](args, cfg)
     trainer.train_loop()
 

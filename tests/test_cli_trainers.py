@@ -237,6 +237,30 @@ def test_svc_trainer_integration(corpus):
     assert trainer.loop.step == 2
 
 
+def test_vits_svc_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.svc.train import VitsSVCTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model={
+            "vits_svc": {"inter_channels": 8, "hidden_channels": 8,
+                         "filter_channels": 16, "n_heads": 2, "n_layers": 1,
+                         "gin_channels": 8, "segment_size": 4},
+            "decoder": {"resblock": "2", "upsample_rates": [4, 2],
+                        "upsample_kernel_sizes": [8, 4],
+                        "upsample_initial_channel": 16,
+                        "resblock_kernel_sizes": [3],
+                        "resblock_dilation_sizes": [[1, 3]]},
+            "discriminator_channel_mult_factor": 0.25,
+        },
+    )
+    cfg.train["segment_frames"] = 32
+    trainer = VitsSVCTrainer(_args("vsvc_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
 def test_vevo_fm_trainer_integration(corpus):
     root, processed = corpus
     from bins.vc.train import FlowMatchingTransformerTrainer
@@ -250,6 +274,46 @@ def test_vevo_fm_trainer_integration(corpus):
     )
     cfg.train["segment_frames"] = 32
     trainer = FlowMatchingTransformerTrainer(_args("fm_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
+def test_facodec_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.codec.train import FACodecTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="FAcodec",
+        model={
+            "codec": {"strides": [2, 4], "codebook_size": 16,
+                      "codebook_dim": 4, "encoder_dim": 4, "latent_dim": 8,
+                      "decoder_dim": 4},
+            "facodec": {"prosody_layers": 1, "content_layers": 1,
+                        "detail_layers": 1, "timbre_dim": 8},
+            "discriminators": ["mpd"],
+            "discriminator_channel_mult_factor": 0.25,
+        },
+    )
+    cfg.train["segment_frames"] = 32
+    trainer = FACodecTrainer(_args("fac_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
+def test_coco_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.codec.train import CocoTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="RepCoco",
+        model={"coco": {"mode": "contentstyle", "hidden": 16,
+                        "codebook_size": 32, "codebook_dim": 4,
+                        "downsample": 4, "num_blocks": 1}},
+    )
+    cfg.train["segment_frames"] = 32
+    trainer = CocoTrainer(_args("coco_it"), cfg)
     trainer.train_loop()
     assert trainer.loop.step == 2
 
