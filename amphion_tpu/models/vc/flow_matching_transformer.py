@@ -101,26 +101,32 @@ def fmt_inference(
     cfg_scale: float = 0.0,
 ):
     """Euler ODE from noise to mel; prompt frames stay clamped to the prompt
-    (timbre conditioning), CFG optional."""
+    (timbre conditioning), CFG optional. Self-jitting (one program per
+    shape bucket — eager scans dispatch op-by-op through the TPU tunnel)."""
     b, t_len = tokens.shape
-    x_mask = jnp.ones((b, t_len))
 
-    def vfield(x, t):
-        tt = jnp.full((b,), t)
-        v = model.apply(
-            {"params": params}, x, tt, tokens, prompt_mel, prompt_len_mask,
-            x_mask, False, method=FlowMatchingTransformer.velocity,
-        )
-        if cfg_scale > 0:
-            vu = model.apply(
+    def core(params, tokens, prompt_mel, prompt_len_mask, rng):
+        x_mask = jnp.ones((b, t_len))
+
+        def vfield(x, t):
+            tt = jnp.full((b,), t)
+            v = model.apply(
                 {"params": params}, x, tt, tokens, prompt_mel, prompt_len_mask,
-                x_mask, True, method=FlowMatchingTransformer.velocity,
+                x_mask, False, method=FlowMatchingTransformer.velocity,
             )
-            v = vu + (1 + cfg_scale) * (v - vu)
-        return v
+            if cfg_scale > 0:
+                vu = model.apply(
+                    {"params": params}, x, tt, tokens, prompt_mel,
+                    prompt_len_mask, x_mask, True,
+                    method=FlowMatchingTransformer.velocity,
+                )
+                v = vu + (1 + cfg_scale) * (v - vu)
+            return v
 
-    mel = euler_sample(
-        vfield, (b, t_len, model.cfg.n_mel), rng, num_steps=num_steps
-    )
-    # return only generated frames (prompt region replaced by the prompt)
-    return jnp.where(prompt_len_mask[..., None] > 0, prompt_mel, mel)
+        mel = euler_sample(
+            vfield, (b, t_len, model.cfg.n_mel), rng, num_steps=num_steps
+        )
+        # return only generated frames (prompt region replaced by the prompt)
+        return jnp.where(prompt_len_mask[..., None] > 0, prompt_mel, mel)
+
+    return jax.jit(core)(params, tokens, prompt_mel, prompt_len_mask, rng)

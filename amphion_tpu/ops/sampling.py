@@ -16,7 +16,7 @@ def top_k_filter(logits: jax.Array, k: int) -> jax.Array:
 
     lax.top_k, not a full sort — full-vocab sorts are ~10x a transformer
     forward on the TPU VPU."""
-    if k <= 0:
+    if k <= 0 or k >= logits.shape[-1]:  # no-op when k covers the vocab
         return logits
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)

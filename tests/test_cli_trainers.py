@@ -237,6 +237,60 @@ def test_svc_trainer_integration(corpus):
     assert trainer.loop.step == 2
 
 
+def test_vevo_inference_cli(corpus, monkeypatch):
+    """Train AR + FM one step each, then run the zero-shot voice task
+    through bins/vc/inference.py (content → AR → FM → Griffin-Lim)."""
+    root, processed = corpus
+    from bins.vc.train import (
+        AutoregressiveTransformerTrainer,
+        FlowMatchingTransformerTrainer,
+    )
+
+    model = {
+        "ar": {"input_vocab": 8, "output_vocab": 16, "hidden": 32,
+               "num_layers": 1, "num_heads": 4},
+        "fm": {"token_vocab": 16, "hidden": 32, "num_layers": 1,
+               "num_heads": 4},
+        "content_tokenizer": {"hidden": 8, "codebook_dim": 4, "num_blocks": 1},
+        "style_tokenizer": {"hidden": 8, "codebook_dim": 4, "num_blocks": 1},
+    }
+    cfg = _base_cfg(root, processed, model_type="AutoregressiveTransformer",
+                    model=model)
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["segment_frames"] = 32
+    ar_args = _args("vevo_ar_zs")
+    ar_args.content_ckpt = ""
+    ar_args.style_ckpt = ""
+    AutoregressiveTransformerTrainer(ar_args, cfg).train_loop()
+    cfg.model_type = "FlowMatchingTransformer"
+    fm_args = _args("vevo_fm_zs")
+    fm_args.style_ckpt = ""
+    FlowMatchingTransformerTrainer(fm_args, cfg).train_loop()
+
+    import sys
+
+    cfg_path = root / "vevo.json"
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+    out = root / "vevo.wav"
+    wavs = root / "LJSpeech-1.1" / "wavs"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--task", "voice",
+        "--src_audio", str(wavs / "LJ001-0000.wav"),
+        "--timbre_ref", str(wavs / "LJ001-0001.wav"),
+        "--output_path", str(out), "--ar_exp", "vevo_ar_zs",
+        "--fm_exp", "vevo_fm_zs", "--max_new", "16",
+        "--flow_matching_steps", "4",
+    ])
+    from bins.vc.inference import main as vc_main
+
+    vc_main()
+    from amphion_tpu.data.audio_io import load_wav
+
+    wav, sr = load_wav(out)
+    assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
+
+
 def test_vits_svc_trainer_integration(corpus):
     root, processed = corpus
     from bins.svc.train import VitsSVCTrainer
