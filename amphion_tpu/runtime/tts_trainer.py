@@ -1010,6 +1010,9 @@ class NS2Trainer:
                        save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
             step, state, self._data, ckpt=self.ckpt, logger=self.logger,
         )
+        # persist the TextGrid-derived phone table for inference
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.symbols.to_file(ckpt_dir.parent / "symbols.dict")
         if getattr(args, "resume", False):
             self.loop.resume(None, getattr(args, "resume_type", "resume"))
 

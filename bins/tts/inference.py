@@ -104,6 +104,277 @@ def valle_inference(args, cfg, logger):
     logger.info(f"wrote {args.output_path} ({n * codec_cfg.hop / p.sample_rate:.2f}s)")
 
 
+def _vocode(mel, args, cfg, logger):
+    """mel (B, N, n_mel) → wav via a trained GAN vocoder ckpt, else
+    Griffin-Lim (ref the two-stage `synthesis_by_vocoder`,
+    `models/tts/base/tts_inferece.py:252`)."""
+    from amphion_tpu.ops.dsp import mel_to_audio
+
+    p = cfg.preprocess
+    mel_cfg = MelConfig.from_preprocess_cfg(p)
+    mel_mf = mel.transpose(0, 2, 1)  # (B, n_mel, N)
+    if getattr(args, "vocoder_ckpt", ""):
+        from amphion_tpu.runtime.vocoder_trainer import build_generator
+
+        gen, _ = build_generator(cfg, p.n_mel)
+        vtree, _, _ = CheckpointManager(args.vocoder_ckpt).restore_raw()
+        return np.asarray(jax.jit(
+            lambda pp, mm: gen.apply({"params": pp}, mm)
+        )(vtree["g"]["params"], mel))
+    logger.info("no --vocoder_ckpt: Griffin-Lim reconstruction")
+    return np.asarray(mel_to_audio(mel_mf, mel_cfg))
+
+
+def fastspeech2_inference(args, cfg, logger):
+    """Two-stage FS2 (ref `models/tts/fastspeech2/fs2_inference.py`): phones
+    → predicted durations/pitch/energy → mel → vocoder. Uses the phone
+    table the trainer persisted from the MFA TextGrids."""
+    from amphion_tpu.models.tts.fastspeech2.fs2 import (
+        FastSpeech2,
+        FastSpeech2Config,
+    )
+
+    p = cfg.preprocess
+    exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+    symbols = SymbolTable.from_file(exp_dir / "symbols.dict")
+    g2p = G2PModule(p.get("g2p_backend", "char"), p.get("lexicon_path") or None)
+    ids = g2p.to_ids(args.text, symbols)
+    assert ids, "no phones mapped into the trained symbol table"
+
+    tree, epoch, step = CheckpointManager(exp_dir / "checkpoint").restore_raw()
+    params = tree["params"] if "params" in tree else tree
+    logger.info(f"FastSpeech2 restored from epoch {epoch} step {step}")
+    m = cfg.model.get("fastspeech2", None)
+    n_speakers = params.get("spk", {}).get("embedding", np.zeros((1, 1))).shape[0]
+    model = FastSpeech2(FastSpeech2Config(
+        num_phones=max(len(symbols) + 1, 64),
+        hidden=m.hidden if m else 256,
+        n_enc_layers=m.n_enc_layers if m else 4,
+        n_dec_layers=m.n_dec_layers if m else 6,
+        n_heads=m.n_heads if m else 2,
+        ffn_hidden=m.ffn_hidden if m else 1024,
+        kernel_size=m.get("kernel_size", 9) if m else 9,
+        n_mel=p.n_mel,
+        max_frames=cfg.train.get("max_frames", 600),
+        n_speakers=n_speakers if "spk" in params else 0,
+    ))
+    phones = jnp.asarray(ids)[None]
+    mask = jnp.ones_like(phones, jnp.float32)
+    sid = jnp.asarray([0]) if "spk" in params else None
+    out = jax.jit(lambda prm, ph, mk: model.apply(
+        {"params": prm}, ph, mk, sid=sid, d_control=args.length_scale,
+    ))(params, phones, mask)
+    n = int(np.asarray(out["frame_mask"]).sum())
+    wav = _vocode(out["mel_postnet"][:, :n], args, cfg, logger)
+    save_wav(args.output_path, wav[0], p.sample_rate)
+    logger.info(f"wrote {args.output_path} ({n * p.hop_size / p.sample_rate:.2f}s)")
+
+
+def jets_inference(args, cfg, logger):
+    """JETS E2E text→wave (ref `models/tts/jets/jets_inference.py`)."""
+    from amphion_tpu.models.tts.fastspeech2.fs2 import FastSpeech2Config
+    from amphion_tpu.models.tts.jets.jets import Jets, JetsConfig
+    from amphion_tpu.models.vocoders.hifigan import (
+        HiFiGANConfig as _HG,
+    )
+
+    p = cfg.preprocess
+    symbols = SymbolTable.from_file(
+        Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict
+    )
+    g2p = G2PModule(p.get("g2p_backend", "char"), p.get("lexicon_path") or None)
+    ids = g2p.to_ids(args.text, symbols)
+
+    exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+    tree, epoch, step = CheckpointManager(exp_dir / "checkpoint").restore_raw()
+    params = tree["g"]["params"] if "g" in tree else tree["params"]
+    logger.info(f"JETS restored from epoch {epoch} step {step}")
+    m = cfg.model.get("jets", None)
+    dec_m = cfg.model.get("decoder", None)
+    hidden = m.hidden if m else 256
+    fs2 = FastSpeech2Config(
+        num_phones=max(len(symbols) + 1, 64), hidden=hidden,
+        n_enc_layers=m.get("n_enc_layers", 2) if m else 2,
+        n_dec_layers=m.get("n_dec_layers", 2) if m else 2,
+        n_heads=m.get("n_heads", 2) if m else 2,
+        ffn_hidden=m.get("ffn_hidden", 4 * hidden) if m else 4 * hidden,
+        n_mel=p.n_mel, max_frames=cfg.train.get("max_frames", 256),
+    )
+    dec = _HG.from_model_cfg(dec_m, n_mel=hidden) if dec_m else _HG(n_mel=hidden)
+    model = Jets(JetsConfig(fs2=fs2, decoder=dec))
+    phones = jnp.asarray(ids)[None]
+    mask = jnp.ones_like(phones, jnp.float32)
+    wav, fmask = jax.jit(lambda prm, ph, mk: model.apply(
+        {"params": prm}, ph, mk, method=Jets.infer))(params, phones, mask)
+    n = int(np.asarray(fmask).sum()) * dec.hop_size
+    save_wav(args.output_path, np.asarray(wav)[0, :n], p.sample_rate)
+    logger.info(f"wrote {args.output_path} ({n / p.sample_rate:.2f}s)")
+
+
+def ns2_inference(args, cfg, logger):
+    """NaturalSpeech2 zero-shot (ref `models/tts/naturalspeech2/
+    ns2_inference.py`): prompt audio supplies the style; latent diffusion
+    renders mel-latents which vocode to audio."""
+    from amphion_tpu.data.audio_io import load_wav
+    from amphion_tpu.models.tts.naturalspeech2.ns2 import (
+        NaturalSpeech2,
+        NS2Config,
+        ns2_sample,
+    )
+    from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
+    from amphion_tpu.ops.mel import mel_spectrogram
+
+    p = cfg.preprocess
+    mel_cfg = MelConfig.from_preprocess_cfg(p)
+    exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+    symbols = SymbolTable.from_file(exp_dir / "symbols.dict")
+    g2p = G2PModule(p.get("g2p_backend", "char"), p.get("lexicon_path") or None)
+    ids = g2p.to_ids(args.text, symbols)
+    assert ids, "no phones mapped into the trained symbol table"
+    assert args.prompt_audio, "--prompt_audio required (zero-shot style)"
+
+    tree, epoch, step = CheckpointManager(exp_dir / "checkpoint").restore_raw()
+    params = tree["params"] if "params" in tree else tree
+    logger.info(f"NS2 restored from epoch {epoch} step {step}")
+    m = cfg.model.get("ns2", None)
+    model = NaturalSpeech2(NS2Config(
+        num_phones=max(len(symbols) + 1, 64),
+        latent_dim=p.n_mel,
+        hidden=m.hidden if m else 256,
+        n_layers=m.get("n_layers", 4) if m else 4,
+        n_heads=m.get("n_heads", 4) if m else 4,
+        max_frames=cfg.train.get("max_frames", 600),
+        mode=m.get("mode", "diffusion") if m else "diffusion",
+        denoiser=WaveNetDenoiserConfig(
+            in_dim=p.n_mel, hidden=m.hidden if m else 256,
+            num_layers=m.get("denoiser_layers", 12) if m else 12,
+            cond_dim=m.hidden if m else 256,
+        ),
+    ))
+    prompt, _ = load_wav(args.prompt_audio, sr=p.sample_rate)
+    pf = cfg.train.get("prompt_frames", 32)
+    t = min(len(prompt) // p.hop_size, pf) * p.hop_size
+    prompt_latent = mel_spectrogram(
+        jnp.asarray(prompt[: max(t, p.hop_size)])[None], mel_cfg
+    ).transpose(0, 2, 1)
+    phones = jnp.asarray(ids)[None]
+    mask = jnp.ones_like(phones, jnp.float32)
+    z, fmask = ns2_sample(model, params, phones, mask, prompt_latent,
+                          jax.random.key(0), num_steps=args.num_steps)
+    n = int(np.asarray(fmask).sum())
+    wav = _vocode(z[:, :n], args, cfg, logger)
+    save_wav(args.output_path, wav[0], p.sample_rate)
+    logger.info(f"wrote {args.output_path} ({n * p.hop_size / p.sample_rate:.2f}s)")
+
+
+def maskgct_zeroshot_inference(args, cfg, logger):
+    """MaskGCT zero-shot TTS (ref `models/tts/maskgct/maskgct_inference.py`):
+    prompt audio + prompt text + target text → wav through the assembled
+    pipeline (g2p → T2S mask-predict → S2A per-RVQ-layer → codec decode)."""
+    from amphion_tpu.data.audio_io import load_wav
+    from amphion_tpu.models.codec.amphion_codec import CodecConfig
+    from amphion_tpu.models.codec.repcodec import RepCodecConfig
+    from amphion_tpu.models.tts.maskgct.maskgct import S2AConfig, T2SConfig
+    from amphion_tpu.ops.mel import mel_spectrogram
+    from amphion_tpu.pipelines.maskgct_pipeline import MaskGCTPipeline
+
+    p = cfg.preprocess
+    mel_cfg = MelConfig.from_preprocess_cfg(p)
+    symbols = SymbolTable.from_file(
+        Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict
+    )
+    g2p = G2PModule(p.get("g2p_backend", "char"), p.get("lexicon_path") or None)
+
+    exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+    tree, epoch, step = CheckpointManager(exp_dir / "checkpoint").restore_raw()
+    params = tree["params"] if "params" in tree else tree
+    logger.info(f"MaskGCT restored from epoch {epoch} step {step}")
+
+    mt = cfg.model.get("t2s", None)
+    ms = cfg.model.get("s2a", None)
+    msem = cfg.model.get("semantic_codec", None)
+    sem_cfg = RepCodecConfig(
+        feature_dim=p.n_mel,
+        hidden=msem.get("hidden", 384) if msem else 384,
+        codebook_size=msem.codebook_size if msem else 8192,
+        codebook_dim=msem.get("codebook_dim", 8) if msem else 8,
+        num_blocks=msem.get("num_blocks", 4) if msem else 4,
+    )
+    mc = cfg.model.get("codec", None)
+    ac_cfg = CodecConfig(
+        sample_rate=p.sample_rate,
+        strides=tuple(mc.strides) if mc else (2, 4, 5, 6),
+        num_quantizers=mc.num_quantizers if mc else 8,
+        codebook_size=mc.codebook_size if mc else 1024,
+        codebook_dim=mc.codebook_dim if mc else 8,
+        encoder_dim=mc.get("encoder_dim", 32) if mc else 32,
+        latent_dim=mc.get("latent_dim", 256) if mc else 256,
+        decoder_dim=mc.get("decoder_dim", 32) if mc else 32,
+    )
+    from amphion_tpu.models.codec.amphion_codec import AmphionCodec
+    from amphion_tpu.models.codec.repcodec import RepCodec
+
+    sem_codec = RepCodec(sem_cfg)
+    if args.semantic_ckpt:
+        stree, _, _ = CheckpointManager(args.semantic_ckpt).restore_raw()
+        sem_params = (stree.get("g", stree)["params"] if "g" in stree
+                      else stree["params"])
+    else:
+        logger.warning("no --semantic_ckpt: RANDOM semantic codec (smoke)")
+        sem_params = sem_codec.init(
+            jax.random.key(0), jnp.zeros((1, 8, p.n_mel))
+        )["params"]
+    ac = AmphionCodec(ac_cfg)
+    if args.codec_ckpt:
+        ctree, _, _ = CheckpointManager(args.codec_ckpt).restore_raw()
+        ac_params = (ctree["g"]["params"] if "g" in ctree
+                     else ctree["params"])
+    else:
+        logger.warning("no --codec_ckpt: RANDOM acoustic codec (smoke)")
+        ac_params = ac.init(
+            jax.random.key(0), jnp.zeros((1, ac_cfg.hop * 4))
+        )["params"]
+
+    hop = mel_cfg.hop_size
+    mel_fn = jax.jit(lambda au: mel_spectrogram(au, mel_cfg))
+
+    def semantic_extractor(audio, sample_rate):
+        t = max(len(audio) // hop * hop, hop)
+        return np.asarray(
+            mel_fn(jnp.asarray(audio[:t])[None])
+        ).transpose(0, 2, 1)[0]
+
+    n_q = ac_cfg.num_quantizers
+    pipe = MaskGCTPipeline.build(
+        T2SConfig(
+            hidden=mt.hidden if mt else 1024,
+            num_layers=mt.num_layers if mt else 16,
+            num_heads=mt.num_heads if mt else 16,
+            codebook_size=mt.codebook_size if mt else 8192,
+            phone_vocab=max(len(symbols) + 1, 64),
+        ),
+        S2AConfig(
+            hidden=ms.hidden if ms else 1024,
+            num_layers=ms.num_layers if ms else 16,
+            num_heads=ms.num_heads if ms else 16,
+            codebook_size=ms.codebook_size if ms else 1024,
+            num_quantizers=n_q,
+            # S2A conditions on the semantic codec's quantized latents
+            semantic_dim=sem_cfg.hidden,
+        ),
+        sem_cfg, ac_cfg,
+        params={"t2s": params["t2s"], "s2a": params["s2a"],
+                "semantic_codec": sem_params, "acoustic_codec": ac_params},
+        semantic_extractor=semantic_extractor, g2p=g2p,
+        symbol_table=symbols, sample_rate=p.sample_rate,
+        semantic_rate=p.sample_rate // hop,
+    )
+    prompt, _ = load_wav(args.prompt_audio, sr=p.sample_rate)
+    wav = pipe(prompt, args.prompt_text, args.text, jax.random.key(0))
+    save_wav(args.output_path, wav, p.sample_rate)
+    logger.info(f"wrote {args.output_path} ({len(wav) / p.sample_rate:.2f}s)")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -114,18 +385,29 @@ def main():
     parser.add_argument("--noise_scale", type=float, default=0.667)
     parser.add_argument("--length_scale", type=float, default=1.0)
     parser.add_argument("--max_frames", type=int, default=1000)
-    # VALL-E zero-shot options
+    # zero-shot / two-stage options
     parser.add_argument("--prompt_audio", default="")
     parser.add_argument("--prompt_text", default="")
     parser.add_argument("--codec_ckpt", default="")
+    parser.add_argument("--semantic_ckpt", default="")
+    parser.add_argument("--vocoder_ckpt", default="",
+                        help="GAN vocoder checkpoint (Griffin-Lim if empty)")
+    parser.add_argument("--num_steps", type=int, default=50)
     parser.add_argument("--max_new", type=int, default=512)
     parser.add_argument("--top_k", type=int, default=50)
     args = parser.parse_args()
     cfg = load_config(args.config)
     logger = get_logger("tts_infer")
     p = cfg.preprocess
-    if cfg.model_type == "VALLE":
-        return valle_inference(args, cfg, logger)
+    dispatch = {
+        "VALLE": valle_inference,
+        "FastSpeech2": fastspeech2_inference,
+        "Jets": jets_inference,
+        "NaturalSpeech2": ns2_inference,
+        "MaskGCT": maskgct_zeroshot_inference,
+    }
+    if cfg.model_type in dispatch:
+        return dispatch[cfg.model_type](args, cfg, logger)
 
     exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
     spk2id = json.loads((exp_dir / "spk2id.json").read_text())

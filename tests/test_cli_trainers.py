@@ -188,27 +188,32 @@ def test_maskgct_trainer_integration(corpus):
     assert trainer.loop.step == 2
 
 
-def test_fs2_trainer_integration(corpus):
-    root, processed = corpus
+def _write_textgrids(processed, phones=("AA1", "B", "sil")):
+    """Synthetic TextGrids: equal-duration phones over 0.75 s."""
     from amphion_tpu.data.metadata import load_metadata
 
-    # synthetic TextGrids: 3 equal phones over 0.75 s
     tg_dir = processed / "ljspeech" / "textgrids"
     tg_dir.mkdir(parents=True, exist_ok=True)
     utts = load_metadata(processed / "ljspeech" / "train.json")
+    step = 0.75 / len(phones)
     for u in utts:
         body = ['File type = "ooTextFile"', 'Object class = "TextGrid"',
                 "xmin = 0", "xmax = 0.75", "tiers? <exists>", "size = 1",
                 "item []:", "    item [1]:",
                 '        class = "IntervalTier"', '        name = "phones"',
                 "        xmin = 0", "        xmax = 0.75",
-                "        intervals: size = 3"]
-        for i, ph in enumerate(["AA1", "B", "sil"]):
+                f"        intervals: size = {len(phones)}"]
+        for i, ph in enumerate(phones):
             body += [f"        intervals [{i+1}]:",
-                     f"            xmin = {i*0.25}",
-                     f"            xmax = {(i+1)*0.25}",
+                     f"            xmin = {i*step}",
+                     f"            xmax = {(i+1)*step}",
                      f'            text = "{ph}"']
         (tg_dir / f"{u.uid}.TextGrid").write_text("\n".join(body))
+
+
+def test_fs2_trainer_integration(corpus):
+    root, processed = corpus
+    _write_textgrids(processed)
 
     cfg = _base_cfg(
         root, processed,
@@ -223,6 +228,130 @@ def test_fs2_trainer_integration(corpus):
     trainer = FastSpeech2Trainer(_args("fs2_it"), cfg)
     trainer.train_loop()
     assert trainer.loop.step == 2
+
+
+def _run_tts_infer(monkeypatch, cfg, root, exp, text, name, extra=()):
+    import sys
+
+    cfg_path = root / f"{name}.json"
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+    out = root / f"{name}.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--exp_name", exp,
+        "--text", text, "--output_path", str(out), *extra,
+    ])
+    from bins.tts.inference import main as tts_main
+
+    tts_main()
+    from amphion_tpu.data.audio_io import load_wav
+
+    wav, sr = load_wav(out)
+    assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
+
+
+def test_fs2_inference_cli(corpus, monkeypatch):
+    """FS2 two-stage inference CLI: char phones → mel → Griffin-Lim."""
+    root, processed = corpus
+    _write_textgrids(processed, phones=("a", "b", "sil"))
+    from amphion_tpu.runtime.tts_trainer import FastSpeech2Trainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="FastSpeech2",
+        model={"fastspeech2": {"hidden": 16, "n_enc_layers": 1,
+                               "n_dec_layers": 1, "n_heads": 2,
+                               "ffn_hidden": 32, "kernel_size": 3}},
+    )
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["max_frames"] = 128
+    FastSpeech2Trainer(_args("fs2_zs"), cfg).train_loop()
+    _run_tts_infer(monkeypatch, cfg, root, "fs2_zs", "ab", "fs2")
+
+
+def test_jets_inference_cli(corpus, monkeypatch):
+    """JETS E2E text→wave inference CLI."""
+    root, processed = corpus
+    from amphion_tpu.runtime.tts_trainer import JetsTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="Jets",
+        model={"jets": {"hidden": 16, "n_enc_layers": 1, "n_dec_layers": 1,
+                        "n_heads": 2, "ffn_hidden": 32},
+               "decoder": {"resblock": "2", "upsample_rates": [4, 2],
+                           "upsample_kernel_sizes": [8, 4],
+                           "upsample_initial_channel": 16,
+                           "resblock_kernel_sizes": [3],
+                           "resblock_dilation_sizes": [[1, 3]]},
+               "discriminator_channel_mult_factor": 0.25},
+    )
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["max_frames"] = 64
+    cfg.train["max_phones"] = 16
+    JetsTrainer(_args("jets_zs"), cfg).train_loop()
+    _run_tts_infer(monkeypatch, cfg, root, "jets_zs", "hello", "jets")
+
+
+def test_ns2_inference_cli(corpus, monkeypatch):
+    """NS2 zero-shot inference CLI: prompt mel-latent + diffusion."""
+    root, processed = corpus
+    _write_textgrids(processed, phones=("a", "b", "sil"))
+    from amphion_tpu.runtime.tts_trainer import NS2Trainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="NaturalSpeech2",
+        model={"ns2": {"hidden": 16, "n_layers": 1, "n_heads": 2,
+                       "denoiser_layers": 2}},
+    )
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["max_frames"] = 128
+    cfg.train["prompt_frames"] = 16
+    NS2Trainer(_args("ns2_zs"), cfg).train_loop()
+    prompt = str(root / "LJSpeech-1.1" / "wavs" / "LJ001-0001.wav")
+    _run_tts_infer(monkeypatch, cfg, root, "ns2_zs", "ab", "ns2",
+                   extra=("--prompt_audio", prompt, "--num_steps", "4"))
+
+
+def test_maskgct_inference_cli(corpus, monkeypatch):
+    """MaskGCT zero-shot CLI: prompt + text → T2S → S2A → codec decode."""
+    root, processed = corpus
+    from bins.tts.preprocess import extract_codes, extract_semantic
+    from amphion_tpu.data.metadata import load_metadata
+    from amphion_tpu.utils.logging import get_logger
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="MaskGCT",
+        model={
+            "semantic_codec": {"codebook_size": 16, "hidden": 8,
+                               "codebook_dim": 4, "num_blocks": 1},
+            "codec": {"strides": [2, 4], "num_quantizers": 3,
+                      "codebook_size": 16, "codebook_dim": 4,
+                      "encoder_dim": 4, "latent_dim": 8, "decoder_dim": 4},
+            "t2s": {"hidden": 32, "num_layers": 1, "num_heads": 4,
+                    "codebook_size": 16},
+            "s2a": {"hidden": 32, "num_layers": 1, "num_heads": 4,
+                    "codebook_size": 16},
+        },
+    )
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["max_tokens"] = 1024
+    cfg.train["min_bucket"] = 64
+    utts = load_metadata(processed / "ljspeech" / "train.json")
+    extract_codes(utts, processed / "ljspeech", cfg, "", get_logger("t"))
+    extract_semantic(utts, processed / "ljspeech", cfg, "", get_logger("t"))
+
+    from amphion_tpu.runtime.tts_trainer import MaskGCTTrainer
+
+    MaskGCTTrainer(_args("mg_zs"), cfg).train_loop()
+    prompt = str(root / "LJSpeech-1.1" / "wavs" / "LJ001-0002.wav")
+    _run_tts_infer(monkeypatch, cfg, root, "mg_zs", "hello", "mg",
+                   extra=("--prompt_audio", prompt, "--prompt_text", "hi"))
 
 
 def test_svc_trainer_integration(corpus):
