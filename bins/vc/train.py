@@ -268,8 +268,13 @@ def main():
     parser.add_argument("--resume_type", default="resume")
     parser.add_argument("--content_ckpt", default="")
     parser.add_argument("--style_ckpt", default="")
+    parser.add_argument("--model_type", default="",
+                        help="override cfg.model_type (one config can drive "
+                             "both the AR and FM stages)")
     args = parser.parse_args()
     cfg = load_config(args.config)
+    if args.model_type:
+        cfg.model_type = args.model_type
     supported_trainer = {
         "FlowMatchingTransformer": FlowMatchingTransformerTrainer,
         "AutoregressiveTransformer": AutoregressiveTransformerTrainer,
