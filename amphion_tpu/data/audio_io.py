@@ -1,13 +1,18 @@
 """Audio file IO + resampling without librosa/soundfile.
 
-WAV read/write via scipy (PCM16/24/32/float), resampling via polyphase
-filtering (`scipy.signal.resample_poly`) — behaviorally equivalent to the
-reference's `librosa.load(sr=...)` front door (`utils/audio.py`).
+Front door is the native C++ core (native/amphion_io.cpp via
+`data/native_io.py`: single-pass decode + Kaiser-sinc polyphase resample,
+parallel batch loader); this module keeps the scipy implementation as the
+reference oracle and automatic fallback. Behaviorally equivalent to the
+reference's `librosa.load(sr=...)` (`utils/audio.py`).
+
+Set AMPHION_NATIVE_IO=0 to force the scipy path.
 """
 
 from __future__ import annotations
 
 import math
+import os
 from pathlib import Path
 
 import numpy as np
@@ -17,6 +22,14 @@ from scipy.signal import resample_poly
 
 def load_wav(path: str | Path, sr: int | None = None) -> tuple[np.ndarray, int]:
     """Load a wav file as float32 mono in [-1, 1]; optionally resample."""
+    if os.environ.get("AMPHION_NATIVE_IO", "1") != "0":
+        try:
+            from amphion_tpu.data import native_io
+
+            if native_io.available():
+                return native_io.load_wav(path, sr)
+        except Exception:
+            pass  # fall back to the scipy path below
     file_sr, data = wavfile.read(str(path))
     if data.dtype == np.int16:
         x = data.astype(np.float32) / 32768.0
