@@ -168,12 +168,13 @@ import functools
 
 @functools.lru_cache(maxsize=64)
 def _t2s_sample_jitted(model, target_len, n_steps, temp, filter_thres, cfg,
-                       rescale_cfg):
+                       rescale_cfg, compute_dtype):
     """Memoized jitted sampler per (model, static config) — calling the scan
     eagerly costs ~100x through the TPU tunnel (measured RTF 2.1 vs 0.02)."""
     core = functools.partial(
         _t2s_sample_impl, model, target_len=target_len, n_steps=n_steps,
         temp=temp, filter_thres=filter_thres, cfg=cfg, rescale_cfg=rescale_cfg,
+        compute_dtype=compute_dtype,
     )
     return jax.jit(core)
 
@@ -190,10 +191,14 @@ def t2s_sample(
     filter_thres: float = 0.98,
     cfg: float = 1.0,
     rescale_cfg: float = 0.75,
+    compute_dtype: str = "bfloat16",
 ):
-    """Iterative mask-predict decoding, fully jit-compiled (one program)."""
+    """Iterative mask-predict decoding, fully jit-compiled (one program).
+    bf16 by default: each of the 25 steps re-reads every weight from HBM;
+    sampling/confidence math stays f32."""
     fn = _t2s_sample_jitted(
-        model, target_len, n_steps, temp, filter_thres, cfg, rescale_cfg
+        model, target_len, n_steps, temp, filter_thres, cfg, rescale_cfg,
+        compute_dtype,
     )
     return fn(params, prompt_tokens, phone_id, rng)
 
@@ -210,8 +215,13 @@ def _t2s_sample_impl(
     filter_thres: float = 0.98,
     cfg: float = 1.0,
     rescale_cfg: float = 0.75,
+    compute_dtype: str = "bfloat16",
 ):
     """Iterative mask-predict decoding as a single lax.scan."""
+    dt = jnp.dtype(compute_dtype)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+    )
     b = prompt_tokens.shape[0]
     t_list = np.asarray([1.0 - i / n_steps for i in range(n_steps + 1)], np.float32)
     # number of tokens still masked after each step
@@ -231,6 +241,7 @@ def _t2s_sample_impl(
             {"params": params}, seq, mask, t, prompt_tokens, phone_id,
             cfg, rescale_cfg, method=MaskGCTT2S.sample_step,
         )
+        logits = logits.astype(jnp.float32)
         logits = _topk_filter_frac(logits, filter_thres)
         anneal = t_val
         temp_i = jnp.maximum(temp * anneal, 1e-3)
@@ -413,11 +424,11 @@ class MaskGCTS2A(nn.Module):
 
 @functools.lru_cache(maxsize=64)
 def _s2a_sample_jitted(model, target_len, first_layer_steps, rest_layer_steps,
-                       temp, cfg):
+                       temp, cfg, compute_dtype):
     core = functools.partial(
         _s2a_sample_impl, model, target_len=target_len,
         first_layer_steps=first_layer_steps, rest_layer_steps=rest_layer_steps,
-        temp=temp, cfg=cfg,
+        temp=temp, cfg=cfg, compute_dtype=compute_dtype,
     )
     return jax.jit(core)
 
@@ -433,10 +444,12 @@ def s2a_sample(
     rest_layer_steps: int = 1,
     temp: float = 1.0,
     cfg: float = 1.0,
+    compute_dtype: str = "bfloat16",
 ):
-    """Layer-by-layer mask-predict, fully jit-compiled."""
+    """Layer-by-layer mask-predict, fully jit-compiled (bf16 default)."""
     fn = _s2a_sample_jitted(
-        model, target_len, first_layer_steps, rest_layer_steps, temp, cfg
+        model, target_len, first_layer_steps, rest_layer_steps, temp, cfg,
+        compute_dtype,
     )
     return fn(params, semantic_feats, prompt_tokens_all, rng)
 
@@ -452,9 +465,15 @@ def _s2a_sample_impl(
     rest_layer_steps: int = 1,
     temp: float = 1.0,
     cfg: float = 1.0,
+    compute_dtype: str = "bfloat16",
 ):
     """Layer-by-layer mask-predict: iterative for layer 0, few-step for rest
     (ref `maskgct_s2a.py:318` — '1-layer then full, per RVQ layer')."""
+    dt = jnp.dtype(compute_dtype)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+    )
+    semantic_feats = semantic_feats.astype(dt)
     c = model.cfg
     b = prompt_tokens_all.shape[0]
     tokens = jnp.zeros((b, c.num_quantizers, target_len), jnp.int32)
@@ -476,7 +495,7 @@ def _s2a_sample_impl(
             logits = model.apply(
                 {"params": params}, tokens, mask, layer, t, semantic_feats,
                 prompt_tokens_all, cfg, method=MaskGCTS2A.sample_layer_step,
-            )
+            ).astype(jnp.float32)
             temp_i = jnp.maximum(temp * t_val, 1e-3)
             sampled = jnp.argmax(logits / temp_i + _gumbel(r_s, logits.shape), -1)
             sampled = jnp.where(step_i == n_steps - 1, jnp.argmax(logits, -1), sampled)

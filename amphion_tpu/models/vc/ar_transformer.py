@@ -140,18 +140,24 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _ar_generate_jitted(model, max_new, temperature, top_k, top_p):
+def _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
+                        compute_dtype):
     core = functools.partial(
         _ar_transformer_generate_impl, model, max_new=max_new,
         temperature=temperature, top_k=top_k, top_p=top_p,
+        compute_dtype=compute_dtype,
     )
     return jax.jit(core)
 
 
 def ar_transformer_generate(model, params, input_tokens, rng, max_new=1024,
-                            temperature=1.0, top_k=40, top_p=1.0, ref_mel=None):
-    """KV-cache sampled decode, fully jit-compiled."""
-    return _ar_generate_jitted(model, max_new, temperature, top_k, top_p)(
+                            temperature=1.0, top_k=40, top_p=1.0, ref_mel=None,
+                            compute_dtype="bfloat16"):
+    """KV-cache sampled decode, fully jit-compiled. bf16 by default — the
+    token-by-token loop is weight-HBM-bandwidth bound (sampling sees f32
+    logits)."""
+    return _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
+                               compute_dtype)(
         params, input_tokens, rng, ref_mel
     )
 
@@ -166,12 +172,19 @@ def _ar_transformer_generate_impl(
     temperature: float = 1.0,
     top_k: int = 40,
     top_p: float = 1.0,
+    compute_dtype: str = "bfloat16",
 ):
     """KV-cache sampled decode (ref `ar_model.py:238`), one lax.scan."""
     c = model.cfg
+    dt = jnp.dtype(compute_dtype)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+    )
+    if ref_mel is not None:
+        ref_mel = ref_mel.astype(dt)
     b, li = input_tokens.shape
     total = li + 1 + max_new
-    caches = LlamaDecoder(c.llama()).init_cache(b, total)
+    caches = LlamaDecoder(c.llama()).init_cache(b, total, dtype=dt)
     logits, caches = model.apply(
         {"params": params}, input_tokens, caches, ref_mel, method=ARTransformer.prefill
     )
@@ -179,7 +192,8 @@ def _ar_transformer_generate_impl(
     def body(carry, i):
         caches, logits, rng, gen_len, done = carry
         rng, r = jax.random.split(rng)
-        tok = sample_logits(r, logits, temperature, top_k, top_p)
+        tok = sample_logits(r, logits.astype(jnp.float32), temperature,
+                            top_k, top_p)
         done_new = done | (tok == c.eos_id)
         tok_clean = jnp.where(done_new, 0, tok)
         logits_new, caches_new = model.apply(

@@ -3,16 +3,133 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.md): >=50x real-time 24 kHz vocoding per chip,
 i.e. 1200 kHz-audio/sec/chip. vs_baseline = achieved / target.
+
+`python bench.py --suite` additionally measures the other BASELINE.json
+metrics (mel-extraction frames/sec, MaskGCT + VALL-E zero-shot RTF), one
+JSON line each — the reproducible source of BENCHMARKS.md.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _fence(x) -> None:
+    """Scalar device->host fetch: the reliable execution fence through the
+    axon tunnel (block_until_ready returns early)."""
+    float(jnp.asarray(x).reshape(-1)[0])
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 4),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}))
+
+
+def bench_mel() -> None:
+    """Fused STFT->mel->log front end (BASELINE 'mel frames/sec')."""
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+
+    cfg = MelConfig()
+    batch, secs = 32, 10
+    audio = jax.random.normal(
+        jax.random.key(0), (batch, secs * cfg.sample_rate), jnp.float32)
+    fn = jax.jit(lambda a: mel_spectrogram(a, cfg))
+    _fence(fn(audio))
+    n_iters = 10
+    t0 = time.perf_counter()
+    outs = [fn(audio) for _ in range(n_iters)]
+    for o in outs:
+        _fence(o)
+    dt = time.perf_counter() - t0
+    frames = outs[0].shape[-1] * batch * n_iters
+    fps = frames / dt
+    # target: >=200 kHz-eq realtime (1000x RT at 200 fps); report vs 100k f/s
+    _emit("mel_extraction_frames_per_sec", fps, "frames/sec", fps / 1e5)
+
+
+def bench_maskgct_rtf() -> None:
+    """Full-size MaskGCT zero-shot inference RTF (target < 0.1)."""
+    from amphion_tpu.models.tts.maskgct.maskgct import (
+        MaskGCTS2A, MaskGCTT2S, S2AConfig, T2SConfig, s2a_sample, t2s_sample,
+    )
+
+    t2s = MaskGCTT2S(T2SConfig(hidden=1024, num_layers=16, num_heads=16,
+                               codebook_size=8192, phone_vocab=256))
+    s2a = MaskGCTS2A(S2AConfig(hidden=1024, num_layers=16, num_heads=16,
+                               codebook_size=1024, num_quantizers=8,
+                               semantic_dim=384))
+    r = jax.random.key(0)
+    lp, lt, lphone = 150, 500, 64  # 3 s prompt + 10 s target @50 Hz
+    prompt_sem = jnp.zeros((1, lp), jnp.int32)
+    phones = jnp.zeros((1, lphone), jnp.int32)
+    t2s_params = t2s.init(r, prompt_sem, jnp.ones((1, lp)), phones,
+                          jnp.ones((1, lphone)), jax.random.key(1),
+                          method=MaskGCTT2S.compute_loss)["params"]
+    sem_feats = jnp.zeros((1, lp + lt, 384))
+    prompt_ac = jnp.zeros((1, 8, lp), jnp.int32)
+    s2a_params = s2a.init(r, jnp.zeros((1, 8, lp + lt), jnp.int32),
+                          jnp.ones((1, lp + lt)), sem_feats,
+                          jax.random.key(1),
+                          method=MaskGCTS2A.compute_loss)["params"]
+
+    def run(rng):
+        sem = t2s_sample(t2s, t2s_params, prompt_sem, phones, lt, rng,
+                         n_steps=25, cfg=2.5)
+        codes = s2a_sample(s2a, s2a_params, sem_feats, prompt_ac, lt, rng,
+                           first_layer_steps=16)
+        return codes
+
+    _fence(run(jax.random.key(2)))  # compile
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        _fence(run(jax.random.key(3 + i)))
+    dt = (time.perf_counter() - t0) / n_iters
+    rtf = dt / 10.0  # 10 s of audio
+    _emit("maskgct_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
+
+
+def bench_valle_rtf() -> None:
+    """Full-size VALL-E zero-shot inference RTF (target < 0.1)."""
+    from amphion_tpu.models.tts.valle.valle import (
+        VALLE, VALLEConfig, ar_generate,
+    )
+
+    model = VALLE(VALLEConfig(num_phones=256, audio_vocab=1024,
+                              num_quantizers=8, hidden=1024, num_layers=12,
+                              num_heads=16, max_position=4096))
+    r = jax.random.key(0)
+    lphone, lp, new = 64, 225, 750  # 3 s prompt + 10 s target @75 Hz
+    phones = jnp.zeros((1, lphone), jnp.int32)
+    prompt0 = jnp.zeros((1, lp), jnp.int32)
+    params = model.init(
+        r, phones, jnp.ones((1, lphone)),
+        jnp.zeros((1, 8, lp + new), jnp.int32), jnp.ones((1, lp + new)),
+        jax.random.key(1), method=VALLE.train_loss,
+    )["params"]
+    nar = jax.jit(lambda prm, t0_, tm: model.apply(
+        {"params": prm}, phones, jnp.ones((1, lphone), jnp.float32), t0_, tm,
+        method=VALLE.nar_generate))
+
+    def run(rng):
+        toks, _ = ar_generate(model, params, phones, prompt0, rng,
+                              max_new=new, top_k=50)
+        return nar(params, toks, jnp.ones((1, new), jnp.float32))
+
+    _fence(run(jax.random.key(2)))
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        _fence(run(jax.random.key(3 + i)))
+    dt = (time.perf_counter() - t0) / n_iters
+    rtf = dt / 10.0
+    _emit("valle_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
 
 
 def main() -> None:
@@ -62,3 +179,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    if "--suite" in sys.argv:
+        bench_mel()
+        bench_maskgct_rtf()
+        bench_valle_rtf()
