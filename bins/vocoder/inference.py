@@ -46,8 +46,11 @@ def main():
     parser.add_argument("--checkpoint_path", default="")
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--mode", default="from_dataset",
-                        choices=["from_dataset", "from_audio"])
+                        choices=["from_dataset", "from_audio", "from_feature"])
     parser.add_argument("--audio_dir", default="")
+    parser.add_argument("--feature_dir", default="",
+                        help="dir of per-uid mel .npy (n_mel, N) or (N, n_mel)"
+                             " for --mode from_feature")
     parser.add_argument("--infer_testing_set", default="test")
     args = parser.parse_args()
     cfg = load_config(args.config)
@@ -73,6 +76,19 @@ def main():
         for w in wavs:
             synthesize_file(generator, params, w, mel_cfg, out / w.name)
             logger.info(f"wrote {out / w.name}")
+    elif args.mode == "from_feature":
+        # pre-extracted mel features (ref vocoder_inference.py:175-241
+        # 'from_feature' mode — acoustic-model outputs or offline extraction)
+        assert args.feature_dir, "--feature_dir required for from_feature"
+        synth = _jitted_synth(generator)
+        for f in sorted(Path(args.feature_dir).glob("*.npy")):
+            mel = np.load(f).astype(np.float32)
+            if mel.shape[0] == mel_cfg.n_mel:  # (n_mel, N) → (N, n_mel)
+                mel = mel.T
+            wav = synth(params, jnp.asarray(mel)[None])
+            save_wav(out / f"{f.stem}.wav", np.asarray(wav)[0],
+                     mel_cfg.sample_rate)
+            logger.info(f"wrote {out / (f.stem + '.wav')}")
     else:
         for ds in cfg.dataset:
             meta = Path(cfg.preprocess.processed_dir) / ds / f"{args.infer_testing_set}.json"

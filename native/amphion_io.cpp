@@ -77,6 +77,24 @@ bool read_wav(const char* path, WavData* out) {
       const float inv16 = 1.0f / 32768.0f;
       const float inv24 = 1.0f / 8388608.0f;
       const float inv32 = 1.0f / 2147483648.0f;
+      // fast paths for the common layouts (vectorizable tight loops)
+      if (format != 3 && bits == 16 && channels == 1) {
+        const int16_t* src = reinterpret_cast<const int16_t*>(raw.data());
+        for (size_t i = 0; i < frames; ++i)
+          out->samples[i] = src[i] * inv16;
+        return true;
+      }
+      if (format != 3 && bits == 16 && channels == 2) {
+        const int16_t* src = reinterpret_cast<const int16_t*>(raw.data());
+        for (size_t i = 0; i < frames; ++i)
+          out->samples[i] =
+              (src[2 * i] + src[2 * i + 1]) * (0.5f * inv16);
+        return true;
+      }
+      if (format == 3 && bits == 32 && channels == 1) {
+        std::memcpy(out->samples.data(), raw.data(), frames * 4);
+        return true;
+      }
       for (size_t i = 0; i < frames; ++i) {
         float acc = 0.0f;
         for (int c = 0; c < channels; ++c) {
