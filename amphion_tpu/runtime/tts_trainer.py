@@ -1067,3 +1067,162 @@ class NS2Trainer:
 
     def train_loop(self):
         return self.loop.run()
+
+
+class MetisTrainer(MaskGCTTrainer):
+    """Metis trainer (ref `models/tts/metis/metis.py:172` — masked-generative
+    pre-training + task fine-tuning over the MaskGCT backbones).
+
+    Same data contract as MaskGCT (`--extract_semantic --extract_codes` +
+    phones). `cfg.model.metis.task` picks the objective: 'tts' conditions
+    T2S on phones; 'vc'/'se'/'tse'/'l2s' condition on the continuous
+    semantic features through the task-embedding prefix."""
+
+    def __init__(self, args, cfg):
+        import optax
+
+        from amphion_tpu.data.samplers import LengthBucketSampler
+        from amphion_tpu.models.tts.maskgct.maskgct import S2AConfig, T2SConfig
+        from amphion_tpu.models.tts.metis.metis import Metis, MetisConfig
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.args = args
+        self.cfg = cfg
+        self.logger = get_logger("metis", level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        self.utts = []
+        for ds in cfg.dataset:
+            self.utts.extend(
+                load_metadata(Path(p.processed_dir) / ds / "train.json")
+            )
+        root = {ds: Path(p.processed_dir) / ds for ds in cfg.dataset}
+        self.dirs = {
+            "phones": {ds: r / p.phone_dir for ds, r in root.items()},
+            "semantic": {ds: r / "semantic" for ds, r in root.items()},
+            "semantic_feats": {ds: r / "semantic_feats" for ds, r in root.items()},
+            "codes": {ds: r / "codes" for ds, r in root.items()},
+        }
+        self.utts = [
+            u for u in self.utts
+            if all((self.dirs[k][u.dataset] / f"{u.uid}.{ext}").is_file()
+                   for k, ext in [("phones", "json"), ("semantic", "npy"),
+                                  ("semantic_feats", "npy"), ("codes", "npy")])
+        ]
+        assert self.utts, ("missing features: run preprocess with "
+                           "--extract_semantic --extract_codes")
+        self.symbols = SymbolTable.from_file(
+            Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict
+        )
+
+        m = cfg.model.get("metis", None)
+        self.task = m.get("task", "tts") if m else "tts"
+        mt = cfg.model.get("t2s", None)
+        ms = cfg.model.get("s2a", None)
+        sem_dim = int(np.load(
+            self.dirs["semantic_feats"][self.utts[0].dataset]
+            / f"{self.utts[0].uid}.npy").shape[-1])
+        n_q = int(np.load(
+            self.dirs["codes"][self.utts[0].dataset]
+            / f"{self.utts[0].uid}.npy").shape[0])
+        self.model = Metis(MetisConfig(
+            t2s=T2SConfig(
+                hidden=mt.hidden if mt else 1024,
+                num_layers=mt.num_layers if mt else 16,
+                num_heads=mt.num_heads if mt else 16,
+                codebook_size=mt.codebook_size if mt else 8192,
+                phone_vocab=max(len(self.symbols) + 1, 64),
+            ),
+            s2a=S2AConfig(
+                hidden=ms.hidden if ms else 1024,
+                num_layers=ms.num_layers if ms else 16,
+                num_heads=ms.num_heads if ms else 16,
+                codebook_size=ms.codebook_size if ms else 1024,
+                num_quantizers=n_q,
+                semantic_dim=sem_dim,
+            ),
+            cond_feature_dim=sem_dim,
+        ))
+
+        t = cfg.train
+        lengths = []
+        for u in self.utts:
+            lengths.append(int(np.load(
+                self.dirs["semantic"][u.dataset] / f"{u.uid}.npy",
+                mmap_mode="r").shape[-1]))
+        self.sampler = LengthBucketSampler(
+            lengths, max_tokens=t.get("max_tokens", 8192),
+            min_bucket=t.get("min_bucket", 64), seed=t.get("seed", 0),
+        )
+        self.max_phones = t.get("max_phones", 256)
+
+        example = self._make_batch(*next(iter(self.sampler)))
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr)
+        )
+        r = jax.random.key(t.get("seed", 0))
+        task = self.task
+        if task == "tts":
+            t2s_kwargs = dict(phone_id=example["phones"],
+                              phone_mask=example["phone_mask"])
+        else:
+            t2s_kwargs = dict(cond_feats=example["semantic_feats"])
+        params = self.model.init(
+            r, task, example["semantic"], example["x_mask"], jax.random.key(1),
+            method=Metis.t2s_loss, **t2s_kwargs,
+        )["params"]
+        # the s2a branch has its own params: init and merge
+        s2a_params = self.model.init(
+            r, example["codes"], example["x_mask"], example["semantic_feats"],
+            jax.random.key(1), method=Metis.s2a_loss,
+        )["params"]
+        params = {**s2a_params, **params}
+        from amphion_tpu.utils.logging import model_summary
+
+        model_summary(params, self.logger)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=self.model.apply, tx=tx,
+        )
+
+        import functools
+
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, batch):
+            rng, r1, r2 = jax.random.split(state.rng, 3)
+
+            def loss_fn(prm):
+                kw = (dict(phone_id=batch["phones"],
+                           phone_mask=batch["phone_mask"]) if task == "tts"
+                      else dict(cond_feats=batch["semantic_feats"]))
+                l1, a1 = model.apply(
+                    {"params": prm}, task, batch["semantic"], batch["x_mask"],
+                    r1, method=Metis.t2s_loss, **kw,
+                )
+                l2, a2 = model.apply(
+                    {"params": prm}, batch["codes"], batch["x_mask"],
+                    batch["semantic_feats"], r2, method=Metis.s2a_loss,
+                )
+                return l1 + l2, {**a1, **a2}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step_fn, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))

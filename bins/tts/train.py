@@ -9,6 +9,7 @@ from amphion_tpu.runtime.tts_trainer import (
     FastSpeech2Trainer,
     JetsTrainer,
     MaskGCTTrainer,
+    MetisTrainer,
     NS2Trainer,
     VALLETrainer,
     VITSTrainer,
@@ -22,6 +23,7 @@ def build_trainer(args, cfg):
         "VALLE": VALLETrainer,
         "FastSpeech2": FastSpeech2Trainer,
         "MaskGCT": MaskGCTTrainer,
+        "Metis": MetisTrainer,
         "Jets": JetsTrainer,
         "NaturalSpeech2": NS2Trainer,
     }

@@ -461,6 +461,72 @@ def test_vevo_fm_trainer_integration(corpus):
     assert trainer.loop.step == 2
 
 
+def test_metis_trainer_integration(corpus):
+    """Metis fine-tune over the MaskGCT data contract (tts + vc tasks)."""
+    root, processed = corpus
+    from bins.tts.preprocess import extract_codes, extract_semantic
+    from amphion_tpu.data.metadata import load_metadata
+    from amphion_tpu.utils.logging import get_logger
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="Metis",
+        model={
+            "semantic_codec": {"codebook_size": 16, "hidden": 8,
+                               "codebook_dim": 4, "num_blocks": 1},
+            "codec": {"strides": [2, 4], "num_quantizers": 3,
+                      "codebook_size": 16, "codebook_dim": 4,
+                      "encoder_dim": 4, "latent_dim": 8, "decoder_dim": 4},
+            "t2s": {"hidden": 32, "num_layers": 1, "num_heads": 4,
+                    "codebook_size": 16},
+            "s2a": {"hidden": 32, "num_layers": 1, "num_heads": 4,
+                    "codebook_size": 16},
+            "metis": {"task": "tts"},
+        },
+    )
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["max_tokens"] = 1024
+    cfg.train["min_bucket"] = 64
+    utts = load_metadata(processed / "ljspeech" / "train.json")
+    extract_codes(utts, processed / "ljspeech", cfg, "", get_logger("t"))
+    extract_semantic(utts, processed / "ljspeech", cfg, "", get_logger("t"))
+
+    from amphion_tpu.runtime.tts_trainer import MetisTrainer
+
+    trainer = MetisTrainer(_args("metis_tts"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 1
+
+    # continuous-conditioned task (vc): same data, task-embedding prefix
+    cfg.model["metis"]["task"] = "vc"
+    trainer = MetisTrainer(_args("metis_vc"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 1
+
+
+def test_dualcodec_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.codec.train import DualCodecTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="DualCodec",
+        model={
+            "codec": {"strides": [2, 4], "num_quantizers": 3,
+                      "codebook_size": 16, "codebook_dim": 4,
+                      "encoder_dim": 4, "latent_dim": 8, "decoder_dim": 4},
+            "dualcodec": {"semantic_codebook_size": 32},
+            "discriminators": ["mpd"],
+            "discriminator_channel_mult_factor": 0.25,
+        },
+    )
+    cfg.train["segment_frames"] = 32
+    trainer = DualCodecTrainer(_args("dc_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
 def test_facodec_trainer_integration(corpus):
     root, processed = corpus
     from bins.codec.train import FACodecTrainer
