@@ -106,3 +106,129 @@ def metis_infer_tts(model: Metis, params, prompt_semantic, phone_id, target_len,
         MaskGCTT2S(model.cfg.t2s), params["t2s"], prompt_semantic, phone_id,
         target_len, rng, **kw,
     )
+
+
+def _metis_task_sample_step(model: Metis, params, task_id, seq, mask, t,
+                            cond_feats, cfg_scale, rescale_cfg):
+    """One reverse step for continuous-conditioned tasks (vc/se/tse/l2s):
+    the conditioning prefix is projected features + task embedding instead
+    of phone embeddings; CFG contrasts with the unconditioned branch."""
+
+    def run(prm, seq, mask, t, cond_feats):
+        def fwd(mdl):
+            tok_emb = jnp.where(
+                mask[..., None], mdl.t2s.mask_emb[None, None, :],
+                mdl.t2s.cond_emb(seq),
+            )
+            b = seq.shape[0]
+            prefix = mdl.cond_proj(cond_feats) + mdl.task_embed(
+                jnp.full((b,), task_id)
+            )[:, None, :]
+            prefix_mask = jnp.ones(prefix.shape[:2])
+            x_mask = jnp.ones_like(mask, jnp.float32)
+            emb = mdl.t2s.estimate(tok_emb, t, x_mask, prefix, prefix_mask)
+            un = mdl.t2s.estimate(tok_emb, t, x_mask)
+            std_pos = jnp.std(emb)
+            g = emb + cfg_scale * (emb - un)
+            g_rescaled = g * std_pos / jnp.maximum(jnp.std(g), 1e-6)
+            g = rescale_cfg * g_rescaled + (1 - rescale_cfg) * g
+            return mdl.t2s.to_logit(g)
+
+        return nn.apply(fwd, model)({"params": prm})
+
+    return run(params, seq, mask, t, cond_feats)
+
+
+import functools
+
+import numpy as np
+
+from amphion_tpu.models.tts.maskgct.maskgct import _gumbel, _topk_filter_frac
+
+
+@functools.lru_cache(maxsize=32)
+def _metis_task_sample_jitted(model, task_id, target_len, n_steps, temp,
+                              filter_thres, cfg, rescale_cfg, compute_dtype):
+    def core(params, cond_feats, rng):
+        dt = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+        )
+        cond_feats = cond_feats.astype(dt)
+        b = cond_feats.shape[0]
+        t_list = np.asarray(
+            [1.0 - i / n_steps for i in range(n_steps + 1)], np.float32)
+        next_nums = np.asarray(
+            [int(np.sin(t * np.pi / 2) * target_len) for t in t_list[1:]],
+            np.int32)
+        seq0 = jnp.zeros((b, target_len), jnp.int32)
+        mask0 = jnp.ones((b, target_len), bool)
+
+        def body(carry, inp):
+            seq, mask, rng = carry
+            step_i, t_val, next_num = inp
+            rng, r_s, r_c = jax.random.split(rng, 3)
+            t = jnp.full((b,), t_val)
+            logits = _metis_task_sample_step(
+                model, params, task_id, seq, mask, t, cond_feats, cfg,
+                rescale_cfg,
+            ).astype(jnp.float32)
+            logits = _topk_filter_frac(logits, filter_thres)
+            temp_i = jnp.maximum(temp * t_val, 1e-3)
+            is_last = step_i == n_steps - 1
+            gumbel_ids = jnp.argmax(
+                logits / temp_i + _gumbel(r_s, logits.shape), axis=-1)
+            sampled = jnp.where(is_last, jnp.argmax(logits, -1), gumbel_ids)
+            seq = jnp.where(mask, sampled, seq)
+            probs = jax.nn.softmax(logits, axis=-1)
+            conf = jnp.take_along_axis(probs, sampled[..., None], -1)[..., 0]
+            scores = (1.0 - conf) + temp * t_val * _gumbel(r_c, conf.shape)
+            scores = jnp.where(mask, scores, -jnp.inf)
+            order = jnp.argsort(-scores, axis=-1)
+            rank = jnp.argsort(order, axis=-1)
+            new_mask = (rank < next_num) & mask
+            seq = jnp.where(new_mask, 0, seq)
+            return (seq, new_mask, rng), None
+
+        xs = (jnp.arange(n_steps), jnp.asarray(t_list[:-1]),
+              jnp.asarray(next_nums))
+        (seq, _, _), _ = jax.lax.scan(body, (seq0, mask0, rng), xs)
+        return seq
+
+    return jax.jit(core)
+
+
+def metis_infer_task(model: Metis, params, task: str, cond_feats, target_len,
+                     rng, n_steps=25, temp=0.9, filter_thres=0.98, cfg=1.5,
+                     rescale_cfg=0.75, compute_dtype="bfloat16"):
+    """Continuous-conditioned semantic generation for vc/se/tse/l2s
+    (ref `metis_infer_{vc,tse,se}.py`): cond_feats (B, Lc, D) → semantic
+    tokens (B, target_len). Fully jit-compiled mask-predict scan."""
+    task_id = TASKS.index(task)
+    fn = _metis_task_sample_jitted(
+        model, task_id, target_len, n_steps, temp, filter_thres, cfg,
+        rescale_cfg, compute_dtype,
+    )
+    return fn(params, cond_feats, rng)
+
+
+def metis_infer_vc(model, params, src_feats, target_len, rng, **kw):
+    """Voice conversion: source SSL features → semantic tokens."""
+    return metis_infer_task(model, params, "vc", src_feats, target_len, rng, **kw)
+
+
+def metis_infer_se(model, params, noisy_feats, target_len, rng, **kw):
+    """Speech enhancement: degraded-audio features → clean semantics."""
+    return metis_infer_task(model, params, "se", noisy_feats, target_len, rng, **kw)
+
+
+def metis_infer_tse(model, params, mixture_feats, target_len, rng, **kw):
+    """Target-speaker extraction (enrollment is part of the feature seq)."""
+    return metis_infer_task(model, params, "tse", mixture_feats, target_len,
+                            rng, **kw)
+
+
+def metis_infer_l2s(model, params, visual_feats, target_len, rng, **kw):
+    """Lip-to-speech: visual embedding sequence → semantics."""
+    return metis_infer_task(model, params, "l2s", visual_feats, target_len,
+                            rng, **kw)

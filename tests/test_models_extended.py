@@ -130,6 +130,15 @@ def test_metis_tasks(rng):
     )
     assert np.isfinite(float(loss_se))
 
+    # task-conditioned inference (ref metis_infer_{vc,se,tse}.py): the
+    # mask-predict sampler over the continuous-conditioning prefix
+    from amphion_tpu.models.tts.metis.metis import metis_infer_se
+
+    toks = metis_infer_se(model, params_se, cond, target_len=10,
+                          rng=jax.random.key(4), n_steps=3)
+    assert toks.shape == (2, 10)
+    assert (np.asarray(toks) >= 0).all() and (np.asarray(toks) < 24).all()
+
 
 def test_noro(rng):
     cfg = NoroConfig(
