@@ -562,10 +562,21 @@ def main():
     parser.add_argument("--teacher_ckpt", default="")
     args = parser.parse_args()
     cfg = load_config(args.config)
+    # the Vevo1.5/VevoSing AR + FM stages train through the same trainers
+    # as VC (ref `bins/svc/train.py:25-32` registry includes both)
+    from bins.vc.train import (
+        AutoregressiveTransformerTrainer,
+        FlowMatchingTransformerTrainer,
+    )
+
     supported_trainer = {"DiffWaveNetSVC": DiffWaveNetSVCTrainer,
                          "TransformerSVC": TransformerSVCTrainer,
                          "DiffComoSVC": DiffComoSVCTrainer,
-                         "VitsSVC": VitsSVCTrainer}
+                         "VitsSVC": VitsSVCTrainer,
+                         "AutoregressiveTransformer":
+                             AutoregressiveTransformerTrainer,
+                         "FlowMatchingTransformer":
+                             FlowMatchingTransformerTrainer}
     trainer = supported_trainer[cfg.model_type](args, cfg)
     trainer.train_loop()
 
