@@ -18,11 +18,17 @@ class Snake(nn.Module):
     use_pallas: bool = False  # fused Pallas kernel (fwd + recompute-bwd)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_aa: bool = False):
+        # fused_aa: apply the fused 2x-up → snake → 2x-down Pallas kernel
+        # (BigVGAN AMP) instead of the plain activation
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
         if self.alpha_logscale:
             alpha = jnp.exp(alpha)
+        if fused_aa and x.ndim == 3:
+            from amphion_tpu.ops.pallas_kernels import aa_snake_pallas
+
+            return aa_snake_pallas(x, alpha)
         if self.use_pallas and x.ndim == 3:
             from amphion_tpu.ops.pallas_kernels import snake_pallas
 
@@ -35,11 +41,16 @@ class SnakeBeta(nn.Module):
     alpha_logscale: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_aa: bool = False):
+        # fused_aa: fused 2x-up → snakebeta → 2x-down Pallas kernel
         init = nn.initializers.zeros if self.alpha_logscale else nn.initializers.ones
         alpha = self.param("alpha", init, (self.channels,))
         beta = self.param("beta", init, (self.channels,))
         if self.alpha_logscale:
             alpha = jnp.exp(alpha)
             beta = jnp.exp(beta)
+        if fused_aa and x.ndim == 3:
+            from amphion_tpu.ops.pallas_kernels import aa_snakebeta_pallas
+
+            return aa_snakebeta_pallas(x, alpha, beta)
         return x + (1.0 / (beta + 1e-9)) * jnp.sin(alpha * x) ** 2

@@ -63,7 +63,7 @@ def upsample1d(x: jax.Array, ratio: int = 2, kernel_size: int | None = None) -> 
     t_in = x.shape[1]
     xs, bc = _to_single_channel(x)
     xs = jnp.pad(xs, ((0, 0), (pad, pad), (0, 0)), mode="edge")
-    kernel = jnp.asarray(f)[:, None, None]  # (k, 1, 1) HIO
+    kernel = jnp.asarray(f, dtype=x.dtype)[:, None, None]  # (k, 1, 1) HIO
     y = jax.lax.conv_transpose(
         xs, kernel, strides=(r,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
@@ -81,7 +81,7 @@ def downsample1d(x: jax.Array, ratio: int = 2, kernel_size: int | None = None) -
     pad_right = k - r - pad_left
     xs, bc = _to_single_channel(x)
     xs = jnp.pad(xs, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
-    kernel = jnp.asarray(f)[:, None, None]
+    kernel = jnp.asarray(f, dtype=x.dtype)[:, None, None]
     y = jax.lax.conv_general_dilated(
         xs, kernel, window_strides=(r,), padding="VALID",
         dimension_numbers=("NHC", "HIO", "NHC"),
@@ -105,19 +105,14 @@ class Activation1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from amphion_tpu.modules.activations import Snake
+        from amphion_tpu.modules.activations import Snake, SnakeBeta
 
         if (self.use_pallas and self.up_ratio == 2 and self.down_ratio == 2
-                and isinstance(self.activation, Snake)):
-            # materialize the Snake's alpha param through its module scope
-            init = (nn.initializers.zeros if self.activation.alpha_logscale
-                    else nn.initializers.ones)
-            alpha = self.param("alpha", init, (self.activation.channels,))
-            if self.activation.alpha_logscale:
-                alpha = jnp.exp(alpha)
-            from amphion_tpu.ops.pallas_kernels import aa_snake_pallas
-
-            return aa_snake_pallas(x, alpha)
+                and isinstance(self.activation, (Snake, SnakeBeta))):
+            # the activation applies the fused up→snake→down Pallas kernel
+            # itself — same submodule, identical param tree, so checkpoints
+            # are interchangeable between the fused and eager paths
+            return self.activation(x, fused_aa=True)
         x = upsample1d(x, self.up_ratio)
         x = self.activation(x)
         x = downsample1d(x, self.down_ratio)

@@ -30,6 +30,13 @@ except Exception:  # pragma: no cover
 _TILE_T = 256
 
 
+def _resolve_interpret(interpret):
+    """None → interpret unless running on a real TPU backend."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def _snake_fwd_kernel(x_ref, alpha_ref, out_ref):
     x = x_ref[:]
     alpha = alpha_ref[:]  # (1, C) broadcast over time
@@ -177,9 +184,12 @@ def _aa_polyphase_taps(ratio: int = 2, kernel_size: int = 12):
 def _aa_snake_kernel_factory(u0_t, u1_t, z0_t, z1_t, tile):
     h = _AA_HALO
 
-    def kernel(x_ref, alpha_ref, out_ref):
-        xt = x_ref[0]  # (tile + 2h, C)
-        alpha = alpha_ref[:]  # (1, C)
+    def kernel(x_ref, alpha_ref, beta_ref, out_ref):
+        # compute in f32 — VPU sin doesn't lower for bf16 vectors, and the
+        # FIR accumulations want f32 anyway; IO stays in the caller dtype
+        xt = x_ref[0].astype(jnp.float32)  # (tile + 2h, C)
+        alpha = alpha_ref[:].astype(jnp.float32)  # (1, C)
+        beta = beta_ref[:].astype(jnp.float32)  # (1, C)
         m = tile + 2 * h - 6  # length of the u arrays (margin 3 both sides)
 
         def fir(taps, buf, base):
@@ -196,7 +206,7 @@ def _aa_snake_kernel_factory(u0_t, u1_t, z0_t, z1_t, tile):
 
         def snake(u):
             s = jnp.sin(alpha * u)
-            return u + s * s / (alpha + 1e-9)
+            return u + s * s / (beta + 1e-9)
 
         s0 = snake(u0)
         s1 = snake(u1)
@@ -212,7 +222,7 @@ def _aa_snake_kernel_factory(u0_t, u1_t, z0_t, z1_t, tile):
                 acc = term if acc is None else acc + term
             return acc
 
-        out_ref[0] = fir2(z0_t, s0) + fir2(z1_t, s1)
+        out_ref[0] = (fir2(z0_t, s0) + fir2(z1_t, s1)).astype(out_ref.dtype)
 
     return kernel
 
@@ -220,19 +230,27 @@ def _aa_snake_kernel_factory(u0_t, u1_t, z0_t, z1_t, tile):
 _AA_TILE = 512
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def aa_snake_pallas(x: jax.Array, alpha: jax.Array, interpret: bool = False):
+def aa_snake_pallas(x: jax.Array, alpha: jax.Array, interpret: bool | None = None):
     """Fused anti-aliased Snake activation: x (B, T, C), alpha (C,)."""
-    return _aa_snake_fwd(x, alpha, interpret)[0]
+    return aa_snakebeta_pallas(x, alpha, alpha, _resolve_interpret(interpret))
 
 
-def _aa_snake_forward(x, alpha, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def aa_snakebeta_pallas(x: jax.Array, alpha: jax.Array, beta: jax.Array,
+                        interpret: bool | None = None):
+    """Fused anti-aliased SnakeBeta: x + sin^2(alpha x)/beta between the
+    2x polyphase resamplers, one VMEM pass. Snake = (beta := alpha)."""
+    return _aa_snake_fwd(x, alpha, beta, _resolve_interpret(interpret))[0]
+
+
+def _aa_snake_forward(x, alpha, beta, interpret):
     from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
 
     if not _HAS_PALLAS:
         s = upsample1d(x, 2)
         a = alpha[None, None, :]
-        s = s + jnp.sin(a * s) ** 2 / (a + 1e-9)
+        bb = beta[None, None, :]
+        s = s + jnp.sin(a * s) ** 2 / (bb + 1e-9)
         return downsample1d(s, 2)
 
     b, t, c = x.shape
@@ -257,34 +275,37 @@ def _aa_snake_forward(x, alpha, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _AA_TILE, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(windows, alpha[None, :])
+    )(windows, alpha[None, :], beta[None, :])
     return out.reshape(b, tiles * _AA_TILE, c)[:, :t]
 
 
-def _aa_snake_fwd(x, alpha, interpret):
-    return _aa_snake_forward(x, alpha, interpret), (x, alpha)
+def _aa_snake_fwd(x, alpha, beta, interpret):
+    return _aa_snake_forward(x, alpha, beta, interpret), (x, alpha, beta)
 
 
 def _aa_snake_bwd(interpret, res, g):
     """Backward via the jnp reference chain (linear FIRs + snake'); XLA fuses
     it acceptably — the forward is the inference-critical path."""
-    x, alpha = res
+    x, alpha, beta = res
 
-    def ref(x, alpha):
+    def ref(x, alpha, beta):
         from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
 
         s = upsample1d(x, 2)
         a = alpha[None, None, :]
-        s = s + jnp.sin(a * s) ** 2 / (a + 1e-9)
+        bb = beta[None, None, :]
+        s = s + jnp.sin(a * s) ** 2 / (bb + 1e-9)
         return downsample1d(s, 2)
 
-    _, vjp = jax.vjp(ref, x, alpha)
-    dx, dalpha = vjp(g)
-    return dx, dalpha
+    _, vjp = jax.vjp(ref, x, alpha, beta)
+    dx, dalpha, dbeta = vjp(g)
+    return dx, dalpha, dbeta
 
 
-aa_snake_pallas.defvjp(_aa_snake_fwd, _aa_snake_bwd)
+aa_snakebeta_pallas.defvjp(_aa_snake_fwd, _aa_snake_bwd)

@@ -51,6 +51,8 @@ def build_generator(cfg, n_mel: int):
             resblock_kernel_sizes=tuple(m.resblock_kernel_sizes),
             resblock_dilation_sizes=tuple(tuple(d) for d in m.resblock_dilation_sizes),
         ) if m else {}
+        if m and "use_pallas_act" in m:
+            kw["use_pallas_act"] = m.use_pallas_act
         gcfg = BigVGANConfig(n_mel=n_mel, **kw)
         return BigVGANGenerator(gcfg), gcfg.hop_size
     if name == "melgan":

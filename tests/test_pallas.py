@@ -90,3 +90,55 @@ def test_aa_snake_gradients(rng):
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=5e-2)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), rtol=2e-2,
                                atol=1e-2)
+
+
+def test_aa_snakebeta_matches_reference(rng):
+    from amphion_tpu.ops.pallas_kernels import aa_snakebeta_pallas
+
+    def ref(x, alpha, beta):
+        from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
+
+        s = upsample1d(x, 2)
+        a = alpha[None, None, :]
+        bb = beta[None, None, :]
+        s = s + jnp.sin(a * s) ** 2 / (bb + 1e-9)
+        return downsample1d(s, 2)
+
+    x = jnp.asarray(rng.standard_normal((2, 700, 8)).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.5, 2.0, 8).astype(np.float32))
+    beta = jnp.asarray(rng.uniform(0.5, 2.0, 8).astype(np.float32))
+    out = aa_snakebeta_pallas(x, alpha, beta, True)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, 8:-8], np.asarray(ref(x, alpha, beta))[:, 8:-8],
+        atol=2e-4,
+    )
+    # bf16 IO (kernel computes f32 internally)
+    out16 = aa_snakebeta_pallas(x.astype(jnp.bfloat16), alpha, beta, True)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16.astype(jnp.float32))[:, 8:-8],
+        np.asarray(ref(x, alpha, beta))[:, 8:-8], atol=3e-2,
+    )
+
+
+def test_bigvgan_fused_act_checkpoint_compatible(rng):
+    """use_pallas_act=True must consume checkpoints trained eagerly."""
+    import dataclasses
+
+    from amphion_tpu.models.vocoders.bigvgan import (
+        BigVGANConfig,
+        BigVGANGenerator,
+    )
+
+    cfg = BigVGANConfig(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), n_mel=8,
+    )
+    mel = jnp.asarray(rng.standard_normal((1, 32, 8)).astype(np.float32))
+    g1 = BigVGANGenerator(cfg)
+    p = g1.init(jax.random.key(0), mel)["params"]
+    y1 = g1.apply({"params": p}, mel)
+    g2 = BigVGANGenerator(dataclasses.replace(cfg, use_pallas_act=True))
+    y2 = g2.apply({"params": p}, mel)  # same checkpoint
+    assert float(jnp.abs(y1 - y2).max()) < 0.05
