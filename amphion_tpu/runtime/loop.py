@@ -45,6 +45,7 @@ class TrainLoop:
         ckpt: CheckpointManager | None = None,
         valid_fn: Callable[[Any], dict] | None = None,
         logger=None,
+        mesh: Any = "auto",
     ):
         self.cfg = cfg
         self.train_step = train_step
@@ -57,11 +58,68 @@ class TrainLoop:
         self.epoch = 0
         self._window = ValueWindow(100)
         self._metrics_file = None
+        # data parallelism: with >1 device, replicate params and shard the
+        # batch dim over the mesh's 'data' axis; XLA's GSPMD inserts the
+        # gradient all-reduce (the TPU-native equivalent of the reference's
+        # Accelerate DDP, `models/base/new_trainer.py:185-198`)
+        self.mesh = self._resolve_mesh(mesh)
+        self._warned_unsharded = False
+        if self.mesh is not None:
+            self.states = self._replicate(self.states)
+            self.logger.info(
+                f"data-parallel over mesh {dict(self.mesh.shape)}"
+            )
         if cfg.metrics_path:
             import pathlib
 
             pathlib.Path(cfg.metrics_path).parent.mkdir(parents=True, exist_ok=True)
             self._metrics_file = open(cfg.metrics_path, "a")
+
+    # -- data parallelism -----------------------------------------------------
+
+    @staticmethod
+    def _resolve_mesh(mesh):
+        if mesh is None:
+            return None
+        if mesh == "auto":
+            if len(jax.devices()) <= 1:
+                return None
+            from amphion_tpu.parallel.mesh import build_mesh
+
+            return build_mesh()
+        return mesh
+
+    def _replicate(self, tree):
+        from amphion_tpu.parallel.mesh import replicated_sharding
+
+        sh = replicated_sharding(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x, tree
+        )
+
+    def _shard_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.mesh.shape["data"]
+        repl = NamedSharding(self.mesh, P())
+
+        def put(x):
+            if not hasattr(x, "shape"):
+                return x
+            if x.ndim >= 1 and x.shape[0] % n == 0:
+                spec = P("data", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+            if not self._warned_unsharded and x.ndim >= 1:
+                self._warned_unsharded = True
+                self.logger.warning(
+                    f"batch dim {x.shape[0]} not divisible by data axis {n}; "
+                    "replicating (set batch_size to a multiple of the mesh)"
+                )
+            return jax.device_put(x, repl)
+
+        return jax.tree_util.tree_map(put, batch)
 
     # -- resume -------------------------------------------------------------
 
@@ -70,6 +128,8 @@ class TrainLoop:
         self.states, self.epoch, self.step = self.ckpt.restore(
             self.states, checkpoint_path, resume_type
         )
+        if self.mesh is not None:
+            self.states = self._replicate(self.states)
         self.logger.info(
             f"resumed from epoch {self.epoch}, step {self.step} ({resume_type})"
         )
@@ -86,6 +146,7 @@ class TrainLoop:
             n_batches = 0
             for batch in self.data_fn():
                 t0 = time.perf_counter()
+                batch = self._shard_batch(batch)
                 if self.cfg.profile_steps and self.step == self.cfg.profile_steps[0]:
                     import jax.profiler
 
