@@ -142,3 +142,23 @@ def test_bigvgan_fused_act_checkpoint_compatible(rng):
     g2 = BigVGANGenerator(dataclasses.replace(cfg, use_pallas_act=True))
     y2 = g2.apply({"params": p}, mel)  # same checkpoint
     assert float(jnp.abs(y1 - y2).max()) < 0.05
+
+
+def test_mel_pallas_matches_xla(rng):
+    """Fused mel front end (interpret mode) vs the strided-conv XLA path."""
+    import os
+
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+    from amphion_tpu.ops.pallas_kernels import mel_spectrogram_pallas
+
+    cfg = MelConfig()
+    y = jnp.asarray(rng.standard_normal((2, 24000)).astype(np.float32) * 0.3)
+    ref = np.asarray(mel_spectrogram(y, cfg))
+    out = np.asarray(mel_spectrogram_pallas(y, cfg, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+    # non-tile-multiple frame counts (ragged tail) must round-trip too
+    y2 = y[:, : 119 * cfg.hop_size]
+    ref2 = np.asarray(mel_spectrogram(y2, cfg))
+    out2 = np.asarray(mel_spectrogram_pallas(y2, cfg, interpret=True))
+    np.testing.assert_allclose(out2, ref2, atol=1e-3)
