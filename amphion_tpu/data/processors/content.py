@@ -153,12 +153,60 @@ def w2v_bert_extractor(model_name: str = "facebook/w2v-bert-2.0",
     return _cached(("w2v_bert", model_name, layer), build)
 
 
+def wenet_native_extractor(ckpt_path: str, num_layers: int = 12,
+                           hidden: int = 256, num_heads: int = 4,
+                           ffn_hidden: int = 2048):
+    """TPU-native WeNet replacement: our flax ConformerEncoder
+    (`modules/conformer.py`) with weights converted from a WeNet torch
+    checkpoint (`utils/convert.wenet_conformer_to_flax`), fed by the
+    on-device fbank front end (80-dim HTK log-mel @16k, 25ms/10ms) — the
+    extractor itself runs jitted on the accelerator instead of torch-CPU."""
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.modules.conformer import (
+            ConformerConfig,
+            ConformerEncoder,
+        )
+        from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+        from amphion_tpu.utils.convert import (
+            load_torch_checkpoint,
+            wenet_conformer_to_flax,
+        )
+
+        sd = load_torch_checkpoint(ckpt_path)
+        params = jax.tree_util.tree_map(
+            jnp.asarray, wenet_conformer_to_flax(sd, num_layers, hidden)
+        )
+        model = ConformerEncoder(ConformerConfig(
+            input_dim=80, hidden=hidden, num_layers=num_layers,
+            num_heads=num_heads, ffn_hidden=ffn_hidden,
+        ))
+        fbank_cfg = MelConfig(sample_rate=16000, n_fft=512, win_size=400,
+                              hop_size=160, n_mel=80, fmin=0.0, fmax=8000.0,
+                              htk=True)
+        fwd = jax.jit(lambda prm, fb: model.apply({"params": prm}, fb)[0])
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            t = max(len(x) // 160 * 160, 160)
+            fb = mel_spectrogram(jnp.asarray(x[:t])[None], fbank_cfg)
+            return np.asarray(fwd(params, fb.transpose(0, 2, 1)))[0]
+
+        return extract
+
+    return _cached(("wenet_native", ckpt_path), build)
+
+
 EXTRACTORS = {
     "whisper": whisper_extractor,
     "hubert": hubert_extractor,
     "contentvec": contentvec_extractor,
     "mert": mert_extractor,
     "wenet": wenet_extractor,
+    "wenet_native": wenet_native_extractor,
     "w2v_bert": w2v_bert_extractor,
 }
 

@@ -36,6 +36,7 @@ class MelConfig:
     fmin: float = 0.0
     fmax: float = 12000.0
     clip_val: float = 1e-5
+    htk: bool = False  # HTK mel scale (kaldi-fbank-style front ends)
 
     @classmethod
     def from_preprocess_cfg(cls, p) -> "MelConfig":
@@ -164,7 +165,8 @@ def mel_spectrogram(y: jax.Array, cfg: MelConfig) -> jax.Array:
     re, im = out[:, :f, :], out[:, f:, :]
     mag = jnp.sqrt(re * re + im * im + 1e-6)
     basis = jnp.asarray(
-        mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mel, cfg.fmin, cfg.fmax)
+        mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mel, cfg.fmin,
+                       cfg.fmax, cfg.htk)
     )
     mel = jnp.einsum("mf,bfn->bmn", basis, mag, precision=jax.lax.Precision.HIGHEST)
     return log_compression(mel, cfg.clip_val)

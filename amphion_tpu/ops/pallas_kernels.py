@@ -329,7 +329,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=8)
-def _mel_pallas_consts(sample_rate, n_fft, win_size, hop, n_mel, fmin, fmax):
+def _mel_pallas_consts(sample_rate, n_fft, win_size, hop, n_mel, fmin, fmax,
+                       htk=False):
     from amphion_tpu.ops.mel import mel_filterbank
     from amphion_tpu.ops.stft import _dft_kernel
 
@@ -340,7 +341,7 @@ def _mel_pallas_consts(sample_rate, n_fft, win_size, hop, n_mel, fmin, fmax):
     wp = np.zeros((k * hop, 2 * fp), np.float32)
     wp[:n_fft, :f] = w[:f].T
     wp[:n_fft, fp : fp + f] = w[f:].T
-    mel = mel_filterbank(sample_rate, n_fft, n_mel, fmin, fmax)  # (n_mel, F)
+    mel = mel_filterbank(sample_rate, n_fft, n_mel, fmin, fmax, htk)
     mp = _round_up(n_mel, 128)
     mb = np.zeros((fp, mp), np.float32)
     mb[:f, :n_mel] = mel.T
@@ -382,7 +383,8 @@ def mel_spectrogram_pallas(y: jax.Array, cfg, interpret: bool | None = None):
     b, t = y.shape
     n = t // hop
     wp, mb, k, fp, mp = _mel_pallas_consts(
-        cfg.sample_rate, n_fft, cfg.win_size, hop, cfg.n_mel, cfg.fmin, cfg.fmax
+        cfg.sample_rate, n_fft, cfg.win_size, hop, cfg.n_mel, cfg.fmin,
+        cfg.fmax, cfg.htk,
     )
     tile = _MEL_TILE
     tiles = -(-n // tile)

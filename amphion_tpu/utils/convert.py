@@ -127,3 +127,85 @@ def torch_weight_norm_to_flax(
     )
     scale = w_g.reshape(-1)
     return {"layer": inner, "scale": scale / np.maximum(norm, 1e-12)}
+
+
+def conv2d_to_flax(w: np.ndarray, b: np.ndarray | None = None) -> dict:
+    """torch Conv2d (O, I, kH, kW) → flax (kH, kW, I, O)."""
+    out = {"kernel": np.transpose(np.asarray(w), (2, 3, 1, 0))}
+    if b is not None:
+        out["bias"] = np.asarray(b)
+    return out
+
+
+def wenet_conformer_to_flax(sd, num_layers: int, hidden: int) -> dict:
+    """WeNet conformer-encoder state dict → `modules/conformer.py` pytree.
+
+    Maps the reference extractor's checkpoints
+    (`modules/wenet_extractor/transformer/encoder.py` naming:
+    `encoder.embed.*`, `encoder.encoders.{i}.{self_attn,conv_module,
+    feed_forward,feed_forward_macaron,norm_*}`) onto ConformerEncoder."""
+
+    def t(name):
+        return np.asarray(sd[name])
+
+    def dense(prefix):
+        out = {"kernel": t(f"{prefix}.weight").T}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = t(f"{prefix}.bias")
+        return out
+
+    def ln(prefix):
+        return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
+
+    p = "encoder"
+    out = {
+        "embed": {
+            "conv0": conv2d_to_flax(t(f"{p}.embed.conv.0.weight"),
+                                    t(f"{p}.embed.conv.0.bias")),
+            "conv1": conv2d_to_flax(t(f"{p}.embed.conv.2.weight"),
+                                    t(f"{p}.embed.conv.2.bias")),
+            "out": dense(f"{p}.embed.out.0"),
+        }
+    }
+    for i in range(num_layers):
+        q = f"{p}.encoders.{i}"
+        blk = {
+            "norm_ff_macaron": ln(f"{q}.norm_ff_macaron"),
+            "ffn_macaron_w1": dense(f"{q}.feed_forward_macaron.w_1"),
+            "ffn_macaron_w2": dense(f"{q}.feed_forward_macaron.w_2"),
+            "norm_mha": ln(f"{q}.norm_mha"),
+            "self_attn": {
+                "linear_q": dense(f"{q}.self_attn.linear_q"),
+                "linear_k": dense(f"{q}.self_attn.linear_k"),
+                "linear_v": dense(f"{q}.self_attn.linear_v"),
+                "linear_out": dense(f"{q}.self_attn.linear_out"),
+                "linear_pos": {"kernel": t(f"{q}.self_attn.linear_pos.weight").T},
+                "pos_bias_u": t(f"{q}.self_attn.pos_bias_u"),
+                "pos_bias_v": t(f"{q}.self_attn.pos_bias_v"),
+            },
+            "norm_conv": ln(f"{q}.norm_conv"),
+            "conv_module": {
+                "pointwise_conv1": {
+                    "kernel": t(f"{q}.conv_module.pointwise_conv1.weight")[..., 0].T,
+                    "bias": t(f"{q}.conv_module.pointwise_conv1.bias"),
+                },
+                # torch depthwise Conv1d (D, 1, K) → flax (K, 1, D)
+                "depthwise_conv": {
+                    "kernel": np.transpose(
+                        t(f"{q}.conv_module.depthwise_conv.weight"), (2, 1, 0)
+                    ),
+                    "bias": t(f"{q}.conv_module.depthwise_conv.bias"),
+                },
+                "norm": ln(f"{q}.conv_module.norm"),
+                "pointwise_conv2": {
+                    "kernel": t(f"{q}.conv_module.pointwise_conv2.weight")[..., 0].T,
+                    "bias": t(f"{q}.conv_module.pointwise_conv2.bias"),
+                },
+            },
+            "norm_ff": ln(f"{q}.norm_ff"),
+            "ffn_w1": dense(f"{q}.feed_forward.w_1"),
+            "ffn_w2": dense(f"{q}.feed_forward.w_2"),
+            "norm_final": ln(f"{q}.norm_final"),
+        }
+        out[f"layers_{i}"] = blk
+    return out
