@@ -106,18 +106,30 @@ def create_gan_states(
     return gstate, dstate
 
 
-def make_gan_train_step(mel_cfg: MelConfig, train_cfg: GANTrainConfig = GANTrainConfig()):
+def make_gan_train_step(
+    mel_cfg: MelConfig,
+    train_cfg: GANTrainConfig = GANTrainConfig(),
+    gen_args: tuple[str, ...] = ("mel",),
+    use_rng: bool = False,
+):
     """Build the jitted (gstate, dstate, batch) -> (gstate, dstate, metrics) step.
 
-    batch: {"mel": (B, N, n_mel), "audio": (B, N*hop)}.
-    """
+    batch: {"audio": (B, N*hop)} plus the generator's conditioning keys
+    (``gen_args``, default just "mel"; NSF adds "f0"). ``use_rng`` threads a
+    fresh key into the generator (NSF sine-excitation noise)."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(gstate: TrainState, dstate: TrainState, batch):
-        mel, audio = batch["mel"], batch["audio"]
+        audio = batch["audio"]
+        rng = gstate.rng
+        extra = ()
+        if use_rng:
+            rng, sub = jax.random.split(rng)
+            extra = (sub,)
+        inputs = tuple(batch[k] for k in gen_args) + extra
 
         # --- discriminator update (generator frozen) ---
-        fake = gstate.apply_fn({"params": gstate.params}, mel)
+        fake = gstate.apply_fn({"params": gstate.params}, *inputs)
         fake = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
@@ -131,7 +143,7 @@ def make_gan_train_step(mel_cfg: MelConfig, train_cfg: GANTrainConfig = GANTrain
 
         # --- generator update (discriminator frozen) ---
         def g_loss_fn(g_params):
-            fake_g = gstate.apply_fn({"params": g_params}, mel)
+            fake_g = gstate.apply_fn({"params": g_params}, *inputs)
             logits_r, fmaps_r = dstate.apply_fn({"params": dstate.params}, audio)
             logits_f, fmaps_f = dstate.apply_fn({"params": dstate.params}, fake_g)
             adv = generator_adv_loss(logits_f)
@@ -143,7 +155,7 @@ def make_gan_train_step(mel_cfg: MelConfig, train_cfg: GANTrainConfig = GANTrain
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             gstate.params
         )
-        gstate = gstate.apply_gradients(g_grads)
+        gstate = gstate.apply_gradients(g_grads).replace(rng=rng)
 
         metrics = {"d_loss": d_loss, "g_loss": g_loss, **aux}
         return gstate, dstate, metrics

@@ -66,6 +66,20 @@ def build_generator(cfg, n_mel: int):
         gcfg = VocosConfig(n_mel=n_mel, **(
             dict(n_fft=m.n_fft, hop_size=m.hop_size) if m else {}))
         return VocosGenerator(gcfg), gcfg.hop_size
+    if name == "nsf_hifigan":
+        from amphion_tpu.models.vocoders.nsf_hifigan import (
+            NSFHiFiGANConfig,
+            NSFHiFiGANGenerator,
+        )
+
+        base = (HiFiGANConfig.from_model_cfg(m.base, n_mel)
+                if m and m.get("base") else HiFiGANConfig(n_mel=n_mel))
+        gcfg = NSFHiFiGANConfig(
+            base=base,
+            sample_rate=cfg.preprocess.sample_rate,
+            num_harmonics=m.get("num_harmonics", 7) if m else 7,
+        )
+        return NSFHiFiGANGenerator(gcfg), base.hop_size
     raise ValueError(f"unknown generator {name!r}")
 
 
@@ -104,14 +118,44 @@ class GANVocoderTrainer:
             lr=t.adamw.lr, adam_b1=t.adamw.adam_b1, adam_b2=t.adamw.adam_b2,
             lr_decay=t.exponential_lr.lr_decay,
         )
+        self.is_nsf = cfg.model.generator == "nsf_hifigan"
+        if self.is_nsf:
+            from amphion_tpu.ops.f0 import F0Config
+
+            self.f0_cfg = F0Config.from_preprocess_cfg(p)
         rng = jax.random.key(cfg.train.get("seed", 0))
         example = self._make_batch(list(range(min(self.batch_size, len(utts)))))
-        gstate, dstate = create_gan_states(
-            self.generator, self.discriminator, rng,
-            example["mel"][:1], example["audio"][:1], self.train_cfg,
-        )
+        if self.is_nsf:
+            from amphion_tpu.models.vocoders.gan_trainer import make_optimizer
+            from amphion_tpu.runtime.train_state import (
+                TrainState,
+                create_train_state,
+            )
+
+            g_rng, d_rng = jax.random.split(rng)
+            tx = make_optimizer(self.train_cfg)
+            g_params = self.generator.init(
+                g_rng, example["mel"][:1], example["f0"][:1], jax.random.key(9)
+            )["params"]
+            gstate = TrainState(
+                step=jnp.zeros((), jnp.int32), params=g_params,
+                opt_state=tx.init(g_params), rng=jax.random.key(10),
+                apply_fn=self.generator.apply, tx=tx,
+            )
+            dstate = create_train_state(
+                self.discriminator, d_rng, example["audio"][:1], tx
+            )
+        else:
+            gstate, dstate = create_gan_states(
+                self.generator, self.discriminator, rng,
+                example["mel"][:1], example["audio"][:1], self.train_cfg,
+            )
         self.states = {"g": gstate, "d": dstate}
-        gan_step = make_gan_train_step(self.mel_cfg, self.train_cfg)
+        gan_step = make_gan_train_step(
+            self.mel_cfg, self.train_cfg,
+            gen_args=("mel", "f0") if self.is_nsf else ("mel",),
+            use_rng=self.is_nsf,
+        )
 
         def step(states, batch):
             g, d, m = gan_step(states["g"], states["d"], batch)
@@ -140,10 +184,15 @@ class GANVocoderTrainer:
 
     def _make_batch(self, indices):
         audio = np.stack([self.dataset[i]["audio"] for i in indices])
-        mel = np.asarray(
-            mel_spectrogram(jnp.asarray(audio), self.mel_cfg)
-        ).transpose(0, 2, 1)
-        return {"mel": jnp.asarray(mel), "audio": jnp.asarray(audio)}
+        au = jnp.asarray(audio)
+        mel = np.asarray(mel_spectrogram(au, self.mel_cfg)).transpose(0, 2, 1)
+        batch = {"mel": jnp.asarray(mel), "audio": au}
+        if getattr(self, "is_nsf", False):
+            from amphion_tpu.ops.f0 import yin_f0
+
+            f0, _ = yin_f0(au, self.f0_cfg)
+            batch["f0"] = f0[:, : mel.shape[1]]
+        return batch
 
     def _data(self):
         n = len(self.dataset)

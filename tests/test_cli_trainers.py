@@ -590,6 +590,32 @@ def test_gan_vocoder_trainer_integration(corpus):
     assert trainer.loop.step == 2
 
 
+def test_nsf_hifigan_trainer_integration(corpus):
+    """F0-conditioned GAN vocoder: on-device YIN feeds the sine excitation."""
+    root, processed = corpus
+    from amphion_tpu.runtime.vocoder_trainer import GANVocoderTrainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="GANVocoder",
+        model={"generator": "nsf_hifigan",
+               "nsf_hifigan": {
+                   "num_harmonics": 3,
+                   "base": {"resblock": "2", "upsample_rates": [4, 2],
+                            "upsample_kernel_sizes": [8, 4],
+                            "upsample_initial_channel": 16,
+                            "resblock_kernel_sizes": [3],
+                            "resblock_dilation_sizes": [[1, 3]]}},
+               "discriminators": ["mpd"],
+               "discriminator_channel_mult_factor": 0.25},
+    )
+    cfg.preprocess["hop_size"] = 8
+    cfg.train["segment_frames"] = 16
+    trainer = GANVocoderTrainer(_args("nsf_it"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+
+
 def test_diffusion_vocoder_trainer_integration(corpus):
     root, processed = corpus
     from amphion_tpu.runtime.vocoder_trainer import DiffusionVocoderTrainer
