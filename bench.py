@@ -53,6 +53,39 @@ def bench_mel() -> None:
     _emit("mel_extraction_frames_per_sec", fps, "frames/sec", fps / 1e5)
 
 
+def bench_bigvgan() -> None:
+    """Full-size BigVGAN with the fused AA-SnakeBeta Pallas kernel."""
+    import dataclasses
+
+    from amphion_tpu.models.vocoders.bigvgan import (
+        BigVGANConfig,
+        BigVGANGenerator,
+    )
+
+    cfg = BigVGANConfig(use_pallas_act=True)
+    batch, frames = 16, 800
+    mel = jax.random.normal(jax.random.key(0), (batch, frames, cfg.n_mel))
+    gen = BigVGANGenerator(dataclasses.replace(cfg, use_pallas_act=False))
+    params = gen.init(jax.random.key(0), mel[:1, :8])["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+    g = BigVGANGenerator(cfg)
+    fn = jax.jit(lambda p, m: g.apply(
+        {"params": p}, m.astype(jnp.bfloat16)).astype(jnp.float32))
+    _fence(fn(params, mel))
+    n = 8
+    t0 = time.perf_counter()
+    outs = [fn(params, mel) for _ in range(n)]
+    for o in outs:
+        _fence(o)
+    dt = time.perf_counter() - t0
+    khz = batch * frames * cfg.hop_size * n / dt / 1e3
+    _emit("bigvgan_vocoder_khz_audio_per_sec_per_chip", khz,
+          "kHz-audio/sec/chip", khz / (24.0 * 50.0))
+
+
 def bench_maskgct_rtf() -> None:
     """Full-size MaskGCT zero-shot inference RTF (target < 0.1)."""
     from amphion_tpu.models.tts.maskgct.maskgct import (
@@ -181,5 +214,6 @@ if __name__ == "__main__":
     main()
     if "--suite" in sys.argv:
         bench_mel()
+        bench_bigvgan()
         bench_maskgct_rtf()
         bench_valle_rtf()
