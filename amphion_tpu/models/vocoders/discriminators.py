@@ -10,9 +10,11 @@ one fused program.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import flax.linen as nn
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -175,6 +177,139 @@ class MultiResolutionDiscriminator(nn.Module):
         logits, fmaps = [], []
         for n_fft, hop, win in self.resolutions:
             lo, fm = ResolutionDiscriminator(n_fft, hop, win)(x)
+            logits.append(lo)
+            fmaps.append(fm)
+        return logits, fmaps
+
+
+class STFTDiscriminator(nn.Module):
+    """One complex-STFT branch of MS-STFT (ref `msstftd.py:161` — the
+    Encodec-style discriminator over the 2-channel (re, im) spectrogram
+    image with dilated 2-D convs)."""
+
+    n_fft: int
+    hop: int
+    win: int
+    channels: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        from amphion_tpu.ops.stft import stft
+
+        re, im = stft(x, self.n_fft, self.hop, self.win, center=True)
+        # (B, F, N) x2 → (B, N, F, 2)
+        h = jnp.stack([re, im], axis=-1).transpose(0, 2, 1, 3)
+        b = h.shape[0]
+        fmap = []
+        h = nn.WeightNorm(nn.Conv(self.channels, (3, 9), padding="SAME"))(h)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+        for d in (1, 2, 4):
+            h = nn.WeightNorm(nn.Conv(
+                self.channels, (3, 9), strides=(1, 2),
+                kernel_dilation=(d, 1), padding="SAME",
+            ))(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+        h = nn.WeightNorm(nn.Conv(self.channels, (3, 3), padding="SAME"))(h)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding="SAME"))(h)
+        fmap.append(h)
+        return h.reshape(b, -1), fmap
+
+
+class MultiSTFTDiscriminator(nn.Module):
+    """MS-STFT over several resolutions (ref `msstftd.py`)."""
+
+    resolutions: tuple[tuple[int, int, int], ...] = (
+        (1024, 256, 1024),
+        (2048, 512, 2048),
+        (512, 128, 512),
+    )
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        logits, fmaps = [], []
+        for n_fft, hop, win in self.resolutions:
+            lo, fm = STFTDiscriminator(n_fft, hop, win)(x)
+            logits.append(lo)
+            fmaps.append(fm)
+        return logits, fmaps
+
+
+@functools.lru_cache(maxsize=8)
+def _pseudo_cqt_filterbank(sample_rate: int, n_fft: int, bins_per_octave: int,
+                           n_bins: int, fmin: float) -> np.ndarray:
+    """Pseudo-CQT mapping: linear STFT bins → log-spaced (CQT) bins.
+
+    Triangular interpolation on a log-frequency grid — the matmul-friendly
+    TPU equivalent of the reference's nnAudio CQT (`mssbcqtd.py:150`)."""
+    freqs = fmin * (2.0 ** (np.arange(n_bins) / bins_per_octave))
+    fftfreqs = np.linspace(0.0, sample_rate / 2.0, 1 + n_fft // 2)
+    fb = np.zeros((n_bins, len(fftfreqs)), np.float32)
+    for k in range(n_bins):
+        lo = freqs[k - 1] if k > 0 else freqs[k] / 2 ** (1 / bins_per_octave)
+        hi = freqs[k + 1] if k < n_bins - 1 else freqs[k] * 2 ** (1 / bins_per_octave)
+        up = (fftfreqs - lo) / max(freqs[k] - lo, 1e-9)
+        down = (hi - fftfreqs) / max(hi - freqs[k], 1e-9)
+        fb[k] = np.maximum(0.0, np.minimum(up, down))
+    norm = fb.sum(axis=1, keepdims=True)
+    return (fb / np.maximum(norm, 1e-9)).astype(np.float32)
+
+
+class SubBandCQTDiscriminator(nn.Module):
+    """One scale of MS-SB-CQT (ref `mssbcqtd.py:150`): pseudo-CQT magnitude
+    split into octave sub-bands, each through a shared conv stack."""
+
+    sample_rate: int
+    hop: int
+    bins_per_octave: int = 24
+    n_octaves: int = 7
+    fmin: float = 32.7  # C1
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        from amphion_tpu.ops.stft import stft_magnitude
+
+        n_fft = 1024
+        n_bins = self.bins_per_octave * self.n_octaves
+        mag = stft_magnitude(x, n_fft, self.hop, n_fft, center=True)
+        fb = jnp.asarray(_pseudo_cqt_filterbank(
+            self.sample_rate, n_fft, self.bins_per_octave, n_bins, self.fmin
+        ))
+        cqt = jnp.einsum("kf,bfn->bkn", fb, mag)  # (B, n_bins, N)
+        cqt = jnp.log1p(cqt)
+        b = x.shape[0]
+        fmap, logits = [], []
+        # per-octave sub-bands through one shared stack (weight sharing via
+        # folding octaves into the batch dim)
+        sub = cqt.reshape(b, self.n_octaves, self.bins_per_octave, -1)
+        h = sub.reshape(b * self.n_octaves, self.bins_per_octave, -1)
+        h = jnp.transpose(h, (0, 2, 1))[..., None]  # (B*O, N, bins, 1)
+        for i in range(3):
+            stride = (1, 2) if i > 0 else (1, 1)
+            h = nn.WeightNorm(nn.Conv(32, (3, 5), strides=stride,
+                                      padding="SAME"))(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h.reshape(b, -1, *h.shape[2:]))
+        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding="SAME"))(h)
+        fmap.append(h.reshape(b, -1, *h.shape[2:]))
+        logits = h.reshape(b, -1)
+        return logits, fmap
+
+
+class MultiScaleSubBandCQTDiscriminator(nn.Module):
+    """MS-SB-CQT (ref `mssbcqtd.py`): several hop scales."""
+
+    sample_rate: int = 24000
+    hops: tuple[int, ...] = (120, 240, 480)
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        logits, fmaps = [], []
+        for hop in self.hops:
+            lo, fm = SubBandCQTDiscriminator(self.sample_rate, hop)(x)
             logits.append(lo)
             fmaps.append(fm)
         return logits, fmaps

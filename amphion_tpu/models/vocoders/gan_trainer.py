@@ -52,6 +52,7 @@ class CombinedDiscriminator(nn.Module):
         (2048, 240, 1200),
         (512, 50, 240),
     )
+    sample_rate: int = 24000  # mssbcqt scales
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -66,6 +67,22 @@ class CombinedDiscriminator(nn.Module):
             fmaps += fm
         if "mrd" in self.use:
             lo, fm = MultiResolutionDiscriminator(self.mrd_resolutions)(x)
+            logits += lo
+            fmaps += fm
+        if "msstft" in self.use:
+            from amphion_tpu.models.vocoders.discriminators import (
+                MultiSTFTDiscriminator,
+            )
+
+            lo, fm = MultiSTFTDiscriminator()(x)
+            logits += lo
+            fmaps += fm
+        if "mssbcqt" in self.use:
+            from amphion_tpu.models.vocoders.discriminators import (
+                MultiScaleSubBandCQTDiscriminator,
+            )
+
+            lo, fm = MultiScaleSubBandCQTDiscriminator(self.sample_rate)(x)
             logits += lo
             fmaps += fm
         return logits, fmaps

@@ -98,3 +98,36 @@ def test_wavenet_denoiser():
     assert out.shape == x.shape
     # zero-init output projection -> initial output is exactly 0
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_msstft_and_mssbcqt_discriminators(rng):
+    """MS-STFT (complex-spectrogram) and MS-SB-CQT (pseudo-CQT sub-band)
+    discriminators (ref msstftd.py / mssbcqtd.py)."""
+    import jax
+
+    from amphion_tpu.models.vocoders.discriminators import (
+        MultiScaleSubBandCQTDiscriminator,
+        MultiSTFTDiscriminator,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 4800)).astype(np.float32) * 0.3)
+    d1 = MultiSTFTDiscriminator(resolutions=((512, 128, 512), (256, 64, 256)))
+    p1 = d1.init(jax.random.key(0), x)["params"]
+    logits, fmaps = d1.apply({"params": p1}, x)
+    assert len(logits) == 2 and all(l.shape[0] == 2 for l in logits)
+    assert all(np.isfinite(np.asarray(l)).all() for l in logits)
+
+    d2 = MultiScaleSubBandCQTDiscriminator(sample_rate=24000, hops=(120, 240))
+    p2 = d2.init(jax.random.key(0), x)["params"]
+    logits2, fmaps2 = d2.apply({"params": p2}, x)
+    assert len(logits2) == 2 and all(np.isfinite(np.asarray(l)).all()
+                                     for l in logits2)
+
+    # gradient flows through both (they train jointly with the generator)
+    def loss(params):
+        lo, _ = d2.apply({"params": params}, x)
+        return sum(jnp.mean(l**2) for l in lo)
+
+    g = jax.grad(loss)(p2)
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
