@@ -76,3 +76,23 @@ def test_batch_segments_zero_pads_short_clips(wavs):
     out = native_io.batch_segments([str(wavs[0])], [0], seg, 16000)
     np.testing.assert_allclose(out[0, : len(single)], single, atol=1e-6)
     assert (out[0, len(single):] == 0).all()
+
+
+def test_emilia_dataset_native_batch(tmp_path):
+    """EmiliaDataset.batch streams through the C++ loader."""
+    import json
+
+    from amphion_tpu.data.emilia_dataset import EmiliaDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        x = (0.3 * np.sin(2 * np.pi * 200 * np.arange(20000) / 16000)
+             ).astype(np.float32)
+        save_wav(tmp_path / f"{i}.wav", x, 16000)
+        (tmp_path / f"{i}.json").write_text(json.dumps({"text": f"u{i}"}))
+    ds = EmiliaDataset(tmp_path, sample_rate=16000, segment_seconds=0.5)
+    assert len(ds) == 4 and ds.meta[0]["text"] == "u0"
+    batch = ds.batch([0, 1, 2, 3])
+    assert batch.shape == (4, 8000) and np.isfinite(batch).all()
+    # crop must come from the real audio
+    assert np.abs(batch).max() > 0.1
