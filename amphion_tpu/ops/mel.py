@@ -150,6 +150,14 @@ def mel_spectrogram(y: jax.Array, cfg: MelConfig) -> jax.Array:
         from amphion_tpu.ops.pallas_kernels import mel_spectrogram_pallas
 
         return mel_spectrogram_pallas(y, cfg, interpret=False)
+    return mel_spectrogram_xla(y, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def mel_spectrogram_xla(y: jax.Array, cfg: MelConfig) -> jax.Array:
+    """The strided-conv XLA mel (always-differentiable reference path)."""
+    if y.ndim == 1:
+        y = y[None]
     pad = (cfg.n_fft - cfg.hop_size) // 2
     y = _reflect_pad(y.astype(jnp.float32), pad)
     kernel = jnp.asarray(_dft_kernel(cfg.n_fft, cfg.win_size))

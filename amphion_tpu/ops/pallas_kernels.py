@@ -367,10 +367,33 @@ def _mel_kernel_factory(k, hop, fp, mp, tile, clip_val):
     return kernel
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def mel_spectrogram_pallas(y: jax.Array, cfg, interpret: bool | None = None):
     """Drop-in fused mel front end: y (B, T) → (B, n_mel, T//hop).
 
-    Falls back to the XLA path off-TPU unless interpret is forced."""
+    Falls back to the XLA path off-TPU unless interpret is forced. The
+    backward pass runs the XLA reference chain (pallas_call has no autodiff
+    rule; GAN mel losses differentiate through the front end)."""
+    return _mel_pallas_forward(y, cfg, interpret)
+
+
+def _mel_pallas_fwd(y, cfg, interpret):
+    return _mel_pallas_forward(y, cfg, interpret), (y,)
+
+
+def _mel_pallas_bwd(cfg, interpret, res, g):
+    (y,) = res
+    from amphion_tpu.ops.mel import mel_spectrogram_xla
+
+    _, vjp = jax.vjp(lambda yy: mel_spectrogram_xla(yy, cfg), y)
+    (dy,) = vjp(g)
+    return (dy,)
+
+
+mel_spectrogram_pallas.defvjp(_mel_pallas_fwd, _mel_pallas_bwd)
+
+
+def _mel_pallas_forward(y: jax.Array, cfg, interpret: bool | None = None):
     from amphion_tpu.ops.mel import mel_spectrogram
     from amphion_tpu.ops.stft import _reflect_pad
 

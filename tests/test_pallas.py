@@ -162,3 +162,17 @@ def test_mel_pallas_matches_xla(rng):
     ref2 = np.asarray(mel_spectrogram(y2, cfg))
     out2 = np.asarray(mel_spectrogram_pallas(y2, cfg, interpret=True))
     np.testing.assert_allclose(out2, ref2, atol=1e-3)
+
+
+def test_mel_pallas_gradients_match_xla(rng):
+    """GAN mel losses differentiate through the front end: the fused
+    kernel's custom VJP (XLA reference backward) must match XLA grads."""
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram_xla
+    from amphion_tpu.ops.pallas_kernels import mel_spectrogram_pallas
+
+    cfg = MelConfig()
+    y = jnp.asarray(rng.standard_normal((1, 12000)).astype(np.float32) * 0.3)
+    g1 = jax.grad(lambda a: jnp.sum(
+        mel_spectrogram_pallas(a, cfg, True) ** 2))(y)
+    g2 = jax.grad(lambda a: jnp.sum(mel_spectrogram_xla(a, cfg) ** 2))(y)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-2)
