@@ -62,12 +62,13 @@ class T2SConfig:
     phone_vocab: int = 1024
     cond_drop_prob: float = 0.2  # CFG dropout (ref `cfg_scale`)
     max_position: int = 8192
+    remat: bool = False  # rematerialize backbone blocks (memory lever)
 
     def llama(self) -> LlamaConfig:
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, adaptive=True,
-            max_position=self.max_position,
+            max_position=self.max_position, remat=self.remat,
         )
 
 
@@ -289,12 +290,13 @@ class S2AConfig:
     semantic_dim: int = 384  # dim of quantized semantic features
     cond_drop_prob: float = 0.2
     max_position: int = 8192
+    remat: bool = False
 
     def llama(self) -> LlamaConfig:
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, adaptive=True,
-            max_position=self.max_position,
+            max_position=self.max_position, remat=self.remat,
         )
 
 

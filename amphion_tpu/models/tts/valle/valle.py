@@ -36,6 +36,7 @@ class VALLEConfig:
     num_layers: int = 12
     num_heads: int = 16
     max_position: int = 4096
+    remat: bool = False  # rematerialize decoder blocks (memory lever)
 
     @property
     def eos_id(self) -> int:
@@ -48,6 +49,7 @@ class VALLEConfig:
             num_heads=self.num_heads,
             max_position=self.max_position,
             adaptive=adaptive,
+            remat=self.remat,
         )
 
 

@@ -41,10 +41,13 @@ class ARTransformerConfig:
     def eos_id(self) -> int:
         return self.output_vocab + 1
 
+    remat: bool = False  # rematerialize decoder blocks (memory lever)
+
     def llama(self) -> LlamaConfig:
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, max_position=self.max_position,
+            remat=self.remat,
         )
 
 

@@ -34,11 +34,13 @@ class FMTConfig:
     cond_drop_prob: float = 0.2
     sigma_min: float = 1e-4
 
+    remat: bool = False  # rematerialize backbone blocks (memory lever)
+
     def llama(self) -> LlamaConfig:
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, adaptive=True,
-            max_position=self.max_position,
+            max_position=self.max_position, remat=self.remat,
         )
 
 

@@ -37,6 +37,7 @@ class LlamaConfig:
     max_position: int = 4096
     adaptive: bool = False  # adaLN conditioning (NAR diffusion backbones)
     dtype: str = "float32"
+    remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
 
     @property
     def head_dim(self) -> int:
@@ -210,8 +211,13 @@ class LlamaEncoder(nn.Module):
         bias = None
         if mask is not None:
             bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
+        # optional rematerialization: activations are recomputed in the
+        # backward pass instead of stored — O(sqrt(L)) memory for long
+        # sequences / big batches at ~30% extra FLOPs
+        block_cls = (nn.remat(LlamaBlock, static_argnums=())
+                     if self.cfg.remat else LlamaBlock)
         for i in range(self.cfg.num_layers):
-            x = LlamaBlock(self.cfg, name=f"layer_{i}")(x, cond=cond, bias=bias)
+            x = block_cls(self.cfg, name=f"layer_{i}")(x, cond=cond, bias=bias)
         if self.cfg.adaptive:
             return AdaptiveRMSNorm(name="final_norm")(x, cond)
         return RMSNorm(name="final_norm")(x)
@@ -245,8 +251,10 @@ class LlamaDecoder(nn.Module):
                 bias = bias + jnp.where(
                     mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min
                 )
+            block_cls = (nn.remat(LlamaBlock, static_argnums=())
+                         if self.cfg.remat else LlamaBlock)
             for i in range(self.cfg.num_layers):
-                x = LlamaBlock(self.cfg, name=f"layer_{i}")(x, bias=bias)
+                x = block_cls(self.cfg, name=f"layer_{i}")(x, bias=bias)
             return RMSNorm(name="final_norm")(x)
         new_caches = []
         if t > 1:

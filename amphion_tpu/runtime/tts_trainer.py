@@ -225,6 +225,7 @@ class VALLETrainer:
             num_layers=m.num_layers if m else 12,
             num_heads=m.num_heads if m else 16,
             max_position=m.get("max_position", 4096) if m else 4096,
+            remat=m.get("remat", False) if m else False,
         ))
         t = cfg.train
         lengths = []
@@ -569,6 +570,7 @@ class MaskGCTTrainer:
             num_heads=mt.num_heads if mt else 16,
             codebook_size=mt.codebook_size if mt else 8192,
             phone_vocab=max(len(self.symbols) + 1, 64),
+            remat=mt.get("remat", False) if mt else False,
         ))
         self.s2a = MaskGCTS2A(S2AConfig(
             hidden=ms.hidden if ms else 1024,
@@ -577,6 +579,7 @@ class MaskGCTTrainer:
             codebook_size=ms.codebook_size if ms else 1024,
             num_quantizers=n_q,
             semantic_dim=sem_dim,
+            remat=ms.get("remat", False) if ms else False,
         ))
 
         t = cfg.train

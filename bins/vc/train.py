@@ -125,6 +125,7 @@ class FlowMatchingTransformerTrainer(_VevoTrainerBase):
             hidden=m.hidden if m else 1024,
             num_layers=m.num_layers if m else 16,
             num_heads=m.num_heads if m else 16,
+            remat=m.get("remat", False) if m else False,
         ))
         example = self._make_batch(list(range(self.batch_size)))
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr))
@@ -202,6 +203,7 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
             hidden=m.hidden if m else 1024,
             num_layers=m.num_layers if m else 16,
             num_heads=m.num_heads if m else 16,
+            remat=m.get("remat", False) if m else False,
         ))
         self.max_content = t.get("max_content_tokens", frames)
         example = self._make_batch(list(range(self.batch_size)))
