@@ -176,3 +176,14 @@ def build_optimizer(name: str, cfg) -> optax.GradientTransformation:
     if name == "scaledadam":
         return scaled_adam(cfg.get("lr", 3e-2))
     raise ValueError(f"unknown optimizer {name!r}")
+
+
+def maybe_accumulate(tx: optax.GradientTransformation, train_cfg):
+    """Wrap with optax.MultiSteps when train.gradient_accumulation_steps > 1
+    (the TPU-native equivalent of the reference's `accelerator.accumulate`,
+    `models/base/new_trainer.py:362`): gradients average across k micro-steps
+    and the update applies on the k-th."""
+    k = int(train_cfg.get("gradient_accumulation_steps", 1) or 1)
+    if k <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=k)

@@ -241,10 +241,13 @@ class VALLETrainer:
 
         first = next(iter(self.sampler))
         example = self._make_batch(*first)
+        from amphion_tpu.runtime.optimizers import maybe_accumulate
+
         tx = optax.adamw(t.adamw.lr, b1=t.adamw.get("adam_b1", 0.9),
                          b2=t.adamw.get("adam_b2", 0.95),
                          weight_decay=t.adamw.get("weight_decay", 0.01))
-        tx = optax.chain(optax.clip_by_global_norm(1.0), tx)
+        tx = maybe_accumulate(
+            optax.chain(optax.clip_by_global_norm(1.0), tx), t)
         params = self.model.init(
             jax.random.key(t.get("seed", 0)), example["phones"],
             example["phone_mask"], example["tokens"], example["token_mask"],
@@ -595,9 +598,11 @@ class MaskGCTTrainer:
         self.max_phones = t.get("max_phones", 256)
 
         example = self._make_batch(*next(iter(self.sampler)))
-        tx = optax.chain(
+        from amphion_tpu.runtime.optimizers import maybe_accumulate
+
+        tx = maybe_accumulate(optax.chain(
             optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr)
-        )
+        ), t)
         r = jax.random.key(t.get("seed", 0))
         t2s_params = self.t2s.init(
             r, example["semantic"], example["x_mask"], example["phones"],
@@ -1159,9 +1164,11 @@ class MetisTrainer(MaskGCTTrainer):
         self.max_phones = t.get("max_phones", 256)
 
         example = self._make_batch(*next(iter(self.sampler)))
-        tx = optax.chain(
+        from amphion_tpu.runtime.optimizers import maybe_accumulate
+
+        tx = maybe_accumulate(optax.chain(
             optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr)
-        )
+        ), t)
         r = jax.random.key(t.get("seed", 0))
         task = self.task
         if task == "tts":

@@ -128,7 +128,11 @@ class FlowMatchingTransformerTrainer(_VevoTrainerBase):
             remat=m.get("remat", False) if m else False,
         ))
         example = self._make_batch(list(range(self.batch_size)))
-        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr))
+        from amphion_tpu.runtime.optimizers import maybe_accumulate
+
+        tx = maybe_accumulate(
+            optax.chain(optax.clip_by_global_norm(1.0),
+                        optax.adamw(t.adamw.lr)), t)
         params = self.model.init(
             jax.random.key(t.get("seed", 0)), example["mel"], example["tokens"],
             example["prompt_mask"], example["x_mask"], jax.random.key(1),
@@ -207,7 +211,11 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
         ))
         self.max_content = t.get("max_content_tokens", frames)
         example = self._make_batch(list(range(self.batch_size)))
-        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr))
+        from amphion_tpu.runtime.optimizers import maybe_accumulate
+
+        tx = maybe_accumulate(
+            optax.chain(optax.clip_by_global_norm(1.0),
+                        optax.adamw(t.adamw.lr)), t)
         params = self.model.init(
             jax.random.key(t.get("seed", 0)), example["input_tokens"],
             example["input_mask"], example["output_tokens"],

@@ -151,3 +151,29 @@ def test_train_loop_metrics_tracker(tmp_path):
     lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
     assert len(lines) == 3
     assert lines[-1]["step"] == 3 and lines[-1]["loss"] == 1.5
+
+
+def test_gradient_accumulation():
+    """optax.MultiSteps wrapper: k micro-steps average into one update
+    (ref accelerator.accumulate, new_trainer.py:362)."""
+    import optax
+
+    from amphion_tpu.runtime.optimizers import maybe_accumulate
+    from amphion_tpu.utils.config import JsonHParams
+
+    tx = maybe_accumulate(optax.sgd(1.0),
+                          JsonHParams(gradient_accumulation_steps=2))
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g1 = {"w": jnp.full(3, 2.0)}
+    g2 = {"w": jnp.full(3, 4.0)}
+    u1, state = tx.update(g1, state, params)
+    assert float(jnp.abs(u1["w"]).max()) == 0.0  # buffered, no update yet
+    u2, state = tx.update(g2, state, params)
+    np.testing.assert_allclose(np.asarray(u2["w"]), -3.0)  # mean(2,4)*lr
+
+    # k=1 is a no-op passthrough
+    tx1 = maybe_accumulate(optax.sgd(1.0), JsonHParams())
+    s1 = tx1.init(params)
+    u, _ = tx1.update(g1, s1, params)
+    np.testing.assert_allclose(np.asarray(u["w"]), -2.0)
