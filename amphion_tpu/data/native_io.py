@@ -83,19 +83,15 @@ def wav_info(path: str | Path) -> tuple[int, int]:
     return sr.value, n.value
 
 
-def load_wav(path: str | Path, sr: int | None = None,
-             max_seconds: float = 1200.0) -> tuple[np.ndarray, int]:
+def load_wav(path: str | Path, sr: int | None = None) -> tuple[np.ndarray, int]:
     """float32 mono in [-1, 1], optionally resampled. Same contract as
-    `audio_io.load_wav`."""
+    `audio_io.load_wav` (buffer sized from the file — no silent cap)."""
     lib = get_lib()
     assert lib is not None
     file_sr, n_samples = wav_info(path)
     target = sr or 0
     out_sr = sr or file_sr
-    cap = int(
-        min(max_seconds * out_sr,
-            (n_samples * (out_sr / file_sr)) + 16 if file_sr else 0)
-    )
+    cap = int(n_samples * (out_sr / file_sr)) + 16 if file_sr else 16
     buf = np.empty(max(cap, 16), np.float32)
     got_sr = ctypes.c_int(0)
     n = lib.amphion_wav_load(

@@ -197,7 +197,8 @@ def wenet_native_extractor(ckpt_path: str, num_layers: int = 12,
 
         return extract
 
-    return _cached(("wenet_native", ckpt_path), build)
+    return _cached(("wenet_native", ckpt_path, num_layers, hidden,
+                    num_heads, ffn_hidden), build)
 
 
 EXTRACTORS = {

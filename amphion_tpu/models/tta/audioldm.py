@@ -152,8 +152,18 @@ def audioldm_sample(
     num_steps: int = 50,
     guidance_scale: float = 3.0,
 ):
-    """DDIM sampling with classifier-free guidance (self-jitting — eager
-    scans dispatch op-by-op through the TPU tunnel)."""
+    """DDIM sampling with classifier-free guidance (memoized self-jitting —
+    a fresh jit per call would recompile every prompt)."""
+    return _audioldm_sample_jitted(model, shape, num_steps, guidance_scale)(
+        params, text_emb, rng
+    )
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _audioldm_sample_jitted(model, shape, num_steps, guidance_scale):
     sched = model.schedule
     b = shape[0]
 
@@ -173,7 +183,7 @@ def audioldm_sample(
 
         return ddim_sample(eps_fn, sched, shape, rng, num_steps)
 
-    return jax.jit(core)(params, text_emb, rng)
+    return jax.jit(core)
 
 
 def hash_text_embed(texts: list[str], dim: int = 768, max_len: int = 32):

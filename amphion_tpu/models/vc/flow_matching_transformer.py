@@ -92,21 +92,11 @@ class FlowMatchingTransformer(nn.Module):
         return loss, {"fm_loss": loss}
 
 
-def fmt_inference(
-    model: FlowMatchingTransformer,
-    params,
-    tokens: jax.Array,  # (B, T) frame-aligned content-style tokens
-    prompt_mel: jax.Array,  # (B, T, n_mel); frames beyond prompt_len are junk
-    prompt_len_mask: jax.Array,  # (B, T) 1 on prompt frames
-    rng: jax.Array,
-    num_steps: int = 32,
-    cfg_scale: float = 0.0,
-):
-    """Euler ODE from noise to mel; prompt frames stay clamped to the prompt
-    (timbre conditioning), CFG optional. Self-jitting (one program per
-    shape bucket — eager scans dispatch op-by-op through the TPU tunnel)."""
-    b, t_len = tokens.shape
+import functools
 
+
+@functools.lru_cache(maxsize=32)
+def _fmt_inference_jitted(model, b, t_len, num_steps, cfg_scale):
     def core(params, tokens, prompt_mel, prompt_len_mask, rng):
         x_mask = jnp.ones((b, t_len))
 
@@ -131,4 +121,24 @@ def fmt_inference(
         # return only generated frames (prompt region replaced by the prompt)
         return jnp.where(prompt_len_mask[..., None] > 0, prompt_mel, mel)
 
-    return jax.jit(core)(params, tokens, prompt_mel, prompt_len_mask, rng)
+    return jax.jit(core)
+
+
+def fmt_inference(
+    model: FlowMatchingTransformer,
+    params,
+    tokens: jax.Array,  # (B, T) frame-aligned content-style tokens
+    prompt_mel: jax.Array,  # (B, T, n_mel); frames beyond prompt_len are junk
+    prompt_len_mask: jax.Array,  # (B, T) 1 on prompt frames
+    rng: jax.Array,
+    num_steps: int = 32,
+    cfg_scale: float = 0.0,
+):
+    """Euler ODE from noise to mel; prompt frames stay clamped to the prompt
+    (timbre conditioning), CFG optional. Memoized self-jitting (one cached
+    program per shape bucket — eager scans dispatch op-by-op through the
+    TPU tunnel, and a fresh jit per call would recompile every utterance)."""
+    b, t_len = tokens.shape
+    return _fmt_inference_jitted(model, b, t_len, num_steps, cfg_scale)(
+        params, tokens, prompt_mel, prompt_len_mask, rng
+    )

@@ -82,11 +82,12 @@ class DiffWave(nn.Module):
         return jnp.mean((eps - noise) ** 2)
 
 
-def diffwave_sample(model: DiffWave, params, mel, rng, num_steps=None):
-    """Self-jitting DDPM sampling (eager scans dispatch op-by-op through
-    the TPU tunnel)."""
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _diffwave_sample_jitted(model, b, n, num_steps):
     sched = model.schedule
-    b, n, _ = mel.shape
     shape = (b, n * model.cfg.hop_size)
 
     def core(params, mel, rng):
@@ -95,4 +96,11 @@ def diffwave_sample(model: DiffWave, params, mel, rng, num_steps=None):
 
         return ddpm_sample(eps_fn, sched, shape, rng, num_steps)
 
-    return jax.jit(core)(params, mel, rng)
+    return jax.jit(core)
+
+
+def diffwave_sample(model: DiffWave, params, mel, rng, num_steps=None):
+    """Memoized self-jitting DDPM sampling (one cached program per shape
+    bucket; eager scans dispatch op-by-op through the TPU tunnel)."""
+    b, n, _ = mel.shape
+    return _diffwave_sample_jitted(model, b, n, num_steps)(params, mel, rng)

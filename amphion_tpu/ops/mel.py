@@ -130,6 +130,10 @@ def _use_pallas_mel(cfg: MelConfig) -> bool:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
+    from amphion_tpu.ops import pallas_kernels
+
+    if not pallas_kernels._HAS_PALLAS:
+        return False
     return cfg.hop_size >= 32 and cfg.hop_size % 8 == 0
 
 

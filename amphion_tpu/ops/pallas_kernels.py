@@ -246,6 +246,7 @@ def aa_snakebeta_pallas(x: jax.Array, alpha: jax.Array, beta: jax.Array,
 def _aa_snake_forward(x, alpha, beta, interpret):
     from amphion_tpu.modules.anti_aliasing import downsample1d, upsample1d
 
+    interpret = _resolve_interpret(interpret)
     if not _HAS_PALLAS:
         s = upsample1d(x, 2)
         a = alpha[None, None, :]
@@ -394,12 +395,12 @@ mel_spectrogram_pallas.defvjp(_mel_pallas_fwd, _mel_pallas_bwd)
 
 
 def _mel_pallas_forward(y: jax.Array, cfg, interpret: bool | None = None):
-    from amphion_tpu.ops.mel import mel_spectrogram
+    from amphion_tpu.ops.mel import mel_spectrogram_xla
     from amphion_tpu.ops.stft import _reflect_pad
 
     interpret = _resolve_interpret(interpret)
     if not _HAS_PALLAS:
-        return mel_spectrogram(y, cfg)
+        return mel_spectrogram_xla(y, cfg)
     if y.ndim == 1:
         y = y[None]
     hop, n_fft = cfg.hop_size, cfg.n_fft

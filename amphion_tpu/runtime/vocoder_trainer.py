@@ -100,6 +100,7 @@ class GANVocoderTrainer:
             mpd_periods=tuple(cfg.model.get("mpd_periods", (2, 3, 5, 7, 11))),
             msd_scales=cfg.model.get("msd_scales", 3),
             channel_mult=cfg.model.get("discriminator_channel_mult_factor", 1.0),
+            sample_rate=p.sample_rate,
         )
 
         # data

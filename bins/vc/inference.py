@@ -58,8 +58,10 @@ def _tokenizer(name, cfg, ckpt, vocab, logger):
         params = _restore(ckpt, logger, name)
     else:
         logger.warning(f"no checkpoint for {name}: RANDOM weights (smoke)")
+        import zlib
+
         params = codec.init(
-            jax.random.key(hash(name) % 2**31),
+            jax.random.key(zlib.crc32(name.encode())),
             jnp.zeros((1, 8, cfg.preprocess.n_mel)),
         )["params"]
     return codec, params

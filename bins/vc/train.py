@@ -63,8 +63,10 @@ class _VevoTrainerBase:
             logger.info(f"{name} restored from step {step}")
         else:
             logger.warning(f"no checkpoint for {name}: RANDOM weights (smoke)")
+            import zlib
+
             params = codec.init(
-                jax.random.key(hash(name) % 2**31),
+                jax.random.key(zlib.crc32(name.encode())),
                 jnp.zeros((1, 8, cfg.preprocess.n_mel)),
             )["params"]
         encode = jax.jit(lambda f: codec.apply(

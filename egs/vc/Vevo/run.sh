@@ -32,8 +32,11 @@ while [[ $# -gt 0 ]]; do case $1 in
   --exp_name "${exp_name}_ar" \
   ${content_ckpt:+--content_ckpt "$content_ckpt"} \
   ${style_ckpt:+--style_ckpt "$style_ckpt"}
+# --ar_exp only for AR-dependent tasks (timbre is FM-only)
+ar_flag=""
+[ "$task" != "timbre" ] && ar_flag="--ar_exp ${exp_name}_ar"
 [ "$stage" -eq 4 ] && python -m bins.vc.inference --config "$config" \
-  --task "$task" --fm_exp "${exp_name}_fm" --ar_exp "${exp_name}_ar" \
+  --task "$task" --fm_exp "${exp_name}_fm" $ar_flag \
   ${src:+--src_audio "$src"} --timbre_ref "$timbre_ref" \
   ${text:+--text "$text"} --output_path "$output" \
   ${content_ckpt:+--content_ckpt "$content_ckpt"} \
