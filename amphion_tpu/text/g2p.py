@@ -8,6 +8,9 @@ Backends:
 - character backend: cleaned characters as symbols (VITS-style char input).
 - espeak backend hook: uses the ``phonemizer`` package when present (the
   reference's default English backend); raises a clear error otherwise.
+- ``multilingual``: the native en/zh/ja/ko/fr/de IPA tokenizer
+  (amphion_tpu.text.multilingual) — the offline counterpart of the
+  reference's MaskGCT g2p package (models/tts/maskgct/g2p/).
 """
 
 from __future__ import annotations
@@ -62,6 +65,10 @@ class G2PModule:
         if backend == "lexicon":
             assert lexicon_path, "lexicon backend needs lexicon_path"
             self._lex = LexiconG2P(lexicon_path)
+        elif backend == "multilingual":
+            from amphion_tpu.text.multilingual import PhonemeTokenizer
+
+            self._multi = PhonemeTokenizer()
         elif backend == "espeak":
             try:
                 from phonemizer.backend import EspeakBackend  # optional
@@ -78,6 +85,11 @@ class G2PModule:
     def phonemes(self, text: str) -> list[str]:
         if self.backend == "lexicon":
             return self._lex(text)
+        if self.backend == "multilingual":
+            lang = self.language.split("-")[0]
+            lang = lang if lang in self._multi.LANGS else "auto"
+            ph = self._multi.to_ipa(text, lang)
+            return [p for p in ph.split("|") if p]
         if self.backend == "espeak":
             out = self._espeak.phonemize([english_cleaners(text)], strip=True)
             return list(out[0])

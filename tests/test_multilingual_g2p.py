@@ -1,0 +1,235 @@
+"""Tests for the native multilingual g2p (en/zh/ja/ko/fr/de).
+
+Reference parity target: models/tts/maskgct/g2p/ (PhonemeBpeTokenizer) —
+language segmentation, per-language IPA conversion, phoneme-id vocab.
+"""
+
+import pytest
+
+from amphion_tpu.text.multilingual import (PhonemeTokenizer, chinese_to_ipa,
+                                           english_to_ipa, french_to_ipa,
+                                           german_to_ipa, japanese_to_ipa,
+                                           korean_to_ipa, segment_text)
+from amphion_tpu.text.multilingual.english import (number_to_words,
+                                                   ordinal_to_words,
+                                                   word_to_ipa_rules)
+from amphion_tpu.text.multilingual.korean import korean_word_to_ipa
+from amphion_tpu.text.multilingual.mandarin import parse_pinyin, pinyin_to_ipa
+
+
+class TestSegmentation:
+    def test_scripts(self):
+        segs = segment_text("Hello 世界 こんにちは 안녕")
+        assert [s.lang for s in segs] == ["en", "zh", "ja", "ko"]
+
+    def test_latin_default(self):
+        segs = segment_text("Bonjour le monde", latin_lang="fr")
+        assert len(segs) == 1 and segs[0].lang == "fr"
+
+    def test_neutral_attach(self):
+        # digits & punctuation stay with the surrounding language run
+        segs = segment_text("今年是2024年。")
+        assert len(segs) == 1 and segs[0].lang == "zh"
+        assert "2024" in segs[0].text
+
+
+class TestEnglish:
+    def test_numbers(self):
+        assert number_to_words(0) == "zero"
+        assert number_to_words(21) == "twenty one"
+        assert number_to_words(105) == "one hundred five"
+        assert number_to_words(3200) == "three thousand two hundred"
+        assert ordinal_to_words(1) == "first"
+        assert ordinal_to_words(22) == "twenty second"
+        assert ordinal_to_words(30) == "thirtieth"
+
+    def test_normalization_in_output(self):
+        ph = english_to_ipa("I have $5.")
+        # "five dollars" appears as phonemes: f-aɪ-v
+        assert "f|aɪ|v" in ph and "d" in ph
+
+    def test_function_words_voiced_th(self):
+        assert word_to_ipa_rules("this")[0] == "ð"
+        assert word_to_ipa_rules("think")[0] == "θ"
+
+    def test_rules_regular_words(self):
+        assert word_to_ipa_rules("cat") == ["k", "æ", "t"]
+        assert word_to_ipa_rules("make") == ["m", "eɪ", "k"]
+        assert word_to_ipa_rules("ship") == ["ʃ", "ɪ", "p"]
+        assert word_to_ipa_rules("sing") == ["s", "ɪ", "ŋ"]
+        assert word_to_ipa_rules("nation") == ["n", "eɪ", "ʃ", "ə", "n"]
+
+    def test_geminate_collapse(self):
+        assert word_to_ipa_rules("hello").count("l") == 1
+
+    def test_word_separator(self):
+        ph = english_to_ipa("good day")
+        assert "|_|" in ph
+
+    def test_lexicon_override(self):
+        lex = {"TOMATO": ["T", "AH0", "M", "EY1", "T", "OW2"]}
+        ph = english_to_ipa("tomato", lexicon=lex)
+        assert ph == "t|ə|m|eɪ|t|oʊ"
+
+
+class TestMandarin:
+    def test_parse_pinyin(self):
+        assert parse_pinyin("zhuang1") == ("zh", "uang", 1)
+        assert parse_pinyin("lv4") == ("l", "v", 4)
+        assert parse_pinyin("xu2") == ("x", "v", 2)  # ü after j/q/x
+        assert parse_pinyin("liu2") == ("l", "iou", 2)
+        assert parse_pinyin("shi4") == ("sh", "i", 4)
+
+    def test_pinyin_ipa(self):
+        assert pinyin_to_ipa("ma1") == ["m", "a", "1"]
+        assert pinyin_to_ipa("shi4") == ["ʂ", "ɻ̩", "4"]
+        assert pinyin_to_ipa("si4") == ["s", "ɹ̩", "4"]
+        assert pinyin_to_ipa("jian4") == ["tɕ", "j", "ɛ", "n", "4"]
+
+    def test_third_tone_sandhi(self):
+        ph = chinese_to_ipa("你好")
+        # ni3 -> ni2 before hao3
+        assert ph.startswith("n|i|2")
+
+    def test_bu_sandhi(self):
+        ph = chinese_to_ipa("不是")
+        assert "p|u|2" in ph  # bu4 -> bu2 before tone 4
+
+    def test_pinyin_passthrough(self):
+        # same phones as the hanzi path (word segmentation may differ)
+        ph = chinese_to_ipa("ni3 hao3").replace("|_|", "|")
+        assert ph == chinese_to_ipa("你好").replace("|_|", "|")
+
+    def test_polyphone_word_lexicon(self):
+        ph_yinhang = chinese_to_ipa("银行")  # hang2 not xing2
+        assert "x|ɑ|ŋ|2" in ph_yinhang
+        ph_xingwei = chinese_to_ipa("行为")
+        assert "ɕ|i|ŋ|2" in ph_xingwei
+
+    def test_numbers(self):
+        ph = chinese_to_ipa("3个")
+        assert ph.startswith("s|a|n|1")  # 三
+
+
+class TestJapanese:
+    def test_basic_kana(self):
+        assert japanese_to_ipa("かき") == "k|a|k|i"
+
+    def test_katakana_equivalent(self):
+        assert japanese_to_ipa("カキ") == japanese_to_ipa("かき")
+
+    def test_youon(self):
+        ph = japanese_to_ipa("きょう")
+        assert ph.startswith("kʲ|o")
+
+    def test_sokuon_gemination(self):
+        ph = japanese_to_ipa("きって")
+        assert "tː" in ph
+
+    def test_long_vowel(self):
+        assert "oː" in japanese_to_ipa("コーヒー") or "oː" in japanese_to_ipa("こー")
+
+    def test_nasal_assimilation(self):
+        assert "m" in japanese_to_ipa("さんぽ").split("|")  # n before p -> m
+        assert "ɴ" in japanese_to_ipa("ほん").split("|")  # utterance-final
+
+    def test_numbers(self):
+        ph = japanese_to_ipa("3")
+        assert ph.startswith("s|a|ɴ") or ph.startswith("s|a|n")
+
+
+class TestKorean:
+    def test_decomposition(self):
+        assert korean_word_to_ipa("아") == ["a"]
+        assert korean_word_to_ipa("한") == ["h", "a", "n"]
+
+    def test_liaison(self):
+        # 음악 -> 으막 (coda moves to empty onset)
+        phones = korean_word_to_ipa("음악")
+        assert phones == ["ɯ", "m", "a", "k̚"]
+
+    def test_nasalization(self):
+        # 합니다: p + n -> m n
+        phones = korean_word_to_ipa("합니다")
+        assert "m" in phones and "p̚" not in phones
+
+    def test_acronym_reading(self):
+        ph = korean_to_ipa("AI")
+        assert len(ph) > 0  # 에이아이
+
+    def test_full_sentence(self):
+        ph = korean_to_ipa("안녕하세요 세계")
+        assert "|_|" in ph
+
+
+class TestFrench:
+    def test_nasal_vowels(self):
+        assert "ɔ̃" in french_to_ipa("bonjour")
+        assert "ɛ̃" in french_to_ipa("vin")
+
+    def test_silent_finals(self):
+        ph = french_to_ipa("petit")
+        assert not ph.endswith("t")
+
+    def test_elision(self):
+        ph = french_to_ipa("c'est")
+        assert ph.startswith("s")  # soft c through apostrophe
+
+    def test_ou_eau(self):
+        assert french_to_ipa("beau") == "b|o"
+        assert "u" in french_to_ipa("nous").split("|")
+
+
+class TestGerman:
+    def test_ich_ach(self):
+        assert "ç" in german_to_ipa("ich").split("|")
+        assert "x" in german_to_ipa("bach").split("|")
+
+    def test_final_devoicing(self):
+        ph = german_to_ipa("tag").split("|")
+        assert ph[-1] == "k"
+
+    def test_digraphs(self):
+        assert german_to_ipa("schön") == "ʃ|œ|n"
+        assert "aɪ" in german_to_ipa("mein").split("|")
+        assert "ɔʏ" in german_to_ipa("neu").split("|")
+
+    def test_initial_st(self):
+        assert german_to_ipa("stein").startswith("ʃ|t")
+
+
+class TestTokenizer:
+    @pytest.fixture(scope="class")
+    def tok(self):
+        return PhonemeTokenizer()
+
+    def test_every_phone_in_vocab(self, tok):
+        texts = [
+            ("The quick brown fox jumps over the lazy dog.", "en"),
+            ("你好世界我们在学习中文", "zh"),
+            ("こんにちはせかいきょうもいいてんき", "ja"),
+            ("안녕하세요 세계 음악 합니다", "ko"),
+            ("Bonjour le monde c'est une belle journée", "fr"),
+            ("Guten Morgen die Welt ist schön", "de"),
+        ]
+        unk = tok.vocab["<unk>"]
+        for text, lang in texts:
+            ph, ids = tok.tokenize(text, lang)
+            assert ids, text
+            assert unk not in ids, (lang, ph)
+
+    def test_auto_mixed(self, tok):
+        ph, ids = tok.tokenize("Hello 世界", "auto")
+        assert "|_|" in ph and len(ids) > 4
+
+    def test_ids_deterministic(self, tok):
+        a = tok.tokenize("determinism", "en")
+        b = PhonemeTokenizer().tokenize("determinism", "en")
+        assert a == b
+
+    def test_g2pmodule_backend(self):
+        from amphion_tpu.text.g2p import G2PModule
+
+        g2p = G2PModule(backend="multilingual", language="en")
+        ph = g2p.phonemes("hello world")
+        assert "_" in ph and len(ph) > 5
