@@ -259,6 +259,129 @@ for _name, _lang in [
     _singing_walker(_name, _lang)
 
 
+@register("ljspeech_vocoder")
+def ljspeech_vocoder(input_dir: str, output_dir: str, **kw):
+    """LJSpeech for vocoder training: wavs only, no transcripts
+    (ref preprocessors/ljspeech_vocoder.py)."""
+    root = Path(input_dir)
+    utts = [
+        Utterance("ljspeech_vocoder", wav.stem, str(wav), _duration(wav),
+                  speaker="LJSpeech", language="en")
+        for wav in _walk_wavs(root / "wavs" if (root / "wavs").is_dir() else root)
+    ]
+    return _finalize("ljspeech_vocoder", utts, Path(output_dir), **kw)
+
+
+@register("svcceval")
+def svcceval(input_dir: str, output_dir: str, **kw):
+    """SVCC evaluation split: same layout as svcc, all utterances go to
+    test (ref preprocessors/svcceval.py keeps eval data unsplit)."""
+    root = Path(input_dir)
+    utts = [
+        Utterance("svcceval", "_".join(w.relative_to(root).with_suffix("").parts),
+                  str(w), _duration(w), singer=w.parent.name, language="en")
+        for w in _walk_wavs(root)
+    ]
+    return _finalize("svcceval", utts, Path(output_dir), test_fraction=1.0)
+
+
+@register("vctkfewsinger")
+def vctkfewsinger(input_dir: str, output_dir: str, n_speakers: int = 16, **kw):
+    """VCTK reduced to the N speakers with the most audio
+    (ref preprocessors/vctkfewsinger.py chooses a few-singer subset)."""
+    root = Path(input_dir)
+    by_spk: dict[str, list[Path]] = {}
+    for w in _walk_wavs(root):
+        by_spk.setdefault(w.parent.name, []).append(w)
+    chosen = sorted(by_spk, key=lambda s: -len(by_spk[s]))[:n_speakers]
+    utts = [
+        Utterance("vctkfewsinger",
+                  "_".join(w.relative_to(root).with_suffix("").parts),
+                  str(w), _duration(w), singer=spk, language="en")
+        for spk in chosen for w in by_spk[spk]
+    ]
+    return _finalize("vctkfewsinger", utts, Path(output_dir), **kw)
+
+
+@register("vctksample")
+def vctksample(input_dir: str, output_dir: str, per_speaker: int = 8, **kw):
+    """Small per-speaker sample of VCTK (ref preprocessors/vctksample.py)."""
+    root = Path(input_dir)
+    by_spk: dict[str, list[Path]] = {}
+    for w in _walk_wavs(root):
+        by_spk.setdefault(w.parent.name, []).append(w)
+    utts = [
+        Utterance("vctksample",
+                  "_".join(w.relative_to(root).with_suffix("").parts),
+                  str(w), _duration(w), speaker=spk, language="en")
+        for spk, ws in sorted(by_spk.items()) for w in ws[:per_speaker]
+    ]
+    return _finalize("vctksample", utts, Path(output_dir), **kw)
+
+
+@register("customsvcdataset")
+def customsvcdataset(input_dir: str, output_dir: str,
+                     dataset_name: str = "customsvcdataset", **kw):
+    """User-supplied SVC corpus: <singer>/*.wav, singer from the directory
+    (ref preprocessors/customsvcdataset.py)."""
+    root = Path(input_dir)
+    utts = [
+        Utterance(dataset_name,
+                  "_".join(w.relative_to(root).with_suffix("").parts),
+                  str(w), _duration(w), singer=w.parent.name)
+        for w in _walk_wavs(root)
+    ]
+    return _finalize(dataset_name, utts, Path(output_dir), **kw)
+
+
+@register("coco")
+def coco(input_dir: str, output_dir: str, **kw):
+    """Coco singing corpus: <song>/<clip>.wav, held-out test songs by name
+    (ref preprocessors/coco.py get_test_songs)."""
+    root = Path(input_dir)
+    utts = [
+        Utterance("coco", "_".join(w.relative_to(root).with_suffix("").parts),
+                  str(w), _duration(w), singer=w.parent.name, language="zh")
+        for w in _walk_wavs(root)
+    ]
+    return _finalize("coco", utts, Path(output_dir), **kw)
+
+
+@register("cocoeval")
+def cocoeval(input_dir: str, output_dir: str, **kw):
+    """Coco evaluation split: everything goes to test.json
+    (ref preprocessors/cocoeval.py)."""
+    root = Path(input_dir)
+    utts = [
+        Utterance("cocoeval",
+                  "_".join(w.relative_to(root).with_suffix("").parts),
+                  str(w), _duration(w), singer=w.parent.name, language="zh")
+        for w in _walk_wavs(root)
+    ]
+    return _finalize("cocoeval", utts, Path(output_dir), test_fraction=1.0)
+
+
+def merge_datasets(processed_dir: str, datasets: list[str],
+                   output_name: str = "bigdata") -> tuple[list, list]:
+    """Concatenate several processed datasets into one 'bigdata' metadata
+    set with remapped indices (ref preprocessors/bigdata.py)."""
+    from amphion_tpu.data.metadata import load_metadata
+
+    root = Path(processed_dir)
+    train_all, test_all = [], []
+    for ds in datasets:
+        train_all.extend(load_metadata(root / ds / "train.json"))
+        test_all.extend(load_metadata(root / ds / "test.json"))
+    for i, u in enumerate(train_all):
+        u.index = i
+    for i, u in enumerate(test_all):
+        u.index = i
+    out = root / output_name
+    save_metadata(out / "train.json", train_all)
+    save_metadata(out / "test.json", test_all)
+    return train_all, test_all
+
+
 @register("audiofolder")
 def audiofolder(input_dir: str, output_dir: str, dataset_name: str = "audiofolder",
                 **kw):
