@@ -116,9 +116,26 @@ class EmiliaPipeline:
     separator: Callable | None = None  # audio -> vocals (UVR slot)
     diarizer: Callable | None = None  # audio -> [(start, end, speaker)]
     transcriber: Callable | None = None  # (audio, sr) -> text
+    scorer: Callable | None = None  # (audio, sr) -> quality (DNSMOS slot)
     min_snr_db: float = 10.0
+    min_dnsmos: float = 0.0  # ref filters at OVRL >= 3.0 when a scorer is set
     min_duration_s: float = 1.0
     max_duration_s: float = 30.0
+
+    @classmethod
+    def with_native_stages(cls, **kw) -> "EmiliaPipeline":
+        """All model slots filled with the native signal-processing stages
+        (amphion_tpu.data.emilia.stages) — runnable with zero checkpoints."""
+        from amphion_tpu.data.emilia.stages import (dnsmos_proxy,
+                                                    spectral_diarizer,
+                                                    spectral_gate_separator)
+
+        sr = kw.get("sample_rate", 24000)
+        kw.setdefault("separator", lambda x: spectral_gate_separator(x, sr))
+        kw.setdefault("diarizer", lambda x: spectral_diarizer(x, sr))
+        kw.setdefault("scorer", dnsmos_proxy)
+        kw.setdefault("min_dnsmos", 3.0)
+        return cls(**kw)
 
     def process_file(self, path: str | Path, output_dir: str | Path) -> list[dict]:
         """Run all stages on one raw file → segment wavs + metadata records."""
@@ -149,6 +166,9 @@ class EmiliaPipeline:
                 snr = estimate_snr(clip, sr)
                 if snr < self.min_snr_db:
                     continue
+                quality = self.scorer(clip, sr) if self.scorer else None
+                if quality is not None and quality < self.min_dnsmos:
+                    continue
                 uid = f"{stem}_{idx:04d}"
                 idx += 1
                 wav_path = out / "wavs" / f"{uid}.wav"
@@ -162,6 +182,8 @@ class EmiliaPipeline:
                     "duration": round(dur, 3),
                     "snr_db": round(snr, 2),
                 }
+                if quality is not None:
+                    rec["dnsmos"] = round(quality, 2)
                 if self.transcriber is not None:
                     rec["text"] = self.transcriber(clip, sr)
                 records.append(rec)

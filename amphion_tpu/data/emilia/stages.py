@@ -1,0 +1,188 @@
+"""Native default implementations of the Emilia pipeline's model stages.
+
+The reference pipeline (preprocessors/Emilia/main.py) relies on pretrained
+torch checkpoints: UVR-MDX source separation, pyannote diarization, and a
+DNSMOS ONNX quality model — none of which can be downloaded here. These
+are signal-processing equivalents with the same stage contracts, so the
+pipeline is useful out of the box; checkpoint-backed callables can still
+be plugged into the same ``EmiliaPipeline`` slots.
+
+- ``spectral_gate_separator``: vocal/noise separation by spectral gating —
+  a minimum-statistics noise PSD estimate per frequency bin, a soft
+  time-frequency mask, and overlap-add resynthesis (the classic
+  noisereduce/Audacity algorithm). Fills the UVR-MDX slot for denoising
+  in-the-wild audio (it does not split overlapping music stems).
+- ``spectral_diarizer``: single-channel speaker-turn detection — mel
+  embeddings over 1 s windows, agglomerative 2..K clustering chosen by a
+  BIC-style penalty, merged into contiguous turns. Fills the pyannote slot.
+- ``dnsmos_proxy``: [1, 5] quality score from SNR, spectral flatness,
+  clipping ratio, and silence ratio. Fills the DNSMOS filter slot
+  (ref main.py:338-371 filters segments by DNSMOS P.835 OVRL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EPS = 1e-10
+
+
+def _stft(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    pad = n_fft // 2
+    x = np.pad(x, (pad, pad), mode="reflect")
+    n = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    frames = x[idx] * np.hanning(n_fft)
+    return np.fft.rfft(frames, axis=1)  # (T, F)
+
+
+def _istft(spec: np.ndarray, n_fft: int, hop: int, length: int) -> np.ndarray:
+    win = np.hanning(n_fft)
+    frames = np.fft.irfft(spec, n=n_fft, axis=1) * win
+    out = np.zeros(hop * (len(frames) - 1) + n_fft)
+    norm = np.zeros_like(out)
+    for i, f in enumerate(frames):
+        out[i * hop:i * hop + n_fft] += f
+        norm[i * hop:i * hop + n_fft] += win ** 2
+    out = out / np.maximum(norm, 1e-8)
+    pad = n_fft // 2
+    return out[pad:pad + length]
+
+
+def spectral_gate_separator(x: np.ndarray, sr: int = 24000,
+                            n_fft: int = 1024, hop: int = 256,
+                            reduction_db: float = 18.0,
+                            noise_percentile: float = 50.0) -> np.ndarray:
+    """Suppress stationary background (hum, hiss, room tone) around speech.
+
+    The noise floor is the per-bin *median* magnitude over time: for bins
+    where speech is present less than half the time it equals the noise
+    level (a lower percentile would sit ~12 dB under the Rayleigh noise
+    mean and let most noise through the 6 dB knee)."""
+    spec = _stft(x.astype(np.float64), n_fft, hop)
+    mag = np.abs(spec)
+    noise = np.percentile(mag, noise_percentile, axis=0, keepdims=True)
+    # soft mask: sigmoid in dB distance above the noise floor
+    dist_db = 20 * np.log10((mag + _EPS) / (noise + _EPS))
+    mask = 1.0 / (1.0 + np.exp(-(dist_db - 6.0)))  # 6 dB knee
+    floor = 10 ** (-reduction_db / 20)
+    mask = floor + (1 - floor) * mask
+    return _istft(spec * mask, n_fft, hop, len(x)).astype(np.float32)
+
+
+def _mel_embed(x: np.ndarray, sr: int, win_s: float = 1.0,
+               hop_s: float = 0.5, n_mel: int = 24):
+    """Per-window log-mel mean+std embeddings -> (n_windows, 2*n_mel)."""
+    n_fft, hop = 512, 256
+    spec = np.abs(_stft(x.astype(np.float64), n_fft, hop)) ** 2
+    freqs = np.fft.rfftfreq(n_fft, 1 / sr)
+    mel_pts = 2595 * np.log10(1 + freqs / 700)
+    edges = np.linspace(mel_pts.min(), mel_pts.max(), n_mel + 2)
+    fb = np.zeros((len(freqs), n_mel))
+    for m in range(n_mel):
+        lo, ce, hi = edges[m], edges[m + 1], edges[m + 2]
+        up = (mel_pts - lo) / max(ce - lo, 1e-6)
+        dn = (hi - mel_pts) / max(hi - ce, 1e-6)
+        fb[:, m] = np.clip(np.minimum(up, dn), 0, 1)
+    logmel = np.log(spec @ fb + _EPS)  # (T, n_mel)
+    energy = logmel.mean(1)
+    # spectral shape only: remove per-frame loudness (cepstral-mean style),
+    # so syllabic amplitude modulation doesn't masquerade as speaker change
+    shape = logmel - logmel.mean(1, keepdims=True)
+    frames_per_win = max(int(win_s * sr / hop), 1)
+    frames_per_hop = max(int(hop_s * sr / hop), 1)
+    embeds, times = [], []
+    for s in range(0, max(len(shape) - frames_per_win + 1, 1), frames_per_hop):
+        w, e = shape[s:s + frames_per_win], energy[s:s + frames_per_win]
+        voiced = e >= np.median(e)  # embed over the energetic frames only
+        w = w[voiced] if voiced.any() else w
+        embeds.append(w.mean(0))
+        times.append(s * hop / sr)
+    return np.asarray(embeds), np.asarray(times), win_s
+
+
+def spectral_diarizer(x: np.ndarray, sr: int = 24000,
+                      max_speakers: int = 4,
+                      min_turn_s: float = 1.5) -> list[tuple[float, float, str]]:
+    """Speaker turns [(start_s, end_s, 'spkN')] via embedding clustering."""
+    if len(x) < sr:  # < 1 s: one speaker
+        return [(0.0, len(x) / sr, "spk0")]
+    embeds, times, win_s = _mel_embed(x, sr)
+    if len(embeds) < 4:
+        return [(0.0, len(x) / sr, "spk0")]
+    # cluster in RAW log-mel-shape space: absolute distances are meaningful
+    # (log units), so a minimum center separation rejects spurious splits
+    # that z-scored features would amplify
+    z = embeds
+
+    def _kmeans(k, iters=30, seed=0):
+        rng = np.random.default_rng(seed)
+        c = z[rng.choice(len(z), k, replace=False)]
+        for _ in range(iters):
+            d = ((z[:, None] - c[None]) ** 2).sum(-1)
+            a = d.argmin(1)
+            newc = np.stack([z[a == j].mean(0) if (a == j).any() else c[j]
+                             for j in range(k)])
+            if np.allclose(newc, c):
+                break
+            c = newc
+        inertia = ((z - c[a]) ** 2).sum()
+        return a, inertia
+
+    # accept k>1 only with strong Calinski-Harabasz support AND well-
+    # separated centers (>= ~min_sep log-mel L2 between cluster means)
+    n = len(z)
+    min_sep = 4.0
+    total_ss = ((z - z.mean(0)) ** 2).sum()
+    labels = np.zeros(n, dtype=int)
+    best_ch = 0.0
+    for k in range(2, min(max_speakers, n // 2) + 1):
+        a, inertia = _kmeans(k)
+        if inertia <= _EPS or n <= k:
+            continue
+        centers = np.stack([z[a == j].mean(0) for j in range(k)
+                            if (a == j).any()])
+        if len(centers) < k:
+            continue
+        sep = min(np.linalg.norm(centers[i] - centers[j])
+                  for i in range(k) for j in range(i + 1, k))
+        ch = ((total_ss - inertia) / (k - 1)) / (inertia / (n - k))
+        if ch > max(best_ch, 10.0) and sep > min_sep:
+            labels, best_ch = a, ch
+    # merge consecutive same-label windows into turns
+    turns: list[tuple[float, float, str]] = []
+    start, cur = times[0], labels[0]
+    for t, lab in zip(times[1:], labels[1:]):
+        if lab != cur:
+            turns.append((start, t, f"spk{cur}"))
+            start, cur = t, lab
+    turns.append((start, len(x) / sr, f"spk{cur}"))
+    # absorb sub-minimum turns into the previous one
+    merged: list[tuple[float, float, str]] = []
+    for t in turns:
+        if merged and (t[1] - t[0]) < min_turn_s:
+            merged[-1] = (merged[-1][0], t[1], merged[-1][2])
+        else:
+            merged.append(t)
+    return merged
+
+
+def dnsmos_proxy(x: np.ndarray, sr: int = 24000) -> float:
+    """[1, 5] overall-quality proxy (ref filters at DNSMOS OVRL >= 3.0)."""
+    from amphion_tpu.data.emilia.pipeline import energy_vad, estimate_snr
+
+    if len(x) < sr // 10:
+        return 1.0
+    snr = estimate_snr(x, sr)  # 0..60 dB
+    spec = np.abs(_stft(x.astype(np.float64), 512, 256)) ** 2
+    flat = np.exp(np.mean(np.log(spec + _EPS), axis=1)) / (spec.mean(1) + _EPS)
+    flatness = float(np.median(flat))  # ~1 white noise, ~0 harmonic
+    clip_ratio = float(np.mean(np.abs(x) > 0.985))
+    speech = sum(e - s for s, e in energy_vad(x, sr))
+    speech_ratio = speech / (len(x) / sr)
+    score = 1.0
+    score += 2.0 * np.clip(snr / 40.0, 0, 1)          # up to +2 for clean
+    score += 1.0 * (1.0 - np.clip(flatness * 4, 0, 1))  # harmonicity
+    score += 1.0 * np.clip(speech_ratio * 1.5, 0, 1)  # mostly speech
+    score -= 2.0 * np.clip(clip_ratio * 50, 0, 1)     # clipping penalty
+    return float(np.clip(score, 1.0, 5.0))

@@ -21,6 +21,11 @@ def main():
     parser.add_argument("--max_duration", type=float, default=30.0)
     parser.add_argument("--transcribe", action="store_true",
                         help="run the frozen Whisper transcriber per segment")
+    parser.add_argument("--native_stages", action="store_true",
+                        help="fill separation/diarization/DNSMOS slots with "
+                             "the native signal-processing stages")
+    parser.add_argument("--min_dnsmos", type=float, default=3.0,
+                        help="quality floor when a scorer runs (ref OVRL>=3)")
     args = parser.parse_args()
     logger = get_logger("emilia")
 
@@ -32,10 +37,13 @@ def main():
 
         transcriber = whisper_transcriber()
 
-    pipe = EmiliaPipeline(
+    builder = (EmiliaPipeline.with_native_stages if args.native_stages
+               else EmiliaPipeline)
+    pipe = builder(
         sample_rate=args.sample_rate,
         transcriber=transcriber,
         min_snr_db=args.min_snr_db,
+        min_dnsmos=args.min_dnsmos if args.native_stages else 0.0,
         min_duration_s=args.min_duration,
         max_duration_s=args.max_duration,
     )
