@@ -134,7 +134,9 @@ def _use_pallas_mel(cfg: MelConfig) -> bool:
 
     if not pallas_kernels._HAS_PALLAS:
         return False
-    return cfg.hop_size >= 32 and cfg.hop_size % 8 == 0
+    # n_fft > 1024 overflows the 16 MB scoped-vmem stack in the fused
+    # kernel's DFT matmul (multiscale losses use 2048) — XLA path there
+    return cfg.hop_size >= 32 and cfg.hop_size % 8 == 0 and cfg.n_fft <= 1024
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -86,6 +86,10 @@ class CheckpointManager:
     # -- load ---------------------------------------------------------------
 
     def latest(self) -> str | None:
+        # a specific checkpoint dir was given instead of the run dir
+        # (ref CLI semantics: --checkpoint_path accepts either)
+        if self.directory.name.startswith("epoch-"):
+            return str(self.directory)
         cands = sorted(
             p.name for p in self.directory.iterdir()
             if p.is_dir() and p.name.startswith("epoch-")

@@ -537,6 +537,147 @@ class DualCodecTrainer(AmphionCodecTrainer):
         return {"audio": au, "sem_feats": sem[:, :n]}
 
 
+class SpeechTokenizerTrainer(AmphionCodecTrainer):
+    """SpeechTokenizer trainer (ref `models/codec/speechtokenizer/model.py` —
+    RVQ codec whose first layer is distilled toward SSL features): GAN
+    reconstruction + L1 distillation of the RVQ-1 projection. Targets are
+    the on-device mel front end at the codec frame rate (mel proxy; swap in
+    `content_dir` SSL .npy when extracted, same convention as DualCodec)."""
+
+    def __init__(self, args, cfg):
+        import functools
+
+        from amphion_tpu.models.codec.codec_trainer import multiscale_mel_loss
+        from amphion_tpu.models.codec.speechtokenizer import (
+            SpeechTokenizer, SpeechTokenizerConfig)
+        from amphion_tpu.models.vocoders.gan_trainer import make_optimizer
+        from amphion_tpu.models.vocoders.losses import (
+            discriminator_loss,
+            feature_loss,
+            generator_adv_loss,
+        )
+        from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+        from amphion_tpu.runtime.train_state import TrainState, create_train_state
+
+        self.cfg = cfg
+        self.logger = get_logger("speechtokenizer")
+        p = cfg.preprocess
+        m = cfg.model.get("codec", None)
+        codec_cfg = CodecConfig(
+            sample_rate=p.sample_rate,
+            strides=tuple(m.strides) if m else (2, 4, 5, 8),  # hop 320 → 50 Hz
+            num_quantizers=m.num_quantizers if m else 8,
+            codebook_size=m.codebook_size if m else 1024,
+            codebook_dim=m.codebook_dim if m else 8,
+            encoder_dim=m.get("encoder_dim", 32) if m else 32,
+            latent_dim=m.get("latent_dim", 256) if m else 256,
+            decoder_dim=m.get("decoder_dim", 32) if m else 32,
+        )
+        s = cfg.model.get("speechtokenizer", None)
+        self.sem_mel_cfg = MelConfig(
+            sample_rate=p.sample_rate, n_fft=p.n_fft, win_size=p.win_size,
+            hop_size=codec_cfg.hop, n_mel=p.n_mel, fmin=p.fmin, fmax=p.fmax,
+        )
+        self._mel = mel_spectrogram
+        self.codec = SpeechTokenizer(SpeechTokenizerConfig(
+            codec=codec_cfg,
+            n_q=codec_cfg.num_quantizers,
+            codebook_size=codec_cfg.codebook_size,
+            codebook_dim=codec_cfg.codebook_dim,
+            semantic_dimension=p.n_mel,  # mel-proxy target dim
+            lstm_layers=s.get("lstm_layers", 2) if s else 2,
+            bidirectional=s.get("bidirectional", True) if s else True,
+        ))
+        disc = CombinedDiscriminator(
+            use=tuple(cfg.model.get("discriminators", ["mpd"])),
+            channel_mult=cfg.model.get("discriminator_channel_mult_factor", 1.0),
+        )
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        t = cfg.train
+        seg = t.get("segment_frames", 64) * codec_cfg.hop
+        self.dataset = SegmentAudioDataset(utts, p.sample_rate, seg)
+        self.batch_size = t.batch_size
+        train_cfg = GANTrainConfig(lr=t.adamw.lr)
+
+        example = self._batch(list(range(min(self.batch_size, len(utts)))))
+        g_rng, d_rng = jax.random.split(jax.random.key(t.get("seed", 0)))
+        tx = make_optimizer(train_cfg)
+        g_params = self.codec.init(g_rng, example["audio"])["params"]
+        gstate = TrainState(
+            step=jnp.zeros((), jnp.int32), params=g_params,
+            opt_state=tx.init(g_params), rng=g_rng,
+            apply_fn=self.codec.apply, tx=tx,
+        )
+        dstate = create_train_state(disc, d_rng, example["audio"], tx)
+        self.states = {"g": gstate, "d": dstate}
+        codec, sr = self.codec, p.sample_rate
+        mel_weight = t.get("mel_weight", 15.0)
+        distill_weight = t.get("distill_weight", 1.0)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(states, batch):
+            gstate, dstate = states["g"], states["d"]
+            audio, sem = batch["audio"], batch["sem_feats"]
+
+            recon0, _, _, _ = codec.apply({"params": gstate.params}, audio)
+            fake0 = jax.lax.stop_gradient(recon0)
+
+            def d_loss_fn(dp):
+                lr_, _ = dstate.apply_fn({"params": dp}, audio)
+                lf_, _ = dstate.apply_fn({"params": dp}, fake0)
+                loss, _, _ = discriminator_loss(lr_, lf_)
+                return loss
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dstate.params)
+            dstate = dstate.apply_gradients(d_grads)
+
+            def g_loss_fn(gp):
+                recon, _, semantic, vq_losses = codec.apply({"params": gp}, audio)
+                lr_, fr_ = dstate.apply_fn({"params": dstate.params}, audio)
+                lf_, ff_ = dstate.apply_fn({"params": dstate.params}, recon)
+                adv = generator_adv_loss(lf_)
+                fm = feature_loss(fr_, ff_)
+                ml = mel_weight * multiscale_mel_loss(audio, recon, sr)
+                wl = jnp.mean(jnp.abs(audio - recon))
+                n = min(semantic.shape[1], sem.shape[1])
+                distill = distill_weight * jnp.mean(
+                    jnp.abs(semantic[:, :n] - sem[:, :n]))
+                vq = sum(vq_losses.values())
+                total = adv + fm + ml + wl + vq + distill
+                return total, {"g_adv": adv, "g_mel": ml, "g_vq": vq,
+                               "distill": distill}
+
+            (g_loss, aux), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(gstate.params)
+            gstate = gstate.apply_gradients(g_grads)
+            return {"g": gstate, "d": dstate}, {
+                "d_loss": d_loss, "g_loss": g_loss, **aux}
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])),
+        )
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
+            step, self.states, self._data, ckpt=self.ckpt, logger=self.logger,
+        )
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _batch(self, idxs):
+        audio = np.stack([self.dataset[i]["audio"] for i in idxs])
+        au = jnp.asarray(audio)
+        sem = self._mel(au, self.sem_mel_cfg).transpose(0, 2, 1)
+        n = audio.shape[1] // self.sem_mel_cfg.hop_size
+        return {"audio": au, "sem_feats": sem[:, :n]}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
@@ -551,7 +692,8 @@ def main():
                          "FACodec": FACodecTrainer,
                          "RepCoco": CocoTrainer,
                          "Coco": CocoTrainer,
-                         "DualCodec": DualCodecTrainer}
+                         "DualCodec": DualCodecTrainer,
+                         "SpeechTokenizer": SpeechTokenizerTrainer}
     trainer = supported_trainer[cfg.model_type](args, cfg)
     trainer.train_loop()
 

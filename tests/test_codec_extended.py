@@ -74,3 +74,39 @@ def test_dualcodec_distillation(rng):
     full = model.apply(variables, sem_tok, ac_tok, method=DualCodec.decode_tokens)
     sem_only = model.apply(variables, sem_tok, method=DualCodec.decode_tokens)
     assert full.shape == audio.shape and sem_only.shape == audio.shape
+
+
+def test_speechtokenizer_forward_encode_decode():
+    from amphion_tpu.models.codec.speechtokenizer import (
+        SpeechTokenizer, SpeechTokenizerConfig)
+
+    cfg = SpeechTokenizerConfig(
+        codec=TINY_CODEC, n_q=3, codebook_size=16, codebook_dim=4,
+        semantic_dimension=12, lstm_layers=1, bidirectional=True,
+    )
+    model = SpeechTokenizer(cfg)
+    audio = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 8 * cfg.hop)).astype(np.float32))
+    params = model.init(jax.random.key(0), audio)["params"]
+
+    recon, codes, semantic, losses = model.apply({"params": params}, audio)
+    assert recon.shape == audio.shape
+    assert codes.shape == (3, 2, 8)
+    assert semantic.shape == (2, 8, 12)  # RVQ-1 projected to semantic dim
+    assert "vq_commit" in losses
+
+    # st-based encode/decode: acoustic-only tokens skip the semantic layer
+    all_codes = model.apply({"params": params}, audio, method=SpeechTokenizer.encode)
+    assert all_codes.shape == (3, 2, 8)
+    np.testing.assert_array_equal(np.asarray(all_codes), np.asarray(codes))
+    ac_codes = model.apply({"params": params}, audio, 3, 1,
+                           method=SpeechTokenizer.encode)
+    assert ac_codes.shape == (2, 2, 8)
+    np.testing.assert_array_equal(np.asarray(ac_codes), np.asarray(codes[1:]))
+    wav_full = model.apply({"params": params}, all_codes,
+                           method=SpeechTokenizer.decode)
+    assert wav_full.shape == audio.shape
+    wav_ac = model.apply({"params": params}, ac_codes, 1,
+                         method=SpeechTokenizer.decode)
+    assert wav_ac.shape == audio.shape
+    assert not np.allclose(np.asarray(wav_full), np.asarray(wav_ac))
