@@ -145,6 +145,8 @@ class HiFiGANGenerator(nn.Module):
                 out = resblock_cls(ch, ks, tuple(ds))(x)
                 acc = out if acc is None else acc + out
             x = acc / len(c.resblock_kernel_sizes)
-        x = nn.leaky_relu(x, LRELU_SLOPE)
+        # the reference's final activation is F.leaky_relu's default 0.01
+        # slope, not LRELU_SLOPE (ref hifigan.py:215)
+        x = nn.leaky_relu(x, 0.01)
         x = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME"))(x)
         return jnp.tanh(x)[..., 0]

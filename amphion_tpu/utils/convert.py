@@ -111,22 +111,28 @@ def torch_weight_norm_to_flax(
 ) -> dict:
     """torch weight_norm (g, v) pair → flax WeightNorm wrapper params.
 
-    flax stores the direction inside the wrapped layer and a per-feature
-    scale; torch's g has shape (out, 1, 1). We fold: kernel = v (converted),
-    scale = g flattened."""
+    torch normalizes v over all dims except dim 0 (for ConvTranspose1d that
+    is the *input*-channel dim), flax over all-but-feature (always output).
+    The robust mapping is to materialize the effective torch weight
+    w = g * v / ||v||_dim0, convert its layout, and set the flax scale to
+    the per-feature norm of the converted kernel — flax then reproduces w
+    bit-for-bit (scale * kernel / ||kernel||)."""
+    v = np.asarray(w_v, np.float64)
+    norm_v = np.sqrt(np.sum(v**2, axis=tuple(range(1, v.ndim)), keepdims=True))
+    w_eff = (np.asarray(w_g, np.float64) * v / np.maximum(norm_v, 1e-12))
+    w_eff = w_eff.astype(w_v.dtype)
     if kind == "conv1d":
-        inner = conv1d_to_flax(w_v, b)
+        inner = conv1d_to_flax(w_eff, b)
     elif kind == "convtranspose1d":
-        inner = convtranspose1d_to_flax(w_v, b)
+        inner = convtranspose1d_to_flax(w_eff, b)
     else:
-        inner = linear_to_dense(w_v, b)
-    # normalize the kernel along all-but-feature axes like flax does
+        inner = linear_to_dense(w_eff, b)
     kernel = inner["kernel"]
-    norm = np.sqrt(
-        np.sum(kernel**2, axis=tuple(range(kernel.ndim - 1)), keepdims=False)
-    )
-    scale = w_g.reshape(-1)
-    return {"layer": inner, "scale": scale / np.maximum(norm, 1e-12)}
+    scale = np.sqrt(
+        np.sum(np.asarray(kernel, np.float64) ** 2,
+               axis=tuple(range(kernel.ndim - 1)))
+    ).astype(kernel.dtype)
+    return {"layer": inner, "scale": scale}
 
 
 def conv2d_to_flax(w: np.ndarray, b: np.ndarray | None = None) -> dict:
@@ -209,3 +215,59 @@ def wenet_conformer_to_flax(sd, num_layers: int, hidden: int) -> dict:
         }
         out[f"layers_{i}"] = blk
     return out
+
+
+def torch_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
+                          num_upsamples: int, num_kernels: int,
+                          resblock: str = "1",
+                          dilations_per_block: int = 3) -> dict:
+    """Reference HiFiGAN generator state dict → `HiFiGANGenerator` params.
+
+    Torch layout (ref models/vocoders/gan/generator/hifigan.py:151):
+    conv_pre, ups.{i} (weight-normed ConvTranspose1d), resblocks.{i*K+j}
+    with convs1/convs2 (V1) or convs (V2-style ResBlock2), conv_post.
+    Ours (amphion_tpu/models/vocoders/hifigan.py): Conv_0 (pre),
+    ConvTranspose_{i}, ResBlock{1,2}_{idx} with interleaved Conv_{2j}
+    (dilated) / Conv_{2j+1} (undilated), Conv_1 (post); flax WeightNorm
+    scales live in per-scope 'WeightNorm_k' collections.
+    """
+    g = lambda name: np.asarray(sd[name])
+
+    def wn(prefix: str, kind: str) -> dict:
+        return torch_weight_norm_to_flax(
+            g(f"{prefix}.weight_g"), g(f"{prefix}.weight_v"), kind,
+            g(f"{prefix}.bias") if f"{prefix}.bias" in sd else None)
+
+    params: dict = {}
+    pre = wn("conv_pre", "conv1d")
+    params["Conv_0"] = pre["layer"]
+    params["WeightNorm_0"] = {"Conv_0/kernel/scale": pre["scale"]}
+    for i in range(num_upsamples):
+        up = wn(f"ups.{i}", "convtranspose1d")
+        params[f"ConvTranspose_{i}"] = up["layer"]
+        params[f"WeightNorm_{i + 1}"] = {
+            f"ConvTranspose_{i}/kernel/scale": up["scale"]}
+    block_name = "ResBlock1" if resblock == "1" else "ResBlock2"
+    for idx in range(num_upsamples * num_kernels):
+        bp: dict = {}
+        if resblock == "1":
+            for j in range(dilations_per_block):
+                c1 = wn(f"resblocks.{idx}.convs1.{j}", "conv1d")
+                c2 = wn(f"resblocks.{idx}.convs2.{j}", "conv1d")
+                bp[f"Conv_{2 * j}"] = c1["layer"]
+                bp[f"WeightNorm_{2 * j}"] = {
+                    f"Conv_{2 * j}/kernel/scale": c1["scale"]}
+                bp[f"Conv_{2 * j + 1}"] = c2["layer"]
+                bp[f"WeightNorm_{2 * j + 1}"] = {
+                    f"Conv_{2 * j + 1}/kernel/scale": c2["scale"]}
+        else:
+            for j in range(dilations_per_block):
+                c = wn(f"resblocks.{idx}.convs.{j}", "conv1d")
+                bp[f"Conv_{j}"] = c["layer"]
+                bp[f"WeightNorm_{j}"] = {f"Conv_{j}/kernel/scale": c["scale"]}
+        params[f"{block_name}_{idx}"] = bp
+    post = wn("conv_post", "conv1d")
+    params["Conv_1"] = post["layer"]
+    params[f"WeightNorm_{num_upsamples + 1}"] = {
+        "Conv_1/kernel/scale": post["scale"]}
+    return params

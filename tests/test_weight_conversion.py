@@ -1,0 +1,236 @@
+"""Round-trip weight-conversion tests against the REFERENCE torch models.
+
+The reference tree (read-only, torch CPU) is used purely as a numeric
+oracle: instantiate its actual modules with random weights, convert the
+state dict with amphion_tpu.utils.convert, and require our Flax modules
+to reproduce the torch forward outputs. This proves the converters AND
+the architectural parity of our re-implementations (padding formulas,
+weight-norm semantics, MRF structure) in one shot.
+"""
+
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference tree not available")
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ref_on_path():
+    sys.path.insert(0, str(REFERENCE))
+    yield
+    sys.path.remove(str(REFERENCE))
+
+
+def _hifigan_cfg_torch(resblock="1"):
+    hifigan = SimpleNamespace(
+        resblock=resblock,
+        upsample_rates=[2, 2],
+        upsample_kernel_sizes=[4, 4],
+        upsample_initial_channel=16,
+        resblock_kernel_sizes=[3, 5],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]] if resblock == "1"
+        else [[1, 3], [1, 3]],
+    )
+    return SimpleNamespace(model=SimpleNamespace(hifigan=hifigan),
+                           preprocess=SimpleNamespace(n_mel=8))
+
+
+class TestWeightNormPrimitives:
+    def test_conv1d(self):
+        from torch.nn.utils import weight_norm
+
+        import flax.linen as fnn
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.utils.convert import torch_weight_norm_to_flax
+
+        torch.manual_seed(0)
+        tc = weight_norm(torch.nn.Conv1d(8, 16, 7, padding=3))
+        x = torch.randn(1, 8, 20)
+        with torch.no_grad():
+            ref = tc(x).numpy()
+        sd = {k: v.detach().numpy() for k, v in tc.state_dict().items()}
+        p = torch_weight_norm_to_flax(sd["weight_g"], sd["weight_v"],
+                                      "conv1d", sd["bias"])
+
+        class WN(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return fnn.WeightNorm(fnn.Conv(16, (7,), padding="SAME"))(x)
+
+        params = {
+            "Conv_0": {"kernel": jnp.asarray(p["layer"]["kernel"]),
+                       "bias": jnp.asarray(p["layer"]["bias"])},
+            "WeightNorm_0": {"Conv_0/kernel/scale": jnp.asarray(p["scale"])},
+        }
+        out = np.asarray(
+            WN().apply({"params": params},
+                       jnp.asarray(x.numpy().transpose(0, 2, 1)))
+        ).transpose(0, 2, 1)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_convtranspose1d(self):
+        from torch.nn.utils import weight_norm
+
+        import flax.linen as fnn
+        import jax.numpy as jnp
+
+        from amphion_tpu.utils.convert import torch_weight_norm_to_flax
+
+        torch.manual_seed(1)
+        k, s, pad = 4, 2, 1
+        tt = weight_norm(torch.nn.ConvTranspose1d(8, 16, k, s, padding=pad))
+        x = torch.randn(1, 8, 20)
+        with torch.no_grad():
+            ref = tt(x).numpy()
+        sd = {key: v.detach().numpy() for key, v in tt.state_dict().items()}
+        p = torch_weight_norm_to_flax(sd["weight_g"], sd["weight_v"],
+                                      "convtranspose1d", sd["bias"])
+
+        class WNT(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                return fnn.WeightNorm(fnn.ConvTranspose(
+                    16, (k,), strides=(s,),
+                    padding=((k - 1 - pad, k - 1 - (k - s - pad)),)))(x)
+
+        params = {
+            "ConvTranspose_0": {"kernel": jnp.asarray(p["layer"]["kernel"]),
+                                "bias": jnp.asarray(p["layer"]["bias"])},
+            "WeightNorm_0": {
+                "ConvTranspose_0/kernel/scale": jnp.asarray(p["scale"])},
+        }
+        out = np.asarray(
+            WNT().apply({"params": params},
+                        jnp.asarray(x.numpy().transpose(0, 2, 1)))
+        ).transpose(0, 2, 1)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+class TestHiFiGANRoundTrip:
+    @pytest.mark.parametrize("resblock", ["1", "2"])
+    def test_reference_forward_parity(self, resblock):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vocoders.hifigan import (HiFiGANConfig,
+                                                         HiFiGANGenerator)
+        from amphion_tpu.utils.convert import torch_hifigan_to_flax
+        from models.vocoders.gan.generator.hifigan import HiFiGAN  # reference
+
+        torch.manual_seed(42)
+        tcfg = _hifigan_cfg_torch(resblock)
+        ref_model = HiFiGAN(tcfg).eval()
+        mel = torch.randn(2, 8, 12)  # (B, n_mel, N)
+        with torch.no_grad():
+            ref_wav = ref_model(mel).numpy()  # (B, 1, N*4)
+
+        h = tcfg.model.hifigan
+        params = torch_hifigan_to_flax(
+            {k: v.detach().numpy() for k, v in ref_model.state_dict().items()},
+            num_upsamples=len(h.upsample_rates),
+            num_kernels=len(h.resblock_kernel_sizes),
+            resblock=resblock,
+            dilations_per_block=len(h.resblock_dilation_sizes[0]),
+        )
+        ours = HiFiGANGenerator(HiFiGANConfig(
+            resblock=resblock,
+            upsample_rates=tuple(h.upsample_rates),
+            upsample_kernel_sizes=tuple(h.upsample_kernel_sizes),
+            upsample_initial_channel=h.upsample_initial_channel,
+            resblock_kernel_sizes=tuple(h.resblock_kernel_sizes),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in h.resblock_dilation_sizes),
+            n_mel=8,
+        ))
+        wav = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(mel.numpy().transpose(0, 2, 1))))
+        assert wav.shape == (2, ref_wav.shape[-1])
+        np.testing.assert_allclose(wav, ref_wav[:, 0], atol=5e-5)
+
+
+class TestHFLlamaRoundTrip:
+    """hf_llama_to_flax vs transformers LlamaModel (CPU oracle) — proves
+    the MaskGCT/Vevo backbone (modules/llama.py) matches HF Llama
+    numerics: RoPE convention, GQA, SwiGLU, RMSNorm placement."""
+
+    @pytest.mark.parametrize("kv_heads", [4, 2])  # MHA and GQA
+    def test_decoder_hidden_state_parity(self, kv_heads):
+        transformers = pytest.importorskip("transformers")
+        import jax.numpy as jnp
+
+        from amphion_tpu.modules.llama import LlamaConfig, LlamaDecoder
+        from amphion_tpu.utils.convert import hf_llama_to_flax
+
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=50, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=kv_heads, max_position_embeddings=64,
+            rms_norm_eps=1e-6, rope_theta=10000.0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(7)
+        hf = transformers.LlamaModel(hf_cfg).eval()
+        ids = torch.randint(0, 50, (2, 9))
+        with torch.no_grad():
+            ref = hf(ids).last_hidden_state.numpy()
+            emb = hf.embed_tokens(ids).numpy()
+
+        sd = {f"model.{k}": v.detach().numpy()
+              for k, v in hf.state_dict().items()}
+        params = hf_llama_to_flax(sd, num_layers=2)["decoder"]
+        ours = LlamaDecoder(LlamaConfig(
+            hidden_size=32, num_layers=2, num_heads=4,
+            num_kv_heads=kv_heads, intermediate_size=64,
+            rope_theta=10000.0, max_position=64,
+        ))
+        out = np.asarray(ours.apply({"params": params}, jnp.asarray(emb)))
+        np.testing.assert_allclose(out, ref, atol=3e-5)
+
+    def test_kv_cache_decode_matches_full_forward(self):
+        transformers = pytest.importorskip("transformers")
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.modules.llama import LlamaConfig, LlamaDecoder
+        from amphion_tpu.utils.convert import hf_llama_to_flax
+
+        hf_cfg = transformers.LlamaConfig(
+            vocab_size=50, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=64,
+            rms_norm_eps=1e-6, attn_implementation="eager",
+        )
+        torch.manual_seed(8)
+        hf = transformers.LlamaModel(hf_cfg).eval()
+        ids = torch.randint(0, 50, (1, 7))
+        with torch.no_grad():
+            ref = hf(ids).last_hidden_state.numpy()
+            emb = jnp.asarray(hf.embed_tokens(ids).numpy())
+
+        sd = {f"model.{k}": v.detach().numpy()
+              for k, v in hf.state_dict().items()}
+        params = hf_llama_to_flax(sd, num_layers=2)["decoder"]
+        cfg = LlamaConfig(hidden_size=32, num_layers=2, num_heads=4,
+                          intermediate_size=64, max_position=64)
+        model = LlamaDecoder(cfg)
+        # prefill 4 tokens, then decode 3 one at a time through the cache
+        caches = model.init_cache(1, 16)
+        h, caches = model.apply({"params": params}, emb[:, :4],
+                                caches=caches, cache_index=0)
+        outs = [np.asarray(h)]
+        for i in range(4, 7):
+            h, caches = model.apply({"params": params}, emb[:, i:i + 1],
+                                    caches=caches, cache_index=i)
+            outs.append(np.asarray(h))
+        stitched = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(stitched, ref, atol=3e-5)
