@@ -90,10 +90,13 @@ class CodecDecoder(nn.Module):
             ch = ch // 2
             h = Snake(h.shape[-1], name=f"up_act_{i}")(h)
             k = 2 * s
-            p = (k - s) // 2
+            # ref codec.py:147 DecoderBlock: torch padding = ceil(s/2),
+            # output_padding = s % 2 → flax (k-1-ceil(s/2), k-1-s//2);
+            # symmetric for even strides, right-extended for odd
             h = nn.WeightNorm(
                 nn.ConvTranspose(ch, (k,), strides=(s,),
-                                 padding=((k - 1 - p, k - 1 - (k - s - p)),))
+                                 padding=((k - 1 - (s // 2 + s % 2),
+                                           k - 1 - s // 2),))
             )(h)
             for d in (1, 3, 9):
                 h = ResidualUnit(ch, d, name=f"res_{i}_{d}")(h)

@@ -29,6 +29,7 @@ class BigVGANConfig:
         (1, 3, 5), (1, 3, 5), (1, 3, 5),
     )
     activation: str = "snakebeta"  # "snake" | "snakebeta"
+    snake_logscale: bool = True  # ref cfg.model.bigvgan.snake_logscale
     use_pallas_act: bool = False  # fused AA-activation Pallas kernel (TPU)
 
     @property
@@ -47,12 +48,14 @@ class AMPBlock(nn.Module):
     kernel_size: int
     dilations: tuple[int, ...]
     activation: str
+    logscale: bool = True
     use_pallas: bool = False
 
     def _act(self, name):
         act_cls = SnakeBeta if self.activation == "snakebeta" else Snake
-        return Activation1d(act_cls(self.channels), name=name,
-                            use_pallas=self.use_pallas)
+        return Activation1d(
+            act_cls(self.channels, alpha_logscale=self.logscale),
+            name=name, use_pallas=self.use_pallas)
 
     @nn.compact
     def __call__(self, x):
@@ -89,12 +92,13 @@ class BigVGANGenerator(nn.Module):
             acc = None
             for ks, ds in zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes):
                 out = AMPBlock(ch, ks, tuple(ds), c.activation,
+                               logscale=c.snake_logscale,
                                use_pallas=c.use_pallas_act,
                                name=f"amp_{i}_{ks}")(x)
                 acc = out if acc is None else acc + out
             x = acc / len(c.resblock_kernel_sizes)
         act_cls = SnakeBeta if c.activation == "snakebeta" else Snake
-        x = Activation1d(act_cls(x.shape[-1]), name="final_act",
-                         use_pallas=c.use_pallas_act)(x)
+        x = Activation1d(act_cls(x.shape[-1], alpha_logscale=c.snake_logscale),
+                         name="final_act", use_pallas=c.use_pallas_act)(x)
         x = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME"))(x)
         return jnp.tanh(x)[..., 0]

@@ -271,3 +271,155 @@ def torch_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
     params[f"WeightNorm_{num_upsamples + 1}"] = {
         "Conv_1/kernel/scale": post["scale"]}
     return params
+
+
+def torch_bigvgan_to_flax(sd: Mapping[str, np.ndarray], *,
+                          num_upsamples: int, num_kernels: int,
+                          resblock_kernel_sizes: tuple[int, ...],
+                          dilations_per_block: int = 3,
+                          snakebeta: bool = True) -> dict:
+    """Reference BigVGAN generator state dict → `BigVGANGenerator` params.
+
+    Torch layout (ref models/vocoders/gan/generator/bigvgan.py:232):
+    conv_pre, ups.{i}.0 (nested ModuleList), resblocks.{i*K+j} AMPBlock1
+    with convs1/convs2 + activations.{k}.act Snake(Beta) alphas,
+    activation_post.act, conv_post. Ours: Conv_0/ConvTranspose_{i}/
+    amp_{i}_{ks}/Conv_{2j},Conv_{2j+1} + SnakeBeta_{k}, final_act scope
+    named SnakeBeta_0 at top level, Conv_1.
+    """
+    g = lambda name: np.asarray(sd[name])
+    act = "SnakeBeta" if snakebeta else "Snake"
+
+    def wn(prefix: str, kind: str) -> dict:
+        return torch_weight_norm_to_flax(
+            g(f"{prefix}.weight_g"), g(f"{prefix}.weight_v"), kind,
+            g(f"{prefix}.bias") if f"{prefix}.bias" in sd else None)
+
+    def snake(prefix: str) -> dict:
+        out = {"alpha": g(f"{prefix}.alpha")}
+        if f"{prefix}.beta" in sd:
+            out["beta"] = g(f"{prefix}.beta")
+        return out
+
+    params: dict = {}
+    pre = wn("conv_pre", "conv1d")
+    params["Conv_0"] = pre["layer"]
+    params["WeightNorm_0"] = {"Conv_0/kernel/scale": pre["scale"]}
+    for i in range(num_upsamples):
+        up = wn(f"ups.{i}.0", "convtranspose1d")
+        params[f"ConvTranspose_{i}"] = up["layer"]
+        params[f"WeightNorm_{i + 1}"] = {
+            f"ConvTranspose_{i}/kernel/scale": up["scale"]}
+    for i in range(num_upsamples):
+        for j, ks in enumerate(resblock_kernel_sizes):
+            idx = i * num_kernels + j
+            bp: dict = {}
+            for d in range(dilations_per_block):
+                c1 = wn(f"resblocks.{idx}.convs1.{d}", "conv1d")
+                c2 = wn(f"resblocks.{idx}.convs2.{d}", "conv1d")
+                bp[f"Conv_{2 * d}"] = c1["layer"]
+                bp[f"WeightNorm_{2 * d}"] = {
+                    f"Conv_{2 * d}/kernel/scale": c1["scale"]}
+                bp[f"Conv_{2 * d + 1}"] = c2["layer"]
+                bp[f"WeightNorm_{2 * d + 1}"] = {
+                    f"Conv_{2 * d + 1}/kernel/scale": c2["scale"]}
+                bp[f"{act}_{2 * d}"] = snake(
+                    f"resblocks.{idx}.activations.{2 * d}.act")
+                bp[f"{act}_{2 * d + 1}"] = snake(
+                    f"resblocks.{idx}.activations.{2 * d + 1}.act")
+            params[f"amp_{i}_{ks}"] = bp
+    params[f"{act}_0"] = snake("activation_post.act")
+    post = wn("conv_post", "conv1d")
+    params["Conv_1"] = post["layer"]
+    params[f"WeightNorm_{num_upsamples + 1}"] = {
+        "Conv_1/kernel/scale": post["scale"]}
+    return params
+
+
+def _codec_resunit(sd: Mapping[str, np.ndarray], prefix: str, wn) -> dict:
+    """Reference amphion_codec ResidualUnit (snake, k7 conv, snake, k1 conv)
+    → our ResidualUnit params (act1/act2 + Conv_0/Conv_1 + WeightNorms)."""
+    c0 = wn(f"{prefix}.block.1", "conv1d")
+    c1 = wn(f"{prefix}.block.3", "conv1d")
+    return {
+        "act1": {"alpha": np.asarray(sd[f"{prefix}.block.0.alpha"]).reshape(-1)},
+        "Conv_0": c0["layer"],
+        "WeightNorm_0": {"Conv_0/kernel/scale": c0["scale"]},
+        "act2": {"alpha": np.asarray(sd[f"{prefix}.block.2.alpha"]).reshape(-1)},
+        "Conv_1": c1["layer"],
+        "WeightNorm_1": {"Conv_1/kernel/scale": c1["scale"]},
+    }
+
+
+def torch_codec_encoder_to_flax(sd: Mapping[str, np.ndarray], *,
+                                strides: tuple[int, ...],
+                                dilations=(1, 3, 9)) -> dict:
+    """Reference AmphionCodec CodecEncoder state dict → our CodecEncoder.
+
+    Torch (ref models/codec/amphion_codec/codec.py:100): Sequential
+    block.0 (pre conv), block.{1..N} EncoderBlock(.block: 3 ResidualUnits,
+    Snake, strided conv), block.{N+1} Snake, block.{N+2} out conv."""
+    g = lambda name: np.asarray(sd[name])
+
+    def wn(prefix: str, kind: str) -> dict:
+        return torch_weight_norm_to_flax(
+            g(f"{prefix}.weight_g"), g(f"{prefix}.weight_v"), kind,
+            g(f"{prefix}.bias") if f"{prefix}.bias" in sd else None)
+
+    n = len(strides)
+    params: dict = {}
+    pre = wn("block.0", "conv1d")
+    params["Conv_0"] = pre["layer"]
+    params["WeightNorm_0"] = {"Conv_0/kernel/scale": pre["scale"]}
+    for i in range(n):
+        eb = f"block.{i + 1}.block"
+        for j, d in enumerate(dilations):
+            params[f"res_{i}_{d}"] = _codec_resunit(sd, f"{eb}.{j}", wn)
+        params[f"down_act_{i}"] = {
+            "alpha": g(f"{eb}.{len(dilations)}.alpha").reshape(-1)}
+        down = wn(f"{eb}.{len(dilations) + 1}", "conv1d")
+        params[f"Conv_{i + 1}"] = down["layer"]
+        params[f"WeightNorm_{i + 1}"] = {
+            f"Conv_{i + 1}/kernel/scale": down["scale"]}
+    params["final_act"] = {"alpha": g(f"block.{n + 1}.alpha").reshape(-1)}
+    out = wn(f"block.{n + 2}", "conv1d")
+    params[f"Conv_{n + 1}"] = out["layer"]
+    params[f"WeightNorm_{n + 1}"] = {f"Conv_{n + 1}/kernel/scale": out["scale"]}
+    return params
+
+
+def torch_codec_decoder_to_flax(sd: Mapping[str, np.ndarray], *,
+                                up_ratios: tuple[int, ...],
+                                dilations=(1, 3, 9),
+                                prefix: str = "model") -> dict:
+    """Reference CodecDecoder conv stack (quantizer excluded) → ours.
+
+    Torch: {prefix}.0 pre conv, {prefix}.{i+1} DecoderBlock(.block: Snake,
+    ConvTranspose, 3 ResidualUnits), {prefix}.{N+1} Snake, {prefix}.{N+2}
+    out conv, {prefix}.{N+3} Tanh."""
+    g = lambda name: np.asarray(sd[name])
+
+    def wn(p: str, kind: str) -> dict:
+        return torch_weight_norm_to_flax(
+            g(f"{p}.weight_g"), g(f"{p}.weight_v"), kind,
+            g(f"{p}.bias") if f"{p}.bias" in sd else None)
+
+    n = len(up_ratios)
+    params: dict = {}
+    pre = wn(f"{prefix}.0", "conv1d")
+    params["Conv_0"] = pre["layer"]
+    params["WeightNorm_0"] = {"Conv_0/kernel/scale": pre["scale"]}
+    for i in range(n):
+        db = f"{prefix}.{i + 1}.block"
+        params[f"up_act_{i}"] = {"alpha": g(f"{db}.0.alpha").reshape(-1)}
+        up = wn(f"{db}.1", "convtranspose1d")
+        params[f"ConvTranspose_{i}"] = up["layer"]
+        params[f"WeightNorm_{i + 1}"] = {
+            f"ConvTranspose_{i}/kernel/scale": up["scale"]}
+        for j, d in enumerate(dilations):
+            params[f"res_{i}_{d}"] = _codec_resunit(sd, f"{db}.{j + 2}", wn)
+    params["final_act"] = {"alpha": g(f"{prefix}.{n + 1}.alpha").reshape(-1)}
+    out = wn(f"{prefix}.{n + 2}", "conv1d")
+    params["Conv_1"] = out["layer"]
+    params[f"WeightNorm_{n + 1}"] = {"Conv_1/kernel/scale": out["scale"]}
+    return params

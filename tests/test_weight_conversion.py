@@ -25,8 +25,42 @@ torch = pytest.importorskip("torch")
 @pytest.fixture(scope="module", autouse=True)
 def _ref_on_path():
     sys.path.insert(0, str(REFERENCE))
+    # the reference package imports optional deps at module scope; stub
+    # the ones absent here so the oracle models stay importable
+    import types
+
+    stubs = {}
+
+    import importlib.machinery
+
+    def _stub(name):
+        if name in sys.modules:
+            return
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # acts as a package for submodule imports
+
+        def _getattr(attr):  # non-dunder attributes resolve to a dummy
+            if attr.startswith("__"):
+                raise AttributeError(attr)
+            return object
+
+        mod.__getattr__ = _getattr
+        # transformers probes optional deps via importlib.util.find_spec
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None,
+                                                      is_package=True)
+        sys.modules[name] = mod
+        stubs[name] = mod
+
+    for name in ("lhotse", "lhotse.dataset", "lhotse.dataset.collation",
+                 "lhotse.dataset.input_strategies", "lhotse.utils",
+                 "torchaudio", "torchaudio.functional",
+                 "torchaudio.functional.functional",
+                 "torchaudio.transforms", "librosa", "librosa.filters"):
+        _stub(name)
     yield
     sys.path.remove(str(REFERENCE))
+    for name in stubs:
+        sys.modules.pop(name, None)
 
 
 def _hifigan_cfg_torch(resblock="1"):
@@ -234,3 +268,132 @@ class TestHFLlamaRoundTrip:
             outs.append(np.asarray(h))
         stitched = np.concatenate(outs, axis=1)
         np.testing.assert_allclose(stitched, ref, atol=3e-5)
+
+
+class TestBigVGANRoundTrip:
+    """Reference BigVGAN (AMP blocks + Snake/SnakeBeta + anti-aliased
+    resampling) vs ours through converted weights — also validates the
+    Kaiser up/down filters and snake parameterizations numerically."""
+
+    @pytest.mark.parametrize("activation", ["snakebeta", "snake"])
+    def test_reference_forward_parity(self, activation):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vocoders.bigvgan import (BigVGANConfig,
+                                                         BigVGANGenerator)
+        from amphion_tpu.utils.convert import torch_bigvgan_to_flax
+        from models.vocoders.gan.generator.bigvgan import \
+            BigVGAN as RefBigVGAN
+
+        bigvgan = SimpleNamespace(
+            resblock="1",
+            upsample_rates=[2, 2],
+            upsample_kernel_sizes=[4, 4],
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=[3, 5],
+            resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+            activation=activation,
+            snake_logscale=True,
+        )
+        tcfg = SimpleNamespace(model=SimpleNamespace(bigvgan=bigvgan),
+                               preprocess=SimpleNamespace(n_mel=8))
+        torch.manual_seed(3)
+        ref_model = RefBigVGAN(tcfg).eval()
+        # random snake params so the test is not trivially at-init
+        with torch.no_grad():
+            for n, p in ref_model.named_parameters():
+                if n.endswith(("alpha", "beta")):
+                    p.copy_(torch.randn_like(p) * 0.3)
+        mel = torch.randn(2, 8, 12)
+        with torch.no_grad():
+            ref_wav = ref_model(mel).numpy()
+
+        params = torch_bigvgan_to_flax(
+            {k: v.detach().numpy() for k, v in ref_model.state_dict().items()},
+            num_upsamples=2, num_kernels=2,
+            resblock_kernel_sizes=(3, 5), dilations_per_block=3,
+            snakebeta=(activation == "snakebeta"),
+        )
+        ours = BigVGANGenerator(BigVGANConfig(
+            n_mel=8, upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3, 5),
+            resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+            activation=activation, snake_logscale=True,
+        ))
+        wav = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(mel.numpy().transpose(0, 2, 1))))
+        assert wav.shape == (2, ref_wav.shape[-1])
+        np.testing.assert_allclose(wav, ref_wav[:, 0], atol=2e-4)
+
+
+class TestAmphionCodecRoundTrip:
+    """Reference AmphionCodec encoder/decoder conv stacks vs ours through
+    converted weights (the MaskGCT acoustic codec; quantizer excluded —
+    compared at the latent boundary). Also exercises the asymmetric
+    odd-stride transposed-conv padding (stride 5)."""
+
+    def test_encoder_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.codec.amphion_codec import (CodecConfig,
+                                                            CodecEncoder)
+        from amphion_tpu.utils.convert import torch_codec_encoder_to_flax
+        from models.codec.amphion_codec.codec import \
+            CodecEncoder as RefEncoder
+
+        torch.manual_seed(5)
+        ref = RefEncoder(d_model=4, up_ratios=[2, 5], out_channels=8).eval()
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                if n.endswith("alpha"):
+                    p.copy_(torch.rand_like(p) + 0.5)
+        x = torch.randn(2, 1, 40)
+        with torch.no_grad():
+            ref_z = ref(x).numpy()  # (B, out, T/10)
+
+        params = torch_codec_encoder_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            strides=(2, 5))
+        ours = CodecEncoder(CodecConfig(
+            sample_rate=8000, encoder_dim=4, latent_dim=8, decoder_dim=4,
+            strides=(2, 5), num_quantizers=2, codebook_size=16,
+            codebook_dim=4))
+        z = np.asarray(ours.apply({"params": params},
+                                  jnp.asarray(x.numpy()[:, 0])))
+        # ours is NLC
+        assert z.shape == (2, ref_z.shape[2], 8)
+        np.testing.assert_allclose(z.transpose(0, 2, 1), ref_z, atol=1e-4)
+
+    def test_decoder_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.codec.amphion_codec import (CodecConfig,
+                                                            CodecDecoder)
+        from amphion_tpu.utils.convert import torch_codec_decoder_to_flax
+        from models.codec.amphion_codec.codec import \
+            CodecDecoder as RefDecoder
+
+        torch.manual_seed(6)
+        ref = RefDecoder(in_channels=8, upsample_initial_channel=16,
+                         up_ratios=[5, 2], num_quantizers=2,
+                         codebook_size=16, codebook_dim=4,
+                         quantizer_type="fvq").eval()
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                if n.endswith("alpha") and "quantizer" not in n:
+                    p.copy_(torch.rand_like(p) + 0.5)
+        z = torch.randn(2, 8, 4)
+        with torch.no_grad():
+            ref_wav = ref(z, vq=False).numpy()
+
+        params = torch_codec_decoder_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            up_ratios=(5, 2))
+        ours = CodecDecoder(CodecConfig(
+            sample_rate=8000, encoder_dim=4, latent_dim=8, decoder_dim=4,
+            strides=(2, 5), num_quantizers=2, codebook_size=16,
+            codebook_dim=4))
+        wav = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(z.numpy().transpose(0, 2, 1))))
+        assert wav.shape == (2, ref_wav.shape[-1])
+        np.testing.assert_allclose(wav, ref_wav[:, 0], atol=1e-4)
