@@ -67,8 +67,12 @@ class RMSNorm(nn.Module):
 
 
 class AdaptiveRMSNorm(nn.Module):
-    """RMSNorm with conditioning-dependent scale/shift (MaskGCT adaLN,
-    ref `llama_nar.py:28-56`)."""
+    """RMSNorm with conditioning-dependent scale (MaskGCT adaLN).
+
+    Matches the reference parameterization exactly (ref
+    `llama_nar.py:35-53` LlamaAdaptiveRMSNorm): scale = Linear(cond) with
+    zero kernel / ones bias init (identity at init), no shift, no
+    nonlinearity on cond — so converted MaskGCT checkpoints load 1:1."""
 
     eps: float = 1e-6
 
@@ -77,13 +81,13 @@ class AdaptiveRMSNorm(nn.Module):
         # cond: (B, D) or (B, T, D)
         var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         normed = (x * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
-        mod = nn.Dense(2 * x.shape[-1], kernel_init=nn.initializers.zeros)(
-            nn.silu(cond)
-        )
-        if mod.ndim == 2:
-            mod = mod[:, None, :]
-        scale, shift = jnp.split(mod, 2, axis=-1)
-        return normed * (1.0 + scale) + shift
+        weight = nn.Dense(
+            x.shape[-1], kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.ones, name="to_weight",
+        )(cond)
+        if weight.ndim == 2:
+            weight = weight[:, None, :]
+        return normed * weight
 
 
 def rotary_tables(max_pos: int, head_dim: int, theta: float = 1e4):

@@ -423,3 +423,53 @@ def torch_codec_decoder_to_flax(sd: Mapping[str, np.ndarray], *,
     params["Conv_1"] = out["layer"]
     params[f"WeightNorm_{n + 1}"] = {"Conv_1/kernel/scale": out["scale"]}
     return params
+
+
+def diff_llama_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """Reference MaskGCT DiffLlama state dict → our adaptive LlamaEncoder
+    params (+ cond/diff-step MLPs under their own keys).
+
+    Torch layout (ref models/tts/maskgct/llama_nar.py:202): layers.{i} with
+    HF Llama attention/MLP and LlamaAdaptiveRMSNorm (`to_weight` Linear)
+    input/post norms, final `norm`, `cond_mlp.{0,2}`, `diff_step_mlp.{0,2}`.
+    """
+    g = lambda name: np.asarray(sd[name])
+
+    def ada(prefix: str) -> dict:
+        return {"to_weight": linear_to_dense(g(f"{prefix}.to_weight.weight"),
+                                             g(f"{prefix}.to_weight.bias"))}
+
+    params: dict = {}
+    for i in range(num_layers):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "input_norm": ada(f"{p}.input_layernorm"),
+            "post_norm": ada(f"{p}.post_attention_layernorm"),
+            "attn": {
+                "q_proj": linear_to_dense(g(f"{p}.self_attn.q_proj.weight")),
+                "k_proj": linear_to_dense(g(f"{p}.self_attn.k_proj.weight")),
+                "v_proj": linear_to_dense(g(f"{p}.self_attn.v_proj.weight")),
+                "o_proj": linear_to_dense(g(f"{p}.self_attn.o_proj.weight")),
+            },
+            "mlp": {
+                "gate_proj": linear_to_dense(g(f"{p}.mlp.gate_proj.weight")),
+                "up_proj": linear_to_dense(g(f"{p}.mlp.up_proj.weight")),
+                "down_proj": linear_to_dense(g(f"{p}.mlp.down_proj.weight")),
+            },
+        }
+    params["final_norm"] = ada("norm")
+
+    def mlp2(prefix: str) -> dict:
+        return {
+            "Dense_0": linear_to_dense(g(f"{prefix}.0.weight"),
+                                       g(f"{prefix}.0.bias")),
+            "Dense_1": linear_to_dense(g(f"{prefix}.2.weight"),
+                                       g(f"{prefix}.2.bias")),
+        }
+
+    out = {"encoder": params}
+    if "cond_mlp.0.weight" in sd:
+        out["cond_mlp"] = mlp2("cond_mlp")
+    if "diff_step_mlp.0.weight" in sd:
+        out["diff_step_mlp"] = mlp2("diff_step_mlp")
+    return out

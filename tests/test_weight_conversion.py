@@ -397,3 +397,77 @@ class TestAmphionCodecRoundTrip:
             {"params": params}, jnp.asarray(z.numpy().transpose(0, 2, 1))))
         assert wav.shape == (2, ref_wav.shape[-1])
         np.testing.assert_allclose(wav, ref_wav[:, 0], atol=1e-4)
+
+
+class TestDiffLlamaRoundTrip:
+    """Reference MaskGCT DiffLlama (adaptive-RMSNorm NAR Llama) vs our
+    adaptive LlamaEncoder through converted weights — the flagship
+    MaskGCT T2S/S2A backbone. Covers the adaLN parameterization
+    (scale-only Linear on the diffusion-step embedding), the cond-add
+    input path, and the bidirectional mask."""
+
+    def test_reference_forward_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.modules.llama import LlamaConfig, LlamaEncoder
+        from amphion_tpu.utils.convert import diff_llama_to_flax
+        from models.tts.maskgct.llama_nar import DiffLlama
+
+        torch.manual_seed(11)
+        hidden, heads, layers = 32, 4, 2
+        ref = DiffLlama(hidden_size=hidden, num_heads=heads,
+                        num_layers=layers).eval()
+        # the vendored layer targets the old HF attention API
+        # (position_ids in, 3-tuple out); shim it onto the installed
+        # transformers: compute rotary embeddings and pad the return
+        from transformers.models.llama.modeling_llama import \
+            LlamaRotaryEmbedding
+
+        rot = LlamaRotaryEmbedding(config=ref.layers[0].self_attn.config)
+
+        def _shim(attn):
+            orig = attn.forward
+
+            def fwd(hidden_states, attention_mask=None, position_ids=None,
+                    past_key_value=None, output_attentions=False,
+                    use_cache=False, **kw):
+                pos_emb = rot(hidden_states, position_ids)
+                out = orig(hidden_states=hidden_states,
+                           attention_mask=attention_mask,
+                           position_embeddings=pos_emb,
+                           past_key_value=past_key_value, **kw)
+                h, w = out[0], out[1] if len(out) > 1 else None
+                return h, w, None
+
+            attn.forward = fwd
+
+        for layer in ref.layers:
+            layer.self_attn.config._attn_implementation = "eager"
+            _shim(layer.self_attn)
+        # randomize the adaLN projections away from identity-at-init
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                if "to_weight" in n:
+                    p.copy_(torch.randn_like(p) * 0.2)
+        b, t = 2, 6
+        x = torch.randn(b, t, hidden)
+        cond = torch.randn(b, t, hidden)
+        step = torch.tensor([3.0, 7.0])
+        mask = torch.ones(b, t)
+        with torch.no_grad():
+            ref_out = ref(x, step, cond, mask).numpy()
+            cond_emb = ref.cond_mlp(cond)
+            dstep = ref.diff_step_mlp(
+                ref.diff_step_embedding(step)).numpy()
+            x_in = (x + cond_emb).numpy()
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = diff_llama_to_flax(sd, num_layers=layers)["encoder"]
+        ours = LlamaEncoder(LlamaConfig(
+            hidden_size=hidden, num_layers=layers, num_heads=heads,
+            intermediate_size=4 * hidden, adaptive=True, max_position=64,
+        ))
+        out = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(x_in),
+            cond=jnp.asarray(dstep), mask=jnp.ones((b, t), bool)))
+        np.testing.assert_allclose(out, ref_out, atol=5e-5)
