@@ -62,11 +62,14 @@ class VocosGenerator(nn.Module):
         f = c.n_fft // 2 + 1
         head = nn.Dense(2 * f, name="head")(x)  # (B, N, 2F)
         mag, phase = jnp.split(head, 2, axis=-1)
-        mag = jnp.exp(jnp.clip(mag, -10.0, 10.0))  # log-magnitude head
+        # log-magnitude head, clipped at 1e2 like the reference ISTFTHead
+        # (ref amphion_codec/vocos.py:347-350)
+        mag = jnp.minimum(jnp.exp(mag), 1e2)
         real = mag * jnp.cos(phase)
         imag = mag * jnp.sin(phase)
         # (B, N, F) → (B, F, N)
         real = jnp.transpose(real, (0, 2, 1))
         imag = jnp.transpose(imag, (0, 2, 1))
         n = mel.shape[1]
-        return istft(real, imag, c.n_fft, c.hop_size, c.n_fft, length=n * c.hop_size)
+        return istft(real, imag, c.n_fft, c.hop_size, c.n_fft,
+                     length=n * c.hop_size, padding="same")

@@ -139,7 +139,7 @@ def _idft_kernel(n_fft: int, win_size: int) -> np.ndarray:
     return (basis * w[:, None]).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def istft(
     real: jax.Array,
     imag: jax.Array,
@@ -147,12 +147,15 @@ def istft(
     hop_size: int,
     win_size: int,
     length: int | None = None,
+    padding: str = "center",
 ) -> jax.Array:
     """Inverse STFT with overlap-add + window-sum normalization.
 
-    Matches ``torch.istft(center=True)`` semantics (used by the Vocos / APNet
-    iSTFT vocoder heads, reference `models/vocoders/gan/generator/apnet.py`).
-    Input (B, F, N) real/imag; output (B, length).
+    ``padding="center"`` matches ``torch.istft(center=True)`` (APNet head,
+    reference `models/vocoders/gan/generator/apnet.py`); ``"same"`` matches
+    the Vocos custom ISTFT that trims ``(win - hop) // 2`` per side
+    (reference `models/codec/amphion_codec/vocos.py:84-168`), giving
+    exactly ``n_frames * hop`` samples. Input (B, F, N) real/imag.
     """
     b, f, n_frames = real.shape
     spec_ri = jnp.concatenate([real, imag], axis=1)  # (B, 2F, N)
@@ -176,7 +179,9 @@ def istft(
     # center=True trimming: with an explicit length, torch trims only the
     # leading n_fft//2 and cuts to length (the symmetric end-trim would zero
     # the last partial-overlap samples); without it, trim both ends.
-    start = n_fft // 2
+    start = n_fft // 2 if padding == "center" else (win_size - hop_size) // 2
+    if length is None and padding == "same":
+        length = n_frames * hop_size
     if length is not None:
         sig = sig[:, start:]
         if sig.shape[-1] < length:

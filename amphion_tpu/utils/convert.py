@@ -473,3 +473,39 @@ def diff_llama_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     if "diff_step_mlp.0.weight" in sd:
         out["diff_step_mlp"] = mlp2("diff_step_mlp")
     return out
+
+
+def torch_vocos_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """Reference Vocos (backbone + ISTFT head) state dict → `VocosGenerator`.
+
+    Torch layout (ref models/codec/amphion_codec/vocos.py:720,824):
+    backbone.embed (conv), backbone.norm, backbone.convnext.{i}
+    (dwconv, norm, pwconv1, pwconv2, gamma), backbone.final_layer_norm,
+    head.out (Linear). Ours: embed / norm_pre / block_{i}
+    (Conv_0, LayerNorm_0, Dense_0, Dense_1, gamma) / norm_post / head.
+    """
+    g = lambda name: np.asarray(sd[name])
+
+    def ln(prefix: str) -> dict:
+        return {"scale": g(f"{prefix}.weight"), "bias": g(f"{prefix}.bias")}
+
+    params: dict = {
+        "embed": conv1d_to_flax(g("backbone.embed.weight"),
+                                g("backbone.embed.bias")),
+        "norm_pre": ln("backbone.norm"),
+        "norm_post": ln("backbone.final_layer_norm"),
+        "head": linear_to_dense(g("head.out.weight"), g("head.out.bias")),
+    }
+    for i in range(num_layers):
+        p = f"backbone.convnext.{i}"
+        params[f"block_{i}"] = {
+            "Conv_0": conv1d_to_flax(g(f"{p}.dwconv.weight"),
+                                     g(f"{p}.dwconv.bias")),
+            "LayerNorm_0": ln(f"{p}.norm"),
+            "Dense_0": linear_to_dense(g(f"{p}.pwconv1.weight"),
+                                       g(f"{p}.pwconv1.bias")),
+            "Dense_1": linear_to_dense(g(f"{p}.pwconv2.weight"),
+                                       g(f"{p}.pwconv2.bias")),
+            "gamma": g(f"{p}.gamma"),
+        }
+    return params

@@ -471,3 +471,36 @@ class TestDiffLlamaRoundTrip:
             {"params": params}, jnp.asarray(x_in),
             cond=jnp.asarray(dstep), mask=jnp.ones((b, t), bool)))
         np.testing.assert_allclose(out, ref_out, atol=5e-5)
+
+
+class TestVocosRoundTrip:
+    """Reference Vocos (ConvNeXt backbone + ISTFT head, the Vevo vocoder)
+    vs ours through converted weights — covers the 'same'-padding ISTFT
+    and the exp/clip magnitude head."""
+
+    def test_reference_forward_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vocoders.vocos import (VocosConfig,
+                                                       VocosGenerator)
+        from amphion_tpu.utils.convert import torch_vocos_to_flax
+        from models.codec.amphion_codec.vocos import Vocos as RefVocos
+
+        torch.manual_seed(9)
+        ref = RefVocos(input_channels=8, dim=16, intermediate_dim=32,
+                       num_layers=2, n_fft=16, hop_size=4,
+                       padding="same").eval()
+        mel = torch.randn(2, 8, 12)
+        with torch.no_grad():
+            ref_wav = ref(mel).numpy()  # (B, 1, T)
+
+        params = torch_vocos_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            num_layers=2)
+        ours = VocosGenerator(VocosConfig(
+            n_mel=8, dim=16, intermediate_dim=32, num_layers=2,
+            n_fft=16, hop_size=4))
+        wav = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(mel.numpy().transpose(0, 2, 1))))
+        assert wav.shape == (2, ref_wav.shape[-1])
+        np.testing.assert_allclose(wav, ref_wav[:, 0], atol=1e-4)
