@@ -65,13 +65,23 @@ class VectorQuantize(nn.Module):
 
 
 class FactorizedVectorQuantize(nn.Module):
-    """FVQ: project into a low-dim, L2-normalized codebook space
-    (ref `factorized_vector_quantize.py:22`; the Coco/Vevo tokenizers)."""
+    """FVQ: project into a low-dim codebook space, optionally L2-normalized
+    *lookup* (ref `factorized_vector_quantize.py:22`; the Coco/Vevo
+    tokenizers and the MaskGCT acoustic codec).
+
+    Reference semantics exactly: with ``use_l2_normlize`` the nearest-
+    neighbor search runs on normalized latents/codebook (cosine distance),
+    but the quantized value is the RAW codebook entry (ref
+    `decode_latents`/`decode_code` at factorized_vector_quantize.py:103-121
+    — normalization affects the lookup only), the straight-through estimator
+    anchors on the unnormalized projected latent, and losses are plain MSE
+    between latent and entry."""
 
     codebook_size: int
     codebook_dim: int  # low-dim lookup space
     input_dim: int
     commitment: float = 0.25
+    use_l2_normlize: bool = True  # MaskGCT/Coco configs set true
 
     def setup(self):
         self.in_proj = nn.Dense(self.codebook_dim, name="in_proj")
@@ -82,20 +92,23 @@ class FactorizedVectorQuantize(nn.Module):
             (self.codebook_size, self.codebook_dim),
         )
 
-    def _norm_codebook(self):
-        return self.codebook / (
-            jnp.linalg.norm(self.codebook, axis=-1, keepdims=True) + 1e-8
-        )
+    def _lookup(self, z):
+        if self.use_l2_normlize:
+            enc = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+            cb = self.codebook / (
+                jnp.linalg.norm(self.codebook, axis=-1, keepdims=True) + 1e-8
+            )
+        else:
+            enc, cb = z, self.codebook
+        return _nearest(jax.lax.stop_gradient(enc), cb)
 
     def __call__(self, x):
         z = self.in_proj(x)
-        zn = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
-        cb = self._norm_codebook()
-        idx = _nearest(jax.lax.stop_gradient(zn), cb)
-        zq = jnp.take(cb, idx, axis=0)
-        commit = jnp.mean((zn - jax.lax.stop_gradient(zq)) ** 2)
-        codebook_loss = jnp.mean((jax.lax.stop_gradient(zn) - zq) ** 2)
-        zq = _st(zq, zn)
+        idx = self._lookup(z)
+        zq = jnp.take(self.codebook, idx, axis=0)  # raw entries
+        commit = jnp.mean((z - jax.lax.stop_gradient(zq)) ** 2)
+        codebook_loss = jnp.mean((jax.lax.stop_gradient(z) - zq) ** 2)
+        zq = _st(zq, z)
         out = self.out_proj(zq)
         return out, idx, {
             "vq_commit": self.commitment * commit,
@@ -103,12 +116,10 @@ class FactorizedVectorQuantize(nn.Module):
         }
 
     def encode(self, x):
-        z = self.in_proj(x)
-        zn = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
-        return _nearest(zn, self._norm_codebook())
+        return self._lookup(self.in_proj(x))
 
     def decode(self, idx):
-        return self.out_proj(jnp.take(self._norm_codebook(), idx, axis=0))
+        return self.out_proj(jnp.take(self.codebook, idx, axis=0))
 
 
 class ResidualVQ(nn.Module):

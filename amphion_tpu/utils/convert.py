@@ -509,3 +509,39 @@ def torch_vocos_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
             "gamma": g(f"{p}.gamma"),
         }
     return params
+
+
+def torch_fvq_to_flax(sd: Mapping[str, np.ndarray], prefix: str = "") -> dict:
+    """Reference FactorizedVectorQuantize → our FVQ params.
+
+    Torch (ref quantize/factorized_vector_quantize.py:41-50): in_project /
+    out_project are weight-normed 1x1 Conv1d, codebook is an Embedding."""
+    g = lambda name: np.asarray(sd[f"{prefix}{name}" if prefix else name])
+
+    def wn_1x1(p: str) -> dict:
+        w_g, w_v = g(f"{p}.weight_g"), g(f"{p}.weight_v")
+        v = np.asarray(w_v, np.float64)
+        norm = np.sqrt(np.sum(v**2, axis=(1, 2), keepdims=True))
+        w = (np.asarray(w_g, np.float64) * v / np.maximum(norm, 1e-12))
+        kernel = w[:, :, 0].T.astype(w_v.dtype)  # (in, out)
+        out = {"kernel": kernel}
+        if f"{p}.bias" in sd or (prefix and f"{prefix}{p}.bias" in sd):
+            out["bias"] = g(f"{p}.bias")
+        return out
+
+    return {
+        "in_proj": wn_1x1("in_project"),
+        "out_proj": wn_1x1("out_project"),
+        "codebook": g("codebook.weight"),
+    }
+
+
+def torch_residual_vq_to_flax(sd: Mapping[str, np.ndarray],
+                              num_quantizers: int,
+                              prefix: str = "quantizer") -> dict:
+    """Reference ResidualVQ (FVQ layers) → our ResidualVQ params."""
+    base = f"{prefix}." if prefix else ""
+    return {
+        f"q{i}": torch_fvq_to_flax(sd, prefix=f"{base}quantizers.{i}.")
+        for i in range(num_quantizers)
+    }

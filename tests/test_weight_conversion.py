@@ -504,3 +504,64 @@ class TestVocosRoundTrip:
             {"params": params}, jnp.asarray(mel.numpy().transpose(0, 2, 1))))
         assert wav.shape == (2, ref_wav.shape[-1])
         np.testing.assert_allclose(wav, ref_wav[:, 0], atol=1e-4)
+
+
+class TestQuantizerRoundTrip:
+    """Reference FactorizedVectorQuantize / ResidualVQ vs ours through
+    converted weights — indices AND reconstructed latents must match
+    (l2-normalized lookup with raw codebook values, the MaskGCT acoustic
+    codec configuration)."""
+
+    def test_fvq_indices_and_values(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.modules.quantize import FactorizedVectorQuantize
+        from amphion_tpu.utils.convert import torch_fvq_to_flax
+        from models.codec.amphion_codec.quantize import \
+            FactorizedVectorQuantize as RefFVQ
+
+        torch.manual_seed(13)
+        ref = RefFVQ(input_dim=16, codebook_size=32, codebook_dim=8,
+                     commitment=0.25, codebook_loss_weight=1.0,
+                     use_l2_normlize=True).eval()
+        z = torch.randn(2, 16, 10)
+        with torch.no_grad():
+            zq_ref, _, _, idx_ref, _ = ref(z)
+
+        params = torch_fvq_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+        ours = FactorizedVectorQuantize(
+            codebook_size=32, codebook_dim=8, input_dim=16,
+            use_l2_normlize=True)
+        out, idx, _ = ours.apply(
+            {"params": params}, jnp.asarray(z.numpy().transpose(0, 2, 1)))
+        np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1),
+                                   zq_ref.numpy(), atol=2e-5)
+
+    def test_rvq_decode_from_codes(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.modules.quantize import ResidualVQ
+        from amphion_tpu.utils.convert import torch_residual_vq_to_flax
+        from models.codec.amphion_codec.quantize import \
+            ResidualVQ as RefRVQ
+
+        torch.manual_seed(14)
+        ref = RefRVQ(input_dim=16, num_quantizers=3, codebook_size=32,
+                     codebook_dim=8, quantizer_type="fvq",
+                     quantizer_dropout=0.0, use_l2_normlize=True).eval()
+        codes = torch.randint(0, 32, (3, 2, 10))
+        with torch.no_grad():
+            emb_ref = ref.vq2emb(codes).numpy()  # (B, D, T)
+
+        params = torch_residual_vq_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            num_quantizers=3, prefix="")
+        ours = ResidualVQ(num_quantizers=3, codebook_size=32,
+                          codebook_dim=8, input_dim=16,
+                          quantizer_type="fvq")
+        emb = ours.apply({"params": params}, jnp.asarray(codes.numpy()),
+                         method=ResidualVQ.decode)
+        np.testing.assert_allclose(np.asarray(emb).transpose(0, 2, 1),
+                                   emb_ref, atol=2e-5)
