@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from amphion_tpu.modules.diffusion import timestep_embedding
-from amphion_tpu.modules.llama import LlamaConfig, LlamaEncoder
+from amphion_tpu.modules.llama import (DiffLlamaEncoder,
+                                       DiffLlamaPrefixEncoder, LlamaConfig)
 
 
 def _gumbel(rng, shape):
@@ -65,9 +65,12 @@ class T2SConfig:
     remat: bool = False  # rematerialize backbone blocks (memory lever)
 
     def llama(self) -> LlamaConfig:
+        # the reference builds DiffLlama layers with intermediate_size =
+        # 4*hidden (llama_nar.py:214-219), not the Llama-2 8/3 convention
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, adaptive=True,
+            intermediate_size=4 * self.hidden,
             max_position=self.max_position, remat=self.remat,
         )
 
@@ -82,23 +85,14 @@ class MaskGCTT2S(nn.Module):
         self.mask_emb = self.param(
             "mask_emb", nn.initializers.normal(0.02), (c.hidden,)
         )
-        self.backbone = LlamaEncoder(c.llama())
+        # reference backbone exactly (DiffLlamaPrefix, llama_nar.py:427):
+        # phone prefix through cond_mlp, diffusion step through adaLN
+        self.backbone = DiffLlamaPrefixEncoder(c.llama())
         self.to_logit = nn.Dense(c.codebook_size)
-        self.time_mlp = nn.Dense(c.hidden)
-
-    def _time_cond(self, t):
-        return self.time_mlp(nn.silu(timestep_embedding(t * 1000.0, self.cfg.hidden)))
 
     def estimate(self, x_emb, t, x_mask, phone_emb=None, phone_mask=None):
         """Run the backbone over [phone prefix; token embeddings]."""
-        if phone_emb is not None:
-            h = jnp.concatenate([phone_emb, x_emb], axis=1)
-            m = jnp.concatenate([phone_mask, x_mask], axis=1)
-            lp = phone_emb.shape[1]
-        else:
-            h, m, lp = x_emb, x_mask, 0
-        out = self.backbone(h, cond=self._time_cond(t), mask=m)
-        return out[:, lp:]
+        return self.backbone(x_emb, t, x_mask, phone_emb, phone_mask)
 
     def compute_loss(self, x0, x_mask, phone_id, phone_mask, rng):
         """Masked-token CE. x0: (B, T) semantic tokens."""
@@ -287,20 +281,35 @@ class S2AConfig:
     num_heads: int = 16
     codebook_size: int = 1024  # acoustic codebook size per RVQ layer
     num_quantizers: int = 12
-    semantic_dim: int = 384  # dim of quantized semantic features
+    cond_codebook_size: int = 8192  # semantic vocab (ref cond_codebook_size)
+    semantic_dim: int = 384  # dim of continuous semantic features (proxy path)
     cond_drop_prob: float = 0.2
     max_position: int = 8192
     remat: bool = False
 
     def llama(self) -> LlamaConfig:
+        # the reference builds DiffLlama layers with intermediate_size =
+        # 4*hidden (llama_nar.py:214-219), not the Llama-2 8/3 convention
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, adaptive=True,
+            intermediate_size=4 * self.hidden,
             max_position=self.max_position, remat=self.remat,
         )
 
 
 class MaskGCTS2A(nn.Module):
+    """Semantic → acoustic RVQ mask-predict model, reference-parity
+    parameterization (ref `maskgct_s2a.py:35`): per-layer token embeddings
+    and heads, one shared mask embedding, layer embedding added to the
+    per-token conditioning, DiffLlama backbone (cond added to input through
+    cond_mlp, diffusion step through adaLN).
+
+    The conditioning is the embedded semantic tokens (``cond_emb``, the
+    reference path) or projected continuous features (``sem_proj``, the
+    self-contained mel-proxy path) — selected by the dtype of the
+    ``semantic`` argument (integer = token ids)."""
+
     cfg: S2AConfig
 
     def setup(self):
@@ -309,30 +318,45 @@ class MaskGCTS2A(nn.Module):
             nn.Embed(c.codebook_size, c.hidden, name=f"tok_emb_{q}")
             for q in range(c.num_quantizers)
         ]
-        self.mask_embs = self.param(
-            "mask_embs", nn.initializers.normal(0.02), (c.num_quantizers, c.hidden)
+        self.mask_emb = self.param(
+            "mask_emb", nn.initializers.normal(0.02), (c.hidden,)
         )
+        self.cond_emb = nn.Embed(c.cond_codebook_size, c.hidden)
         self.sem_proj = nn.Dense(c.hidden)
-        self.time_proj = nn.Dense(c.hidden)
         self.layer_emb = nn.Embed(c.num_quantizers, c.hidden)
-        self.backbone = LlamaEncoder(c.llama())
+        self.backbone = DiffLlamaEncoder(c.llama())
         self.heads = [
             nn.Dense(c.codebook_size, name=f"head_{q}")
             for q in range(c.num_quantizers)
         ]
 
-    def _time_cond(self, t, layer):
-        te = timestep_embedding(t * 1000.0, self.cfg.hidden)
-        return self.time_proj(nn.silu(te)) + self.layer_emb(layer)
+    def _cond_of(self, semantic):
+        """Semantic conditioning: token ids → cond_emb, floats → sem_proj."""
+        if jnp.issubdtype(semantic.dtype, jnp.integer):
+            return self.cond_emb(semantic)
+        return self.sem_proj(semantic)
 
-    def _sum_below(self, tokens_all, layer):
-        """Sum token embeddings of RVQ layers < layer. tokens_all (B, Q, T)."""
-        acc = self.token_embs[0](tokens_all[:, 0]) * (layer > 0)[:, None, None]
-        for q in range(1, self.cfg.num_quantizers):
-            acc = acc + self.token_embs[q](tokens_all[:, q]) * (
-                (layer > q)[:, None, None]
-            )
-        return acc
+    def _xt(self, tokens_all, layer, mask, is_prompt):
+        """Input embedding sum, reference `forward_diffusion` construction
+        (maskgct_s2a.py:186-248): layers below `layer` contribute their
+        real embeddings, the target layer mixes mask/real by `mask`, layers
+        above contribute real embeddings on the prompt and the mask token
+        elsewhere. tokens_all (B, Q, T); layer (B,)."""
+        c = self.cfg
+        mask_tok = self.mask_emb[None, None, :]
+        x = jnp.zeros(
+            (tokens_all.shape[0], tokens_all.shape[2], c.hidden),
+            self.mask_emb.dtype,
+        )
+        for q in range(c.num_quantizers):
+            emb_q = self.token_embs[q](tokens_all[:, q])
+            below = (layer > q)[:, None, None]
+            at = (layer == q)[:, None, None]
+            above = (layer < q)[:, None, None]
+            mixed_at = jnp.where(mask[..., None], mask_tok, emb_q)
+            mixed_above = jnp.where(is_prompt[..., None], emb_q, mask_tok)
+            x = x + below * emb_q + at * mixed_at + above * mixed_above
+        return x
 
     def _layer_logits(self, h, layer):
         """Select per-item head output for its layer (B,)-varying."""
@@ -341,11 +365,8 @@ class MaskGCTS2A(nn.Module):
             outs, layer[:, None, None, None], axis=1
         )[:, 0]
 
-    def _mask_emb_of(self, layer):
-        return jnp.take(self.mask_embs, layer, axis=0)[:, None, :]  # (B, 1, H)
-
-    def compute_loss(self, tokens_all, x_mask, semantic_feats, rng):
-        """tokens_all (B, Q, T); semantic_feats (B, T, semantic_dim)."""
+    def compute_loss(self, tokens_all, x_mask, semantic, rng):
+        """tokens_all (B, Q, T); semantic: (B, T) ids or (B, T, D) feats."""
         c = self.cfg
         b, q_n, t_len = tokens_all.shape
         r_t, r_mask, r_layer, r_prompt, r_drop = jax.random.split(rng, 5)
@@ -366,19 +387,9 @@ class MaskGCTS2A(nn.Module):
         mask = mask | (none_masked[:, None] & (pos == prompt_len[:, None]))
 
         target = jnp.take_along_axis(tokens_all, layer[:, None, None], axis=1)[:, 0]
-        cur_emb = jnp.stack(
-            [self.token_embs[q](tokens_all[:, q]) for q in range(c.num_quantizers)],
-            axis=1,
-        )
-        cur_emb = jnp.take_along_axis(
-            cur_emb, layer[:, None, None, None], axis=1
-        )[:, 0]
-        x_emb = (
-            self._sum_below(tokens_all, layer)
-            + jnp.where(mask[..., None], self._mask_emb_of(layer), cur_emb)
-            + self.sem_proj(semantic_feats)
-        )
-        h = self.backbone(x_emb, cond=self._time_cond(t, layer), mask=x_mask)
+        x_emb = self._xt(tokens_all, layer, mask, is_prompt)
+        cond = self._cond_of(semantic) + self.layer_emb(layer)[:, None, :]
+        h = self.backbone(x_emb, t, cond, mask=x_mask)
         logits = self._layer_logits(h, layer)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
@@ -386,42 +397,35 @@ class MaskGCTS2A(nn.Module):
         loss = -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, {"s2a_loss": loss}
 
-    def sample_layer_step(self, tokens_all, mask, layer, t, semantic_feats,
-                          prompt_tokens_all, cfg_scale):
-        """Logits for one mask-predict step on RVQ layer `layer` with acoustic
-        prompt prefix. prompt_tokens_all: (B, Q, Lp)."""
+    def sample_layer_step(self, tokens_all, mask, layer, t, semantic,
+                          prompt_tokens_all, cfg_scale, rescale_cfg=1.0):
+        """Logits for one mask-predict step on RVQ layer `layer` with an
+        acoustic prompt prefix (ref `reverse_diffusion` maskgct_s2a.py:318):
+        the prompt prefix sums ALL layers' embeddings; target positions use
+        the below/at/above construction; CFG drops the prompt but keeps the
+        semantic conditioning, with std rescale. prompt_tokens_all (B, Q, Lp);
+        semantic covers prompt+target length."""
         c = self.cfg
         b, q_n, t_len = tokens_all.shape
         lp = prompt_tokens_all.shape[2]
-        full = jnp.concatenate([prompt_tokens_all, tokens_all], axis=2)
-        cur_emb = jnp.stack(
-            [self.token_embs[q](full[:, q]) for q in range(c.num_quantizers)], axis=1
-        )
-        cur_l = jnp.take_along_axis(cur_emb, layer[:, None, None, None], axis=1)[:, 0]
-        full_mask = jnp.concatenate([jnp.zeros((b, lp), bool), mask], axis=1)
-        # prompt positions: all layers known → sum layers <= layer... use
-        # sum_below + current-layer emb (known for prompt)
-        x_emb = (
-            self._sum_below(full, layer)
-            + jnp.where(full_mask[..., None], self._mask_emb_of(layer), cur_l)
-            + self.sem_proj(semantic_feats)  # (B, lp+T, D) expected
-        )
+        # prompt prefix: sum of every layer's real embedding
+        prompt_emb = jnp.zeros((b, lp, c.hidden), self.mask_emb.dtype)
+        for q in range(c.num_quantizers):
+            prompt_emb = prompt_emb + self.token_embs[q](prompt_tokens_all[:, q])
+        cur = self._xt(tokens_all, layer, mask,
+                       jnp.zeros((b, t_len), bool))
+        x_emb = jnp.concatenate([prompt_emb, cur], axis=1)
+        cond = self._cond_of(semantic) + self.layer_emb(layer)[:, None, :]
         am = jnp.ones((b, lp + t_len))
-        h = self.backbone(x_emb, cond=self._time_cond(t, layer), mask=am)
-        logits_c = self._layer_logits(h, layer)[:, lp:]
-        # unconditional: no prompt, no semantic features
-        x_emb_u = self._sum_below(tokens_all, layer) + jnp.where(
-            mask[..., None], self._mask_emb_of(layer),
-            jnp.take_along_axis(
-                jnp.stack([self.token_embs[q](tokens_all[:, q]) for q in
-                           range(c.num_quantizers)], axis=1),
-                layer[:, None, None, None], axis=1)[:, 0],
-        )
-        h_u = self.backbone(
-            x_emb_u, cond=self._time_cond(t, layer), mask=jnp.ones((b, t_len))
-        )
-        logits_u = self._layer_logits(h_u, layer)
-        return logits_u + cfg_scale * (logits_c - logits_u)
+        h = self.backbone(x_emb, t, cond, mask=am)
+        embeds_c = h[:, lp:]
+        # unconditional: no acoustic prompt, semantic conditioning kept
+        h_u = self.backbone(cur, t, cond[:, lp:], mask=jnp.ones((b, t_len)))
+        std_pos = jnp.std(embeds_c)
+        g = embeds_c + cfg_scale * (embeds_c - h_u)
+        g_rescaled = g * std_pos / jnp.maximum(jnp.std(g), 1e-6)
+        g = rescale_cfg * g_rescaled + (1 - rescale_cfg) * g
+        return self._layer_logits(g, layer)
 
 
 @functools.lru_cache(maxsize=64)
@@ -475,7 +479,8 @@ def _s2a_sample_impl(
     params = jax.tree_util.tree_map(
         lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
     )
-    semantic_feats = semantic_feats.astype(dt)
+    if jnp.issubdtype(semantic_feats.dtype, jnp.floating):
+        semantic_feats = semantic_feats.astype(dt)
     c = model.cfg
     b = prompt_tokens_all.shape[0]
     tokens = jnp.zeros((b, c.num_quantizers, target_len), jnp.int32)

@@ -107,8 +107,11 @@ class VITS(nn.Module):
         )
         self.decoder = HiFiGANGenerator(c.decoder)
         if c.use_sdp:
+            # ref vits.py:240 passes filter_channels=192 but the SDP ctor
+            # overrides it with in_channels (stochastic_duration_predictor
+            # .py:25: `filter_channels = in_channels`)
             self.duration_predictor = StochasticDurationPredictor(
-                192, 3, 0.5, 4, c.gin_channels
+                c.hidden_channels, 3, 0.5, 4, c.gin_channels
             )
         else:
             self.duration_predictor = DurationPredictor(256, 3, 0.5, c.gin_channels)
@@ -199,9 +202,10 @@ class VITS(nn.Module):
         wav = self.decoder(z * frame_mask[..., None], g=g)
         return wav, frame_mask, w_ceil
 
-    def voice_conversion(self, spec, spec_mask, sid_src, sid_tgt, rng):
+    def voice_conversion(self, spec, spec_mask, sid_src, sid_tgt, rng=None):
         """(ref vits.py:371-383): posterior of source → flow fwd with source
-        speaker → flow reverse with target speaker → decode."""
+        speaker → flow reverse with target speaker → decode. ``rng=None``
+        uses the posterior mean (deterministic conversion)."""
         g_src = self._speaker(sid_src)
         g_tgt = self._speaker(sid_tgt)
         z, _, _ = self.posterior(spec, spec_mask, g=g_src, rng=rng)

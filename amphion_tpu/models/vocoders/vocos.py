@@ -73,3 +73,24 @@ class VocosGenerator(nn.Module):
         n = mel.shape[1]
         return istft(real, imag, c.n_fft, c.hop_size, c.n_fft,
                      length=n * c.hop_size, padding="same")
+
+
+class VocosBackbone(nn.Module):
+    """Standalone ConvNeXt backbone (ref amphion_codec/vocos.py:720
+    VocosBackbone): embed conv → LayerNorm → N ConvNeXt blocks → LayerNorm.
+    Same scope names as VocosGenerator's trunk so torch_vocos_to_flax's
+    backbone mapping applies; used by the reference-parity RepCodec."""
+
+    dim: int
+    intermediate_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        """(B, T, C_in) → (B, T, dim)."""
+        x = nn.Conv(self.dim, (7,), padding="SAME", name="embed")(x)
+        x = nn.LayerNorm(name="norm_pre")(x)
+        for i in range(self.num_layers):
+            x = ConvNeXtBlock(self.dim, self.intermediate_dim,
+                              name=f"block_{i}")(x)
+        return nn.LayerNorm(name="norm_post")(x)

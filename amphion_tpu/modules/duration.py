@@ -36,18 +36,19 @@ class DurationPredictor(nn.Module):
         x = jax.lax.stop_gradient(x)
         if g is not None:
             x = x + nn.Dense(x.shape[-1], name="cond")(jax.lax.stop_gradient(g))
-        x = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")(x)
+        # mask before each conv (ref standard_duration_predictor.py:36-48:
+        # conv(x * x_mask)) so padding can't leak through the kernel
+        m = 1.0 if x_mask is None else x_mask[..., None]
+        x = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")(x * m)
         x = jax.nn.relu(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        x = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")(x)
+        x = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")(x * m)
         x = jax.nn.relu(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        x = nn.Dense(1)(x)
-        if x_mask is not None:
-            x = x * x_mask[..., None]
-        return x[..., 0]  # (B, T) log-durations
+        x = nn.Dense(1)(x * m)
+        return (x * m)[..., 0]  # (B, T) log-durations
 
 
 class StochasticDurationPredictor(nn.Module):
@@ -103,8 +104,13 @@ class StochasticDurationPredictor(nn.Module):
             e_q = jax.random.normal(rng, (b, t, 2)) * mask3
             z_q = e_q
             logdet_tot_q = 0.0
-            for f in post_flows:
-                z_q, ld = f(z_q, x_mask, g=(x + h_w)) if isinstance(f, ConvFlow) else f(z_q, x_mask)
+            # reference flow order (stochastic_duration_predictor.py:34-38,
+            # 83-85): ElementwiseAffine, then (ConvFlow, Flip) pairs — NO
+            # flip between the affine and the first ConvFlow
+            z_q, ld = post_flows[0](z_q, x_mask)
+            logdet_tot_q = logdet_tot_q + ld
+            for f in post_flows[1:]:
+                z_q, ld = f(z_q, x_mask, g=(x + h_w))
                 logdet_tot_q = logdet_tot_q + ld
                 z_q = jnp.flip(z_q, axis=-1)
             z_u, z1 = jnp.split(z_q, 2, axis=-1)
@@ -123,8 +129,10 @@ class StochasticDurationPredictor(nn.Module):
             z0, ld = log_flow(z0, x_mask)
             logdet_tot += ld
             z = jnp.concatenate([z0, z1], axis=-1)
-            for f in flows:
-                z, ld = f(z, x_mask, g=x) if isinstance(f, ConvFlow) else f(z, x_mask)
+            z, ld = flows[0](z, x_mask)
+            logdet_tot = logdet_tot + ld
+            for f in flows[1:]:
+                z, ld = f(z, x_mask, g=x)
                 logdet_tot = logdet_tot + ld
                 z = jnp.flip(z, axis=-1)
             nll = (
@@ -136,13 +144,13 @@ class StochasticDurationPredictor(nn.Module):
         assert rng is not None
         b, t = x.shape[:2]
         z = jax.random.normal(rng, (b, t, 2)) * noise_scale * mask3
-        for f in reversed(flows):
+        # reference reverse path (stochastic_duration_predictor.py:110-111)
+        # drops the FIRST ConvFlow: Flip, CF_{n-1}, …, Flip, CF_1, Flip, EA
+        for f in reversed(flows[2:]):
             z = jnp.flip(z, axis=-1)
-            z = (
-                f(z, x_mask, g=x, reverse=True)
-                if isinstance(f, ConvFlow)
-                else f(z, x_mask, reverse=True)
-            )
+            z = f(z, x_mask, g=x, reverse=True)
+        z = jnp.flip(z, axis=-1)
+        z = flows[0](z, x_mask, reverse=True)
         z0, _ = jnp.split(z, 2, axis=-1)
         return z0[..., 0]  # (B, T) log-durations
 

@@ -45,11 +45,12 @@ class WN(nn.Module):
                 nn.Conv(2 * n_ch, (self.kernel_size,), kernel_dilation=(dilation,),
                         padding="SAME", name=f"in_{i}")
             )(x)
-            x_in = nn.Dropout(self.p_dropout)(x_in, deterministic=deterministic)
             if g is not None:
                 x_in = x_in + g_all[..., i * 2 * n_ch : (i + 1) * 2 * n_ch]
             a, b = jnp.split(x_in, 2, axis=-1)
             acts = jnp.tanh(a) * jax.nn.sigmoid(b)
+            # reference WN (modules.py:68-69) drops the gated acts, not x_in
+            acts = nn.Dropout(self.p_dropout)(acts, deterministic=deterministic)
             out_ch = 2 * n_ch if i < self.num_layers - 1 else n_ch
             res_skip = nn.WeightNorm(nn.Conv(out_ch, (1,), name=f"res_skip_{i}"))(acts)
             if i < self.num_layers - 1:
@@ -82,6 +83,10 @@ class ResidualCouplingLayer(nn.Module):
         half = self.channels // 2
         x0, x1 = x[..., :half], x[..., half:]
         h = nn.Conv(self.hidden_channels, (1,), name="pre")(x0)
+        if x_mask is not None:
+            # ref modules.py:380 masks after `pre` so the WN dilated convs
+            # never read padding-position activations
+            h = h * x_mask[..., None]
         h = WN(self.hidden_channels, self.kernel_size, self.dilation_rate,
                self.num_layers, self.gin_channels, name="enc")(h, x_mask, g=g)
         stats = nn.Conv(
@@ -148,21 +153,22 @@ class DDSConv(nn.Module):
     def __call__(self, x, x_mask=None, g=None, deterministic=True):
         if g is not None:
             x = x + g
+        m = 1.0 if x_mask is None else x_mask[..., None]
         for i in range(self.num_layers):
             dilation = self.kernel_size**i
+            # mask before the dilated sep conv (ref modules.py:60) and use
+            # torch's exact-erf gelu
             y = nn.Conv(self.channels, (self.kernel_size,),
                         kernel_dilation=(dilation,), padding="SAME",
-                        feature_group_count=self.channels, name=f"sep_{i}")(x)
-            y = nn.LayerNorm()(y)
-            y = jax.nn.gelu(y)
+                        feature_group_count=self.channels, name=f"sep_{i}")(x * m)
+            y = nn.LayerNorm(epsilon=1e-5)(y)
+            y = jax.nn.gelu(y, approximate=False)
             y = nn.Conv(self.channels, (1,), name=f"pw_{i}")(y)
-            y = nn.LayerNorm()(y)
-            y = jax.nn.gelu(y)
+            y = nn.LayerNorm(epsilon=1e-5)(y)
+            y = jax.nn.gelu(y, approximate=False)
             y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
             x = x + y
-            if x_mask is not None:
-                x = x * x_mask[..., None]
-        return x
+        return x * m
 
 
 # ---------------------------------------------------------------------------

@@ -274,3 +274,71 @@ class LlamaDecoder(nn.Module):
             )
             new_caches.append(cch)
         return RMSNorm(name="final_norm")(x), new_caches
+
+
+def sinusoidal_step_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """Diffusion-step embedding, reference formula exactly
+    (ref `llama_nar.py:20-33` SinusoidalPosEmb: exp-spaced frequencies over
+    half the dim, [sin | cos] concat, raw t — no time scaling)."""
+    half = dim // 2
+    scale = np.log(10000.0) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half) * -scale)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class MLP2(nn.Module):
+    """Linear(4h) → SiLU → Linear(h) (ref cond_mlp / diff_step_mlp,
+    `llama_nar.py:229-241`)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(4 * self.hidden, name="Dense_0")(x)
+        return nn.Dense(self.hidden, name="Dense_1")(nn.silu(x))
+
+
+class DiffLlamaEncoder(nn.Module):
+    """Reference DiffLlama (ref `llama_nar.py:202`): per-token conditioning
+    added to the input through cond_mlp, diffusion step through adaLN."""
+
+    cfg: LlamaConfig
+
+    def setup(self):
+        self.cond_mlp = MLP2(self.cfg.hidden_size, name="cond_mlp")
+        self.diff_step_mlp = MLP2(self.cfg.hidden_size, name="diff_step_mlp")
+        self.encoder = LlamaEncoder(self.cfg, name="encoder")
+
+    def __call__(self, x, t, cond, mask=None):
+        """x (B, T, D); t (B,) diffusion step; cond (B, T, D) per-token."""
+        x = x + self.cond_mlp(cond)
+        d = self.diff_step_mlp(
+            sinusoidal_step_embedding(t, self.cfg.hidden_size)).astype(x.dtype)
+        return self.encoder(x, cond=d, mask=mask)
+
+
+class DiffLlamaPrefixEncoder(nn.Module):
+    """Reference DiffLlamaPrefix (ref `llama_nar.py:427`): the conditioning
+    (phone embedding) is prepended as a prefix after cond_mlp; diffusion
+    step through adaLN; the prefix positions are cut from the output."""
+
+    cfg: LlamaConfig
+
+    def setup(self):
+        self.cond_mlp = MLP2(self.cfg.hidden_size, name="cond_mlp")
+        self.diff_step_mlp = MLP2(self.cfg.hidden_size, name="diff_step_mlp")
+        self.encoder = LlamaEncoder(self.cfg, name="encoder")
+
+    def __call__(self, x, t, x_mask, phone_emb=None, phone_mask=None):
+        d = self.diff_step_mlp(
+            sinusoidal_step_embedding(t, self.cfg.hidden_size)).astype(x.dtype)
+        if phone_emb is not None:
+            prefix = self.cond_mlp(phone_emb)
+            h = jnp.concatenate([prefix, x], axis=1)
+            m = jnp.concatenate([phone_mask, x_mask], axis=1)
+            lp = phone_emb.shape[1]
+        else:
+            h, m, lp = x, x_mask, 0
+        out = self.encoder(h, cond=d, mask=m)
+        return out[:, lp:]

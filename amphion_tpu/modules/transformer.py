@@ -130,13 +130,19 @@ class ConvFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
-        h = nn.Conv(self.hidden, (self.kernel_size,), padding="SAME")(x)
-        h = jax.nn.gelu(h) if self.activation == "gelu" else jax.nn.relu(h)
+        # mask BEFORE each conv: the reference FFN (attentions.py:390-398)
+        # computes conv(x * x_mask) so padding can never leak into valid
+        # frames through the kernel-3 receptive field
+        m = 1.0 if mask is None else mask[..., None]
+        h = nn.Conv(self.hidden, (self.kernel_size,), padding="SAME")(x * m)
+        if self.activation == "gelu":
+            # reference uses the sigmoid-approx gelu x*sigmoid(1.702x)
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.channels, (self.kernel_size,), padding="SAME")(h)
-        if mask is not None:
-            h = h * mask[..., None]
-        return h
+        h = nn.Conv(self.channels, (self.kernel_size,), padding="SAME")(h * m)
+        return h * m
 
 
 class TransformerEncoder(nn.Module):
@@ -161,12 +167,12 @@ class TransformerEncoder(nn.Module):
                 self.channels, self.num_heads, self.window_size, self.dropout
             )(x, bias=bias, deterministic=deterministic)
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-            x = nn.LayerNorm()(x + y)
+            x = nn.LayerNorm(epsilon=1e-5)(x + y)  # torch LN eps (ref base_module.py:12)
             y = ConvFFN(self.channels, self.ffn_hidden, self.kernel_size, self.dropout)(
                 x, mask, deterministic
             )
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-            x = nn.LayerNorm()(x + y)
+            x = nn.LayerNorm(epsilon=1e-5)(x + y)
         if mask is not None:
             x = x * mask[..., None]
         return x

@@ -76,16 +76,38 @@ class MaskGCTPipeline:
         )
 
     def semantic2acoustic(self, semantic_tokens, prompt_acoustic, rng,
-                          first_layer_steps=16):
-        sem_latent = self.semantic_codec.apply(
-            {"params": self.params["semantic_codec"]}, semantic_tokens,
-            method=RepCodec.decode_tokens,
-        )
-        # semantic features must cover prompt + target frames
+                          prompt_semantic=None, first_layer_steps=16):
+        """semantic_tokens: generated target ids (B, T). With
+        ``prompt_semantic`` the S2A conditions on the full token stream
+        through its cond_emb (the reference path, maskgct_utils.py:188 —
+        cond = s2a.cond_emb(prompt ++ target)); otherwise it falls back to
+        the semantic codec's quantized latents with zero prompt frames.
+
+        Conditioning must match how the restored S2A was trained: a model
+        trained on float semantic latents (the mel-proxy path) has no
+        `cond_emb` parameters, so token conditioning is only used when the
+        checkpoint actually contains it."""
         lp = prompt_acoustic.shape[2]
         target_len = semantic_tokens.shape[1]
-        pad = jnp.zeros((sem_latent.shape[0], lp, sem_latent.shape[2]))
-        sem_full = jnp.concatenate([pad, sem_latent], axis=1)
+        token_cond = prompt_semantic is not None and "cond_emb" in self.params["s2a"]
+        if token_cond:
+            sem_full = jnp.concatenate(
+                [prompt_semantic[:, :lp], semantic_tokens], axis=1
+            ).astype(jnp.int32)
+        else:
+            tok_full = (
+                jnp.concatenate([prompt_semantic[:, :lp], semantic_tokens], axis=1)
+                if prompt_semantic is not None
+                else semantic_tokens
+            )
+            sem_latent = self.semantic_codec.apply(
+                {"params": self.params["semantic_codec"]}, tok_full,
+                method=RepCodec.decode_tokens,
+            )
+            if prompt_semantic is None:
+                pad = jnp.zeros((sem_latent.shape[0], lp, sem_latent.shape[2]))
+                sem_latent = jnp.concatenate([pad, sem_latent], axis=1)
+            sem_full = sem_latent
         codes = s2a_sample(
             self.s2a, self.params["s2a"], sem_full, prompt_acoustic,
             target_len, rng, first_layer_steps=first_layer_steps,
@@ -127,5 +149,7 @@ class MaskGCTPipeline:
         semantic = self.text2semantic(
             prompt_semantic, phone_ids, target_len, r1
         )
-        codes = self.semantic2acoustic(semantic, prompt_acoustic, r2)
+        codes = self.semantic2acoustic(
+            semantic, prompt_acoustic, r2, prompt_semantic=prompt_semantic
+        )
         return self.codec_decode(codes)

@@ -545,3 +545,330 @@ def torch_residual_vq_to_flax(sd: Mapping[str, np.ndarray],
         f"q{i}": torch_fvq_to_flax(sd, prefix=f"{base}quantizers.{i}.")
         for i in range(num_quantizers)
     }
+
+
+def maskgct_t2s_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """Reference MaskGCT_T2S state dict → `MaskGCTT2S` params.
+
+    Torch (ref maskgct_t2s.py:36-108): mask_emb/cond_emb/phone_emb
+    Embeddings, to_logit Linear, diff_estimator = DiffLlamaPrefix."""
+    g = lambda name: np.asarray(sd[name])
+    return {
+        "phone_emb": embedding_to_flax(g("phone_emb.weight")),
+        "cond_emb": embedding_to_flax(g("cond_emb.weight")),
+        "mask_emb": g("mask_emb.weight")[0],
+        "to_logit": linear_to_dense(g("to_logit.weight"), g("to_logit.bias")),
+        "backbone": diff_llama_to_flax(
+            {k[len("diff_estimator."):]: v for k, v in sd.items()
+             if k.startswith("diff_estimator.")}, num_layers),
+    }
+
+
+def maskgct_s2a_to_flax(sd: Mapping[str, np.ndarray], num_layers: int,
+                        num_quantizers: int) -> dict:
+    """Reference MaskGCT_S2A state dict → `MaskGCTS2A` params.
+
+    Torch (ref maskgct_s2a.py:35-140): per-quantizer token_emb/to_logits,
+    layer_emb, mask_emb, cond_emb, diff_estimator = DiffLlama."""
+    g = lambda name: np.asarray(sd[name])
+    params: dict = {
+        "mask_emb": g("mask_emb.weight")[0],
+        "cond_emb": embedding_to_flax(g("cond_emb.weight")),
+        "layer_emb": embedding_to_flax(g("layer_emb.weight")),
+        "backbone": diff_llama_to_flax(
+            {k[len("diff_estimator."):]: v for k, v in sd.items()
+             if k.startswith("diff_estimator.")}, num_layers),
+    }
+    for q in range(num_quantizers):
+        params[f"tok_emb_{q}"] = embedding_to_flax(g(f"token_emb.{q}.weight"))
+        params[f"head_{q}"] = linear_to_dense(g(f"to_logits.{q}.weight"),
+                                              g(f"to_logits.{q}.bias"))
+    return params
+
+
+def _vocos_backbone_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                            num_layers: int) -> dict:
+    """Reference VocosBackbone (under ``prefix``) → our VocosBackbone."""
+    g = lambda name: np.asarray(sd[f"{prefix}.{name}"])
+
+    def ln(p: str) -> dict:
+        return {"scale": g(f"{p}.weight"), "bias": g(f"{p}.bias")}
+
+    params: dict = {
+        "embed": conv1d_to_flax(g("embed.weight"), g("embed.bias")),
+        "norm_pre": ln("norm"),
+        "norm_post": ln("final_layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"convnext.{i}"
+        params[f"block_{i}"] = {
+            "Conv_0": conv1d_to_flax(g(f"{p}.dwconv.weight"),
+                                     g(f"{p}.dwconv.bias")),
+            "LayerNorm_0": ln(f"{p}.norm"),
+            "Dense_0": linear_to_dense(g(f"{p}.pwconv1.weight"),
+                                       g(f"{p}.pwconv1.bias")),
+            "Dense_1": linear_to_dense(g(f"{p}.pwconv2.weight"),
+                                       g(f"{p}.pwconv2.bias")),
+            "gamma": g(f"{p}.gamma"),
+        }
+    return params
+
+
+def repcodec_to_flax(sd: Mapping[str, np.ndarray], num_layers: int,
+                     num_quantizers: int = 1) -> dict:
+    """Reference RepCodec (kmeans semantic codec) → our RepCodec
+    (style='vocos'). Torch layout (ref repcodec_model.py:106-139):
+    encoder/decoder = Sequential(VocosBackbone, Linear), RVQ quantizer."""
+    g = lambda name: np.asarray(sd[name])
+    return {
+        "enc_backbone": _vocos_backbone_to_flax(sd, "encoder.0", num_layers),
+        "enc_out": linear_to_dense(g("encoder.1.weight"), g("encoder.1.bias")),
+        "dec_backbone": _vocos_backbone_to_flax(sd, "decoder.0", num_layers),
+        "dec_out": linear_to_dense(g("decoder.1.weight"), g("decoder.1.bias")),
+        "quantizer": torch_residual_vq_to_flax(sd, num_quantizers),
+    }
+
+
+# ---------------------------------------------------------------------------
+# VITS (SynthesizerTrn) — ref models/tts/vits/vits.py:155
+# ---------------------------------------------------------------------------
+
+
+def _dense_from_conv1x1(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """torch Conv1d(k=1) → flax Dense params."""
+    w = np.asarray(sd[f"{prefix}.weight"])[..., 0]  # (O, I)
+    b = np.asarray(sd[f"{prefix}.bias"]) if f"{prefix}.bias" in sd else None
+    return linear_to_dense(w, b)
+
+
+def _plain_or_wn(sd: Mapping[str, np.ndarray], prefix: str, kind: str) -> dict:
+    """torch conv that may or may not be weight_norm'd → flax WeightNorm
+    wrapper params. For a plain conv the (g, v) decomposition is fabricated
+    as g=||w||, v=w, which reproduces w exactly."""
+    b = np.asarray(sd[f"{prefix}.bias"]) if f"{prefix}.bias" in sd else None
+    if f"{prefix}.weight_g" in sd:
+        return torch_weight_norm_to_flax(
+            np.asarray(sd[f"{prefix}.weight_g"]),
+            np.asarray(sd[f"{prefix}.weight_v"]), kind, b)
+    w = np.asarray(sd[f"{prefix}.weight"])
+    g_fab = np.sqrt(np.sum(w.astype(np.float64) ** 2,
+                           axis=tuple(range(1, w.ndim)), keepdims=True))
+    return torch_weight_norm_to_flax(g_fab.astype(w.dtype), w, kind, b)
+
+
+def torch_wn_module_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                            n_layers: int) -> dict:
+    """Reference WN (modules/flow/modules.py:74: weight-normed in_layers /
+    res_skip_layers / optional cond_layer) → our `flows.WN` params.
+
+    Flax WeightNorm scale collections are numbered in creation order:
+    cond (if present) first, then per layer in_i, res_skip_i."""
+    out: dict = {}
+    k = 0
+
+    def put(fname: str, p: dict) -> None:
+        nonlocal k
+        out[fname] = p["layer"]
+        out[f"WeightNorm_{k}"] = {f"{fname}/kernel/scale": p["scale"]}
+        k += 1
+
+    if f"{prefix}.cond_layer.weight_g" in sd:
+        g = np.asarray(sd[f"{prefix}.cond_layer.weight_g"])[..., 0]
+        v = np.asarray(sd[f"{prefix}.cond_layer.weight_v"])[..., 0]
+        b = np.asarray(sd[f"{prefix}.cond_layer.bias"])
+        put("cond", torch_weight_norm_to_flax(g, v, "linear", b))
+    for i in range(n_layers):
+        put(f"in_{i}", _plain_or_wn(sd, f"{prefix}.in_layers.{i}", "conv1d"))
+        put(f"res_skip_{i}",
+            _plain_or_wn(sd, f"{prefix}.res_skip_layers.{i}", "conv1d"))
+    return out
+
+
+def torch_vits_text_encoder_to_flax(sd: Mapping[str, np.ndarray],
+                                    prefix: str = "enc_p",
+                                    n_layers: int = 6) -> dict:
+    """Reference VITS TextEncoder (vits.py:28: emb + relative-attention
+    Encoder + proj) → our `models/tts/vits` TextEncoder params."""
+    t = lambda name: np.asarray(sd[name])
+
+    def ln(p: str) -> dict:
+        return {"scale": t(f"{p}.gamma"), "bias": t(f"{p}.beta")}
+
+    enc: dict = {}
+    for i in range(n_layers):
+        a = f"{prefix}.encoder.attn_layers.{i}"
+        enc[f"MultiHeadAttention_{i}"] = {
+            "q": _dense_from_conv1x1(sd, f"{a}.conv_q"),
+            "k": _dense_from_conv1x1(sd, f"{a}.conv_k"),
+            "v": _dense_from_conv1x1(sd, f"{a}.conv_v"),
+            "out": _dense_from_conv1x1(sd, f"{a}.conv_o"),
+            "rel_k": t(f"{a}.emb_rel_k")[0],
+            "rel_v": t(f"{a}.emb_rel_v")[0],
+        }
+        f = f"{prefix}.encoder.ffn_layers.{i}"
+        enc[f"ConvFFN_{i}"] = {
+            "Conv_0": conv1d_to_flax(t(f"{f}.conv_1.weight"),
+                                     t(f"{f}.conv_1.bias")),
+            "Conv_1": conv1d_to_flax(t(f"{f}.conv_2.weight"),
+                                     t(f"{f}.conv_2.bias")),
+        }
+        enc[f"LayerNorm_{2 * i}"] = ln(f"{prefix}.encoder.norm_layers_1.{i}")
+        enc[f"LayerNorm_{2 * i + 1}"] = ln(f"{prefix}.encoder.norm_layers_2.{i}")
+    return {
+        "emb": {"embedding": t(f"{prefix}.emb.weight")},
+        "encoder": enc,
+        "proj": _dense_from_conv1x1(sd, f"{prefix}.proj"),
+    }
+
+
+def torch_vits_to_flax(sd: Mapping[str, np.ndarray], *,
+                       n_layers: int = 6,
+                       posterior_wn_layers: int = 16,
+                       n_flows: int = 4,
+                       flow_wn_layers: int = 4,
+                       num_upsamples: int,
+                       num_kernels: int,
+                       resblock: str = "1",
+                       dilations_per_block: int = 3,
+                       use_sdp: bool = False,
+                       n_speakers: int = 0) -> dict:
+    """Full reference SynthesizerTrn state dict → our VITS params.
+
+    Covers enc_p (text encoder), enc_q (posterior), flow (residual
+    coupling stack; torch flows.{2i} are the coupling layers, odd indices
+    are parameter-free Flips), dp (duration predictor), dec (HiFiGAN_vits
+    with plain conv_pre/conv_post + optional speaker cond), emb_g."""
+    t = lambda name: np.asarray(sd[name])
+
+    params: dict = {
+        "text_encoder": torch_vits_text_encoder_to_flax(sd, "enc_p", n_layers),
+        "posterior": {
+            "pre": conv1d_to_flax(t("enc_q.pre.weight"), t("enc_q.pre.bias")),
+            "enc": torch_wn_module_to_flax(sd, "enc_q.enc", posterior_wn_layers),
+            "proj": _dense_from_conv1x1(sd, "enc_q.proj"),
+        },
+    }
+
+    flow: dict = {}
+    for i in range(n_flows):
+        tp = f"flow.flows.{2 * i}"
+        flow[f"flow_{i}"] = {
+            "pre": conv1d_to_flax(t(f"{tp}.pre.weight"), t(f"{tp}.pre.bias")),
+            "enc": torch_wn_module_to_flax(sd, f"{tp}.enc", flow_wn_layers),
+            "post": conv1d_to_flax(t(f"{tp}.post.weight"), t(f"{tp}.post.bias")),
+        }
+    params["flow"] = flow
+
+    if use_sdp:
+        params["duration_predictor"] = torch_vits_sdp_to_flax(sd, "dp")
+    else:
+        dp = {
+            "Conv_0": conv1d_to_flax(t("dp.conv_1.weight"), t("dp.conv_1.bias")),
+            "LayerNorm_0": {"scale": t("dp.norm_1.gamma"), "bias": t("dp.norm_1.beta")},
+            "Conv_1": conv1d_to_flax(t("dp.conv_2.weight"), t("dp.conv_2.bias")),
+            "LayerNorm_1": {"scale": t("dp.norm_2.gamma"), "bias": t("dp.norm_2.beta")},
+            "Dense_0": _dense_from_conv1x1(sd, "dp.proj"),
+        }
+        if "dp.cond.weight" in sd:
+            dp["cond"] = _dense_from_conv1x1(sd, "dp.cond")
+        params["duration_predictor"] = dp
+
+    # decoder: HiFiGAN_vits (ref hifigan.py:376) — plain conv_pre/conv_post,
+    # weight-normed ups/resblocks, optional 1x1 speaker cond
+    dec: dict = {}
+    pre = _plain_or_wn(sd, "dec.conv_pre", "conv1d")
+    dec["Conv_0"] = pre["layer"]
+    dec["WeightNorm_0"] = {"Conv_0/kernel/scale": pre["scale"]}
+    if "dec.cond.weight" in sd:
+        dec["cond"] = _dense_from_conv1x1(sd, "dec.cond")
+    for i in range(num_upsamples):
+        up = _plain_or_wn(sd, f"dec.ups.{i}", "convtranspose1d")
+        dec[f"ConvTranspose_{i}"] = up["layer"]
+        dec[f"WeightNorm_{i + 1}"] = {f"ConvTranspose_{i}/kernel/scale": up["scale"]}
+    block_name = "ResBlock1" if resblock == "1" else "ResBlock2"
+    for idx in range(num_upsamples * num_kernels):
+        bp: dict = {}
+        if resblock == "1":
+            for j in range(dilations_per_block):
+                c1 = _plain_or_wn(sd, f"dec.resblocks.{idx}.convs1.{j}", "conv1d")
+                c2 = _plain_or_wn(sd, f"dec.resblocks.{idx}.convs2.{j}", "conv1d")
+                bp[f"Conv_{2 * j}"] = c1["layer"]
+                bp[f"WeightNorm_{2 * j}"] = {f"Conv_{2 * j}/kernel/scale": c1["scale"]}
+                bp[f"Conv_{2 * j + 1}"] = c2["layer"]
+                bp[f"WeightNorm_{2 * j + 1}"] = {
+                    f"Conv_{2 * j + 1}/kernel/scale": c2["scale"]}
+        else:
+            for j in range(dilations_per_block):
+                c = _plain_or_wn(sd, f"dec.resblocks.{idx}.convs.{j}", "conv1d")
+                bp[f"Conv_{j}"] = c["layer"]
+                bp[f"WeightNorm_{j}"] = {f"Conv_{j}/kernel/scale": c["scale"]}
+        dec[f"{block_name}_{idx}"] = bp
+    post = _plain_or_wn(sd, "dec.conv_post", "conv1d")
+    if "bias" not in post["layer"]:  # ref conv_post has bias=False
+        post["layer"]["bias"] = np.zeros(
+            post["layer"]["kernel"].shape[-1], post["layer"]["kernel"].dtype)
+    dec["Conv_1"] = post["layer"]
+    dec[f"WeightNorm_{num_upsamples + 1}"] = {"Conv_1/kernel/scale": post["scale"]}
+    params["decoder"] = dec
+
+    if n_speakers > 1 and "emb_g.weight" in sd:
+        params["speaker_embed"] = {"embedding": t("emb_g.weight")}
+    return params
+
+
+def _ddsconv_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                     n_layers: int = 3) -> dict:
+    """Reference DDSConv (modules/flow/modules.py:25) → our flows.DDSConv."""
+    t = lambda name: np.asarray(sd[name])
+    out: dict = {}
+    for i in range(n_layers):
+        # torch depthwise Conv1d (C, 1, K) → flax grouped conv (K, 1, C)
+        out[f"sep_{i}"] = {
+            "kernel": np.transpose(t(f"{prefix}.convs_sep.{i}.weight"), (2, 1, 0)),
+            "bias": t(f"{prefix}.convs_sep.{i}.bias"),
+        }
+        out[f"pw_{i}"] = conv1d_to_flax(t(f"{prefix}.convs_1x1.{i}.weight"),
+                                        t(f"{prefix}.convs_1x1.{i}.bias"))
+        out[f"LayerNorm_{2 * i}"] = {"scale": t(f"{prefix}.norms_1.{i}.gamma"),
+                                     "bias": t(f"{prefix}.norms_1.{i}.beta")}
+        out[f"LayerNorm_{2 * i + 1}"] = {"scale": t(f"{prefix}.norms_2.{i}.gamma"),
+                                         "bias": t(f"{prefix}.norms_2.{i}.beta")}
+    return out
+
+
+def _convflow_to_flax(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """Reference ConvFlow (modules/flow/modules.py:400) → our flows.ConvFlow."""
+    t = lambda name: np.asarray(sd[name])
+    return {
+        "pre": conv1d_to_flax(t(f"{prefix}.pre.weight"), t(f"{prefix}.pre.bias")),
+        "convs": _ddsconv_to_flax(sd, f"{prefix}.convs"),
+        "proj": conv1d_to_flax(t(f"{prefix}.proj.weight"), t(f"{prefix}.proj.bias")),
+    }
+
+
+def torch_vits_sdp_to_flax(sd: Mapping[str, np.ndarray],
+                           prefix: str = "dp", n_flows: int = 4) -> dict:
+    """Reference StochasticDurationPredictor → our SDP params. Torch flow
+    ModuleLists interleave parameter-free Flips at odd indices."""
+    t = lambda name: np.asarray(sd[name])
+    out: dict = {
+        "pre": conv1d_to_flax(t(f"{prefix}.pre.weight"), t(f"{prefix}.pre.bias")),
+        "convs": _ddsconv_to_flax(sd, f"{prefix}.convs"),
+        "proj": conv1d_to_flax(t(f"{prefix}.proj.weight"), t(f"{prefix}.proj.bias")),
+        "flow_pre": {"m": t(f"{prefix}.flows.0.m").reshape(-1),
+                     "logs": t(f"{prefix}.flows.0.logs").reshape(-1)},
+        "post_pre": conv1d_to_flax(t(f"{prefix}.post_pre.weight"),
+                                   t(f"{prefix}.post_pre.bias")),
+        "post_convs": _ddsconv_to_flax(sd, f"{prefix}.post_convs"),
+        "post_proj": conv1d_to_flax(t(f"{prefix}.post_proj.weight"),
+                                    t(f"{prefix}.post_proj.bias")),
+        "post_flow_pre": {"m": t(f"{prefix}.post_flows.0.m").reshape(-1),
+                          "logs": t(f"{prefix}.post_flows.0.logs").reshape(-1)},
+    }
+    for i in range(n_flows):
+        out[f"flow_{i}"] = _convflow_to_flax(sd, f"{prefix}.flows.{2 * i + 1}")
+        out[f"post_flow_{i}"] = _convflow_to_flax(sd, f"{prefix}.post_flows.{2 * i + 1}")
+    if f"{prefix}.cond.weight" in sd:
+        out["cond"] = conv1d_to_flax(t(f"{prefix}.cond.weight"),
+                                     t(f"{prefix}.cond.bias"))
+    return out

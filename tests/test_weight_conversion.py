@@ -55,12 +55,41 @@ def _ref_on_path():
                  "lhotse.dataset.input_strategies", "lhotse.utils",
                  "torchaudio", "torchaudio.functional",
                  "torchaudio.functional.functional",
-                 "torchaudio.transforms", "librosa", "librosa.filters"):
+                 "torchaudio.transforms", "librosa", "librosa.filters",
+                 "ruamel", "ruamel.yaml"):
         _stub(name)
     yield
     sys.path.remove(str(REFERENCE))
     for name in stubs:
         sys.modules.pop(name, None)
+
+
+def _shim_old_hf_attention(llama_model):
+    """Adapt the vendored layers' old-HF attention calls (position_ids in,
+    3-tuple out) to the installed transformers LlamaAttention API."""
+    from transformers.models.llama.modeling_llama import LlamaRotaryEmbedding
+
+    rot = LlamaRotaryEmbedding(config=llama_model.layers[0].self_attn.config)
+
+    def _shim(attn):
+        orig = attn.forward
+
+        def fwd(hidden_states, attention_mask=None, position_ids=None,
+                past_key_value=None, output_attentions=False,
+                use_cache=False, **kw):
+            pos_emb = rot(hidden_states, position_ids)
+            out = orig(hidden_states=hidden_states,
+                       attention_mask=attention_mask,
+                       position_embeddings=pos_emb,
+                       past_key_value=past_key_value, **kw)
+            h, w = out[0], out[1] if len(out) > 1 else None
+            return h, w, None
+
+        attn.forward = fwd
+
+    for layer in llama_model.layers:
+        layer.self_attn.config._attn_implementation = "eager"
+        _shim(layer.self_attn)
 
 
 def _hifigan_cfg_torch(resblock="1"):
@@ -462,15 +491,26 @@ class TestDiffLlamaRoundTrip:
             x_in = (x + cond_emb).numpy()
 
         sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-        params = diff_llama_to_flax(sd, num_layers=layers)["encoder"]
-        ours = LlamaEncoder(LlamaConfig(
+        params = diff_llama_to_flax(sd, num_layers=layers)
+        cfg = LlamaConfig(
             hidden_size=hidden, num_layers=layers, num_heads=heads,
             intermediate_size=4 * hidden, adaptive=True, max_position=64,
-        ))
-        out = np.asarray(ours.apply(
-            {"params": params}, jnp.asarray(x_in),
+        )
+        # 1) bare encoder fed the precomputed cond/diff-step embeddings
+        enc = LlamaEncoder(cfg)
+        out = np.asarray(enc.apply(
+            {"params": params["encoder"]}, jnp.asarray(x_in),
             cond=jnp.asarray(dstep), mask=jnp.ones((b, t), bool)))
         np.testing.assert_allclose(out, ref_out, atol=5e-5)
+        # 2) full DiffLlamaEncoder wrapper: raw (x, t, cond) in
+        from amphion_tpu.modules.llama import DiffLlamaEncoder
+
+        wrapper = DiffLlamaEncoder(cfg)
+        out2 = np.asarray(wrapper.apply(
+            {"params": params}, jnp.asarray(x.numpy()),
+            jnp.asarray(step.numpy()), jnp.asarray(cond.numpy()),
+            mask=jnp.ones((b, t), bool)))
+        np.testing.assert_allclose(out2, ref_out, atol=5e-5)
 
 
 class TestVocosRoundTrip:
@@ -565,3 +605,333 @@ class TestQuantizerRoundTrip:
                          method=ResidualVQ.decode)
         np.testing.assert_allclose(np.asarray(emb).transpose(0, 2, 1),
                                    emb_ref, atol=2e-5)
+
+
+class TestMaskGCTModelsRoundTrip:
+    """Full MaskGCT T2S / S2A model conversion: reference models with
+    random weights, deterministic masked-forward comparison (embeddings +
+    backbone + heads; the samplers differ only in RNG plumbing)."""
+
+    def test_t2s_masked_forward_parity(self):
+        import flax.linen as fnn
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.maskgct.maskgct import (MaskGCTT2S,
+                                                            T2SConfig)
+        from amphion_tpu.utils.convert import maskgct_t2s_to_flax
+        from models.tts.maskgct.maskgct_t2s import MaskGCT_T2S
+
+        torch.manual_seed(21)
+        hidden, heads, layers, vocab = 32, 4, 2, 24
+        ref = MaskGCT_T2S(hidden_size=hidden, num_heads=heads,
+                          num_layers=layers, cond_codebook_size=vocab).eval()
+        _shim_old_hf_attention(ref.diff_estimator)
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                if "to_weight" in n:
+                    p.copy_(torch.randn_like(p) * 0.2)
+
+        b, t_len, lp = 2, 6, 3
+        seq = torch.randint(0, vocab, (b, t_len))
+        mask = torch.zeros(b, t_len, dtype=torch.bool)
+        mask[:, 2:] = True
+        phone_id = torch.randint(0, 100, (b, 4))
+        tvec = torch.tensor([0.3, 0.7])
+        with torch.no_grad():
+            # reference composition (mirrors its reverse_diffusion inner step)
+            xt = torch.where(mask[..., None], ref.mask_emb.weight[0],
+                             ref.cond_emb(seq))
+            phone_embedding = ref.phone_emb(phone_id)
+            embeds = ref.diff_estimator(
+                xt, tvec, torch.ones(b, t_len),
+                phone_embedding=phone_embedding,
+                phone_mask=torch.ones(b, 4))
+            ref_logits = ref.to_logit(embeds).numpy()
+
+        params = maskgct_t2s_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            num_layers=layers)
+        ours = MaskGCTT2S(T2SConfig(
+            hidden=hidden, num_layers=layers, num_heads=heads,
+            codebook_size=vocab, phone_vocab=1024, max_position=64))
+
+        def fwd(mdl):
+            x_emb = jnp.where(jnp.asarray(mask.numpy())[..., None],
+                              mdl.mask_emb[None, None, :],
+                              mdl.cond_emb(jnp.asarray(seq.numpy())))
+            phone_emb = mdl.phone_emb(jnp.asarray(phone_id.numpy()))
+            h = mdl.estimate(x_emb, jnp.asarray(tvec.numpy()),
+                             jnp.ones((b, t_len)), phone_emb,
+                             jnp.ones((b, 4)))
+            return mdl.to_logit(h)
+
+        logits = np.asarray(fnn.apply(fwd, ours)({"params": params}))
+        np.testing.assert_allclose(logits, ref_logits, atol=1e-4)
+
+    def test_s2a_masked_forward_parity(self):
+        import flax.linen as fnn
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.maskgct.maskgct import (MaskGCTS2A,
+                                                            S2AConfig)
+        from amphion_tpu.utils.convert import maskgct_s2a_to_flax
+        from models.tts.maskgct.maskgct_s2a import MaskGCT_S2A
+
+        torch.manual_seed(22)
+        hidden, heads, layers, q_n, vocab, sem_vocab = 32, 4, 2, 3, 16, 20
+        ref = MaskGCT_S2A(num_quantizer=q_n, hidden_size=hidden,
+                          num_layers=layers, num_heads=heads,
+                          codebook_size=vocab,
+                          cond_codebook_size=sem_vocab).eval()
+        _shim_old_hf_attention(ref.diff_estimator)
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                if "to_weight" in n:
+                    p.copy_(torch.randn_like(p) * 0.2)
+
+        b, t_len = 2, 6
+        layer = 1  # target RVQ layer
+        tokens = torch.randint(0, vocab, (b, t_len, q_n))
+        mask = torch.zeros(b, t_len, dtype=torch.bool)
+        mask[:, 3:] = True
+        is_prompt = torch.zeros(b, t_len, dtype=torch.bool)
+        is_prompt[:, :2] = True
+        sem_ids = torch.randint(0, sem_vocab, (b, t_len))
+        tvec = torch.tensor([0.4, 0.6])
+        with torch.no_grad():
+            mask_tok = ref.mask_emb.weight[0]
+            xt = torch.zeros(b, t_len, hidden)
+            for q in range(q_n):
+                emb_q = ref.token_emb[q](tokens[:, :, q])
+                if q < layer:
+                    xt = xt + emb_q
+                elif q == layer:
+                    xt = xt + torch.where(mask[..., None], mask_tok, emb_q)
+                else:
+                    xt = xt + torch.where(is_prompt[..., None], emb_q,
+                                          mask_tok.expand_as(emb_q))
+            cond = ref.cond_emb(sem_ids) + ref.layer_emb(
+                torch.tensor([layer]))[None, 0]
+            embeds = ref.diff_estimator(xt, tvec, cond, torch.ones(b, t_len))
+            ref_logits = ref.to_logits[layer](embeds).numpy()
+
+        params = maskgct_s2a_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            num_layers=layers, num_quantizers=q_n)
+        ours = MaskGCTS2A(S2AConfig(
+            hidden=hidden, num_layers=layers, num_heads=heads,
+            codebook_size=vocab, num_quantizers=q_n,
+            cond_codebook_size=sem_vocab, max_position=64))
+
+        tokens_all = jnp.asarray(tokens.numpy().transpose(0, 2, 1))  # (B,Q,T)
+        layer_b = jnp.full((b,), layer, jnp.int32)
+
+        def fwd(mdl):
+            x_emb = mdl._xt(tokens_all, layer_b, jnp.asarray(mask.numpy()),
+                            jnp.asarray(is_prompt.numpy()))
+            cond = mdl._cond_of(jnp.asarray(sem_ids.numpy())) \
+                + mdl.layer_emb(layer_b)[:, None, :]
+            h = mdl.backbone(x_emb, jnp.asarray(tvec.numpy()), cond,
+                             mask=jnp.ones((b, t_len)))
+            return mdl._layer_logits(h, layer_b)
+
+        logits = np.asarray(fnn.apply(fwd, ours)({"params": params}))
+        np.testing.assert_allclose(logits, ref_logits, atol=1e-4)
+
+
+class TestRepCodecRoundTrip:
+    """Reference RepCodec (MaskGCT semantic codec: Vocos backbones + RVQ)
+    vs our style='vocos' RepCodec through converted weights — tokens exact,
+    reconstruction to 1e-4. Completes the MaskGCT checkpoint chain."""
+
+    def test_forward_and_tokens(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.codec.repcodec import (RepCodec,
+                                                       RepCodecConfig)
+        from amphion_tpu.utils.convert import repcodec_to_flax
+        from models.codec.kmeans.repcodec_model import RepCodec as RefRepCodec
+
+        torch.manual_seed(31)
+        ref = RefRepCodec(codebook_size=32, hidden_size=24, codebook_dim=8,
+                          vocos_dim=16, vocos_intermediate_dim=32,
+                          vocos_num_layers=2, num_quantizers=1).eval()
+        x = torch.randn(2, 10, 24)
+        with torch.no_grad():
+            x_rec, _, idx_ref = ref(x)
+            vq_id, emb_ref = ref.quantize(x)
+
+        params = repcodec_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            num_layers=2, num_quantizers=1)
+        ours = RepCodec(RepCodecConfig(
+            feature_dim=24, hidden=16, codebook_size=32, codebook_dim=8,
+            num_blocks=2, style="vocos", vocos_intermediate_dim=32,
+            num_quantizers=1))
+        recon, tokens, _ = ours.apply({"params": params},
+                                      jnp.asarray(x.numpy()))
+        np.testing.assert_array_equal(np.asarray(tokens), vq_id.numpy())
+        np.testing.assert_allclose(np.asarray(recon), x_rec.numpy(),
+                                   atol=1e-4)
+        # decode_tokens matches the quantized embedding path
+        lat = ours.apply({"params": params}, jnp.asarray(tokens),
+                         method=RepCodec.decode_tokens)
+        # ref quantize() returns (B, T, D) — same layout as ours
+        np.testing.assert_allclose(np.asarray(lat), emb_ref.numpy(),
+                                   atol=2e-5)
+
+
+class TestVITSRoundTrip:
+    """Full SynthesizerTrn oracle round trips (ref models/tts/vits/vits.py:155):
+    text encoder with padded batches, deterministic zero-noise infer through
+    SDP-reverse → flow-reverse → HiFiGAN_vits, and voice conversion."""
+
+    def _ref_model(self, n_speakers=0, gin=0, use_sdp=True, seed=7):
+        from models.tts.vits.vits import SynthesizerTrn
+
+        torch.manual_seed(seed)
+        m = SynthesizerTrn(
+            n_vocab=40, spec_channels=33, segment_size=16, inter_channels=16,
+            hidden_channels=16, filter_channels=32, n_heads=2, n_layers=2,
+            kernel_size=3, p_dropout=0.0, resblock="1",
+            resblock_kernel_sizes=[3, 5],
+            resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+            upsample_rates=[2, 2], upsample_initial_channel=16,
+            upsample_kernel_sizes=[4, 4], n_speakers=n_speakers,
+            gin_channels=gin, use_sdp=use_sdp)
+        m.eval()
+        return m
+
+    def _our_model_and_params(self, ref, n_speakers=0, gin=0, use_sdp=True):
+        from amphion_tpu.models.tts.vits.vits import VITS, VITSConfig
+        from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig
+        from amphion_tpu.utils.convert import torch_vits_to_flax
+
+        cfg = VITSConfig(
+            num_phones=40, spec_channels=33, inter_channels=16,
+            hidden_channels=16, filter_channels=32, n_heads=2, n_layers=2,
+            kernel_size=3, n_speakers=n_speakers, gin_channels=gin,
+            use_sdp=use_sdp, segment_size=16,
+            decoder=HiFiGANConfig(
+                resblock="1", upsample_rates=(2, 2),
+                upsample_kernel_sizes=(4, 4), upsample_initial_channel=16,
+                resblock_kernel_sizes=(3, 5),
+                resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)), n_mel=16))
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_vits_to_flax(
+            sd, n_layers=2, posterior_wn_layers=16, n_flows=4,
+            flow_wn_layers=4, num_upsamples=2, num_kernels=2,
+            resblock="1", use_sdp=use_sdp, n_speakers=n_speakers)
+        return VITS(cfg), params
+
+    def test_text_encoder_padded_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.vits.vits import VITS
+
+        ref = self._ref_model()
+        model, params = self._our_model_and_params(ref)
+        torch.manual_seed(1)
+        phones = torch.randint(0, 40, (2, 12))
+        lengths = torch.tensor([12, 8])
+        phones[1, 8:] = 0
+        with torch.no_grad():
+            x_t, m_t, logs_t, mask_t = ref.enc_p(phones, lengths)
+
+        mask = jnp.asarray((torch.arange(12)[None] < lengths[:, None]).float().numpy())
+        x_j, m_j, logs_j = model.apply(
+            {"params": params}, jnp.asarray(phones.numpy()), mask,
+            method=lambda mdl, p, msk: mdl.text_encoder(p, msk))
+        # torch returns NCT; ours NLC. Compare only valid positions
+        mask_np = np.asarray(mask)[..., None]
+        np.testing.assert_allclose(
+            np.asarray(x_j) * mask_np,
+            x_t.transpose(1, 2).numpy() * mask_np, atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(m_j) * mask_np,
+            m_t.transpose(1, 2).numpy() * mask_np, atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(logs_j) * mask_np,
+            logs_t.transpose(1, 2).numpy() * mask_np, atol=3e-5)
+
+    def test_infer_parity_sdp(self):
+        """Zero-noise end-to-end infer: text → SDP reverse durations →
+        length regulation → flow reverse → waveform."""
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.vits.vits import VITS
+
+        ref = self._ref_model(use_sdp=True)
+        model, params = self._our_model_and_params(ref, use_sdp=True)
+        torch.manual_seed(2)
+        phones = torch.randint(0, 40, (1, 11))
+        with torch.no_grad():
+            out = ref.infer(phones, torch.tensor([11]),
+                            noise_scale=0.0, noise_scale_w=0.0)
+        y_len = int(out["mask"].sum())
+
+        mask = jnp.ones((1, 11))
+        wav, frame_mask, w_ceil = model.apply(
+            {"params": params}, jnp.asarray(phones.numpy()), mask,
+            jax.random.key(0), method=VITS.infer,
+            noise_scale=0.0, noise_scale_w=0.0, max_frames=y_len)
+        assert int(jnp.sum(frame_mask)) == y_len
+        np.testing.assert_allclose(
+            np.asarray(wav), out["y_hat"][:, 0].numpy(), atol=2e-4)
+
+    def test_voice_conversion_parity(self):
+        """Posterior (mean) → flow fwd (src) → flow reverse (tgt) → decode,
+        with speaker conditioning through every WN cond layer."""
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.vits.vits import VITS
+
+        ref = self._ref_model(n_speakers=4, gin=8, use_sdp=False, seed=9)
+        model, params = self._our_model_and_params(
+            ref, n_speakers=4, gin=8, use_sdp=False)
+        torch.manual_seed(3)
+        spec = torch.randn(1, 33, 10)
+        orig_randn = torch.randn_like
+        torch.randn_like = lambda t, **kw: torch.zeros_like(t)
+        try:
+            with torch.no_grad():
+                o_t, _, _ = ref.voice_conversion(
+                    spec, torch.tensor([10]),
+                    torch.tensor([1]), torch.tensor([2]))
+        finally:
+            torch.randn_like = orig_randn
+
+        wav = model.apply(
+            {"params": params}, jnp.asarray(spec.transpose(1, 2).numpy()),
+            jnp.ones((1, 10)), jnp.asarray([1]), jnp.asarray([2]),
+            method=VITS.voice_conversion)
+        np.testing.assert_allclose(
+            np.asarray(wav), o_t[:, 0].numpy(), atol=2e-4)
+
+    def test_flow_forward_padded_parity(self):
+        """Residual-coupling flow forward under padding (mask semantics of
+        the WN stack), with speaker conditioning."""
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.vits.vits import VITS
+
+        ref = self._ref_model(n_speakers=4, gin=8, use_sdp=False, seed=11)
+        model, params = self._our_model_and_params(
+            ref, n_speakers=4, gin=8, use_sdp=False)
+        torch.manual_seed(4)
+        z = torch.randn(2, 16, 9)
+        lengths = torch.tensor([9, 6])
+        mask_t = (torch.arange(9)[None] < lengths[:, None]).float()
+        z = z * mask_t[:, None]
+        g = ref.emb_g(torch.tensor([1, 3])).unsqueeze(-1)
+        with torch.no_grad():
+            zp_t = ref.flow(z, mask_t.unsqueeze(1), g=g)
+
+        zp_j = model.apply(
+            {"params": params}, jnp.asarray(z.transpose(1, 2).numpy()),
+            jnp.asarray(mask_t.numpy()), jnp.asarray([1, 3]),
+            method=lambda mdl, zz, msk, sid: mdl.flow(
+                zz, msk, g=mdl._speaker(sid))[0])
+        np.testing.assert_allclose(
+            np.asarray(zp_j), zp_t.transpose(1, 2).numpy(), atol=3e-5)
