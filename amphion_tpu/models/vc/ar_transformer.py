@@ -1,70 +1,134 @@
 """Vevo autoregressive transformer: content tokens → content-style tokens.
 
-Same capability as the reference (reference:
+Checkpoint-compatible re-design of the reference (reference:
 `models/vc/autoregressive_transformer/ar_model.py:14` —
-`AutoregressiveTransformer` wrapping `LlamaForCausalLM:79`, with an optional
-global timbre encoder `global_encoder.py`; used by Vevo-Voice/-Style and, with
-phone inputs, Vevo-TTS; trainer `ar_trainer.py`): an input vocabulary
-(content tokens at FVQ-32 or phones) is mapped autoregressively to the
-content-style vocabulary (FVQ-8192). Rides the shared Llama backbone with a
-fixed-size KV cache decode scan.
+`AutoregressiveTransformer` wrapping `LlamaForCausalLM`, with an optional
+global style/timbre encoder `global_encoder.py:59`; used by
+Vevo-Voice/-Style and, with phone inputs, Vevo-TTS):
+
+- ONE unified token space (ref ar_model.py:58-77): output ids raw in
+  [0, output_vocab), input ids shifted by +output_vocab, then
+  pad = in+out, input_bos/input_eos/output_bos/output_eos = pad+1..4,
+  total vocab = input_vocab + output_vocab + 20.
+- sequence protocol (ref `padding_for_input`/`padding_for_output`):
+  [IN_BOS, shifted inputs, IN_EOS, PAD…] (+ global style embedding)
+  [OUT_BOS, outputs, OUT_EOS, PAD…], teacher-forced shifted CE with
+  -100-style label masking (loss includes predicting OUT_BOS, as the
+  reference's HF loss does).
+- decode is a fixed-size KV-cache `lax.scan` (TPU-native; the reference
+  uses HF `generate`).
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from amphion_tpu.modules.llama import LlamaConfig, LlamaDecoder
+from amphion_tpu.modules.llama import (
+    LlamaConfig,
+    LlamaDecoder,
+    LlamaEncoder,
+)
 from amphion_tpu.ops.sampling import sample_logits
 
 
 @dataclass(frozen=True)
 class ARTransformerConfig:
-    input_vocab: int = 32  # content tokens (or phone vocab for TTS mode)
+    input_vocab: int = 32  # content tokens (or phone vocab / 1056 for uni-training)
     output_vocab: int = 8192  # content-style tokens
     hidden: int = 1024
+    intermediate: int | None = 4096
     num_layers: int = 16
     num_heads: int = 16
     max_position: int = 8192
-    use_global_timbre: bool = False  # Vevo global timbre encoder option
-    timbre_dim: int = 512
-
-    @property
-    def bos_id(self) -> int:
-        return self.output_vocab
-
-    @property
-    def eos_id(self) -> int:
-        return self.output_vocab + 1
-
+    use_global_timbre: bool = False  # Vevo global style encoder option
+    timbre_input_dim: int = 80  # mel dim fed to the global encoder
+    timbre_hidden: int = 512
+    timbre_heads: int = 4
+    timbre_layers: int = 4
     remat: bool = False  # rematerialize decoder blocks (memory lever)
+
+    # -- unified token space (ref ar_model.py:58-62) -------------------------
+    @property
+    def pad_id(self) -> int:
+        return self.input_vocab + self.output_vocab
+
+    @property
+    def input_bos_id(self) -> int:
+        return self.pad_id + 1
+
+    @property
+    def input_eos_id(self) -> int:
+        return self.pad_id + 2
+
+    @property
+    def bos_id(self) -> int:  # output BOS
+        return self.pad_id + 3
+
+    @property
+    def eos_id(self) -> int:  # output EOS (decode stop token)
+        return self.pad_id + 4
+
+    @property
+    def total_vocab(self) -> int:
+        # +20 headroom for post-training special tokens (ref ar_model.py:69)
+        return self.input_vocab + self.output_vocab + 20
 
     def llama(self) -> LlamaConfig:
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
-            num_heads=self.num_heads, max_position=self.max_position,
-            remat=self.remat,
+            num_heads=self.num_heads, intermediate_size=self.intermediate,
+            max_position=self.max_position, remat=self.remat,
         )
 
 
 class GlobalTimbreEncoder(nn.Module):
-    """Mean-pooled conv encoder over reference mel → timbre vector
-    (ref `models/vc/autoregressive_transformer/global_encoder.py`)."""
+    """Global style encoder (ref `global_encoder.py:59` GlobalEncoder):
+    input MLP → bidirectional Llama layers → RMSNorm → output MLP →
+    mean pool over time. The reference mean is unmasked — mirrored here."""
 
-    dim: int = 512
-    n_mel: int = 80
+    output_dim: int
+    hidden: int = 512
+    num_heads: int = 4
+    num_layers: int = 4
 
     @nn.compact
-    def __call__(self, ref_mel):
-        h = ref_mel
-        for i, ch in enumerate([256, 256, self.dim]):
-            h = nn.Conv(ch, (5,), strides=(2,), padding="SAME")(h)
-            h = nn.gelu(h)
-        return jnp.mean(h, axis=1)  # (B, dim)
+    def __call__(self, ref_mel, mask=None):
+        h = nn.Dense(self.hidden * 4, name="in_0")(ref_mel)
+        h = nn.silu(h)
+        h = nn.Dense(self.hidden, name="in_1")(h)
+        h = LlamaEncoder(LlamaConfig(
+            hidden_size=self.hidden, num_layers=self.num_layers,
+            num_heads=self.num_heads, intermediate_size=self.hidden * 4,
+            max_position=4096,
+        ), name="encoder")(h, mask=mask)
+        h = nn.Dense(self.hidden * 4, name="out_0")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.output_dim, name="out_1")(h)
+        return jnp.mean(h, axis=1)  # (B, output_dim)
+
+
+def _pack_block(ids, mask, bos, eos, pad, shift):
+    """Static-shape equivalent of the reference `padding_for_input/_output`
+    (ar_model.py:173-237): (B, T) left-aligned valid tokens →
+    (B, T+2) = [BOS, shifted tokens, EOS, PAD…] + its mask."""
+    b, t = ids.shape
+    k = jnp.sum(mask, axis=1).astype(jnp.int32)  # (B,) valid counts
+    body = ((ids + shift) * mask).astype(jnp.int32)
+    body = jnp.concatenate([body, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    pos = jnp.arange(t + 1)[None, :]
+    body = jnp.where(pos < k[:, None], body,
+                     jnp.where(pos == k[:, None], eos, pad))
+    out_ids = jnp.concatenate(
+        [jnp.full((b, 1), bos, jnp.int32), body], axis=1)
+    out_mask = jnp.concatenate(
+        [jnp.ones((b, 1), mask.dtype), (pos <= k[:, None]).astype(mask.dtype)],
+        axis=1)
+    return out_ids, out_mask
 
 
 class ARTransformer(nn.Module):
@@ -72,79 +136,104 @@ class ARTransformer(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.input_embed = nn.Embed(c.input_vocab, c.hidden)
-        # +2 for BOS/EOS of the output stream
-        self.output_embed = nn.Embed(c.output_vocab + 2, c.hidden)
+        self.embed_tokens = nn.Embed(c.total_vocab, c.hidden)
         self.decoder = LlamaDecoder(c.llama())
-        self.head = nn.Dense(c.output_vocab + 2)
+        self.lm_head = nn.Dense(c.total_vocab, use_bias=False)
         if c.use_global_timbre:
-            self.timbre_encoder = GlobalTimbreEncoder(c.hidden)
+            self.timbre_encoder = GlobalTimbreEncoder(
+                output_dim=c.hidden, hidden=c.timbre_hidden,
+                num_heads=c.timbre_heads, num_layers=c.timbre_layers,
+            )
 
-    def _prefix(self, input_tokens, ref_mel=None):
-        pe = self.input_embed(input_tokens)
-        if self.cfg.use_global_timbre and ref_mel is not None:
-            pe = pe + self.timbre_encoder(ref_mel)[:, None, :]
-        return pe
+    def _blocks(self, input_tokens, input_mask, output_tokens, output_mask):
+        c = self.cfg
+        in_ids, in_m = _pack_block(
+            input_tokens, input_mask, c.input_bos_id, c.input_eos_id,
+            c.pad_id, c.output_vocab)
+        out_ids, out_m = _pack_block(
+            output_tokens, output_mask, c.bos_id, c.eos_id, c.pad_id, 0)
+        return in_ids, in_m, out_ids, out_m
 
     def forward(self, input_tokens, input_mask, output_tokens, output_mask,
-                ref_mel=None):
-        """Teacher-forced logits over [inputs; BOS + outputs]."""
-        pe = self._prefix(input_tokens, ref_mel)
-        bos = jnp.full_like(output_tokens[:, :1], self.cfg.bos_id)
-        te = self.output_embed(jnp.concatenate([bos, output_tokens], axis=1))
-        x = jnp.concatenate([pe, te], axis=1)
-        mask = jnp.concatenate(
-            [input_mask, jnp.ones_like(output_mask[:, :1]), output_mask], axis=1
-        )
+                ref_mel=None, ref_mel_mask=None):
+        """Teacher-forced logits over the full packed sequence
+        [input block (+ style emb), output block]; (B, Lin+Lout+4(+1), V)."""
+        c = self.cfg
+        in_ids, in_m, out_ids, out_m = self._blocks(
+            input_tokens, input_mask, output_tokens, output_mask)
+        in_emb = self.embed_tokens(in_ids)
+        parts_emb = [in_emb]
+        parts_mask = [in_m]
+        if c.use_global_timbre and ref_mel is not None:
+            if ref_mel_mask is None:
+                ref_mel_mask = jnp.ones(ref_mel.shape[:2], in_m.dtype)
+            style = self.timbre_encoder(ref_mel, ref_mel_mask)[:, None, :]
+            parts_emb.append(style)
+            parts_mask.append(jnp.ones_like(in_m[:, :1]))
+        parts_emb.append(self.embed_tokens(out_ids))
+        parts_mask.append(out_m)
+        x = jnp.concatenate(parts_emb, axis=1)
+        mask = jnp.concatenate(parts_mask, axis=1)
         h = self.decoder(x, mask=mask)
-        li = input_tokens.shape[1]
-        return self.head(h[:, li:])  # predicts output_tokens then EOS
+        return self.lm_head(h), out_ids, out_m
 
     def loss(self, input_tokens, input_mask, output_tokens, output_mask,
-             ref_mel=None):
-        c = self.cfg
-        logits = self.forward(input_tokens, input_mask, output_tokens,
-                              output_mask, ref_mel)
-        targets = jnp.concatenate(
-            [output_tokens, jnp.full_like(output_tokens[:, :1], c.eos_id)], axis=1
-        )
-        w = jnp.concatenate(
-            [output_mask, jnp.zeros_like(output_mask[:, :1])], axis=1
-        )
-        lengths = jnp.sum(output_mask, axis=1).astype(jnp.int32)
-        w = w.at[jnp.arange(w.shape[0]), lengths].set(1.0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+             ref_mel=None, ref_mel_mask=None):
+        """HF-style shifted CE: labels are -100 on the input block and pads,
+        the OUTPUT block labels are [OUT_BOS, outputs, OUT_EOS] (the
+        reference loss includes predicting OUT_BOS — ref ar_model.py:235)."""
+        logits, out_ids, out_m = self.forward(
+            input_tokens, input_mask, output_tokens, output_mask, ref_mel,
+            ref_mel_mask)
+        lo = out_ids.shape[1]
+        out_logits = logits[:, -lo - 1:-1]  # predict out block from prefix
+        w = out_m.astype(jnp.float32)
+        logp = jax.nn.log_softmax(out_logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, out_ids[..., None], axis=-1)[..., 0]
         loss = -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
-        acc = jnp.sum((logits.argmax(-1) == targets) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        acc = jnp.sum((out_logits.argmax(-1) == out_ids) * w) / jnp.maximum(
+            jnp.sum(w), 1.0)
         return loss, {"ar_loss": loss, "ar_acc": acc}
 
     # -- decode helpers -----------------------------------------------------
 
-    def prefill(self, input_tokens, caches, ref_mel=None):
-        pe = self._prefix(input_tokens, ref_mel)
-        bos = self.output_embed(
-            jnp.full((input_tokens.shape[0], 1), self.cfg.bos_id, jnp.int32)
-        )
-        x = jnp.concatenate([pe, bos], axis=1)
+    def prefill(self, input_tokens, caches, ref_mel=None,
+                prompt_output_tokens=None):
+        """Prompt = [IN_BOS, inputs, IN_EOS] (+ style emb) + [OUT_BOS,
+        prompt outputs] (ref generate(), ar_model.py:240-300). Valid (no-pad)
+        inputs only — decode is per-utterance like the reference."""
+        c = self.cfg
+        b, li = input_tokens.shape
+        in_ids = jnp.concatenate([
+            jnp.full((b, 1), c.input_bos_id, jnp.int32),
+            (input_tokens + c.output_vocab).astype(jnp.int32),
+            jnp.full((b, 1), c.input_eos_id, jnp.int32),
+        ], axis=1)
+        parts = [self.embed_tokens(in_ids)]
+        if c.use_global_timbre and ref_mel is not None:
+            style = self.timbre_encoder(
+                ref_mel, jnp.ones(ref_mel.shape[:2], jnp.float32))[:, None, :]
+            parts.append(style)
+        out_ids = [jnp.full((b, 1), c.bos_id, jnp.int32)]
+        if prompt_output_tokens is not None:
+            out_ids.append(prompt_output_tokens.astype(jnp.int32))
+        parts.append(self.embed_tokens(jnp.concatenate(out_ids, axis=1)))
+        x = jnp.concatenate(parts, axis=1)
         h, caches = self.decoder(x, caches=caches, cache_index=0)
-        return self.head(h[:, -1]), caches
+        return self.lm_head(h[:, -1]), caches, x.shape[1]
 
     def step(self, token, caches, cache_index):
-        emb = self.output_embed(token)[:, None, :]
+        emb = self.embed_tokens(token)[:, None, :]
         h, caches = self.decoder(emb, caches=caches, cache_index=cache_index)
-        return self.head(h[:, -1]), caches
+        return self.lm_head(h[:, -1]), caches
 
     def make_cache(self, batch, total_len):
         return self.decoder.init_cache(batch, total_len)
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=32)
 def _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
-                        compute_dtype):
+                        compute_dtype, prompt_len):
     core = functools.partial(
         _ar_transformer_generate_impl, model, max_new=max_new,
         temperature=temperature, top_k=top_k, top_p=top_p,
@@ -155,13 +244,16 @@ def _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
 
 def ar_transformer_generate(model, params, input_tokens, rng, max_new=1024,
                             temperature=1.0, top_k=40, top_p=1.0, ref_mel=None,
+                            prompt_output_tokens=None,
                             compute_dtype="bfloat16"):
     """KV-cache sampled decode, fully jit-compiled. bf16 by default — the
     token-by-token loop is weight-HBM-bandwidth bound (sampling sees f32
-    logits)."""
+    logits). Returns (tokens (B, max_new) raw output-vocab ids, lengths)."""
+    plen = (0 if prompt_output_tokens is None
+            else prompt_output_tokens.shape[1])
     return _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
-                               compute_dtype)(
-        params, input_tokens, rng, ref_mel
+                               compute_dtype, plen)(
+        params, input_tokens, rng, ref_mel, prompt_output_tokens
     )
 
 
@@ -171,13 +263,15 @@ def _ar_transformer_generate_impl(
     input_tokens: jax.Array,
     rng: jax.Array,
     ref_mel: jax.Array | None = None,
+    prompt_output_tokens: jax.Array | None = None,
     max_new: int = 1024,
     temperature: float = 1.0,
     top_k: int = 40,
     top_p: float = 1.0,
     compute_dtype: str = "bfloat16",
 ):
-    """KV-cache sampled decode (ref `ar_model.py:238`), one lax.scan."""
+    """KV-cache sampled decode (ref `ar_model.py:240` generate), one
+    lax.scan over sampled steps, stop at OUT_EOS."""
     c = model.cfg
     dt = jnp.dtype(compute_dtype)
     params = jax.tree_util.tree_map(
@@ -186,10 +280,13 @@ def _ar_transformer_generate_impl(
     if ref_mel is not None:
         ref_mel = ref_mel.astype(dt)
     b, li = input_tokens.shape
-    total = li + 1 + max_new
+    plen = 0 if prompt_output_tokens is None else prompt_output_tokens.shape[1]
+    style_len = 1 if (c.use_global_timbre and ref_mel is not None) else 0
+    total = li + 2 + style_len + 1 + plen + max_new
     caches = LlamaDecoder(c.llama()).init_cache(b, total, dtype=dt)
-    logits, caches = model.apply(
-        {"params": params}, input_tokens, caches, ref_mel, method=ARTransformer.prefill
+    logits, caches, pref_len = model.apply(
+        {"params": params}, input_tokens, caches, ref_mel,
+        prompt_output_tokens, method=ARTransformer.prefill
     )
 
     def body(carry, i):
@@ -200,7 +297,7 @@ def _ar_transformer_generate_impl(
         done_new = done | (tok == c.eos_id)
         tok_clean = jnp.where(done_new, 0, tok)
         logits_new, caches_new = model.apply(
-            {"params": params}, tok_clean, caches, li + 1 + i,
+            {"params": params}, tok_clean, caches, pref_len + i,
             method=ARTransformer.step,
         )
         gen_len = jnp.where(done_new, gen_len, i + 1)

@@ -872,3 +872,48 @@ def torch_vits_sdp_to_flax(sd: Mapping[str, np.ndarray],
         out["cond"] = conv1d_to_flax(t(f"{prefix}.cond.weight"),
                                      t(f"{prefix}.cond.bias"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vevo AR transformer — ref models/vc/autoregressive_transformer/ar_model.py
+# ---------------------------------------------------------------------------
+
+
+def vevo_global_encoder_to_flax(sd: Mapping[str, np.ndarray],
+                                prefix: str, num_layers: int) -> dict:
+    """Reference GlobalEncoder (global_encoder.py:59: input_mlp →
+    bidirectional Llama layers → norm → output_mlp) → GlobalTimbreEncoder."""
+    g = lambda name: np.asarray(sd[f"{prefix}.{name}"])
+    enc: dict = {"final_norm": {"scale": g("norm.weight")}}
+    for i in range(num_layers):
+        enc[f"layer_{i}"] = hf_llama_layer_to_flax(
+            {k[len(prefix) + 1:]: v for k, v in sd.items()
+             if k.startswith(f"{prefix}.layers.{i}.")}, f"layers.{i}")
+    return {
+        "in_0": linear_to_dense(g("input_mlp.0.weight"), g("input_mlp.0.bias")),
+        "in_1": linear_to_dense(g("input_mlp.2.weight"), g("input_mlp.2.bias")),
+        "encoder": enc,
+        "out_0": linear_to_dense(g("output_mlp.0.weight"), g("output_mlp.0.bias")),
+        "out_1": linear_to_dense(g("output_mlp.2.weight"), g("output_mlp.2.bias")),
+    }
+
+
+def vevo_ar_to_flax(sd: Mapping[str, np.ndarray], num_layers: int,
+                    timbre_layers: int = 0) -> dict:
+    """Reference AutoregressiveTransformer state dict → our ARTransformer.
+
+    Torch layout: `model.` = LlamaForCausalLM (so llama weights live under
+    `model.model.layers.*`, head under `model.lm_head`), optional
+    `global_encoder.*`."""
+    inner = {k[len("model."):]: v for k, v in sd.items()
+             if k.startswith("model.")}
+    base = hf_llama_to_flax(inner, num_layers)
+    params = {
+        "embed_tokens": base["embed_tokens"],
+        "lm_head": base["lm_head"],
+        "decoder": base["decoder"],
+    }
+    if timbre_layers and any(k.startswith("global_encoder.") for k in sd):
+        params["timbre_encoder"] = vevo_global_encoder_to_flax(
+            sd, "global_encoder", timbre_layers)
+    return params

@@ -53,13 +53,14 @@ def test_ar_transformer_loss_and_generate(rng):
         method=ARTransformer.loss,
     )
     assert np.isfinite(float(loss))
-    assert abs(float(loss) - np.log(18)) < 1.0
+    # random init → CE near log(total unified vocab) (ref ar_model.py:69)
+    assert abs(float(loss) - np.log(AR_TINY.total_vocab)) < 1.0
 
     toks, lens = ar_transformer_generate(
         model, params, inp, jax.random.key(1), max_new=8, top_k=5, ref_mel=ref_mel
     )
     assert toks.shape == (2, 8)
-    assert (np.asarray(toks) <= AR_TINY.eos_id).all()
+    assert (np.asarray(toks) < AR_TINY.total_vocab).all()
 
 
 def test_fmt_loss_overfit_and_inference(rng):

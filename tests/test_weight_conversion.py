@@ -64,9 +64,11 @@ def _ref_on_path():
         sys.modules.pop(name, None)
 
 
-def _shim_old_hf_attention(llama_model):
-    """Adapt the vendored layers' old-HF attention calls (position_ids in,
-    3-tuple out) to the installed transformers LlamaAttention API."""
+def _shim_old_hf_attention(llama_model, n_outputs=3):
+    """Adapt old-HF attention calls (position_ids in, 3-tuple out) to the
+    installed transformers LlamaAttention API. ``n_outputs=2`` matches the
+    modern LlamaDecoderLayer caller (unpacks ``h, attn_w``) when only the
+    rotary wiring needs shimming (position_ids → position_embeddings)."""
     from transformers.models.llama.modeling_llama import LlamaRotaryEmbedding
 
     rot = LlamaRotaryEmbedding(config=llama_model.layers[0].self_attn.config)
@@ -77,19 +79,39 @@ def _shim_old_hf_attention(llama_model):
         def fwd(hidden_states, attention_mask=None, position_ids=None,
                 past_key_value=None, output_attentions=False,
                 use_cache=False, **kw):
-            pos_emb = rot(hidden_states, position_ids)
+            if position_ids is None:
+                position_ids = torch.arange(hidden_states.shape[1])[None]
+            pos_emb = kw.pop("position_embeddings", None)
+            if pos_emb is None:
+                pos_emb = rot(hidden_states, position_ids)
+            kw.pop("past_key_values", None)
+            kw.pop("cache_position", None)
             out = orig(hidden_states=hidden_states,
                        attention_mask=attention_mask,
                        position_embeddings=pos_emb,
                        past_key_value=past_key_value, **kw)
             h, w = out[0], out[1] if len(out) > 1 else None
-            return h, w, None
+            return (h, w) if n_outputs == 2 else (h, w, None)
 
         attn.forward = fwd
 
     for layer in llama_model.layers:
         layer.self_attn.config._attn_implementation = "eager"
         _shim(layer.self_attn)
+
+
+def _shim_layer_tuple_output(llama_model):
+    """Modern LlamaDecoderLayer returns a raw tensor; the reference's
+    vendored forward loops index `layer_outputs[0]` (old tuple API). Wrap
+    each layer to return a 1-tuple again."""
+    for layer in llama_model.layers:
+        orig = layer.forward
+
+        def fwd(*a, _orig=orig, **kw):
+            out = _orig(*a, **kw)
+            return out if isinstance(out, tuple) else (out,)
+
+        layer.forward = fwd
 
 
 def _hifigan_cfg_torch(resblock="1"):
@@ -935,3 +957,178 @@ class TestVITSRoundTrip:
                 zz, msk, g=mdl._speaker(sid))[0])
         np.testing.assert_allclose(
             np.asarray(zp_j), zp_t.transpose(1, 2).numpy(), atol=3e-5)
+
+
+class TestVevoARRoundTrip:
+    """Vevo AutoregressiveTransformer oracle round trips
+    (ref models/vc/autoregressive_transformer/ar_model.py:14): unified-vocab
+    packing protocol, teacher-forced logits + HF shifted-CE loss, and the
+    global style encoder."""
+
+    def _ref(self, use_global=False, seed=5):
+        from models.vc.autoregressive_transformer.ar_model import (
+            AutoregressiveTransformer,
+        )
+
+        torch.manual_seed(seed)
+        cfg = SimpleNamespace(
+            input_vocab_size=8, output_vocab_size=16, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+            use_global_style_encoder=use_global,
+            global_style_encoder=SimpleNamespace(
+                input_dim=8, hidden_size=16, num_attention_heads=2,
+                num_hidden_layers=2))
+        m = AutoregressiveTransformer(cfg=cfg)
+        m.eval()
+        return m
+
+    def _ours(self, ref, use_global=False):
+        from amphion_tpu.models.vc.ar_transformer import (
+            ARTransformer,
+            ARTransformerConfig,
+        )
+        from amphion_tpu.utils.convert import vevo_ar_to_flax
+
+        cfg = ARTransformerConfig(
+            input_vocab=8, output_vocab=16, hidden=32, intermediate=64,
+            num_layers=2, num_heads=4, use_global_timbre=use_global,
+            timbre_input_dim=8, timbre_hidden=16, timbre_heads=2,
+            timbre_layers=2)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = vevo_ar_to_flax(sd, num_layers=2,
+                                 timbre_layers=2 if use_global else 0)
+        return ARTransformer(cfg), params
+
+    def test_forward_and_loss_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vc.ar_transformer import ARTransformer
+
+        ref = self._ref(use_global=False)
+        model, params = self._ours(ref, use_global=False)
+        torch.manual_seed(6)
+        inp = torch.randint(0, 8, (2, 5))
+        out = torch.randint(0, 16, (2, 7))
+        im = torch.ones(2, 5, dtype=torch.long)
+        om = torch.ones(2, 7, dtype=torch.long)
+        im[1, 3:] = 0
+        om[1, 5:] = 0
+        inp = inp * im
+        out = out * om
+        with torch.no_grad():
+            ref_out = ref(inp, im, out, om)
+
+        logits, out_ids, out_m = model.apply(
+            {"params": params}, jnp.asarray(inp.numpy()),
+            jnp.asarray(im.numpy()).astype(jnp.float32),
+            jnp.asarray(out.numpy()),
+            jnp.asarray(om.numpy()).astype(jnp.float32),
+            method=ARTransformer.forward)
+        ref_logits = ref_out.logits.numpy()
+        assert logits.shape == ref_logits.shape
+        # compare the positions that carry loss labels (the output block)
+        lo = out_ids.shape[1]
+        np.testing.assert_allclose(
+            np.asarray(logits)[:, -lo - 1:-1] * np.asarray(out_m)[..., None],
+            ref_logits[:, -lo - 1:-1] * np.asarray(out_m)[..., None],
+            atol=3e-4)
+
+        loss, aux = model.apply(
+            {"params": params}, jnp.asarray(inp.numpy()),
+            jnp.asarray(im.numpy()).astype(jnp.float32),
+            jnp.asarray(out.numpy()),
+            jnp.asarray(om.numpy()).astype(jnp.float32),
+            method=ARTransformer.loss)
+        np.testing.assert_allclose(float(loss), float(ref_out.loss), atol=2e-5)
+
+    def test_global_style_encoder_parity(self):
+        import jax.numpy as jnp
+
+        ref = self._ref(use_global=True, seed=8)
+        model, params = self._ours(ref, use_global=True)
+        _shim_old_hf_attention(ref.global_encoder, n_outputs=2)
+        _shim_layer_tuple_output(ref.global_encoder)
+        torch.manual_seed(9)
+        mels = torch.randn(2, 12, 8)
+        mmask = torch.ones(2, 12)
+        with torch.no_grad():
+            style_t = ref.global_encoder(mels, mmask, shuffle_for_x=False,
+                                         use_cache=False)
+
+        style_j = model.apply(
+            {"params": params}, jnp.asarray(mels.numpy()),
+            jnp.asarray(mmask.numpy()),
+            method=lambda mdl, m, msk: mdl.timbre_encoder(m, msk))
+        np.testing.assert_allclose(np.asarray(style_j), style_t.numpy(),
+                                   atol=3e-5)
+
+    def test_full_forward_with_style_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vc.ar_transformer import ARTransformer
+
+        ref = self._ref(use_global=True, seed=10)
+        model, params = self._ours(ref, use_global=True)
+        _shim_old_hf_attention(ref.global_encoder, n_outputs=2)
+        _shim_layer_tuple_output(ref.global_encoder)
+        # bypass the training-time shuffle for a deterministic oracle
+        orig_fwd = ref.global_encoder.forward
+        ref.global_encoder.forward = (
+            lambda x, x_mask, **kw: orig_fwd(x, x_mask, shuffle_for_x=False,
+                                             use_cache=False))
+        torch.manual_seed(11)
+        inp = torch.randint(0, 8, (2, 4))
+        out = torch.randint(0, 16, (2, 6))
+        im = torch.ones(2, 4, dtype=torch.long)
+        om = torch.ones(2, 6, dtype=torch.long)
+        mels = torch.randn(2, 10, 8)
+        mmask = torch.ones(2, 10)
+        with torch.no_grad():
+            ref_out = ref(inp, im, out, om, mels=mels, mels_mask=mmask)
+
+        loss, aux = model.apply(
+            {"params": params}, jnp.asarray(inp.numpy()),
+            jnp.asarray(im.numpy()).astype(jnp.float32),
+            jnp.asarray(out.numpy()),
+            jnp.asarray(om.numpy()).astype(jnp.float32),
+            jnp.asarray(mels.numpy()), jnp.asarray(mmask.numpy()),
+            method=ARTransformer.loss)
+        np.testing.assert_allclose(float(loss), float(ref_out.loss), atol=3e-5)
+
+    def test_greedy_decode_protocol_parity(self):
+        """Greedy KV-cache decode matches HF `generate(do_sample=False)`
+        through the reference prompt protocol ([IN_BOS, inputs, IN_EOS,
+        OUT_BOS, prompt outputs])."""
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vc.ar_transformer import (
+            ARTransformer,
+            ar_transformer_generate,
+        )
+
+        ref = self._ref(use_global=False, seed=12)
+        model, params = self._ours(ref, use_global=False)
+        torch.manual_seed(13)
+        inp = torch.randint(0, 8, (1, 5))
+        prompt_out = torch.randint(0, 16, (1, 3))
+        c = model.cfg
+        ids = torch.cat([
+            torch.tensor([[c.input_bos_id]]), inp + c.output_vocab,
+            torch.tensor([[c.input_eos_id]]),
+            torch.tensor([[c.bos_id]]), prompt_out,
+        ], dim=1)
+        max_new = 6
+        with torch.no_grad():
+            gen = ref.model.generate(
+                ids, do_sample=False, max_new_tokens=max_new,
+                min_new_tokens=max_new, pad_token_id=c.pad_id,
+                eos_token_id=None)
+        ref_tokens = gen[0, ids.shape[1]:].numpy()
+
+        toks, lens = ar_transformer_generate(
+            model, params, jnp.asarray(inp.numpy()), jax.random.key(0),
+            max_new=max_new, temperature=0.0,
+            prompt_output_tokens=jnp.asarray(prompt_out.numpy()),
+            compute_dtype="float32")
+        np.testing.assert_array_equal(np.asarray(toks)[0], ref_tokens)
