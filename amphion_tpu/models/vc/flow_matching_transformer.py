@@ -1,38 +1,49 @@
 """Vevo flow-matching transformer: content-style tokens → mel.
 
-Same capability as the reference (reference:
-`models/vc/flow_matching_transformer/fmt_model.py` — llama_nar backbone
-predicting the CFM velocity field over mel frames, timbre carried by a
-prompt-mel prefix `vevo_utils.py:273`, 32 Euler steps at inference
-`vevo_utils.py:414`; trainer with online feature extraction
-`fmt_trainer.py:61-102`): the adaptive Llama encoder takes
-[prompt mel; noisy mel] + token condition and the flow time, and the sampler
-integrates the ODE with `amphion_tpu/modules/flow_matching` scans.
+Checkpoint-compatible re-design of the reference (reference:
+`models/vc/flow_matching_transformer/fmt_model.py:13` FlowMatchingTransformer
++ `llama_nar.py:127` DiffLlama): `cond_emb` (token embedding or feature
+linear) + a DiffLlama whose mel in/out MLPs live INSIDE the backbone
+(mel_mlp / mel_out_mlp, each Linear→SiLU→Linear), per-token condition added
+through cond_mlp, the flow time through adaLN (raw t — no time scaling),
+and the reference's prompt-prefix protocol: prompt frames are kept CLEAN in
+the input (timbre conditioning), the loss covers only non-prompt frames,
+and classifier-free guidance at inference runs the estimator a second time
+on the target-only region with zeroed condition, with the reference's
+std-rescale (`reverse_diffusion`, fmt_model.py:232-279).
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from amphion_tpu.modules.diffusion import timestep_embedding
-from amphion_tpu.modules.flow_matching import cfm_loss, cfm_pair, euler_sample
-from amphion_tpu.modules.llama import LlamaConfig, LlamaEncoder
+from amphion_tpu.modules.flow_matching import cfm_loss, cfm_pair
+from amphion_tpu.modules.llama import (
+    MLP2,
+    LlamaConfig,
+    LlamaEncoder,
+    sinusoidal_step_embedding,
+)
 
 
 @dataclass(frozen=True)
 class FMTConfig:
-    token_vocab: int = 8192  # content-style tokens
+    token_vocab: int = 8192  # content-style tokens (cond_codebook_size)
     n_mel: int = 80
     hidden: int = 1024
     num_layers: int = 16
     num_heads: int = 16
     max_position: int = 8192
-    cond_drop_prob: float = 0.2
-    sigma_min: float = 1e-4
+    use_cond_code: bool = True  # False: continuous cond features via Dense
+    cond_dim: int = 1024  # feature dim when use_cond_code=False
+    cond_drop_prob: float = 0.2  # ref cfg_scale: prob of uncond training step
+    sigma_min: float = 1e-5
+    time_scheduler: str = "linear"  # or "cos" (CosyVoice-style)
 
     remat: bool = False  # rematerialize backbone blocks (memory lever)
 
@@ -40,8 +51,35 @@ class FMTConfig:
         return LlamaConfig(
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, adaptive=True,
+            intermediate_size=self.hidden * 4,
             max_position=self.max_position, remat=self.remat,
         )
+
+
+class DiffLlamaMel(nn.Module):
+    """Reference FMT DiffLlama (llama_nar.py:127): built-in mel in/out MLPs,
+    x = mel_mlp(x) + cond_mlp(cond), adaLN layers + final norm on the
+    diffusion-step embedding, mel_out_mlp head."""
+
+    cfg: LlamaConfig
+    n_mel: int
+
+    def setup(self):
+        h = self.cfg.hidden_size
+        self.mel_mlp = MLP2(h, name="mel_mlp")
+        self.cond_mlp = MLP2(h, name="cond_mlp")
+        self.diff_step_mlp = MLP2(h, name="diff_step_mlp")
+        self.encoder = LlamaEncoder(self.cfg, name="encoder")
+        self.mel_out_mlp = MLP2(h, out=self.n_mel, name="mel_out_mlp")
+
+    def __call__(self, x, t, cond, mask=None):
+        """x (B, T, n_mel); t (B,) flow time in [0, 1] (raw — the reference
+        feeds t directly into the sinusoidal embedding); cond (B, T, D)."""
+        h = self.mel_mlp(x) + self.cond_mlp(cond)
+        d = self.diff_step_mlp(
+            sinusoidal_step_embedding(t, self.cfg.hidden_size)).astype(h.dtype)
+        out = self.encoder(h, cond=d, mask=mask)
+        return self.mel_out_mlp(out)
 
 
 class FlowMatchingTransformer(nn.Module):
@@ -49,77 +87,88 @@ class FlowMatchingTransformer(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.token_embed = nn.Embed(c.token_vocab, c.hidden)
-        self.prompt_flag = nn.Embed(2, c.hidden)
-        self.mel_proj = nn.Dense(c.hidden)
-        self.time_proj = nn.Dense(c.hidden)
-        self.backbone = LlamaEncoder(c.llama())
-        self.out_proj = nn.Dense(c.n_mel)
+        if c.use_cond_code:
+            self.cond_emb = nn.Embed(c.token_vocab, c.hidden)
+        else:
+            self.cond_emb = nn.Dense(c.hidden)
+        self.diff_estimator = DiffLlamaMel(c.llama(), c.n_mel)
+
+    def _cond(self, tokens):
+        return self.cond_emb(tokens)
 
     def velocity(self, x_t, t, tokens, prompt_mel, prompt_len_mask, x_mask,
                  drop_cond=False):
-        """Predict velocity. x_t: (B, T, n_mel) noisy target mel;
+        """Predict the flow. x_t: (B, T, n_mel) noisy target mel;
         prompt_mel: (B, T, n_mel) with valid frames marked by
-        prompt_len_mask (B, T) — prompt frames are *clean* (the CFM prefix
-        trick carrying timbre); tokens: (B, T) frame-aligned."""
-        c = self.cfg
-        tok = self.token_embed(tokens)
-        tok = tok * (1.0 - jnp.asarray(drop_cond, jnp.float32))
-        # clean prompt frames replace the noisy ones
+        prompt_len_mask (B, T) — prompt frames enter CLEAN (ref
+        forward_diffusion: xt = noisy*mask + x*(1-mask)); tokens: (B, T)."""
+        cond = self._cond(tokens)
+        # ref loss_t: condition dropped entirely for CFG training steps
+        cond = cond * (1.0 - jnp.asarray(drop_cond, jnp.float32))
         x_in = jnp.where(prompt_len_mask[..., None] > 0, prompt_mel, x_t)
-        h = self.mel_proj(x_in) + tok
-        # mark prompt frames so the model can distinguish them
-        h = h + self.prompt_flag(prompt_len_mask.astype(jnp.int32))
-        cond = self.time_proj(nn.silu(timestep_embedding(t * 1000.0, c.hidden)))
-        out = self.backbone(h, cond=cond, mask=x_mask)
-        return self.out_proj(out)
+        return self.diff_estimator(x_in, t, cond, mask=x_mask)
 
     def loss(self, mel, tokens, prompt_len_mask, x_mask, rng):
-        """CFM loss on non-prompt frames. mel (B, T, n_mel)."""
+        """CFM loss on non-prompt frames (ref compute_loss/loss_t). The
+        trainer supplies prompt_len_mask; a zero prompt row is the
+        reference's uncond/CFG case, in which the condition is dropped."""
         c = self.cfg
-        r_t, r_n, r_d = jax.random.split(rng, 3)
+        r_t, r_n = jax.random.split(rng)
         b = mel.shape[0]
         t = jnp.clip(jax.random.uniform(r_t, (b,)), 1e-5, 1.0)
+        if c.time_scheduler == "cos":
+            t = 1.0 - jnp.cos(t * jnp.pi * 0.5)
         noise = jax.random.normal(r_n, mel.shape)
         x_t, v_target = cfm_pair(mel, t, noise, c.sigma_min)
-        drop = jax.random.uniform(r_d, ()) < c.cond_drop_prob
-        v_pred = self.velocity(
-            x_t, t, tokens, mel, prompt_len_mask, x_mask,
-            drop_cond=drop,
-        )
+        # ref: cond dropped for rows whose prompt_len == 0
+        has_prompt = (jnp.sum(prompt_len_mask, axis=1) > 0)[:, None, None]
+        cond = self._cond(tokens) * has_prompt.astype(mel.dtype)
+        x_in = jnp.where(prompt_len_mask[..., None] > 0, mel, x_t)
+        v_pred = self.diff_estimator(x_in, t, cond, mask=x_mask)
         w = x_mask * (1.0 - prompt_len_mask)
         loss = cfm_loss(v_pred, v_target, w)
         return loss, {"fm_loss": loss}
 
-
-import functools
+    def flow_eval(self, xt, t, cond_tokens, prompt_mel, cfg=1.0,
+                  rescale_cfg=0.75):
+        """One flow evaluation of the reference `reverse_diffusion` step
+        (fmt_model.py:232-279): estimator on [prompt; x_t]; when cfg > 0 a
+        second uncond pass on the TARGET-ONLY region with zeroed condition,
+        combined with the std-rescale trick. xt: (B, Lt, n_mel);
+        cond_tokens: (B, Lp+Lt); prompt_mel: (B, Lp, n_mel)."""
+        lp = prompt_mel.shape[1]
+        cond = self._cond(cond_tokens)
+        x_full = jnp.concatenate([prompt_mel, xt], axis=1)
+        flow = self.diff_estimator(x_full, t, cond)[:, lp:]
+        if cfg > 0:
+            un = self.diff_estimator(xt, t, jnp.zeros_like(cond[:, lp:]))
+            pos_std = jnp.std(flow)
+            flow_cfg = flow + cfg * (flow - un)
+            rescaled = flow_cfg * pos_std / jnp.maximum(
+                jnp.std(flow_cfg), 1e-12)
+            flow = rescale_cfg * rescaled + (1 - rescale_cfg) * flow_cfg
+        return flow
 
 
 @functools.lru_cache(maxsize=32)
-def _fmt_inference_jitted(model, b, t_len, num_steps, cfg_scale):
-    def core(params, tokens, prompt_mel, prompt_len_mask, rng):
-        x_mask = jnp.ones((b, t_len))
+def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
+                          rescale_cfg):
+    n_mel = model.cfg.n_mel
+    h = 1.0 / num_steps
 
-        def vfield(x, t):
-            tt = jnp.full((b,), t)
-            v = model.apply(
-                {"params": params}, x, tt, tokens, prompt_mel, prompt_len_mask,
-                x_mask, False, method=FlowMatchingTransformer.velocity,
-            )
-            if cfg_scale > 0:
-                vu = model.apply(
-                    {"params": params}, x, tt, tokens, prompt_mel,
-                    prompt_len_mask, x_mask, True,
-                    method=FlowMatchingTransformer.velocity,
-                )
-                v = vu + (1 + cfg_scale) * (v - vu)
-            return v
+    def core(params, tokens, prompt_mel, rng):
+        xt0 = jax.random.normal(rng, (b, lt, n_mel))
 
-        mel = euler_sample(
-            vfield, (b, t_len, model.cfg.n_mel), rng, num_steps=num_steps
-        )
-        # return only generated frames (prompt region replaced by the prompt)
-        return jnp.where(prompt_len_mask[..., None] > 0, prompt_mel, mel)
+        def body(xt, i):
+            # midpoint times t = (i + 0.5)/n (ref fmt_model.py:260)
+            t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
+            flow = model.apply(
+                {"params": params}, xt, t, tokens, prompt_mel, cfg_scale,
+                rescale_cfg, method=FlowMatchingTransformer.flow_eval)
+            return xt + h * flow, None
+
+        xt, _ = jax.lax.scan(body, xt0, jnp.arange(num_steps))
+        return xt
 
     return jax.jit(core)
 
@@ -127,18 +176,20 @@ def _fmt_inference_jitted(model, b, t_len, num_steps, cfg_scale):
 def fmt_inference(
     model: FlowMatchingTransformer,
     params,
-    tokens: jax.Array,  # (B, T) frame-aligned content-style tokens
-    prompt_mel: jax.Array,  # (B, T, n_mel); frames beyond prompt_len are junk
-    prompt_len_mask: jax.Array,  # (B, T) 1 on prompt frames
+    tokens: jax.Array,  # (B, Lp+Lt) frame-aligned content-style tokens
+    prompt_mel: jax.Array,  # (B, Lp, n_mel) clean prompt mel
     rng: jax.Array,
     num_steps: int = 32,
     cfg_scale: float = 0.0,
+    rescale_cfg: float = 0.75,
 ):
-    """Euler ODE from noise to mel; prompt frames stay clamped to the prompt
-    (timbre conditioning), CFG optional. Memoized self-jitting (one cached
-    program per shape bucket — eager scans dispatch op-by-op through the
-    TPU tunnel, and a fresh jit per call would recompile every utterance)."""
-    b, t_len = tokens.shape
-    return _fmt_inference_jitted(model, b, t_len, num_steps, cfg_scale)(
-        params, tokens, prompt_mel, prompt_len_mask, rng
-    )
+    """Euler ODE from noise to mel with the reference's prompt-prefix + CFG
+    std-rescale protocol. Memoized self-jitting (eager loops dispatch
+    op-by-op through the TPU tunnel). Returns generated target mel
+    (B, Lt, n_mel)."""
+    b = tokens.shape[0]
+    lp = prompt_mel.shape[1]
+    lt = tokens.shape[1] - lp
+    return _fmt_inference_jitted(
+        model, b, lp, lt, num_steps, float(cfg_scale), float(rescale_cfg))(
+        params, tokens, prompt_mel, rng)

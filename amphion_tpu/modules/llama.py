@@ -288,15 +288,16 @@ def sinusoidal_step_embedding(t: jax.Array, dim: int) -> jax.Array:
 
 
 class MLP2(nn.Module):
-    """Linear(4h) → SiLU → Linear(h) (ref cond_mlp / diff_step_mlp,
-    `llama_nar.py:229-241`)."""
+    """Linear(4h) → SiLU → Linear(out or h) (ref cond_mlp / diff_step_mlp /
+    mel_mlp / mel_out_mlp, `llama_nar.py:159-181`)."""
 
     hidden: int
+    out: int | None = None
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(4 * self.hidden, name="Dense_0")(x)
-        return nn.Dense(self.hidden, name="Dense_1")(nn.silu(x))
+        return nn.Dense(self.out or self.hidden, name="Dense_1")(nn.silu(x))
 
 
 class DiffLlamaEncoder(nn.Module):

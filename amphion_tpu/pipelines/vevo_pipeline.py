@@ -96,18 +96,16 @@ class VevoPipeline:
         n_p = prompt_mel.shape[1]
         n_t = len(style_tokens)
         total = n_p + n_t
-        mel_buf = jnp.zeros((1, total, self.mel_cfg.n_mel))
-        mel_buf = mel_buf.at[:, :n_p].set(prompt_mel)
-        pmask = jnp.zeros((1, total)).at[:, :n_p].set(1.0)
         # prompt token region: use style tokens of the prompt itself if the
         # caller provides them concatenated; zeros otherwise
         tok = jnp.zeros((1, total), jnp.int32)
         tok = tok.at[:, n_p:].set(jnp.asarray(style_tokens)[None])
-        mel = fmt_inference(
-            self.fm, self.params["fm"], tok, mel_buf, pmask, rng,
+        # fmt_inference takes the clean prompt mel as the prefix and
+        # returns only the generated target region (ref reverse_diffusion)
+        return fmt_inference(
+            self.fm, self.params["fm"], tok, prompt_mel, rng,
             num_steps=flow_matching_steps,
         )
-        return mel[:, n_p:]
 
     def vocode(self, mel: jax.Array) -> np.ndarray:
         wav = self.vocoder.apply({"params": self.params["vocoder"]}, mel)

@@ -917,3 +917,38 @@ def vevo_ar_to_flax(sd: Mapping[str, np.ndarray], num_layers: int,
         params["timbre_encoder"] = vevo_global_encoder_to_flax(
             sd, "global_encoder", timbre_layers)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Vevo flow-matching transformer — ref models/vc/flow_matching_transformer
+# ---------------------------------------------------------------------------
+
+
+def vevo_fmt_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """Reference FlowMatchingTransformer state dict → our
+    FlowMatchingTransformer. Torch layout (fmt_model.py:13): `cond_emb`
+    (Embedding or Linear) + `diff_estimator.*` DiffLlama
+    (llama_nar.py:127: layers/norm/cond_mlp/diff_step_mlp/mel_mlp/
+    mel_out_mlp)."""
+    g = lambda name: np.asarray(sd[name])
+    inner = {k[len("diff_estimator."):]: v for k, v in sd.items()
+             if k.startswith("diff_estimator.")}
+    est = diff_llama_to_flax(inner, num_layers)
+
+    def mlp2(prefix: str) -> dict:
+        return {
+            "Dense_0": linear_to_dense(g(f"{prefix}.0.weight"),
+                                       g(f"{prefix}.0.bias")),
+            "Dense_1": linear_to_dense(g(f"{prefix}.2.weight"),
+                                       g(f"{prefix}.2.bias")),
+        }
+
+    est["mel_mlp"] = mlp2("diff_estimator.mel_mlp")
+    est["mel_out_mlp"] = mlp2("diff_estimator.mel_out_mlp")
+    params = {"diff_estimator": est}
+    if "cond_emb.bias" in sd:  # Linear (use_cond_code=False)
+        params["cond_emb"] = linear_to_dense(g("cond_emb.weight"),
+                                             g("cond_emb.bias"))
+    else:  # Embedding
+        params["cond_emb"] = embedding_to_flax(g("cond_emb.weight"))
+    return params

@@ -98,13 +98,10 @@ def test_fmt_loss_overfit_and_inference(rng):
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    # inference: clean prompt prefix (first 4 frames), generate the rest
     out = fmt_inference(
-        model, params, tokens, mel, pmask, jax.random.key(9), num_steps=8,
+        model, params, tokens, mel[:, :4], jax.random.key(9), num_steps=8,
         cfg_scale=0.7,
     )
-    assert out.shape == mel.shape
-    # prompt frames pass through unchanged
-    np.testing.assert_allclose(
-        np.asarray(out)[0, :4], np.asarray(mel)[0, :4], atol=1e-6
-    )
+    assert out.shape == (b, t - 4, 8)
     assert np.isfinite(np.asarray(out)).all()

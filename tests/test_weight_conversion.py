@@ -1132,3 +1132,89 @@ class TestVevoARRoundTrip:
             prompt_output_tokens=jnp.asarray(prompt_out.numpy()),
             compute_dtype="float32")
         np.testing.assert_array_equal(np.asarray(toks)[0], ref_tokens)
+
+
+class TestVevoFMTRoundTrip:
+    """Vevo FlowMatchingTransformer oracle round trips (ref
+    models/vc/flow_matching_transformer/fmt_model.py:13 + llama_nar DiffLlama
+    with built-in mel in/out MLPs)."""
+
+    def _pair(self, seed=14):
+        from models.vc.flow_matching_transformer.fmt_model import (
+            FlowMatchingTransformer as RefFMT,
+        )
+
+        from amphion_tpu.models.vc.flow_matching_transformer import (
+            FlowMatchingTransformer,
+            FMTConfig,
+        )
+        from amphion_tpu.utils.convert import vevo_fmt_to_flax
+
+        torch.manual_seed(seed)
+        ref = RefFMT(mel_dim=8, hidden_size=16, num_layers=2, num_heads=2,
+                     cond_codebook_size=16, sigma=1e-5)
+        ref.eval()
+        _shim_old_hf_attention(ref.diff_estimator)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = vevo_fmt_to_flax(sd, num_layers=2)
+        ours = FlowMatchingTransformer(FMTConfig(
+            token_vocab=16, n_mel=8, hidden=16, num_layers=2, num_heads=2,
+            sigma_min=1e-5))
+        return ref, ours, params
+
+    def test_estimator_parity(self):
+        import jax.numpy as jnp
+
+        ref, ours, params = self._pair()
+        torch.manual_seed(15)
+        x = torch.randn(2, 12, 8)
+        t = torch.rand(2)
+        cond = torch.randn(2, 12, 16)
+        mask = torch.ones(2, 12)
+        with torch.no_grad():
+            out_t = ref.diff_estimator(x, t, cond, mask)
+
+        out_j = ours.apply(
+            {"params": params}, jnp.asarray(x.numpy()),
+            jnp.asarray(t.numpy()), jnp.asarray(cond.numpy()),
+            jnp.asarray(mask.numpy()),
+            method=lambda mdl, xx, tt, cc, mm: mdl.diff_estimator(
+                xx, tt, cc, mask=mm))
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=3e-5)
+
+    def test_reverse_diffusion_parity(self):
+        """Full Euler CFG loop from deterministic (zero) initial noise:
+        verifies cond_emb, the prompt-prefix protocol, the uncond
+        target-only pass, and the CFG std-rescale combine."""
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vc.flow_matching_transformer import (
+            FlowMatchingTransformer,
+        )
+
+        ref, ours, params = self._pair(seed=16)
+        torch.manual_seed(17)
+        lp, lt = 4, 6
+        prompt = torch.randn(1, lp, 8)
+        codes = torch.randint(0, 16, (1, lp + lt))
+        orig_randn = torch.randn
+        torch.randn = lambda *a, **kw: torch.zeros(*a, **{
+            k: v for k, v in kw.items() if k in ("dtype", "device")})
+        try:
+            with torch.no_grad():
+                out_t = ref.reverse_diffusion(
+                    cond=ref.cond_emb(codes), prompt=prompt, n_timesteps=4,
+                    cfg=1.0, rescale_cfg=0.75)
+        finally:
+            torch.randn = orig_randn
+
+        xt = jnp.zeros((1, lt, 8))
+        h = 1.0 / 4
+        for i in range(4):
+            t = jnp.full((1,), (i + 0.5) * h)
+            flow = ours.apply(
+                {"params": params}, xt, t, jnp.asarray(codes.numpy()),
+                jnp.asarray(prompt.numpy()), 1.0, 0.75,
+                method=FlowMatchingTransformer.flow_eval)
+            xt = xt + h * flow
+        np.testing.assert_allclose(np.asarray(xt), out_t.numpy(), atol=1e-4)
