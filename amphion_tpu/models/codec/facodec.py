@@ -1,29 +1,42 @@
-"""FACodec: factorized codec disentangling content / prosody / detail / timbre.
+"""FACodec (NaturalSpeech3): factorized codec — prosody / content / detail
+branches + global timbre, checkpoint-compatible with the reference
+(`models/codec/ns3_codec/facodec.py`: `FACodecEncoder:157`,
+`FACodecDecoder:242`, `FACodecRedecoder:602`, CNNLSTM predictor heads `:35`,
+`transformer.py` encoder with the batch-indexed positional-encoding quirk,
+`quantize/{fvq,rvq}.py` L2-normalized factorized RVQ).
 
-Same capability as the reference (reference: `models/codec/ns3_codec/
-facodec.py:157` `FACodecEncoder`, `:242` `FACodecDecoder` with timbre
-extractor + gradient reversal `gradient_reversal.py`, `:602`
-`FACodecRedecoder` for zero-shot VC; trainable copy `models/codec/facodec/`):
+Structure (all convs weight-normed, all activations anti-aliased SnakeBeta):
+- encoder: conv k7 → EncoderBlocks (3 dilated ResidualUnits + strided conv,
+  channel doubling) → SnakeBeta → conv k3 → latents (B, N, D)
+- decoder: three factorized RVQ branches over the latents (prosody /
+  content("phone") / residual-detail, the residual branch quantizing
+  x - (prosody + content).detach()), a timbre TransformerEncoder whose
+  mean-pooled output is the speaker embedding, FiLM (timbre_linear γ/β on a
+  non-affine LayerNorm) re-injecting timbre, then a mirror conv stack
+- redecoder: code embeddings + timbre-conditioned prosody encoder (SALN)
+  for zero-shot VC from codes alone
 
-- shared conv encoder → three quantized branches (prosody: 1 RVQ layer over
-  a low-frequency projection; content: 2 layers; acoustic detail: 3 layers);
-- a global timbre vector (mean-pooled) removed from the branches via a
-  gradient-reversed speaker classifier on the content branch;
-- decoder sums branch latents, re-injects timbre through style-adaptive
-  conditioning; swapping the timbre vector gives zero-shot VC (redecode).
+The `FACodec` facade keeps this repo's trainer-facing API
+(__call__/voice_conversion/encode_branches) on top of the faithful modules.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from amphion_tpu.models.codec.amphion_codec import CodecConfig, CodecDecoder, CodecEncoder
-from amphion_tpu.modules.norms import StyleAdaptiveLayerNorm
-from amphion_tpu.modules.quantize import ResidualVQ
+from amphion_tpu.models.codec.amphion_codec import CodecConfig
+from amphion_tpu.modules.activations import SnakeBeta
+from amphion_tpu.modules.anti_aliasing import (
+    Activation1d,
+    downsample1d,
+    upsample1d,
+)
+from amphion_tpu.modules.quantize import FactorizedVectorQuantize
 
 
 @jax.custom_vjp
@@ -42,102 +55,489 @@ def _grl_bwd(scale, g):
 gradient_reversal.defvjp(_grl_fwd, _grl_bwd)
 
 
+def _layer_norm_noaffine(x, eps=1e-5):
+    """torch nn.LayerNorm(elementwise_affine=False) over the last dim."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
 @dataclass(frozen=True)
 class FACodecConfig:
-    codec: CodecConfig = CodecConfig()
-    prosody_layers: int = 1
-    content_layers: int = 2
-    detail_layers: int = 3
-    codebook_size: int = 1024
+    codec: CodecConfig = field(default_factory=CodecConfig)
+    prosody_layers: int = 1  # vq_num_q_p
+    content_layers: int = 2  # vq_num_q_c
+    detail_layers: int = 3  # vq_num_q_r
+    codebook_size: int = 1024  # true size (the reference passes log2)
     codebook_dim: int = 8
-    timbre_dim: int = 256
+    timbre_dim: int = 256  # facade compat; ref spk emb dim == latent dim
     num_speakers: int = 512
     grl_scale: float = 1.0
+    timbre_layers: int = 4
+    timbre_heads: int = 4
+    timbre_filter: int = 1024
+    phone_vocab: int = 5003
+    predict_f0_phone: bool = False  # CNNLSTM aux heads (training losses)
+    prob_random_mask_residual: float = 0.75
 
 
-class TimbreExtractor(nn.Module):
+def _wn_conv(feats, k, name, strides=None, dilation=1, padding="SAME"):
+    return nn.WeightNorm(nn.Conv(
+        feats, (k,), strides=None if strides is None else (strides,),
+        kernel_dilation=(dilation,), padding=padding, name=name))
+
+
+class FAResidualUnit(nn.Module):
+    """AA-SnakeBeta → WN conv k7 dilated → AA-SnakeBeta → WN conv k1,
+    residual (ref facodec.py:121)."""
+
     dim: int
+    dilation: int = 1
 
     @nn.compact
-    def __call__(self, h):
-        """Frame latents (B, N, D) → global timbre vector (B, dim)."""
-        x = nn.Conv(self.dim, (5,), strides=(2,), padding="SAME")(h)
-        x = nn.gelu(x)
-        x = nn.Conv(self.dim, (5,), strides=(2,), padding="SAME")(x)
-        x = nn.gelu(x)
-        return jnp.mean(x, axis=1)
+    def __call__(self, x):
+        y = Activation1d(SnakeBeta(self.dim, alpha_logscale=True))(x)
+        y = _wn_conv(self.dim, 7, "conv1", dilation=self.dilation)(y)
+        y = Activation1d(SnakeBeta(self.dim, alpha_logscale=True))(y)
+        y = _wn_conv(self.dim, 1, "conv2")(y)
+        return x + y
 
 
-class FACodec(nn.Module):
+class FACodecEncoder(nn.Module):
+    """(B, T) waveform → (B, T/hop, out_channels) (ref facodec.py:157)."""
+
+    ngf: int = 32
+    up_ratios: tuple[int, ...] = (2, 4, 5, 5)
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim == 2:
+            x = x[..., None]
+        h = _wn_conv(self.ngf, 7, "conv_pre")(x)
+        d = self.ngf
+        for i, s in enumerate(self.up_ratios):
+            d *= 2
+            for j, dil in enumerate((1, 3, 9)):
+                h = FAResidualUnit(d // 2, dil, name=f"block_{i}_res_{j}")(h)
+            h = Activation1d(SnakeBeta(d // 2, alpha_logscale=True,
+                                       name=f"down_act_{i}"))(h)
+            # torch symmetric padding ceil(s/2); right side only needs s//2
+            h = _wn_conv(d, 2 * s, f"down_{i}", strides=s,
+                         padding=[(s // 2 + s % 2, s // 2)])(h)
+        h = Activation1d(SnakeBeta(d, alpha_logscale=True, name="final_act"))(h)
+        return _wn_conv(self.out_channels, 3, "conv_out")(h)
+
+
+class FADecoderBlock(nn.Module):
+    """AA-SnakeBeta → WN deconv (k=2s, torch p=ceil(s/2), out_pad=s%2) →
+    3 dilated ResidualUnits (ref facodec.py:220)."""
+
+    in_dim: int
+    out_dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        s, k = self.stride, 2 * self.stride
+        h = Activation1d(SnakeBeta(self.in_dim, alpha_logscale=True,
+                                   name="act"))(x)
+        p = s // 2 + s % 2
+        # flax custom padding for torch ConvTranspose1d(p, output_padding=s%2)
+        h = nn.WeightNorm(nn.ConvTranspose(
+            self.out_dim, (k,), strides=(s,),
+            padding=((k - 1 - p, k - 1 - s // 2),), name="up"))(h)
+        for j, dil in enumerate((1, 3, 9)):
+            h = FAResidualUnit(self.out_dim, dil, name=f"res_{j}")(h)
+        return h
+
+
+class NS3SALN(nn.Module):
+    """ns3 StyleAdaptiveLayerNorm (transformer.py:13): style Linear with
+    bias init [1…,0…], applied to the TIME-MEAN of the condition."""
+
+    @nn.compact
+    def __call__(self, x, condition):
+        d = x.shape[-1]
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jnp.concatenate([jnp.ones(d, dtype), jnp.zeros(d, dtype)])
+
+        style = nn.Dense(2 * d, name="style", bias_init=bias_init)(
+            jnp.mean(condition, axis=1, keepdims=True))
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        normed = nn.LayerNorm(epsilon=1e-5, use_scale=False, use_bias=False)(x)
+        return gamma * normed + beta
+
+
+class NS3TransformerLayer(nn.Module):
+    """ns3 TransformerEncoderLayer (transformer.py:86): pre-LN (or SALN)
+    MHA + conv-k5 FFN."""
+
+    hidden: int
+    heads: int
+    filter_size: int
+    kernel_size: int = 5
+    use_cln: bool = False
+
+    @nn.compact
+    def __call__(self, x, condition=None):
+        res = x
+        if self.use_cln:
+            h = NS3SALN(name="ln_1")(x, condition)
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        b, t, d = h.shape
+        nh, dh = self.heads, self.hidden // self.heads
+        q = nn.Dense(d, name="q")(h).reshape(b, t, nh, dh)
+        k = nn.Dense(d, name="k")(h).reshape(b, t, nh, dh)
+        v = nn.Dense(d, name="v")(h).reshape(b, t, nh, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+        probs = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
+        x = res + nn.Dense(d, name="out")(o)
+
+        res = x
+        if self.use_cln:
+            h = NS3SALN(name="ln_2")(x, condition)
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME",
+                    name="ffn_1")(h)
+        h = jax.nn.relu(h)
+        h = nn.Dense(self.hidden, name="ffn_2")(h)
+        return res + h
+
+
+class NS3TransformerEncoder(nn.Module):
+    """ns3 TransformerEncoder (transformer.py:154). Faithfully reproduces
+    the reference's positional-encoding quirk: the (max_len, 1, d) table is
+    indexed by BATCH position on batch-first input, adding a constant
+    per-batch-row vector (`pe[: x.size(0)]`, transformer.py:50)."""
+
+    hidden: int = 256
+    num_layers: int = 4
+    heads: int = 4
+    filter_size: int = 1024
+    kernel_size: int = 5
+    use_cln: bool = False
+
+    @nn.compact
+    def __call__(self, x, condition=None):
+        b = x.shape[0]
+        pos = np.arange(5000)[:, None]
+        div = np.exp(np.arange(0, self.hidden, 2) *
+                     (-np.log(10000.0) / self.hidden))
+        tab = np.zeros((5000, self.hidden), np.float32)
+        tab[:, 0::2] = np.sin(pos * div)
+        tab[:, 1::2] = np.cos(pos * div)
+        x = x + jnp.asarray(tab)[:b][:, None, :]
+        for i in range(self.num_layers):
+            x = NS3TransformerLayer(
+                self.hidden, self.heads, self.filter_size, self.kernel_size,
+                self.use_cln, name=f"layer_{i}")(x, condition)
+        if self.use_cln:
+            return NS3SALN(name="last_ln")(x, condition)
+        return nn.LayerNorm(epsilon=1e-5, name="last_ln")(x)
+
+
+class CNNLSTMHead(nn.Module):
+    """ref CNNLSTM (facodec.py:35): 3 ResidualUnits (dil 1/2/3) +
+    AA-SnakeBeta + per-head Linear."""
+
+    dim: int
+    outdim: int
+    heads: int
+    global_pred: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for j, dil in enumerate((1, 2, 3)):
+            x = FAResidualUnit(self.dim, dil, name=f"res_{j}")(x)
+        x = Activation1d(SnakeBeta(self.dim, alpha_logscale=True,
+                                   name="act"))(x)
+        if self.global_pred:
+            x = jnp.mean(x, axis=1)
+        return [nn.Dense(self.outdim, name=f"head_{i}")(x)
+                for i in range(self.heads)]
+
+
+class FABranchRVQ(nn.Module):
+    """One ns3 ResidualVQ branch (quantize/rvq.py:12): a stack of
+    L2-normalized FactorizedVectorQuantize layers."""
+
+    num_layers: int
+    codebook_size: int
+    codebook_dim: int
+    input_dim: int
+    commitment: float = 0.005
+
+    def setup(self):
+        self.layers = [
+            FactorizedVectorQuantize(
+                self.codebook_size, self.codebook_dim, self.input_dim,
+                self.commitment, use_l2_normlize=True, name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, x):
+        residual = x
+        out = jnp.zeros_like(x)
+        idxs, commits = [], 0.0
+        for q in self.layers:
+            zq, idx, ld = q(residual)
+            residual = residual - zq
+            out = out + zq
+            idxs.append(idx)
+            commits = commits + ld["vq_commit"] + ld["vq_codebook"]
+        return out, jnp.stack(idxs), commits
+
+    def vq2emb(self, codes):
+        """(L, B, T) → (B, T, D)."""
+        out = None
+        for i, q in enumerate(self.layers):
+            d = q.decode(codes[i])
+            out = d if out is None else out + d
+        return out
+
+
+class FACodecDecoder(nn.Module):
+    """ref facodec.py:242 — quantizer branches + timbre + FiLM + conv stack.
+
+    Methods mirror the reference forward modes: `quantize` (vq=True path,
+    returns (z_q_sum, codes, commit, [prosody, content, detail] bufs,
+    spk_embs)), `decode` (vq=False path), `inference(x, spk)`, `vq2emb`."""
+
     cfg: FACodecConfig
 
     def setup(self):
         c = self.cfg
-        self.encoder = CodecEncoder(c.codec)
         d = c.codec.latent_dim
-        self.timbre = TimbreExtractor(c.timbre_dim)
-        self.prosody_proj = nn.Dense(d)
-        mk = lambda n, layers: ResidualVQ(
-            num_quantizers=layers, codebook_size=c.codebook_size,
-            codebook_dim=c.codebook_dim, input_dim=d, name=n,
-        )
-        self.q_prosody = mk("q_prosody", c.prosody_layers)
-        self.q_content = mk("q_content", c.content_layers)
-        self.q_detail = mk("q_detail", c.detail_layers)
-        self.spk_classifier = nn.Dense(c.num_speakers)
-        self.style_norm = StyleAdaptiveLayerNorm()
-        self.decoder = CodecDecoder(c.codec)
+        mk = lambda n, name: FABranchRVQ(
+            n, c.codebook_size, c.codebook_dim, d, name=name)
+        self.q_prosody = mk(c.prosody_layers, "q_prosody")
+        self.q_content = mk(c.content_layers, "q_content")
+        self.q_detail = mk(c.detail_layers, "q_detail")
+        self.timbre_encoder = NS3TransformerEncoder(
+            hidden=d, num_layers=c.timbre_layers, heads=c.timbre_heads,
+            filter_size=c.timbre_filter, name="timbre_encoder")
+        self.timbre_linear = nn.Dense(
+            2 * d, name="timbre_linear",
+            bias_init=lambda k, s, dtype=jnp.float32: jnp.concatenate(
+                [jnp.ones(d, dtype), jnp.zeros(d, dtype)]))
+        if c.predict_f0_phone:
+            self.f0_predictor = CNNLSTMHead(d, 1, 2, name="f0_predictor")
+            self.phone_predictor = CNNLSTMHead(d, c.phone_vocab, 1,
+                                               name="phone_predictor")
+        self.spk_classifier = CNNLSTMHead(d, c.num_speakers, 1,
+                                          global_pred=True,
+                                          name="x_timbre_predictor")
+        # conv stack: conv_pre + DecoderBlocks + final act/conv
+        up_init = c.codec.decoder_dim * (2 ** len(c.codec.strides))
+        self.pre_conv = _wn_conv(up_init, 7, "conv_pre")
+        blocks = []
+        ch = up_init
+        for i, s in enumerate(tuple(reversed(c.codec.strides))):
+            blocks.append(FADecoderBlock(ch, ch // 2, s, name=f"up_block_{i}"))
+            ch //= 2
+        self.blocks = blocks
+        self.final_act = SnakeBeta(ch, alpha_logscale=True, name="final_out_act")
+        self.post_conv = _wn_conv(1, 7, "conv_post")
+
+    # -- reference forward modes --------------------------------------------
+
+    def quantize(self, z):
+        """z (B, N, D) latents → (z_q_sum, codes (Qtot, B, N), commit,
+        [prosody, content, detail] quantized bufs, spk_embs)."""
+        zp, ip, lp = self.q_prosody(z)
+        # ref quantize(): the content branch re-quantizes the RAW latents,
+        # the detail branch quantizes x - (prosody + content).detach()
+        zc, ic, lc = self.q_content(z)
+        zr, ir, lr = self.q_detail(z - jax.lax.stop_gradient(zp + zc))
+        outs = zp + zc + zr
+        codes = jnp.concatenate([ip, ic, ir], axis=0)
+        spk = jnp.mean(self.timbre_encoder(z), axis=1)
+        return outs, codes, lp + lc + lr, (zp, zc, zr), spk
+
+    def _film(self, x, spk):
+        style = self.timbre_linear(spk)[:, None, :]  # (B, 1, 2D)
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        x = _layer_norm_noaffine(x)  # ref timbre_norm: LN without affine
+        return x * gamma + beta
+
+    def _stack(self, x):
+        h = self.pre_conv(x)
+        for blk in self.blocks:
+            h = blk(h)
+        h = downsample1d(self.final_act(upsample1d(h, 2)), 2)
+        return jnp.tanh(self.post_conv(h))[..., 0]
+
+    def decode(self, quantized, spk, rng=None, train=False):
+        """(prosody, content, detail) bufs + spk emb → audio + aux preds
+        (ref forward vq=False, facodec.py:473-560)."""
+        c = self.cfg
+        zp, zc, zr = quantized
+        out = {}
+        if c.predict_f0_phone:
+            f0, uv = self.f0_predictor(zp)
+            (phone,) = self.phone_predictor(zc)
+            out.update(f0=f0[..., 0], uv=uv[..., 0], phone=phone)
+        if train and rng is not None:
+            # random residual-branch dropout (ref :514-535)
+            keep = (jax.random.uniform(rng, (zr.shape[0], 1, 1))
+                    >= c.prob_random_mask_residual).astype(zr.dtype)
+            x = (jax.lax.stop_gradient(zp) + jax.lax.stop_gradient(zc)
+                 + zr * keep)
+        else:
+            x = jax.lax.stop_gradient(zp) + jax.lax.stop_gradient(zc) + zr
+        (spk_logits,) = self.spk_classifier(
+            gradient_reversal(x, c.grl_scale))
+        out["spk_logits"] = spk_logits
+        out["audio"] = self._stack(self._film(x, spk))
+        return out
+
+    def inference(self, x, spk):
+        """Summed latents + speaker embedding → audio (ref :560-576)."""
+        return self._stack(self._film(x, spk))
+
+    def vq2emb(self, codes, use_residual=True):
+        """codes (Qtot, B, T) → summed latents (B, T, D) (ref :548-560)."""
+        c = self.cfg
+        p, cc = c.prosody_layers, c.content_layers
+        out = self.q_prosody.vq2emb(codes[:p])
+        out = out + self.q_content.vq2emb(codes[p:p + cc])
+        if use_residual and c.detail_layers > 0:
+            out = out + self.q_detail.vq2emb(codes[p + cc:])
+        return out
+
+
+class FACodecRedecoder(nn.Module):
+    """ref facodec.py:602 — zero-shot VC from codes: per-layer code
+    embeddings, timbre-conditioned (SALN) prosody encoder, FiLM + conv
+    stack."""
+
+    cfg: FACodecConfig
+
+    def setup(self):
+        c = self.cfg
+        d = c.codec.latent_dim
+        self.prosody_embs = [
+            nn.Embed(c.codebook_size, d,
+                     embedding_init=nn.initializers.normal(1e-5),
+                     name=f"prosody_emb_{i}")
+            for i in range(c.prosody_layers)]
+        self.content_embs = [
+            nn.Embed(c.codebook_size, d,
+                     embedding_init=nn.initializers.normal(1e-5),
+                     name=f"content_emb_{i}")
+            for i in range(c.content_layers)]
+        self.residual_embs = [
+            nn.Embed(c.codebook_size, d,
+                     embedding_init=nn.initializers.normal(1e-5),
+                     name=f"residual_emb_{i}")
+            for i in range(c.detail_layers)]
+        self.timbre_cond_prosody_enc = NS3TransformerEncoder(
+            hidden=d, num_layers=c.timbre_layers, heads=c.timbre_heads,
+            filter_size=c.timbre_filter, use_cln=True,
+            name="timbre_cond_prosody_enc")
+        self.timbre_linear = nn.Dense(
+            2 * d, name="timbre_linear",
+            bias_init=lambda k, s, dtype=jnp.float32: jnp.concatenate(
+                [jnp.ones(d, dtype), jnp.zeros(d, dtype)]))
+        up_init = c.codec.decoder_dim * (2 ** len(c.codec.strides))
+        self.pre_conv = _wn_conv(up_init, 7, "conv_pre")
+        blocks = []
+        ch = up_init
+        for i, s in enumerate(tuple(reversed(c.codec.strides))):
+            blocks.append(FADecoderBlock(ch, ch // 2, s, name=f"up_block_{i}"))
+            ch //= 2
+        self.blocks = blocks
+        self.final_act = SnakeBeta(ch, alpha_logscale=True, name="final_out_act")
+        self.post_conv = _wn_conv(1, 7, "conv_post")
+
+    def vq2emb(self, codes, spk, use_residual=True):
+        """codes (Qtot, B, T) + speaker embedding (B, D) → summed latents
+        (B, T, D) (ref vq2emb, facodec.py:742-765 — includes the
+        timbre-conditioned SALN prosody encoder)."""
+        c = self.cfg
+        x_p = 0.0
+        for i in range(c.prosody_layers):
+            x_p = x_p + self.prosody_embs[i](codes[i])
+        t = x_p.shape[1]
+        spk_cond = jnp.broadcast_to(spk[:, None, :], (spk.shape[0], t, spk.shape[1]))
+        x_p = self.timbre_cond_prosody_enc(x_p, condition=spk_cond)
+        x = x_p
+        for i in range(c.content_layers):
+            x = x + self.content_embs[i](codes[c.prosody_layers + i])
+        if use_residual:
+            for i in range(c.detail_layers):
+                x = x + self.residual_embs[i](
+                    codes[c.prosody_layers + c.content_layers + i])
+        return x
+
+    def inference(self, x, spk):
+        """Latents (B, T, D) + speaker embedding → audio (ref inference,
+        facodec.py:766-775). Note: the reference's `forward` applies its
+        timbre_norm on the wrong axis (transpose-before-norm bug,
+        facodec.py:755-759) and crashes for T != in_channels; this
+        vq2emb→inference composition is the working reference path."""
+        style = self.timbre_linear(spk)[:, None, :]
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        x = _layer_norm_noaffine(x)
+        x = x * gamma + beta
+        h = self.pre_conv(x)
+        for blk in self.blocks:
+            h = blk(h)
+        h = downsample1d(self.final_act(upsample1d(h, 2)), 2)
+        return jnp.tanh(self.post_conv(h))[..., 0]
+
+    def __call__(self, codes, spk, use_residual_code=False):
+        """codes (Qtot, B, T) + speaker embedding (B, D) → audio (the ref
+        forward intent, with the norm applied on the feature axis)."""
+        return self.inference(
+            self.vq2emb(codes, spk, use_residual=use_residual_code), spk)
+
+
+class FACodec(nn.Module):
+    """Facade keeping the repo's trainer/inference API on the faithful
+    encoder/decoder: __call__(audio, speaker_id, rng, train),
+    encode_branches, voice_conversion."""
+
+    cfg: FACodecConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = FACodecEncoder(
+            ngf=c.codec.encoder_dim, up_ratios=tuple(c.codec.strides),
+            out_channels=c.codec.latent_dim)
+        self.decoder = FACodecDecoder(c)
 
     def encode_branches(self, audio, rng=None, train=False):
-        h = self.encoder(audio)  # (B, N, D)
-        timbre = self.timbre(h)
-        # remove global timbre statistics from frames (instance norm style)
-        h_norm = (h - jnp.mean(h, axis=1, keepdims=True)) / (
-            jnp.std(h, axis=1, keepdims=True) + 1e-5
-        )
-        # prosody = low-frequency trajectory (smoothed latents)
-        window = 7
-        kernel = jnp.ones((window,)) / window
-        h_smooth = jax.vmap(
-            lambda hb: jax.vmap(
-                lambda col: jnp.convolve(col, kernel, mode="same"), 1, 1
-            )(hb)
-        )(h_norm)
-        zp, cp, lp = self.q_prosody(self.prosody_proj(h_smooth), train=train, rng=rng)
-        zc, cc, lc = self.q_content(h_norm - jax.lax.stop_gradient(zp), train=train, rng=rng)
-        zr, cr, lr = self.q_detail(
-            h_norm - jax.lax.stop_gradient(zp + zc), train=train, rng=rng
-        )
-        return h_norm, timbre, (zp, zc, zr), (cp, cc, cr), (lp, lc, lr)
-
-    def decode(self, zp, zc, zr, timbre):
-        z = zp + zc + zr
-        z = self.style_norm(z, timbre)
-        return self.decoder(z)
+        z = self.encoder(audio)
+        outs, codes, commit, bufs, spk = self.decoder.quantize(z)
+        losses = {"vq_commit": commit}
+        return z, spk, bufs, codes, losses
 
     def __call__(self, audio, speaker_id=None, rng=None, train=False):
-        _, timbre, (zp, zc, zr), codes, (lp, lc, lr) = self.encode_branches(
-            audio, rng, train
-        )
-        recon = self.decode(zp, zc, zr, timbre)
-        losses = {}
-        for tag, ld in (("prosody", lp), ("content", lc), ("detail", lr)):
-            for k, v in ld.items():
-                losses[f"{tag}_{k}"] = v
+        c = self.cfg
+        z = self.encoder(audio)
+        outs, codes, commit, bufs, spk = self.decoder.quantize(z)
+        dec = self.decoder.decode(bufs, spk, rng=rng, train=train)
+        losses = {"vq_commit": commit}
         if speaker_id is not None:
-            # adversarial speaker removal from the content branch
-            logits = self.spk_classifier(
-                jnp.mean(gradient_reversal(zc, self.cfg.grl_scale), axis=1)
-            )
-            logp = jax.nn.log_softmax(logits, axis=-1)
+            # adversarial speaker removal (GRL head over the summed
+            # timbre-free latents; ref use_gr_x_timbre)
+            logp = jax.nn.log_softmax(dec["spk_logits"], axis=-1)
             losses["spk_adv"] = -jnp.mean(
-                jnp.take_along_axis(logp, speaker_id[:, None], axis=-1)
-            )
-        return recon, codes, timbre, losses
+                jnp.take_along_axis(logp, speaker_id[:, None], axis=-1))
+        return dec["audio"], codes, spk, losses
 
     def voice_conversion(self, audio_src, audio_ref):
-        """Redecode source content/prosody/detail with reference timbre
-        (ref `FACodecRedecoder`, facodec.py:602)."""
-        _, _, (zp, zc, zr), _, _ = self.encode_branches(audio_src)
-        _, timbre_ref, _, _, _ = self.encode_branches(audio_ref)
-        return self.decode(zp, zc, zr, timbre_ref)
+        """Source prosody/content/detail + reference timbre (the
+        FACodecRedecoder capability, run through the main decoder)."""
+        z_src = self.encoder(audio_src)
+        _, _, _, bufs, _ = self.decoder.quantize(z_src)
+        z_ref = self.encoder(audio_ref)
+        _, _, _, _, spk_ref = self.decoder.quantize(z_ref)
+        zp, zc, zr = bufs
+        return self.decoder.inference(zp + zc + zr, spk_ref)

@@ -952,3 +952,183 @@ def vevo_fmt_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     else:  # Embedding
         params["cond_emb"] = embedding_to_flax(g("cond_emb.weight"))
     return params
+
+
+# ---------------------------------------------------------------------------
+# FACodec (NS3) — ref models/codec/ns3_codec/facodec.py
+# ---------------------------------------------------------------------------
+
+
+def _fa_resunit(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """ref ResidualUnit (facodec.py:121: AA-SnakeBeta, WN k7, AA-SnakeBeta,
+    WN k1) → FAResidualUnit params."""
+    g = lambda n: np.asarray(sd[n])
+    c1 = _plain_or_wn(sd, f"{prefix}.block.1", "conv1d")
+    c2 = _plain_or_wn(sd, f"{prefix}.block.3", "conv1d")
+    return {
+        "SnakeBeta_0": {"alpha": g(f"{prefix}.block.0.act.alpha").reshape(-1),
+                        "beta": g(f"{prefix}.block.0.act.beta").reshape(-1)},
+        "conv1": c1["layer"],
+        "WeightNorm_0": {"conv1/kernel/scale": c1["scale"]},
+        "SnakeBeta_1": {"alpha": g(f"{prefix}.block.2.act.alpha").reshape(-1),
+                        "beta": g(f"{prefix}.block.2.act.beta").reshape(-1)},
+        "conv2": c2["layer"],
+        "WeightNorm_1": {"conv2/kernel/scale": c2["scale"]},
+    }
+
+
+def _snakebeta(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    g = lambda n: np.asarray(sd[n])
+    return {"alpha": g(f"{prefix}.alpha").reshape(-1),
+            "beta": g(f"{prefix}.beta").reshape(-1)}
+
+
+def facodec_encoder_to_flax(sd: Mapping[str, np.ndarray],
+                            up_ratios: tuple[int, ...]) -> dict:
+    """ref FACodecEncoder (facodec.py:157) → our FACodecEncoder params."""
+    n = len(up_ratios)
+    params: dict = {}
+    pre = _plain_or_wn(sd, "block.0", "conv1d")
+    params["conv_pre"] = pre["layer"]
+    params["WeightNorm_0"] = {"conv_pre/kernel/scale": pre["scale"]}
+    for i in range(n):
+        eb = f"block.{i + 1}.block"
+        for j in range(3):
+            params[f"block_{i}_res_{j}"] = _fa_resunit(sd, f"{eb}.{j}")
+        params[f"down_act_{i}"] = _snakebeta(sd, f"{eb}.3.act")
+        down = _plain_or_wn(sd, f"{eb}.4", "conv1d")
+        params[f"down_{i}"] = down["layer"]
+        params[f"WeightNorm_{i + 1}"] = {f"down_{i}/kernel/scale": down["scale"]}
+    params["final_act"] = _snakebeta(sd, f"block.{n + 1}.act")
+    out = _plain_or_wn(sd, f"block.{n + 2}", "conv1d")
+    params["conv_out"] = out["layer"]
+    params[f"WeightNorm_{n + 1}"] = {"conv_out/kernel/scale": out["scale"]}
+    return params
+
+
+def _fa_decoder_block(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """ref DecoderBlock (facodec.py:220) → FADecoderBlock params."""
+    up = _plain_or_wn(sd, f"{prefix}.block.1", "convtranspose1d")
+    out = {
+        "act": _snakebeta(sd, f"{prefix}.block.0.act"),
+        "up": up["layer"],
+        "WeightNorm_0": {"up/kernel/scale": up["scale"]},
+    }
+    for j in range(3):
+        out[f"res_{j}"] = _fa_resunit(sd, f"{prefix}.block.{j + 2}")
+    return out
+
+
+def _fa_conv_stack(sd: Mapping[str, np.ndarray], prefix: str,
+                   n_blocks: int) -> dict:
+    """ref decoder `model` Sequential → pre_conv/up_block_i/final/post."""
+    params: dict = {}
+    pre = _plain_or_wn(sd, f"{prefix}.0", "conv1d")
+    params["conv_pre"] = pre["layer"]
+    params["pre_conv"] = {"conv_pre/kernel/scale": pre["scale"]}
+    for i in range(n_blocks):
+        params[f"up_block_{i}"] = _fa_decoder_block(sd, f"{prefix}.{i + 1}")
+    params["final_out_act"] = _snakebeta(sd, f"{prefix}.{n_blocks + 1}.act")
+    post = _plain_or_wn(sd, f"{prefix}.{n_blocks + 2}", "conv1d")
+    params["conv_post"] = post["layer"]
+    params["post_conv"] = {"conv_post/kernel/scale": post["scale"]}
+    return params
+
+
+def _fa_fvq_branch(sd: Mapping[str, np.ndarray], prefix: str,
+                   num_layers: int) -> dict:
+    """ref ns3 ResidualVQ branch (quantize/rvq.py) → FABranchRVQ params.
+    The FVQ in/out projections are weight-normed Linears — materialized
+    into plain Dense kernels."""
+    out: dict = {}
+    for i in range(num_layers):
+        lp = f"{prefix}.layers.{i}"
+
+        def proj(name):
+            g = np.asarray(sd[f"{lp}.{name}.weight_g"])
+            v = np.asarray(sd[f"{lp}.{name}.weight_v"])
+            b = np.asarray(sd[f"{lp}.{name}.bias"])
+            return torch_weight_norm_to_flax(g, v, "linear", b)["layer"]
+
+        out[f"layer_{i}"] = {
+            "in_proj": proj("in_proj"),
+            "out_proj": proj("out_proj"),
+            "codebook": np.asarray(sd[f"{lp}._codebook.weight"]),
+        }
+    return out
+
+
+def _ns3_transformer_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                             num_layers: int, use_cln: bool = False) -> dict:
+    """ref ns3 TransformerEncoder (transformer.py:154) → NS3TransformerEncoder.
+    torch MultiheadAttention packs q/k/v into in_proj_weight."""
+    g = lambda n: np.asarray(sd[f"{prefix}.{n}"])
+
+    def ln(p):
+        if use_cln:
+            return {"style": linear_to_dense(g(f"{p}.style.weight"),
+                                             g(f"{p}.style.bias"))}
+        return {"scale": g(f"{p}.weight"), "bias": g(f"{p}.bias")}
+
+    params: dict = {"last_ln": ln("last_ln")}
+    for i in range(num_layers):
+        lp = f"layers.{i}"
+        w = g(f"{lp}.self_attn.in_proj_weight")
+        b = g(f"{lp}.self_attn.in_proj_bias")
+        d = w.shape[0] // 3
+        params[f"layer_{i}"] = {
+            "ln_1": ln(f"{lp}.ln_1"),
+            "q": linear_to_dense(w[:d], b[:d]),
+            "k": linear_to_dense(w[d:2 * d], b[d:2 * d]),
+            "v": linear_to_dense(w[2 * d:], b[2 * d:]),
+            "out": linear_to_dense(g(f"{lp}.self_attn.out_proj.weight"),
+                                   g(f"{lp}.self_attn.out_proj.bias")),
+            "ln_2": ln(f"{lp}.ln_2"),
+            "ffn_1": conv1d_to_flax(g(f"{lp}.ffn.ffn_1.weight"),
+                                    g(f"{lp}.ffn.ffn_1.bias")),
+            "ffn_2": linear_to_dense(g(f"{lp}.ffn.ffn_2.weight"),
+                                     g(f"{lp}.ffn.ffn_2.bias")),
+        }
+    return params
+
+
+def facodec_decoder_to_flax(sd: Mapping[str, np.ndarray], *,
+                            up_ratios: tuple[int, ...],
+                            prosody_layers: int = 1,
+                            content_layers: int = 2,
+                            detail_layers: int = 3,
+                            timbre_layers: int = 4) -> dict:
+    """ref FACodecDecoder (facodec.py:242) → our FACodecDecoder params."""
+    g = lambda n: np.asarray(sd[n])
+    params = _fa_conv_stack(sd, "model", len(up_ratios))
+    params["q_prosody"] = _fa_fvq_branch(sd, "quantizer.0", prosody_layers)
+    params["q_content"] = _fa_fvq_branch(sd, "quantizer.1", content_layers)
+    if detail_layers:
+        params["q_detail"] = _fa_fvq_branch(sd, "quantizer.2", detail_layers)
+    params["timbre_encoder"] = _ns3_transformer_to_flax(
+        sd, "timbre_encoder", timbre_layers)
+    params["timbre_linear"] = linear_to_dense(g("timbre_linear.weight"),
+                                              g("timbre_linear.bias"))
+    return params
+
+
+def facodec_redecoder_to_flax(sd: Mapping[str, np.ndarray], *,
+                              up_ratios: tuple[int, ...],
+                              prosody_layers: int = 1,
+                              content_layers: int = 2,
+                              detail_layers: int = 3,
+                              timbre_layers: int = 4) -> dict:
+    """ref FACodecRedecoder (facodec.py:602) → our FACodecRedecoder params."""
+    g = lambda n: np.asarray(sd[n])
+    params = _fa_conv_stack(sd, "model", len(up_ratios))
+    for i in range(prosody_layers):
+        params[f"prosody_emb_{i}"] = {"embedding": g(f"prosody_embs.{i}.weight")}
+    for i in range(content_layers):
+        params[f"content_emb_{i}"] = {"embedding": g(f"content_embs.{i}.weight")}
+    for i in range(detail_layers):
+        params[f"residual_emb_{i}"] = {"embedding": g(f"residual_embs.{i}.weight")}
+    params["timbre_cond_prosody_enc"] = _ns3_transformer_to_flax(
+        sd, "timbre_cond_prosody_enc", timbre_layers, use_cln=True)
+    params["timbre_linear"] = linear_to_dense(g("timbre_linear.weight"),
+                                              g("timbre_linear.bias"))
+    return params

@@ -24,7 +24,7 @@ def test_gradient_reversal():
 def test_facodec_forward_and_vc(rng):
     cfg = FACodecConfig(
         codec=TINY_CODEC, codebook_size=16, codebook_dim=4, timbre_dim=8,
-        num_speakers=4,
+        num_speakers=4, timbre_layers=1, timbre_heads=2, timbre_filter=16,
     )
     model = FACodec(cfg)
     audio = jnp.asarray((rng.standard_normal((2, 16 * TINY_CODEC.hop)) * 0.2).astype(np.float32))

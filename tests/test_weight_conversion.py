@@ -56,7 +56,8 @@ def _ref_on_path():
                  "torchaudio", "torchaudio.functional",
                  "torchaudio.functional.functional",
                  "torchaudio.transforms", "librosa", "librosa.filters",
-                 "ruamel", "ruamel.yaml"):
+                 "librosa.util", "ruamel", "ruamel.yaml", "pyworld",
+                 "soundfile"):
         _stub(name)
     yield
     sys.path.remove(str(REFERENCE))
@@ -1218,3 +1219,132 @@ class TestVevoFMTRoundTrip:
                 method=FlowMatchingTransformer.flow_eval)
             xt = xt + h * flow
         np.testing.assert_allclose(np.asarray(xt), out_t.numpy(), atol=1e-4)
+
+
+class TestFACodecRoundTrip:
+    """FACodec (NS3) oracle round trips (ref models/codec/ns3_codec/
+    facodec.py): encoder conv stack, decoder quantize (factorized RVQ
+    branches + timbre transformer), inference decode, vq2emb, redecoder."""
+
+    def _ref_modules(self, seed=21):
+        from models.codec.ns3_codec.facodec import (
+            FACodecDecoder,
+            FACodecEncoder,
+        )
+
+        torch.manual_seed(seed)
+        enc = FACodecEncoder(ngf=4, up_ratios=(2, 5), out_channels=256).eval()
+        dec = FACodecDecoder(
+            in_channels=256, upsample_initial_channel=64, up_ratios=(5, 2),
+            vq_num_q_c=2, vq_num_q_p=1, vq_num_q_r=3, vq_dim=256,
+            codebook_dim=4, codebook_size_prosody=4, codebook_size_content=4,
+            codebook_size_residual=4).eval()
+        return enc, dec
+
+    def _our_cfg(self):
+        from amphion_tpu.models.codec.amphion_codec import CodecConfig
+
+        from amphion_tpu.models.codec.facodec import FACodecConfig
+
+        return FACodecConfig(
+            codec=CodecConfig(encoder_dim=4, latent_dim=256, decoder_dim=16,
+                              strides=(2, 5)),
+            prosody_layers=1, content_layers=2, detail_layers=3,
+            codebook_size=16, codebook_dim=4)
+
+    def test_encoder_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.codec.facodec import FACodecEncoder
+        from amphion_tpu.utils.convert import facodec_encoder_to_flax
+
+        ref, _ = self._ref_modules()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = facodec_encoder_to_flax(sd, up_ratios=(2, 5))
+        torch.manual_seed(22)
+        x = torch.randn(2, 1, 80) * 0.3
+        with torch.no_grad():
+            z_t = ref(x)  # (B, D, N)
+
+        ours = FACodecEncoder(ngf=4, up_ratios=(2, 5), out_channels=256)
+        z_j = ours.apply({"params": params}, jnp.asarray(x[:, 0].numpy()))
+        np.testing.assert_allclose(
+            np.asarray(z_j), z_t.transpose(1, 2).numpy(), atol=2e-4)
+
+    def test_decoder_quantize_inference_vq2emb_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.codec.facodec import FACodecDecoder
+        from amphion_tpu.utils.convert import facodec_decoder_to_flax
+
+        _, ref = self._ref_modules(seed=23)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = facodec_decoder_to_flax(sd, up_ratios=(5, 2))
+        torch.manual_seed(24)
+        z = torch.randn(2, 256, 8) * 0.5
+        with torch.no_grad():
+            outs_t, qs_t, _, bufs_t, spk_t = ref(z, vq=True, eval_vq=False)
+            audio_t = ref.inference(outs_t, spk_t)
+            emb_t = ref.vq2emb(qs_t)
+
+        ours = FACodecDecoder(self._our_cfg())
+        zj = jnp.asarray(z.transpose(1, 2).numpy())
+        outs_j, codes_j, _, bufs_j, spk_j = ours.apply(
+            {"params": params}, zj, method=FACodecDecoder.quantize)
+        np.testing.assert_array_equal(np.asarray(codes_j), qs_t.numpy())
+        np.testing.assert_allclose(
+            np.asarray(outs_j), outs_t.transpose(1, 2).numpy(), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(spk_j), spk_t.numpy(), atol=3e-5)
+
+        audio_j = ours.apply({"params": params}, outs_j, spk_j,
+                             method=FACodecDecoder.inference)
+        np.testing.assert_allclose(
+            np.asarray(audio_j), audio_t[:, 0].numpy(), atol=3e-4)
+
+        emb_j = ours.apply({"params": params}, codes_j,
+                           method=FACodecDecoder.vq2emb)
+        np.testing.assert_allclose(
+            np.asarray(emb_j), emb_t.transpose(1, 2).numpy(), atol=3e-5)
+
+    def test_redecoder_parity(self):
+        import jax.numpy as jnp
+
+        from models.codec.ns3_codec.facodec import FACodecRedecoder
+
+        from amphion_tpu.models.codec.facodec import (
+            FACodecRedecoder as OursRedecoder,
+        )
+        from amphion_tpu.utils.convert import facodec_redecoder_to_flax
+
+        torch.manual_seed(25)
+        ref = FACodecRedecoder(
+            in_channels=256, upsample_initial_channel=64, up_ratios=(5, 2),
+            vq_num_q_c=2, vq_num_q_p=1, vq_num_q_r=3, vq_dim=256,
+            codebook_size_prosody=4, codebook_size_content=4,
+            codebook_size_residual=4).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = facodec_redecoder_to_flax(sd, up_ratios=(5, 2))
+        torch.manual_seed(26)
+        vq = torch.randint(0, 16, (6, 2, 8))
+        spk = torch.randn(2, 256)
+        # NOTE: the reference Redecoder.forward transposes BEFORE its
+        # timbre_norm (facodec.py:755-759), so it LayerNorms the TIME axis
+        # and crashes for T != in_channels — a reference bug. Its vq2emb +
+        # inference pair is the working path; the oracle covers that
+        # composition (which includes the SALN prosody encoder).
+        with torch.no_grad():
+            emb_t = ref.vq2emb(vq, spk, use_residual=True)  # (B, d, T)
+            audio_t = ref.inference(emb_t, spk)
+
+        ours = OursRedecoder(self._our_cfg())
+        emb_j = ours.apply(
+            {"params": params}, jnp.asarray(vq.numpy()),
+            jnp.asarray(spk.numpy()), True,
+            method=OursRedecoder.vq2emb)
+        np.testing.assert_allclose(
+            np.asarray(emb_j), emb_t.transpose(1, 2).numpy(), atol=3e-5)
+        audio_j = ours.apply(
+            {"params": params}, emb_j, jnp.asarray(spk.numpy()),
+            method=OursRedecoder.inference)
+        np.testing.assert_allclose(
+            np.asarray(audio_j), audio_t[:, 0].numpy(), atol=3e-4)
