@@ -39,16 +39,14 @@ class PeriodDiscriminator(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect")
         x = x.reshape(b, (t + pad) // p, p, 1)
         fmap = []
-        channels = [32, 128, 512, 1024]
+        # ref mpd.py:24-70: all five k(5,1) convs are stride (3,1)
+        channels = [32, 128, 512, 1024, 1024]
         for ch in channels:
             x = nn.WeightNorm(
                 nn.Conv(int(ch * self.channel_mult), (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)))
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = nn.WeightNorm(nn.Conv(int(1024 * self.channel_mult), (5, 1), padding=((2, 2), (0, 0))))(x)
-        x = nn.leaky_relu(x, LRELU_SLOPE)
-        fmap.append(x)
         x = nn.WeightNorm(nn.Conv(1, (3, 1), padding=((1, 1), (0, 0))))(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
@@ -97,13 +95,16 @@ class ScaleDiscriminator(nn.Module):
         for ch, k, s, g in layer_specs:
             ch = max(g, int(ch * self.channel_mult))
             g = math.gcd(g, math.gcd(prev, ch))
+            # explicit symmetric k//2 padding: torch pads (k//2, k//2) while
+            # flax SAME under stride 2 pads (k//2-1, k//2) for even lengths
             h = nn.WeightNorm(
-                nn.Conv(ch, (k,), strides=(s,), padding="SAME", feature_group_count=g)
+                nn.Conv(ch, (k,), strides=(s,), padding=[(k // 2, k // 2)],
+                        feature_group_count=g)
             )(h)
             prev = ch
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
-        h = nn.WeightNorm(nn.Conv(1, (3,), padding="SAME"))(h)
+        h = nn.WeightNorm(nn.Conv(1, (3,), padding=[(1, 1)]))(h)
         fmap.append(h)
         return h.reshape(b, -1), fmap
 
@@ -135,29 +136,49 @@ class MultiScaleDiscriminator(nn.Module):
         return logits, fmaps
 
 
+def _mrd_spectrogram(x: jax.Array, n_fft: int, hop: int, win: int) -> jax.Array:
+    """Reference MRD spectrogram (mrd.py:108-130): reflect pad by
+    (n_fft - hop)/2, torch.stft(center=False) with NO window function —
+    i.e. a rectangular window of length `win` zero-padded to n_fft."""
+    p = (n_fft - hop) // 2
+    x = jnp.pad(x, ((0, 0), (p, p)), mode="reflect")
+    nf = (x.shape[1] - n_fft) // hop + 1
+    idx = jnp.arange(nf)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx]  # (B, nf, n_fft)
+    w = np.zeros(n_fft, np.float32)
+    left = (n_fft - win) // 2
+    w[left:left + win] = 1.0
+    spec = jnp.fft.rfft(frames * w, axis=-1)
+    return jnp.abs(spec).transpose(0, 2, 1)  # (B, F, nf)
+
+
 class ResolutionDiscriminator(nn.Module):
-    """One STFT-resolution branch of MRD (ref `mrd.py:14-130`)."""
+    """One STFT-resolution branch of MRD (ref `mrd.py:19-130`, the BigVGAN
+    MRD): 32-ch 2-D convs over the (freq, time) magnitude image, kernel
+    (3, 9) with stride (1, 2) on the time axis."""
 
     n_fft: int
     hop: int
     win: int
+    channel_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        mag = stft_magnitude(x, self.n_fft, self.hop, self.win, center=True)
-        # (B, F, N) → (B, N, F, 1)
-        h = jnp.transpose(mag, (0, 2, 1))[..., None]
+        mag = _mrd_spectrogram(x, self.n_fft, self.hop, self.win)
+        h = mag[..., None]  # (B, F, N, 1) — H=freq, W=time, like torch NCHW
         b = h.shape[0]
+        ch = int(32 * self.channel_mult)
         fmap = []
         for i in range(4):
             stride = (1, 2) if i > 0 else (1, 1)
-            h = nn.WeightNorm(nn.Conv(32, (3, 9), strides=stride, padding="SAME"))(h)
+            h = nn.WeightNorm(nn.Conv(ch, (3, 9), strides=stride,
+                                      padding=((1, 1), (4, 4))))(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
-        h = nn.WeightNorm(nn.Conv(32, (3, 3), padding="SAME"))(h)
+        h = nn.WeightNorm(nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1))))(h)
         h = nn.leaky_relu(h, LRELU_SLOPE)
         fmap.append(h)
-        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding="SAME"))(h)
+        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding=((1, 1), (1, 1))))(h)
         fmap.append(h)
         return h.reshape(b, -1), fmap
 
@@ -172,11 +193,14 @@ class MultiResolutionDiscriminator(nn.Module):
         (512, 50, 240),
     )
 
+    channel_mult: float = 1.0
+
     @nn.compact
     def __call__(self, x: jax.Array):
         logits, fmaps = [], []
         for n_fft, hop, win in self.resolutions:
-            lo, fm = ResolutionDiscriminator(n_fft, hop, win)(x)
+            lo, fm = ResolutionDiscriminator(n_fft, hop, win,
+                                             self.channel_mult)(x)
             logits.append(lo)
             fmaps.append(fm)
         return logits, fmaps

@@ -1132,3 +1132,96 @@ def facodec_redecoder_to_flax(sd: Mapping[str, np.ndarray], *,
     params["timbre_linear"] = linear_to_dense(g("timbre_linear.weight"),
                                               g("timbre_linear.bias"))
     return params
+
+
+# ---------------------------------------------------------------------------
+# GAN discriminators — ref models/vocoders/gan/discriminator/{mpd,msd,mrd}.py
+# ---------------------------------------------------------------------------
+
+
+def _materialize_torch_norm(sd: Mapping[str, np.ndarray], prefix: str) -> tuple:
+    """Effective (weight, bias) of a torch conv that may be weight-normed
+    (weight_g/weight_v), spectral-normed (weight_orig/u/v), or plain."""
+    b = np.asarray(sd[f"{prefix}.bias"]) if f"{prefix}.bias" in sd else None
+    if f"{prefix}.weight_g" in sd:
+        g = np.asarray(sd[f"{prefix}.weight_g"], np.float64)
+        v = np.asarray(sd[f"{prefix}.weight_v"], np.float64)
+        nv = np.sqrt(np.sum(v**2, axis=tuple(range(1, v.ndim)), keepdims=True))
+        return (g * v / np.maximum(nv, 1e-12)).astype(np.float32), b
+    if f"{prefix}.weight_orig" in sd:
+        w = np.asarray(sd[f"{prefix}.weight_orig"], np.float64)
+        u = np.asarray(sd[f"{prefix}.weight_u"], np.float64)
+        v = np.asarray(sd[f"{prefix}.weight_v"], np.float64)
+        m = w.reshape(w.shape[0], -1)
+        sigma = float(u @ (m @ v))
+        return (w / sigma).astype(np.float32), b
+    return np.asarray(sd[f"{prefix}.weight"]), b
+
+
+def _wn2d(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """torch (possibly normed) Conv2d → flax WeightNorm(Conv) params."""
+    w, b = _materialize_torch_norm(sd, prefix)
+    inner = conv2d_to_flax(w, b)
+    kernel = inner["kernel"]
+    scale = np.sqrt(np.sum(np.asarray(kernel, np.float64) ** 2,
+                           axis=tuple(range(kernel.ndim - 1)))).astype(np.float32)
+    return {"layer": inner, "scale": scale}
+
+
+def _wn1d_any(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    w, b = _materialize_torch_norm(sd, prefix)
+    inner = conv1d_to_flax(w, b)
+    kernel = inner["kernel"]
+    scale = np.sqrt(np.sum(np.asarray(kernel, np.float64) ** 2,
+                           axis=tuple(range(kernel.ndim - 1)))).astype(np.float32)
+    return {"layer": inner, "scale": scale}
+
+
+def _wn_seq(entries) -> dict:
+    """[(flax_name, {'layer','scale'})] → params dict with WeightNorm_k
+    collections in creation order."""
+    out: dict = {}
+    for k, (fname, p) in enumerate(entries):
+        out[fname] = p["layer"]
+        out[f"WeightNorm_{k}"] = {f"{fname}/kernel/scale": p["scale"]}
+    return out
+
+
+def torch_mpd_to_flax(sd: Mapping[str, np.ndarray],
+                      num_periods: int = 5) -> dict:
+    """Reference MultiPeriodDiscriminator (mpd.py:101) →
+    our MultiPeriodDiscriminator params."""
+    params: dict = {}
+    for i in range(num_periods):
+        p = f"discriminators.{i}"
+        entries = [(f"Conv_{j}", _wn2d(sd, f"{p}.convs.{j}")) for j in range(5)]
+        entries.append((f"Conv_5", _wn2d(sd, f"{p}.conv_post")))
+        params[f"PeriodDiscriminator_{i}"] = _wn_seq(entries)
+    return params
+
+
+def torch_msd_to_flax(sd: Mapping[str, np.ndarray],
+                      num_scales: int = 3) -> dict:
+    """Reference MultiScaleDiscriminator (msd.py:53) → ours. The first
+    scale's spectral-norm weights are materialized into WeightNorm params
+    (identical forward; the SN constraint is a training-time device)."""
+    params: dict = {}
+    for i in range(num_scales):
+        p = f"discriminators.{i}"
+        entries = [(f"Conv_{j}", _wn1d_any(sd, f"{p}.convs.{j}"))
+                   for j in range(7)]
+        entries.append(("Conv_7", _wn1d_any(sd, f"{p}.conv_post")))
+        params[f"ScaleDiscriminator_{i}"] = _wn_seq(entries)
+    return params
+
+
+def torch_mrd_to_flax(sd: Mapping[str, np.ndarray],
+                      num_resolutions: int = 3) -> dict:
+    """Reference MultiResolutionDiscriminator (mrd.py:133) → ours."""
+    params: dict = {}
+    for i in range(num_resolutions):
+        p = f"discriminators.{i}"
+        entries = [(f"Conv_{j}", _wn2d(sd, f"{p}.convs.{j}")) for j in range(5)]
+        entries.append(("Conv_5", _wn2d(sd, f"{p}.conv_post")))
+        params[f"ResolutionDiscriminator_{i}"] = _wn_seq(entries)
+    return params

@@ -1348,3 +1348,114 @@ class TestFACodecRoundTrip:
             method=OursRedecoder.inference)
         np.testing.assert_allclose(
             np.asarray(audio_j), audio_t[:, 0].numpy(), atol=3e-4)
+
+
+class TestDiscriminatorRoundTrip:
+    """GAN discriminator oracle round trips (ref models/vocoders/gan/
+    discriminator/{mpd,msd,mrd}.py): logits + every feature map."""
+
+    def test_mpd_parity(self):
+        import jax.numpy as jnp
+
+        from models.vocoders.gan.discriminator.mpd import (
+            MultiPeriodDiscriminator as RefMPD,
+        )
+
+        from amphion_tpu.models.vocoders.discriminators import (
+            MultiPeriodDiscriminator,
+        )
+        from amphion_tpu.utils.convert import torch_mpd_to_flax
+
+        torch.manual_seed(30)
+        cfg = SimpleNamespace(model=SimpleNamespace(mpd=SimpleNamespace(
+            mpd_reshapes=[2, 3], discriminator_channel_mult_factor=0.125,
+            use_spectral_norm=False)))
+        ref = RefMPD(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_mpd_to_flax(sd, num_periods=2)
+        torch.manual_seed(31)
+        y = torch.randn(2, 1, 300) * 0.3
+        with torch.no_grad():
+            lr, _, fr, _ = ref(y, y)
+
+        ours = MultiPeriodDiscriminator(periods=(2, 3), channel_mult=0.125)
+        lj, fj = ours.apply({"params": params}, jnp.asarray(y[:, 0].numpy()))
+        for i in range(2):
+            np.testing.assert_allclose(np.asarray(lj[i]), lr[i].numpy(),
+                                       atol=3e-5)
+            for a, b in zip(fj[i], fr[i]):
+                # torch fmaps are NCHW (B, C, T/p, p); ours NHWC
+                np.testing.assert_allclose(
+                    np.asarray(a), b.permute(0, 2, 3, 1).numpy(), atol=3e-5)
+
+    def test_msd_parity(self):
+        import jax.numpy as jnp
+
+        from models.vocoders.gan.discriminator.msd import (
+            MultiScaleDiscriminator as RefMSD,
+        )
+
+        from amphion_tpu.models.vocoders.discriminators import (
+            MultiScaleDiscriminator,
+        )
+        from amphion_tpu.utils.convert import torch_msd_to_flax
+
+        torch.manual_seed(32)
+        ref = RefMSD(SimpleNamespace())
+        torch.manual_seed(33)
+        y = torch.randn(1, 1, 256) * 0.3
+        # settle the spectral-norm power iteration: with freshly-initialized
+        # u/v, sigma can be ~1e-4 and 1/sigma amplifies float noise ~1e4x
+        ref.train()
+        with torch.no_grad():
+            for _ in range(20):
+                ref(y, y)
+        ref.eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_msd_to_flax(sd, num_scales=3)
+        with torch.no_grad():
+            lr, _, fr, _ = ref(y, y)
+
+        ours = MultiScaleDiscriminator(num_scales=3, channel_mult=1.0)
+        lj, fj = ours.apply({"params": params}, jnp.asarray(y[:, 0].numpy()))
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(lj[i]), lr[i].numpy(),
+                                       atol=2e-4)
+            for a, b in zip(fj[i], fr[i]):
+                np.testing.assert_allclose(
+                    np.asarray(a), b.permute(0, 2, 1).numpy(), atol=2e-4)
+
+    def test_mrd_parity(self):
+        import jax.numpy as jnp
+
+        from models.vocoders.gan.discriminator.mrd import (
+            MultiResolutionDiscriminator as RefMRD,
+        )
+
+        from amphion_tpu.models.vocoders.discriminators import (
+            MultiResolutionDiscriminator,
+        )
+        from amphion_tpu.utils.convert import torch_mrd_to_flax
+
+        torch.manual_seed(34)
+        res = [[128, 32, 64], [256, 64, 128], [64, 16, 32]]
+        cfg = SimpleNamespace(model=SimpleNamespace(mrd=SimpleNamespace(
+            resolutions=res, use_spectral_norm=False, mrd_override=False,
+            discriminator_channel_mult_factor=0.25)))
+        ref = RefMRD(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_mrd_to_flax(sd, num_resolutions=3)
+        torch.manual_seed(35)
+        y = torch.randn(1, 1, 512) * 0.3
+        with torch.no_grad():
+            lr, _, fr, _ = ref(y, y)
+
+        ours = MultiResolutionDiscriminator(
+            resolutions=tuple(tuple(r) for r in res), channel_mult=0.25)
+        lj, fj = ours.apply({"params": params}, jnp.asarray(y[:, 0].numpy()))
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(lj[i]), lr[i].numpy(),
+                                       atol=2e-4)
+            for a, b in zip(fj[i], fr[i]):
+                np.testing.assert_allclose(
+                    np.asarray(a), b.permute(0, 2, 3, 1).numpy(), atol=2e-4)
