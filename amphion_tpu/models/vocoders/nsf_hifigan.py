@@ -32,7 +32,12 @@ class NSFHiFiGANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, mel: jax.Array, f0: jax.Array, rng: jax.Array) -> jax.Array:
-        """mel (B, N, n_mel), f0 (B, N) frame-rate Hz → (B, N*hop)."""
+        """mel (B, N, n_mel), f0 (B, N) frame-rate Hz → (B, N*hop).
+
+        NOTE the reference forward (nsfhifigan.py:259-270) computes the
+        per-scale source convs but then overwrites `x_source = x[...]`
+        (a bug), so its excitation is silently discarded; here the
+        harmonic excitation is actually injected at each resolution."""
         c = self.cfg.base
         hop = c.hop_size
         resblock_cls = ResBlock1 if c.resblock == "1" else ResBlock2
@@ -66,6 +71,7 @@ class NSFHiFiGANGenerator(nn.Module):
                 out = resblock_cls(ch, ks, tuple(ds), name=f"res_{i}_{ks}")(x)
                 acc = out if acc is None else acc + out
             x = acc / len(c.resblock_kernel_sizes)
-        x = nn.leaky_relu(x, LRELU_SLOPE)
+        # ref nsfhifigan.py:278: final F.leaky_relu default slope 0.01
+        x = nn.leaky_relu(x, 0.01)
         x = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME"))(x)
         return jnp.tanh(x)[..., 0]

@@ -30,23 +30,37 @@ class SineGen(nn.Module):
     voiced_threshold: float = 0.0
 
     @nn.compact
-    def __call__(self, f0: jax.Array, rng: jax.Array):
-        """f0: (B, T) sample-rate F0 in Hz → (sines (B, T, H+1), uv (B, T))."""
+    def __call__(self, f0: jax.Array, rng: jax.Array | None = None):
+        """f0: (B, T) sample-rate F0 in Hz → (sines (B, T, H+1), uv (B, T)).
+
+        The reference (sine_excitation.py:35-82) detects phase wraps on an
+        interpolated cumulative track and subtracts integers before the
+        final per-sample cumsum — a mod-1 no-op under sin(2π·), so the
+        plain per-sample phase accumulation here is mathematically
+        identical. ``rng=None`` gives the deterministic path (zero initial
+        phases, no additive noise)."""
         uv = (f0 > self.voiced_threshold).astype(jnp.float32)
         h = jnp.arange(1, self.num_harmonics + 2, dtype=jnp.float32)
         # instantaneous normalized frequency per harmonic
-        rad = f0[..., None] * h[None, None, :] / self.sample_rate
-        rng, r1, r2 = jax.random.split(rng, 3)
-        # random initial phase per harmonic (except fundamental)
-        init_phase = jax.random.uniform(r1, (f0.shape[0], 1, self.num_harmonics + 1))
-        init_phase = init_phase.at[:, :, 0].set(0.0)
+        rad = (f0[..., None] * h[None, None, :] / self.sample_rate) % 1.0
+        if rng is not None:
+            rng, r1, r2 = jax.random.split(rng, 3)
+            # random initial phase per harmonic (except fundamental)
+            init_phase = jax.random.uniform(
+                r1, (f0.shape[0], 1, self.num_harmonics + 1))
+            init_phase = init_phase.at[:, :, 0].set(0.0)
+        else:
+            init_phase = 0.0
         phase = 2.0 * jnp.pi * (jnp.cumsum(rad, axis=1) % 1.0 + init_phase)
         sines = jnp.sin(phase) * self.sine_amp
         # unvoiced: white noise at sine_amp/3; voiced: small additive noise
-        noise_amp = uv[..., None] * self.noise_std + (1 - uv[..., None]) * (
-            self.sine_amp / 3.0
-        )
-        noise = noise_amp * jax.random.normal(r2, sines.shape)
+        if rng is not None:
+            noise_amp = uv[..., None] * self.noise_std + (1 - uv[..., None]) * (
+                self.sine_amp / 3.0
+            )
+            noise = noise_amp * jax.random.normal(r2, sines.shape)
+        else:
+            noise = 0.0
         sines = sines * uv[..., None] + noise
         return sines, uv
 
@@ -61,7 +75,7 @@ class SourceModuleHnNSF(nn.Module):
     noise_std: float = 0.003
 
     @nn.compact
-    def __call__(self, f0: jax.Array, rng: jax.Array):
+    def __call__(self, f0: jax.Array, rng: jax.Array | None = None):
         sines, uv = SineGen(
             self.sample_rate, self.num_harmonics, self.sine_amp, self.noise_std,
             name="sinegen",

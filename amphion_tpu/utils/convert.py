@@ -1225,3 +1225,37 @@ def torch_mrd_to_flax(sd: Mapping[str, np.ndarray],
         entries.append(("Conv_5", _wn2d(sd, f"{p}.conv_post")))
         params[f"ResolutionDiscriminator_{i}"] = _wn_seq(entries)
     return params
+
+
+def torch_melgan_to_flax(sd: Mapping[str, np.ndarray], *,
+                         upsample_rates: tuple[int, ...],
+                         n_residual_layers: int = 3) -> dict:
+    """Reference MelGAN generator (melgan.py:50, one flat `model`
+    Sequential) → our MelGANGenerator params."""
+    params: dict = {}
+    entries = []
+    idx = 1  # model.0 is ReflectionPad; model.1 the pre conv
+    entries.append(("conv_pre", _wn1d_any(sd, f"model.{idx}")))
+    idx += 1
+    res_names = []
+    for i, r in enumerate(upsample_rates):
+        idx += 1  # LeakyReLU
+        w, b = _materialize_torch_norm(sd, f"model.{idx}")
+        up = convtranspose1d_to_flax(w, b)
+        kern = up["kernel"]
+        scale = np.sqrt(np.sum(np.asarray(kern, np.float64) ** 2,
+                               axis=tuple(range(kern.ndim - 1)))).astype(np.float32)
+        entries.append((f"up_{i}", {"layer": up, "scale": scale}))
+        idx += 1
+        for j in range(n_residual_layers):
+            p = f"model.{idx}"
+            params[f"res_{i}_{j}"] = _wn_seq([
+                ("conv1", _wn1d_any(sd, f"{p}.block.2")),
+                ("conv2", _wn1d_any(sd, f"{p}.block.4")),
+                ("shortcut", _wn1d_any(sd, f"{p}.shortcut")),
+            ])
+            idx += 1
+    idx += 2  # LeakyReLU + ReflectionPad
+    entries.append(("conv_post", _wn1d_any(sd, f"model.{idx}")))
+    params.update(_wn_seq(entries))
+    return params

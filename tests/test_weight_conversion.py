@@ -1459,3 +1459,81 @@ class TestDiscriminatorRoundTrip:
             for a, b in zip(fj[i], fr[i]):
                 np.testing.assert_allclose(
                     np.asarray(a), b.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+
+
+class TestNSFSourceRoundTrip:
+    """SineGen + SourceModuleHnNSF oracle (ref modules/neural_source_filter/
+    sine_excitation.py:18, nsfhifigan.py:162) on the deterministic path
+    (zero initial phase / no noise / all-voiced)."""
+
+    def test_source_module_parity(self):
+        import jax
+        import jax.numpy as jnp
+
+        from models.vocoders.gan.generator.nsfhifigan import SourceModuleHnNSF
+
+        from amphion_tpu.modules.nsf import (
+            SourceModuleHnNSF as OursSource,
+            upsample_f0,
+        )
+        from amphion_tpu.utils.convert import linear_to_dense
+
+        torch.manual_seed(40)
+        ref = SourceModuleHnNSF(fs=2400, harmonic_num=3).eval()
+        torch.manual_seed(41)
+        f0 = torch.rand(2, 24) * 200.0 + 80.0  # all voiced
+        upp = 8
+        orig_rand, orig_randn_like = torch.rand, torch.randn_like
+        torch.rand = lambda *a, **kw: torch.zeros(*a, **{
+            k: v for k, v in kw.items() if k in ("dtype", "device")})
+        torch.randn_like = lambda t, **kw: torch.zeros_like(t)
+        try:
+            with torch.no_grad():
+                exc_t = ref(f0, upp)  # (B, T*upp, 1)
+        finally:
+            torch.rand, torch.randn_like = orig_rand, orig_randn_like
+
+        params = {"merge": linear_to_dense(
+            ref.l_linear.weight.detach().numpy(),
+            ref.l_linear.bias.detach().numpy())}
+        ours = OursSource(sample_rate=2400, num_harmonics=3)
+        f0_up = upsample_f0(jnp.asarray(f0.numpy()), upp)
+        exc_j, uv = ours.apply({"params": {"source": params}["source"]},
+                               f0_up, None)
+        np.testing.assert_allclose(np.asarray(exc_j), exc_t.numpy(),
+                                   atol=2e-4)
+        assert np.all(np.asarray(uv) == 1.0)
+
+
+class TestMelGANRoundTrip:
+    def test_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.vocoders.gan.generator.melgan import MelGAN as RefMelGAN
+
+        from amphion_tpu.models.vocoders.melgan import (
+            MelGANConfig,
+            MelGANGenerator,
+        )
+        from amphion_tpu.utils.convert import torch_melgan_to_flax
+
+        torch.manual_seed(44)
+        cfg = SimpleNamespace(
+            model=SimpleNamespace(melgan=SimpleNamespace(
+                ratios=[2, 5], ngf=4, n_residual_layers=2)),
+            preprocess=SimpleNamespace(n_mel=8))
+        ref = RefMelGAN(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_melgan_to_flax(sd, upsample_rates=(2, 5),
+                                      n_residual_layers=2)
+        torch.manual_seed(45)
+        mel = torch.randn(2, 8, 12)
+        with torch.no_grad():
+            wav_t = ref(mel)
+
+        ours = MelGANGenerator(MelGANConfig(
+            n_mel=8, upsample_rates=(2, 5), ngf=4, n_residual_layers=2))
+        wav_j = ours.apply({"params": params},
+                           jnp.asarray(mel.transpose(1, 2).numpy()))
+        np.testing.assert_allclose(np.asarray(wav_j), wav_t[:, 0].numpy(),
+                                   atol=2e-4)
