@@ -51,19 +51,17 @@ class Conv2dSubsampling4(nn.Module):
         h = nn.relu(h)
         b2, t2, f2, c = h.shape
         h = h.reshape(b2, t2, f2 * c)
-        return nn.Dense(self.hidden, name="out")(h)
-
-
-def _rel_shift(x):
-    """Transformer-XL relative shift: (B, H, T, 2T-1) → (B, H, T, T)."""
-    b, h, t, _ = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    x = x.reshape(b, h, 2 * t, t)
-    return x[:, :, 1 : t + 1]
+        h = nn.Dense(self.hidden, name="out")(h)
+        # WeNet scales by sqrt(d) inside the positional encoding wrapper
+        # (embedding.py:151: x = x * self.xscale)
+        return h * jnp.sqrt(jnp.asarray(self.hidden, h.dtype))
 
 
 class RelPositionAttention(nn.Module):
-    """Relative-position MHSA (WeNet `RelPositionMultiHeadedAttention`)."""
+    """WeNet `RelPositionMultiHeadedAttention` (attention.py:201). NOTE:
+    WeNet REMOVES the Transformer-XL rel_shift ("useless in speech
+    recognition", attention.py:318-320) and feeds the ABSOLUTE sin/cos
+    table pe[0:T]; matrix_bd = (q + pos_bias_v) @ linear_pos(pe)^T."""
 
     hidden: int
     num_heads: int
@@ -76,21 +74,22 @@ class RelPositionAttention(nn.Module):
         q = nn.Dense(d, name="linear_q")(x).reshape(b, t, nh, hd)
         k = nn.Dense(d, name="linear_k")(x).reshape(b, t, nh, hd)
         v = nn.Dense(d, name="linear_v")(x).reshape(b, t, nh, hd)
-        # sinusoidal relative positions -T+1..T-1, projected
-        pos = np.zeros((2 * t - 1, d), np.float32)
-        positions = np.arange(t - 1, -t, -1, dtype=np.float64)[:, None]
+        # absolute sin/cos positions 0..T-1 (embedding.py:57-64)
+        pos = np.zeros((t, d), np.float32)
+        positions = np.arange(t, dtype=np.float64)[:, None]
         div = np.exp(np.arange(0, d, 2, dtype=np.float64) * -(np.log(1e4) / d))
         pos[:, 0::2] = np.sin(positions * div)
         pos[:, 1::2] = np.cos(positions * div)
         p = nn.Dense(d, use_bias=False, name="linear_pos")(jnp.asarray(pos))
-        p = p.reshape(2 * t - 1, nh, hd)
+        p = p.reshape(t, nh, hd)
         u = self.param("pos_bias_u", nn.initializers.zeros, (nh, hd))
         w = self.param("pos_bias_v", nn.initializers.zeros, (nh, hd))
         ac = jnp.einsum("bthd,bshd->bhts", q + u, k)
-        bd = jnp.einsum("bthd,rhd->bhtr", q + w, p)  # (B, H, T, 2T-1)
-        bd = _rel_shift(bd)
+        bd = jnp.einsum("bthd,rhd->bhtr", q + w, p)  # (B, H, T, T)
         scores = (ac + bd) / jnp.sqrt(hd)
         if mask is not None:
+            # WeNet masked_fill uses -inf then zeroes masked rows after
+            # softmax; padding-only masks make these equivalent
             scores = jnp.where(mask[:, None, None, :] > 0, scores,
                                jnp.finfo(scores.dtype).min)
         att = jax.nn.softmax(scores, axis=-1)
@@ -114,7 +113,7 @@ class ConvModule(nn.Module):
         h = nn.glu(h, axis=-1)
         h = nn.Conv(d, (self.kernel,), feature_group_count=d, padding="SAME",
                     name="depthwise_conv")(h)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         h = nn.swish(h)
         return nn.Dense(d, name="pointwise_conv2")(h)
 
@@ -134,15 +133,15 @@ class ConformerBlock(nn.Module):
 
             return f
 
-        x = x + 0.5 * ffn("ffn_macaron")(nn.LayerNorm(name="norm_ff_macaron")(x))
+        x = x + 0.5 * ffn("ffn_macaron")(nn.LayerNorm(epsilon=1e-5, name="norm_ff_macaron")(x))
         x = x + RelPositionAttention(c.hidden, c.num_heads, name="self_attn")(
-            nn.LayerNorm(name="norm_mha")(x), mask
+            nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x), mask
         )
         x = x + ConvModule(c.hidden, c.conv_kernel, name="conv_module")(
-            nn.LayerNorm(name="norm_conv")(x), mask
+            nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x), mask
         )
-        x = x + 0.5 * ffn("ffn")(nn.LayerNorm(name="norm_ff")(x))
-        return nn.LayerNorm(name="norm_final")(x)
+        x = x + 0.5 * ffn("ffn")(nn.LayerNorm(epsilon=1e-5, name="norm_ff")(x))
+        return nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
 
 
 class ConformerEncoder(nn.Module):
@@ -163,4 +162,7 @@ class ConformerEncoder(nn.Module):
             sub_mask = jnp.take(mask, idx, axis=1)
         for i in range(c.num_layers):
             h = ConformerBlock(c, name=f"layers_{i}")(h, sub_mask)
+        # WeNet applies a top-level after_norm with normalize_before=True
+        # (encoder.py:180-181)
+        h = nn.LayerNorm(epsilon=1e-5, name="after_norm")(h)
         return h, sub_mask

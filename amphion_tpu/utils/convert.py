@@ -170,8 +170,17 @@ def wenet_conformer_to_flax(sd, num_layers: int, hidden: int) -> dict:
                                     t(f"{p}.embed.conv.0.bias")),
             "conv1": conv2d_to_flax(t(f"{p}.embed.conv.2.weight"),
                                     t(f"{p}.embed.conv.2.bias")),
-            "out": dense(f"{p}.embed.out.0"),
-        }
+            # WeNet flattens (C, F') channel-major (encoder embed:
+            # x.transpose(1,2).view(b,t,c*f)); our NHWC flatten is
+            # freq-major — permute the linear's input columns
+            "out": (lambda w, b: {
+                "kernel": np.ascontiguousarray(
+                    w.reshape(w.shape[0], hidden, -1)
+                    .transpose(2, 1, 0).reshape(-1, w.shape[0])),
+                "bias": b,
+            })(t(f"{p}.embed.out.0.weight"), t(f"{p}.embed.out.0.bias")),
+        },
+        "after_norm": ln(f"{p}.after_norm"),
     }
     for i in range(num_layers):
         q = f"{p}.encoders.{i}"

@@ -48,6 +48,8 @@ def test_wenet_conversion_contract(rng, cfg):
         # WeNet flattens (F//4 after two VALID stride-2 convs) * d
         "encoder.embed.out.0.weight": g((d, d * (((f - 1) // 2 - 1) // 2))),
         "encoder.embed.out.0.bias": g(d),
+        "encoder.after_norm.weight": g(d),
+        "encoder.after_norm.bias": g(d),
     }
     for i in range(cfg.num_layers):
         q = f"encoder.encoders.{i}"

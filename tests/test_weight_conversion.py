@@ -1537,3 +1537,48 @@ class TestMelGANRoundTrip:
                            jnp.asarray(mel.transpose(1, 2).numpy()))
         np.testing.assert_allclose(np.asarray(wav_j), wav_t[:, 0].numpy(),
                                    atol=2e-4)
+
+
+class TestWeNetConformerRoundTrip:
+    """WeNet conformer-encoder oracle (ref modules/wenet_extractor/
+    transformer/encoder.py ConformerEncoder, rel-pos attention WITHOUT the
+    Transformer-XL shift, macaron FFNs, layer-norm conv module)."""
+
+    def test_encoder_parity(self):
+        import jax.numpy as jnp
+
+        from modules.wenet_extractor.transformer.encoder import (
+            ConformerEncoder as RefConformer,
+        )
+
+        from amphion_tpu.modules.conformer import (
+            ConformerConfig,
+            ConformerEncoder,
+        )
+        from amphion_tpu.utils.convert import wenet_conformer_to_flax
+
+        torch.manual_seed(50)
+        ref = RefConformer(
+            input_size=16, output_size=32, attention_heads=4,
+            linear_units=48, num_blocks=2, dropout_rate=0.0,
+            positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+            cnn_module_kernel=7, cnn_module_norm="layer_norm",
+            input_layer="conv2d", pos_enc_layer_type="rel_pos",
+            normalize_before=True, macaron_style=True,
+            use_cnn_module=True).eval()
+        torch.manual_seed(51)
+        x = torch.randn(1, 37, 16)
+        with torch.no_grad():
+            out_t, mask_t = ref(x, torch.tensor([37]))
+
+        sd = {f"encoder.{k}": v.detach().numpy()
+              for k, v in ref.state_dict().items()}
+        params = wenet_conformer_to_flax(sd, num_layers=2, hidden=32)
+        ours = ConformerEncoder(ConformerConfig(
+            input_dim=16, hidden=32, num_layers=2, num_heads=4,
+            ffn_hidden=48, conv_kernel=7))
+        out_j, sub_mask = ours.apply(
+            {"params": params}, jnp.asarray(x.numpy()), jnp.ones((1, 37)))
+        assert out_j.shape == tuple(out_t.shape)
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                                   atol=2e-4)
