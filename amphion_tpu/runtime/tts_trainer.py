@@ -925,9 +925,8 @@ class NS2Trainer:
 
         from amphion_tpu.data.processors.duration import textgrid_to_durations
         from amphion_tpu.models.tts.naturalspeech2.ns2 import (
-            NaturalSpeech2, NS2Config,
+            NaturalSpeech2, ns2_config_from_model_cfg,
         )
-        from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
         from amphion_tpu.ops.f0 import F0Config, yin_f0
         from amphion_tpu.ops.mel import mel_spectrogram
         from amphion_tpu.runtime.train_state import TrainState
@@ -961,26 +960,18 @@ class NS2Trainer:
         self.max_frames = t.get("max_frames", 600)
         self.prompt_frames = t.get("prompt_frames", 32)
         m = cfg.model.get("ns2", None)
-        self.model = NaturalSpeech2(NS2Config(
-            num_phones=max(len(table) + 1, 64),
+        self.model = NaturalSpeech2(ns2_config_from_model_cfg(
+            m, num_phones=max(len(table) + 1, 64),
             latent_dim=p.n_mel,  # mel-as-latent (codec latents via ckpt later)
-            hidden=m.hidden if m else 256,
-            n_layers=m.get("n_layers", 4) if m else 4,
-            n_heads=m.get("n_heads", 4) if m else 4,
             max_frames=self.max_frames,
-            mode=m.get("mode", "diffusion") if m else "diffusion",
-            denoiser=WaveNetDenoiserConfig(
-                in_dim=p.n_mel, hidden=m.hidden if m else 256,
-                num_layers=m.get("denoiser_layers", 12) if m else 12,
-                cond_dim=m.hidden if m else 256,
-            ),
         ))
         example = self._make_batch(self.utts[: self.batch_size])
         tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(t.adamw.lr))
         params = self.model.init(
             jax.random.key(t.get("seed", 0)), example["latent"],
             example["phones"], example["phone_mask"], example["prompt"],
-            example["durations"], example["pitch"], jax.random.key(1),
+            example["prompt_mask"], example["durations"], example["pitch"],
+            example["frame_mask"], jax.random.key(1),
             method=NaturalSpeech2.loss,
         )["params"]
         state = TrainState(
@@ -997,8 +988,9 @@ class NS2Trainer:
             def loss_fn(prm):
                 return model.apply(
                     {"params": prm}, batch["latent"], batch["phones"],
-                    batch["phone_mask"], batch["prompt"], batch["durations"],
-                    batch["pitch"], sub, method=NaturalSpeech2.loss,
+                    batch["phone_mask"], batch["prompt"],
+                    batch["prompt_mask"], batch["durations"], batch["pitch"],
+                    batch["frame_mask"], sub, method=NaturalSpeech2.loss,
                 )
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -1051,6 +1043,7 @@ class NS2Trainer:
         pitch = (pitch - jnp.mean(pitch)) / (jnp.std(pitch) + 1e-5)
         # prompt = the utterance's own leading frames (zero-shot conditioning)
         prompt = latent[:, :pf]
+        n_frames = np.asarray([int(np.sum(d)) for d in dur_rows])
         return {
             "latent": latent,
             "phones": jnp.asarray(ph),
@@ -1058,8 +1051,12 @@ class NS2Trainer:
                 (np.arange(ph.shape[1])[None] < ph_len[:, None]).astype(np.float32)
             ),
             "prompt": prompt,
+            "prompt_mask": jnp.ones((b, pf), jnp.float32),
             "durations": jnp.asarray(du),
             "pitch": pitch,
+            "frame_mask": jnp.asarray(
+                (np.arange(mf)[None] < n_frames[:, None]).astype(np.float32)
+            ),
         }
 
     def _data(self):

@@ -1268,3 +1268,100 @@ def torch_melgan_to_flax(sd: Mapping[str, np.ndarray], *,
     entries.append(("conv_post", _wn1d_any(sd, f"model.{idx}")))
     params.update(_wn_seq(entries))
     return params
+
+
+# ---------------------------------------------------------------------------
+# NaturalSpeech2 — ref models/tts/naturalspeech2/ + modules/naturalpseech2
+# ---------------------------------------------------------------------------
+
+
+def _torch_mha_to_flax(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """torch nn.MultiheadAttention (packed in_proj) → our MHA params."""
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"])
+    b = np.asarray(sd[f"{prefix}.in_proj_bias"])
+    d = w.shape[0] // 3
+    return {
+        "q": linear_to_dense(w[:d], b[:d]),
+        "k": linear_to_dense(w[d:2 * d], b[d:2 * d]),
+        "v": linear_to_dense(w[2 * d:], b[2 * d:]),
+        "out": linear_to_dense(np.asarray(sd[f"{prefix}.out_proj.weight"]),
+                               np.asarray(sd[f"{prefix}.out_proj.bias"])),
+    }
+
+
+def ns2_predictor_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                          num_layers: int, cattn_every: int = 3) -> dict:
+    """ref Duration/PitchPredictor (transformers.py:238,358) →
+    ConvCrossAttnPredictor params."""
+    g = lambda n: np.asarray(sd[f"{prefix}.{n}"])
+    out: dict = {"linear": linear_to_dense(g("linear.weight"),
+                                           g("linear.bias"))}
+    for i in range(num_layers):
+        out[f"conv_{i}"] = conv1d_to_flax(g(f"conv.{i}.0.weight"),
+                                          g(f"conv.{i}.0.bias"))
+        out[f"ln_{i}"] = {"scale": g(f"conv.{i}.2.weight"),
+                          "bias": g(f"conv.{i}.2.bias")}
+        if i % cattn_every == 0:
+            a = i // cattn_every
+            out[f"cattn_{a}"] = _torch_mha_to_flax(sd, f"{prefix}.cattn.{a}.0")
+            out[f"cattn_ln_{a}"] = {"scale": g(f"cattn.{a}.1.weight"),
+                                    "bias": g(f"cattn.{a}.1.bias")}
+    return out
+
+
+def ns2_wavenet_to_flax(sd: Mapping[str, np.ndarray], num_layers: int,
+                        cattn_every: int = 3) -> dict:
+    """ref WaveNet (wavenet.py:131) → our WaveNet params."""
+    g = lambda n: np.asarray(sd[n])
+    out: dict = {
+        "in_proj": {"kernel": g("in_proj.weight")[..., 0].T,
+                    "bias": g("in_proj.bias")},
+        "cond_ln": {"scale": g("cond_ln.weight"), "bias": g("cond_ln.bias")},
+        "mlp_0": linear_to_dense(g("mlp.0.weight"), g("mlp.0.bias")),
+        "mlp_1": linear_to_dense(g("mlp.2.weight"), g("mlp.2.bias")),
+        "skip_proj": {"kernel": g("skip_proj.weight")[..., 0].T,
+                      "bias": g("skip_proj.bias")},
+        "out_proj": {"kernel": g("out_proj.weight")[..., 0].T,
+                     "bias": g("out_proj.bias")},
+    }
+    for i in range(num_layers):
+        p = f"layers.{i}"
+        layer = {
+            "dilated_conv": conv1d_to_flax(g(f"{p}.dilated_conv.weight"),
+                                           g(f"{p}.dilated_conv.bias")),
+            "diffusion_proj": linear_to_dense(g(f"{p}.diffusion_proj.weight"),
+                                              g(f"{p}.diffusion_proj.bias")),
+            "cond_proj": {"kernel": g(f"{p}.cond_proj.weight")[..., 0].T,
+                          "bias": g(f"{p}.cond_proj.bias")},
+            "out_proj": {"kernel": g(f"{p}.out_proj.weight")[..., 0].T,
+                         "bias": g(f"{p}.out_proj.bias")},
+        }
+        if i % cattn_every == 0:
+            layer["attn"] = _torch_mha_to_flax(sd, f"{p}.attn")
+            layer["ln"] = {"scale": g(f"{p}.ln.weight"),
+                           "bias": g(f"{p}.ln.bias")}
+            layer["film"] = {
+                "gain": linear_to_dense(g(f"{p}.film.gain.weight"),
+                                        g(f"{p}.film.gain.bias")),
+                "bias": linear_to_dense(g(f"{p}.film.bias.weight"),
+                                        g(f"{p}.film.bias.bias")),
+            }
+        out[f"layer_{i}"] = layer
+    return out
+
+
+def ns2_prior_encoder_to_flax(sd: Mapping[str, np.ndarray], *,
+                              enc_layers: int, predictor_layers: int,
+                              cattn_every: int = 3) -> dict:
+    """ref PriorEncoder (prior_encoder.py:18) → our PriorEncoder params."""
+    g = lambda n: np.asarray(sd[n])
+    return {
+        "phone_emb": {"embedding": g("enc_emb_tokens.weight")},
+        "encoder": _ns3_transformer_to_flax(sd, "encoder", enc_layers,
+                                            use_cln=True),
+        "duration_predictor": ns2_predictor_to_flax(
+            sd, "duration_predictor", predictor_layers, cattn_every),
+        "pitch_predictor": ns2_predictor_to_flax(
+            sd, "pitch_predictor", predictor_layers, cattn_every),
+        "pitch_embedding": {"embedding": g("pitch_embedding.weight")},
+    }

@@ -218,10 +218,9 @@ def ns2_inference(args, cfg, logger):
     from amphion_tpu.data.audio_io import load_wav
     from amphion_tpu.models.tts.naturalspeech2.ns2 import (
         NaturalSpeech2,
-        NS2Config,
+        ns2_config_from_model_cfg,
         ns2_sample,
     )
-    from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
     from amphion_tpu.ops.mel import mel_spectrogram
 
     p = cfg.preprocess
@@ -237,19 +236,9 @@ def ns2_inference(args, cfg, logger):
     params = tree["params"] if "params" in tree else tree
     logger.info(f"NS2 restored from epoch {epoch} step {step}")
     m = cfg.model.get("ns2", None)
-    model = NaturalSpeech2(NS2Config(
-        num_phones=max(len(symbols) + 1, 64),
-        latent_dim=p.n_mel,
-        hidden=m.hidden if m else 256,
-        n_layers=m.get("n_layers", 4) if m else 4,
-        n_heads=m.get("n_heads", 4) if m else 4,
+    model = NaturalSpeech2(ns2_config_from_model_cfg(
+        m, num_phones=max(len(symbols) + 1, 64), latent_dim=p.n_mel,
         max_frames=cfg.train.get("max_frames", 600),
-        mode=m.get("mode", "diffusion") if m else "diffusion",
-        denoiser=WaveNetDenoiserConfig(
-            in_dim=p.n_mel, hidden=m.hidden if m else 256,
-            num_layers=m.get("denoiser_layers", 12) if m else 12,
-            cond_dim=m.hidden if m else 256,
-        ),
     ))
     prompt, _ = load_wav(args.prompt_audio, sr=p.sample_rate)
     pf = cfg.train.get("prompt_frames", 32)
@@ -259,9 +248,13 @@ def ns2_inference(args, cfg, logger):
     ).transpose(0, 2, 1)
     phones = jnp.asarray(ids)[None]
     mask = jnp.ones_like(phones, jnp.float32)
-    z, fmask = ns2_sample(model, params, phones, mask, prompt_latent,
-                          jax.random.key(0), num_steps=args.num_steps)
-    n = int(np.asarray(fmask).sum())
+    pmask = jnp.ones(prompt_latent.shape[:2], jnp.float32)
+    z, fmask = ns2_sample(model, params, phones, mask, prompt_latent, pmask,
+                          jax.random.key(0), num_steps=args.num_steps,
+                          max_frames=cfg.train.get("max_frames", 600))
+    # an untrained duration predictor can round every phone to 0 frames;
+    # keep enough frames for the (Griffin-Lim) vocoder's STFT padding
+    n = max(int(np.asarray(fmask).sum()), 16)
     wav = _vocode(z[:, :n], args, cfg, logger)
     save_wav(args.output_path, wav[0], p.sample_rate)
     logger.info(f"wrote {args.output_path} ({n * p.hop_size / p.sample_rate:.2f}s)")

@@ -10,7 +10,6 @@ from amphion_tpu.models.tts.naturalspeech2.ns2 import (
     NS2Config,
     ns2_sample,
 )
-from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
 
 VAE_TINY = AutoencoderKLConfig(base_channels=8, channel_mults=(1, 2), latent_channels=4)
 LDM_TINY = AudioLDMConfig(
@@ -19,8 +18,9 @@ LDM_TINY = AudioLDMConfig(
 )
 NS2_TINY = NS2Config(
     num_phones=20, latent_dim=8, hidden=16, n_layers=1, n_heads=2,
-    ffn_hidden=32, max_frames=24, num_train_steps=20,
-    denoiser=WaveNetDenoiserConfig(in_dim=8, hidden=16, num_layers=2, cond_dim=16),
+    ffn_filter=32, predictor_filter=16, predictor_layers=2,
+    predictor_cattn_every=2, predictor_heads=2, wavenet_layers=2,
+    wavenet_cattn_every=2, wavenet_heads=2, query_tokens=4, max_frames=24,
 )
 
 
@@ -67,19 +67,23 @@ def test_ns2_loss_and_sample(rng):
     pmask = jnp.ones((b, lp), jnp.float32)
     durs = jnp.asarray(rng.integers(1, 5, (b, lp)))
     latent = jnp.asarray(rng.standard_normal((b, 24, 8)).astype(np.float32))
-    pitch = jnp.asarray(rng.standard_normal((b, 24)).astype(np.float32))
+    pitch = jnp.abs(jnp.asarray(
+        rng.standard_normal((b, 24)).astype(np.float32))) * 100 + 80
     prompt = jnp.asarray(rng.standard_normal((b, 6, 8)).astype(np.float32))
+    ref_mask = jnp.ones((b, 6), jnp.float32)
+    fmask_in = jnp.ones((b, 24), jnp.float32)
     params = model.init(
-        jax.random.key(0), latent, phones, pmask, prompt, durs, pitch,
-        jax.random.key(1), method=NaturalSpeech2.loss,
+        jax.random.key(0), latent, phones, pmask, prompt, ref_mask, durs,
+        pitch, fmask_in, jax.random.key(1), method=NaturalSpeech2.loss,
     )["params"]
     loss, parts = model.apply(
-        {"params": params}, latent, phones, pmask, prompt, durs, pitch,
-        jax.random.key(2), method=NaturalSpeech2.loss,
+        {"params": params}, latent, phones, pmask, prompt, ref_mask, durs,
+        pitch, fmask_in, jax.random.key(2), method=NaturalSpeech2.loss,
     )
     assert np.isfinite(float(loss))
     z, fmask = ns2_sample(
-        model, params, phones, pmask, prompt, jax.random.key(3), num_steps=4
+        model, params, phones, pmask, prompt, ref_mask, jax.random.key(3),
+        num_steps=4, max_frames=24,
     )
     assert z.shape == (b, 24, 8)
     assert np.isfinite(np.asarray(z)).all()

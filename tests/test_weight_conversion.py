@@ -1582,3 +1582,132 @@ class TestWeNetConformerRoundTrip:
         assert out_j.shape == tuple(out_t.shape)
         np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
                                    atol=2e-4)
+
+
+class TestNS2RoundTrip:
+    """NaturalSpeech2 oracle round trips (ref models/tts/naturalspeech2/):
+    prior encoder (SALN transformer + cross-attn predictors + length
+    regulation + pitch bins), WaveNet denoiser, diffusion dxt."""
+
+    def _prior_cfg(self):
+        enc = SimpleNamespace(encoder_layer=2, encoder_hidden=16,
+                              encoder_head=2, conv_filter_size=32,
+                              conv_kernel_size=5, encoder_dropout=0.0,
+                              use_cln=True)
+        pred = SimpleNamespace(input_size=16, filter_size=16, kernel_size=3,
+                               conv_layers=4, cross_attn_per_layer=2,
+                               attn_head=2, drop_out=0.0)
+        return SimpleNamespace(vocab_size=20, encoder=enc,
+                               duration_predictor=pred, pitch_predictor=pred,
+                               pitch_min=50.0, pitch_max=1100.0,
+                               pitch_bins_num=16)
+
+    def test_prior_encoder_parity(self):
+        import jax.numpy as jnp
+
+        from models.tts.naturalspeech2.prior_encoder import (
+            PriorEncoder as RefPrior,
+        )
+
+        from amphion_tpu.models.tts.naturalspeech2.ns2 import (
+            NS2Config,
+            PriorEncoder,
+        )
+        from amphion_tpu.utils.convert import ns2_prior_encoder_to_flax
+
+        torch.manual_seed(60)
+        ref = RefPrior(self._prior_cfg()).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = ns2_prior_encoder_to_flax(sd, enc_layers=2,
+                                           predictor_layers=4,
+                                           cattn_every=2)
+        torch.manual_seed(61)
+        b, n, tq = 2, 5, 7
+        phone_id = torch.randint(0, 20, (b, n))
+        duration = torch.randint(1, 4, (b, n))
+        t_len = int(duration.sum(1).max())
+        pitch = torch.rand(b, t_len) * 300 + 60
+        phone_mask = torch.ones(b, n)
+        mask = torch.ones(b, t_len)
+        ref_emb = torch.randn(b, 16, tq)  # (B, d, T')
+        ref_mask = torch.ones(b, tq)
+        with torch.no_grad():
+            out_t = ref(phone_id, duration=duration, pitch=pitch,
+                        phone_mask=phone_mask, mask=mask, ref_emb=ref_emb,
+                        ref_mask=ref_mask, is_inference=False)
+
+        cfg = NS2Config(num_phones=20, hidden=16, n_layers=2, n_heads=2,
+                        ffn_filter=32, predictor_filter=16,
+                        predictor_layers=4, predictor_cattn_every=2,
+                        predictor_heads=2, pitch_bins_num=16)
+        ours = PriorEncoder(cfg)
+        out_j = ours.apply(
+            {"params": params}, jnp.asarray(phone_id.numpy()),
+            duration=jnp.asarray(duration.numpy()),
+            pitch=jnp.asarray(pitch.numpy()),
+            phone_mask=jnp.asarray(phone_mask.numpy()),
+            mask=jnp.asarray(mask.numpy()),
+            ref_emb=jnp.asarray(ref_emb.transpose(1, 2).numpy()),
+            ref_mask=jnp.asarray(ref_mask.numpy()), max_frames=t_len)
+        np.testing.assert_allclose(np.asarray(out_j["dur_pred_log"]),
+                                   out_t["dur_pred_log"].numpy(), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out_j["pitch_pred_log"]),
+                                   out_t["pitch_pred_log"].numpy(), atol=3e-5)
+        np.testing.assert_array_equal(np.asarray(out_j["pitch_token"]),
+                                      out_t["pitch_token"].numpy())
+        np.testing.assert_allclose(np.asarray(out_j["prior_out"]),
+                                   out_t["prior_out"].numpy(), atol=3e-5)
+
+    def test_wavenet_and_diffusion_parity(self):
+        import jax.numpy as jnp
+
+        from models.tts.naturalspeech2.diffusion import Diffusion as RefDiff
+
+        from amphion_tpu.models.tts.naturalspeech2.ns2 import (
+            Diffusion,
+            NS2Config,
+        )
+        from amphion_tpu.utils.convert import ns2_wavenet_to_flax
+
+        wn = SimpleNamespace(input_size=8, hidden_size=16, out_size=8,
+                             num_layers=4, cross_attn_per_layer=2,
+                             dilation_cycle=2, attn_head=2, drop_out=0.0)
+        dcfg = SimpleNamespace(wavenet=wn, beta_min=0.05, beta_max=20.0,
+                               sigma=1.0, noise_factor=1.0)
+        torch.manual_seed(62)
+        ref = RefDiff(dcfg).eval()
+        sd = {k[len("diff_estimator."):]: v.detach().numpy()
+              for k, v in ref.state_dict().items()
+              if k.startswith("diff_estimator.")}
+        params = {"diff_estimator": ns2_wavenet_to_flax(
+            sd, num_layers=4, cattn_every=2)}
+        torch.manual_seed(63)
+        b, t = 2, 10
+        xt = torch.randn(b, 8, t)
+        mask = torch.ones(b, t)
+        cond = torch.randn(b, t, 16)
+        step = torch.rand(b)
+        spk_q = torch.randn(b, 3, 16)
+        with torch.no_grad():
+            x0_t = ref.diff_estimator(xt, mask, cond, step, spk_q)
+            dxt_t = ref.cal_dxt(xt, mask, cond, spk_q, step, h=0.1)
+
+        cfg = NS2Config(latent_dim=8, hidden=16, wavenet_layers=4,
+                        wavenet_cattn_every=2, wavenet_dilation_cycle=2,
+                        wavenet_heads=2, beta_min=0.05, beta_max=20.0,
+                        sigma=1.0, noise_factor=1.0)
+        ours = Diffusion(cfg)
+        xt_j = jnp.asarray(xt.transpose(1, 2).numpy())
+        x0_j = ours.apply(
+            {"params": params}, xt_j, jnp.asarray(mask.numpy()),
+            jnp.asarray(cond.numpy()), jnp.asarray(step.numpy()),
+            jnp.asarray(spk_q.numpy()),
+            method=lambda m, *a: m.diff_estimator(*a))
+        np.testing.assert_allclose(np.asarray(x0_j),
+                                   x0_t.transpose(1, 2).numpy(), atol=3e-5)
+        dxt_j = ours.apply(
+            {"params": params}, xt_j, jnp.asarray(mask.numpy()),
+            jnp.asarray(cond.numpy()), jnp.asarray(spk_q.numpy()),
+            jnp.asarray(step.numpy()), 0.1, method=Diffusion.cal_dxt)
+        np.testing.assert_allclose(np.asarray(dxt_j),
+                                   dxt_t.transpose(1, 2).numpy(), atol=2e-4)
