@@ -60,7 +60,9 @@ def build_generator(cfg, n_mel: int):
             dict(upsample_rates=tuple(m.upsample_rates)) if m else {}))
         return MelGANGenerator(gcfg), gcfg.hop_size
     if name == "apnet":
-        gcfg = APNetConfig(n_mel=n_mel)
+        gcfg = APNetConfig(n_mel=n_mel, **(
+            dict(n_fft=m.n_fft, hop_size=m.hop_size,
+                 win_size=m.get("win_size", m.n_fft)) if m else {}))
         return APNetGenerator(gcfg), gcfg.hop_size
     if name == "vocos":
         gcfg = VocosConfig(n_mel=n_mel, **(

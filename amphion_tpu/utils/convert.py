@@ -1365,3 +1365,34 @@ def ns2_prior_encoder_to_flax(sd: Mapping[str, np.ndarray], *,
             sd, "pitch_predictor", predictor_layers, cattn_every),
         "pitch_embedding": {"embedding": g("pitch_embedding.weight")},
     }
+
+
+def torch_apnet_to_flax(sd: Mapping[str, np.ndarray], *,
+                        resblock_kernel_sizes=(3, 7, 11),
+                        dilations_per_block: int = 3) -> dict:
+    """Reference APNet (apnet.py:280) → our APNetGenerator params."""
+    params: dict = {}
+    # flax WeightNorm collections are numbered in execution order:
+    # asp in/out, then psp in/R/I
+    entries = [
+        ("asp_input_conv", _wn1d_any(sd, "ASP_input_conv")),
+        ("asp_output_conv", _wn1d_any(sd, "ASP_output_conv")),
+        ("psp_input_conv", _wn1d_any(sd, "PSP_input_conv")),
+        ("psp_output_r_conv", _wn1d_any(sd, "PSP_output_R_conv")),
+        ("psp_output_i_conv", _wn1d_any(sd, "PSP_output_I_conv")),
+    ]
+    params.update(_wn_seq(entries))
+    for tag, tprefix in (("asp", "ASP_ResNet"), ("psp", "PSP_ResNet")):
+        for j, ks in enumerate(resblock_kernel_sizes):
+            bp: dict = {}
+            for d in range(dilations_per_block):
+                c1 = _wn1d_any(sd, f"{tprefix}.{j}.convs1.{d}")
+                c2 = _wn1d_any(sd, f"{tprefix}.{j}.convs2.{d}")
+                bp[f"Conv_{2 * d}"] = c1["layer"]
+                bp[f"WeightNorm_{2 * d}"] = {
+                    f"Conv_{2 * d}/kernel/scale": c1["scale"]}
+                bp[f"Conv_{2 * d + 1}"] = c2["layer"]
+                bp[f"WeightNorm_{2 * d + 1}"] = {
+                    f"Conv_{2 * d + 1}/kernel/scale": c2["scale"]}
+            params[f"{tag}_res_{ks}"] = bp
+    return params

@@ -58,7 +58,8 @@ def test_melgan(rng):
 
 
 def test_apnet(rng):
-    cfg = APNetConfig(n_mel=8, channels=16, num_layers=1, n_fft=64, hop_size=16)
+    cfg = APNetConfig(n_mel=8, channels=16, num_layers=1, n_fft=64,
+                      hop_size=16, win_size=64)
     gen = APNetGenerator(cfg)
     mel = jnp.asarray(rng.standard_normal((1, 10, 8)).astype(np.float32))
     params = gen.init(jax.random.key(0), mel)["params"]

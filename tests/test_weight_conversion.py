@@ -1711,3 +1711,52 @@ class TestNS2RoundTrip:
             jnp.asarray(step.numpy()), 0.1, method=Diffusion.cal_dxt)
         np.testing.assert_allclose(np.asarray(dxt_j),
                                    dxt_t.transpose(1, 2).numpy(), atol=2e-4)
+
+
+class TestAPNetRoundTrip:
+    def test_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.vocoders.gan.generator.apnet import APNet as RefAPNet
+
+        from amphion_tpu.models.vocoders.apnet import (
+            APNetConfig,
+            APNetGenerator,
+        )
+        from amphion_tpu.utils.convert import torch_apnet_to_flax
+
+        torch.manual_seed(70)
+        cfg = SimpleNamespace(
+            model=SimpleNamespace(apnet=SimpleNamespace(
+                ASP_channel=16, PSP_channel=16,
+                ASP_resblock_kernel_sizes=[3, 5],
+                ASP_resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+                PSP_resblock_kernel_sizes=[3, 5],
+                PSP_resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+                ASP_input_conv_kernel_size=7, ASP_output_conv_kernel_size=7,
+                PSP_input_conv_kernel_size=7,
+                PSP_output_R_conv_kernel_size=7,
+                PSP_output_I_conv_kernel_size=7)),
+            preprocess=SimpleNamespace(n_mel=8, n_fft=64, hop_size=16,
+                                       win_size=64))
+        ref = RefAPNet(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_apnet_to_flax(sd, resblock_kernel_sizes=(3, 5))
+        torch.manual_seed(71)
+        mel = torch.randn(2, 8, 12)
+        with torch.no_grad():
+            logamp_t, pha_t, rea_t, imag_t, audio_t = ref(mel)
+
+        ours = APNetGenerator(APNetConfig(
+            n_mel=8, channels=16, resblock_kernel_sizes=(3, 5),
+            resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+            n_fft=64, hop_size=16, win_size=64))
+        audio_j, (logamp_j, pha_j, rea_j, imag_j) = ours.apply(
+            {"params": params}, jnp.asarray(mel.transpose(1, 2).numpy()),
+            True)
+        np.testing.assert_allclose(
+            np.asarray(logamp_j), logamp_t.transpose(1, 2).numpy(), atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(pha_j), pha_t.transpose(1, 2).numpy(), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(audio_j),
+                                   audio_t[:, 0].numpy(), atol=3e-4)
