@@ -1396,3 +1396,59 @@ def torch_apnet_to_flax(sd: Mapping[str, np.ndarray], *,
                     f"Conv_{2 * d + 1}/kernel/scale": c2["scale"]}
             params[f"{tag}_res_{ks}"] = bp
     return params
+
+
+def convtranspose2d_to_flax(w: np.ndarray, b: np.ndarray | None = None) -> dict:
+    """torch ConvTranspose2d (I, O, kH, kW) → flax (kH, kW, I, O) with both
+    spatial dims flipped."""
+    k = np.ascontiguousarray(np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)))
+    out = {"kernel": k}
+    if b is not None:
+        out["bias"] = b
+    return out
+
+
+def torch_diffwave_to_flax(sd: Mapping[str, np.ndarray],
+                           num_layers: int) -> dict:
+    """Reference DiffWave (diffwave.py:127) → our DiffWave params."""
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {
+        "input_projection": conv1d_to_flax(g("input_projection.weight"),
+                                           g("input_projection.bias")),
+        "diffusion_embedding": {
+            "projection1": linear_to_dense(
+                g("diffusion_embedding.projection1.weight"),
+                g("diffusion_embedding.projection1.bias")),
+            "projection2": linear_to_dense(
+                g("diffusion_embedding.projection2.weight"),
+                g("diffusion_embedding.projection2.bias")),
+        },
+        "spectrogram_upsampler": {
+            "conv1": convtranspose2d_to_flax(
+                g("spectrogram_upsampler.conv1.weight"),
+                g("spectrogram_upsampler.conv1.bias")),
+            "conv2": convtranspose2d_to_flax(
+                g("spectrogram_upsampler.conv2.weight"),
+                g("spectrogram_upsampler.conv2.bias")),
+        },
+        "skip_projection": conv1d_to_flax(g("skip_projection.weight"),
+                                          g("skip_projection.bias")),
+        "output_projection": conv1d_to_flax(g("output_projection.weight"),
+                                            g("output_projection.bias")),
+    }
+    for i in range(num_layers):
+        p = f"residual_layers.{i}"
+        params[f"residual_layers_{i}"] = {
+            "diffusion_projection": linear_to_dense(
+                g(f"{p}.diffusion_projection.weight"),
+                g(f"{p}.diffusion_projection.bias")),
+            "conditioner_projection": conv1d_to_flax(
+                g(f"{p}.conditioner_projection.weight"),
+                g(f"{p}.conditioner_projection.bias")),
+            "dilated_conv": conv1d_to_flax(g(f"{p}.dilated_conv.weight"),
+                                           g(f"{p}.dilated_conv.bias")),
+            "output_projection": conv1d_to_flax(
+                g(f"{p}.output_projection.weight"),
+                g(f"{p}.output_projection.bias")),
+        }
+    return params

@@ -1760,3 +1760,46 @@ class TestAPNetRoundTrip:
             np.asarray(pha_j), pha_t.transpose(1, 2).numpy(), atol=3e-4)
         np.testing.assert_allclose(np.asarray(audio_j),
                                    audio_t[:, 0].numpy(), atol=3e-4)
+
+
+class TestDiffWaveRoundTrip:
+    def test_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.vocoders.diffusion.diffwave.diffwave import (
+            DiffWave as RefDiffWave,
+        )
+
+        from amphion_tpu.models.vocoders.diffwave import (
+            DiffWave,
+            DiffWaveConfig,
+        )
+        from amphion_tpu.utils.convert import torch_diffwave_to_flax
+
+        torch.manual_seed(75)
+        cfg = SimpleNamespace(
+            model=SimpleNamespace(diffwave=SimpleNamespace(
+                noise_schedule_factors=[1e-4, 0.05, 10],
+                residual_channels=8, residual_layers=4,
+                dilation_cycle_length=2, upsample_factors=[4, 4])),
+            preprocess=SimpleNamespace(n_mel=8))
+        ref = RefDiffWave(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_diffwave_to_flax(sd, num_layers=4)
+        torch.manual_seed(76)
+        n = 6
+        audio = torch.randn(2, n * 16)
+        mel = torch.randn(2, 8, n)
+        step = torch.tensor([3, 7])
+        with torch.no_grad():
+            eps_t = ref(audio, step, mel)
+
+        ours = DiffWave(DiffWaveConfig(
+            n_mel=8, hop_size=16, upsample_factors=(4, 4),
+            residual_channels=8, num_layers=4, dilation_cycle=2,
+            num_train_steps=10))
+        eps_j = ours.apply(
+            {"params": params}, jnp.asarray(audio.numpy()),
+            jnp.asarray(step.numpy()), jnp.asarray(mel.transpose(1, 2).numpy()))
+        np.testing.assert_allclose(np.asarray(eps_j), eps_t[:, 0].numpy(),
+                                   atol=3e-5)
