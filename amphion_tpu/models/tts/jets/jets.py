@@ -94,7 +94,8 @@ class Jets(nn.Module):
             h, phone_mask, mel, mel_mask, self.cfg.align_temperature
         )
         x, fmask, var = self.variance(
-            h, phone_mask, durations, pitch, energy, 1.0, deterministic
+            h, phone_mask, durations, pitch, energy,
+            deterministic=deterministic,
         )
         x = x + jnp.asarray(sinusoidal_positions(c.max_frames, c.hidden))[None]
         for blk in self.dec_blocks:
@@ -115,8 +116,8 @@ class Jets(nn.Module):
     def infer(self, phones, phone_mask, deterministic=True):
         c = self.cfg.fs2
         h = self.encode_text(phones, phone_mask, deterministic)
-        x, fmask, _ = self.variance(h, phone_mask, None, None, None, 1.0,
-                                    deterministic)
+        x, fmask, _ = self.variance(h, phone_mask, None, None, None,
+                                    deterministic=deterministic)
         x = x + jnp.asarray(sinusoidal_positions(c.max_frames, c.hidden))[None]
         for blk in self.dec_blocks:
             x = blk(x, fmask, deterministic)

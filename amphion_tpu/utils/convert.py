@@ -1452,3 +1452,95 @@ def torch_diffwave_to_flax(sd: Mapping[str, np.ndarray],
                 g(f"{p}.output_projection.bias")),
         }
     return params
+
+
+# ---------------------------------------------------------------------------
+# FastSpeech2 — ref models/tts/fastspeech2/fs2.py + modules/transformer
+# ---------------------------------------------------------------------------
+
+
+def _fs2_fft_block(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    g = lambda n: np.asarray(sd[f"{prefix}.{n}"])
+    return {
+        "slf_attn": {
+            "w_qs": linear_to_dense(g("slf_attn.w_qs.weight"),
+                                    g("slf_attn.w_qs.bias")),
+            "w_ks": linear_to_dense(g("slf_attn.w_ks.weight"),
+                                    g("slf_attn.w_ks.bias")),
+            "w_vs": linear_to_dense(g("slf_attn.w_vs.weight"),
+                                    g("slf_attn.w_vs.bias")),
+            "fc": linear_to_dense(g("slf_attn.fc.weight"),
+                                  g("slf_attn.fc.bias")),
+            "layer_norm": {"scale": g("slf_attn.layer_norm.weight"),
+                           "bias": g("slf_attn.layer_norm.bias")},
+        },
+        "w_1": conv1d_to_flax(g("pos_ffn.w_1.weight"), g("pos_ffn.w_1.bias")),
+        "w_2": conv1d_to_flax(g("pos_ffn.w_2.weight"), g("pos_ffn.w_2.bias")),
+        "ffn_ln": {"scale": g("pos_ffn.layer_norm.weight"),
+                   "bias": g("pos_ffn.layer_norm.bias")},
+    }
+
+
+def _fs2_variance_predictor(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    g = lambda n: np.asarray(sd[f"{prefix}.{n}"])
+    return {
+        "conv1d_1": conv1d_to_flax(g("conv_layer.conv1d_1.conv.weight"),
+                                   g("conv_layer.conv1d_1.conv.bias")),
+        "layer_norm_1": {"scale": g("conv_layer.layer_norm_1.weight"),
+                         "bias": g("conv_layer.layer_norm_1.bias")},
+        "conv1d_2": conv1d_to_flax(g("conv_layer.conv1d_2.conv.weight"),
+                                   g("conv_layer.conv1d_2.conv.bias")),
+        "layer_norm_2": {"scale": g("conv_layer.layer_norm_2.weight"),
+                         "bias": g("conv_layer.layer_norm_2.bias")},
+        "linear_layer": linear_to_dense(g("linear_layer.weight"),
+                                        g("linear_layer.bias")),
+    }
+
+
+def torch_fastspeech2_to_flax(sd: Mapping[str, np.ndarray], *,
+                              enc_layers: int, dec_layers: int,
+                              postnet_convs: int = 5) -> dict:
+    """Reference FastSpeech2 (fs2.py:372) → our FastSpeech2 params. The
+    PostNet BatchNorm1d running statistics are folded into the per-channel
+    affine (eval-time equivalent)."""
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {
+        "phone_embed": {"embedding": g("encoder.src_word_emb.weight")},
+        "mel_out": linear_to_dense(g("mel_linear.weight"),
+                                   g("mel_linear.bias")),
+    }
+    for i in range(enc_layers):
+        params[f"enc_{i}"] = _fs2_fft_block(sd, f"encoder.layer_stack.{i}")
+    for i in range(dec_layers):
+        params[f"dec_{i}"] = _fs2_fft_block(sd, f"decoder.layer_stack.{i}")
+    va = {
+        "duration_predictor": _fs2_variance_predictor(
+            sd, "variance_adaptor.duration_predictor"),
+        "pitch_predictor": _fs2_variance_predictor(
+            sd, "variance_adaptor.pitch_predictor"),
+        "energy_predictor": _fs2_variance_predictor(
+            sd, "variance_adaptor.energy_predictor"),
+        "pitch_bins": g("variance_adaptor.pitch_bins"),
+        "energy_bins": g("variance_adaptor.energy_bins"),
+        "pitch_embedding": {
+            "embedding": g("variance_adaptor.pitch_embedding.weight")},
+        "energy_embedding": {
+            "embedding": g("variance_adaptor.energy_embedding.weight")},
+    }
+    params["variance"] = va
+    post: dict = {}
+    for i in range(postnet_convs):
+        p = f"postnet.convolutions.{i}"
+        w = g(f"{p}.0.conv.weight")
+        cb = g(f"{p}.0.conv.bias")
+        bn_w, bn_b = g(f"{p}.1.weight"), g(f"{p}.1.bias")
+        mean, var = g(f"{p}.1.running_mean"), g(f"{p}.1.running_var")
+        scale = bn_w / np.sqrt(var + 1e-5)
+        # conv bias folds through the BN affine
+        post[f"conv_{i}"] = {"kernel": np.transpose(w, (2, 1, 0))}
+        post[f"bn_{i}_scale"] = scale.astype(np.float32)
+        post[f"bn_{i}_bias"] = (scale * (cb - mean) + bn_b).astype(np.float32)
+    params["postnet"] = post
+    if "speaker_emb.weight" in sd:
+        params["spk"] = {"embedding": g("speaker_emb.weight")}
+    return params

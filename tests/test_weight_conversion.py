@@ -1803,3 +1803,107 @@ class TestDiffWaveRoundTrip:
             jnp.asarray(step.numpy()), jnp.asarray(mel.transpose(1, 2).numpy()))
         np.testing.assert_allclose(np.asarray(eps_j), eps_t[:, 0].numpy(),
                                    atol=3e-5)
+
+
+class _AttrDict(dict):
+    __getattr__ = dict.__getitem__
+
+
+def _fs2_ref_cfg(tmpdir):
+    import json
+    import os
+
+    stats = {"ds_ds": {"voiced_positions": {"mean": 0.0, "std": 1.0},
+                       "total_positions": {"min": -4.0, "max": 4.0}}}
+    for d in ("pitch", "energy"):
+        os.makedirs(os.path.join(tmpdir, "ds", d), exist_ok=True)
+        with open(os.path.join(tmpdir, "ds", d, "statistics.json"), "w") as f:
+            json.dump(stats, f)
+    transformer = _AttrDict(
+        encoder_hidden=16, encoder_layer=2, encoder_head=2,
+        decoder_hidden=16, decoder_layer=2, decoder_head=2,
+        conv_filter_size=32, conv_kernel_size=[9, 1],
+        encoder_dropout=0.0, decoder_dropout=0.0)
+    model = _AttrDict(
+        max_seq_len=100, transformer=transformer,
+        variance_predictor=_AttrDict(filter_size=16, kernel_size=3,
+                                     dropout=0.0),
+        variance_embedding=_AttrDict(pitch_quantization="linear",
+                                     energy_quantization="linear",
+                                     n_bins=16))
+    return SimpleNamespace(
+        model=model, dataset=["ds"],
+        preprocess=SimpleNamespace(
+            processed_dir=tmpdir, use_frame_pitch=True, pitch_dir="pitch",
+            use_frame_energy=True, energy_dir="energy", n_mel=8),
+        train=SimpleNamespace(multi_speaker_training=False))
+
+
+class TestFastSpeech2RoundTrip:
+    def test_forward_parity(self, tmp_path):
+        import sys as _sys
+        import types as _types
+
+        if "unidecode" not in _sys.modules:
+            mod = _types.ModuleType("unidecode")
+            mod.unidecode = lambda s: s
+            _sys.modules["unidecode"] = mod
+        if "inflect" not in _sys.modules:
+            mod = _types.ModuleType("inflect")
+            mod.engine = lambda: SimpleNamespace(
+                number_to_words=lambda *a, **k: "")
+            _sys.modules["inflect"] = mod
+        import jax.numpy as jnp
+
+        from models.tts.fastspeech2.fs2 import FastSpeech2 as RefFS2
+        from text.symbols import symbols
+
+        from amphion_tpu.models.tts.fastspeech2.fs2 import (
+            FastSpeech2,
+            FastSpeech2Config,
+        )
+        from amphion_tpu.utils.convert import torch_fastspeech2_to_flax
+
+        torch.manual_seed(80)
+        cfg = _fs2_ref_cfg(str(tmp_path))
+        ref = RefFS2(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_fastspeech2_to_flax(sd, enc_layers=2, dec_layers=2)
+        torch.manual_seed(81)
+        b, n = 2, 6
+        texts = torch.randint(1, 30, (b, n))
+        # equal row sums: the reference zero-pads expanded frames beyond a
+        # row's total while our gather clips to the last phone — masked
+        # positions differ, so compare with none present
+        durs = torch.full((b, n), 2, dtype=torch.long)
+        t_len = int(durs.sum(1).max())
+        pitch = torch.randn(b, t_len)
+        energy = torch.randn(b, t_len)
+        data = {
+            "spk_id": torch.zeros(b, dtype=torch.long),
+            "texts": texts, "text_len": torch.tensor([n, n]),
+            "target_len": torch.tensor([t_len, t_len]),
+            "pitch": pitch, "energy": energy, "durations": durs,
+        }
+        with torch.no_grad():
+            out_t = ref(data)
+
+        ours = FastSpeech2(FastSpeech2Config(
+            num_phones=len(symbols) + 1, hidden=16, n_enc_layers=2,
+            n_dec_layers=2, n_heads=2, ffn_hidden=32, kernel_size=9,
+            n_mel=8, max_frames=t_len, pitch_bins=16, energy_bins=16,
+            variance_hidden=16))
+        out_j = ours.apply(
+            {"params": params}, jnp.asarray(texts.numpy()),
+            jnp.ones((b, n)), durations=jnp.asarray(durs.numpy()),
+            pitch=jnp.asarray(pitch.numpy()),
+            energy=jnp.asarray(energy.numpy()))
+        np.testing.assert_allclose(np.asarray(out_j["log_duration_pred"]),
+                                   out_t["log_d_predictions"].numpy(),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out_j["pitch_pred"]),
+                                   out_t["p_predictions"].numpy(), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out_j["mel"]),
+                                   out_t["output"].numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out_j["mel_postnet"]),
+                                   out_t["postnet_output"].numpy(), atol=3e-4)
