@@ -1,87 +1,186 @@
-"""AudioLDM: text-conditioned latent diffusion over VAE mel latents.
+"""AudioLDM: text-conditioned latent diffusion over VAE mel latents,
+checkpoint-compatible with the reference UNet
+(`models/tta/ldm/audioldm.py:546` UNetModel + `attention.py:284`
+SpatialTransformer — the Stable-Diffusion lineage):
 
-Reference: `models/tta/ldm/audioldm.py` (2-D UNet with cross-attention on
-T5/CLAP text embeddings, `attention.py`), trainer with diffusers DDPM/DDIM/
-PNDM schedulers (`audioldm_trainer.py:47`), inference
-`audioldm_inference.py`. TPU design: compact NHWC UNet with self+cross
-attention at low resolutions, schedules/samplers from
-`amphion_tpu/modules/diffusion` (single-scan sampling), classifier-free
+- [cos|sin] timestep embedding → SiLU MLP;
+- input/middle/output TimestepEmbedSequential blocks: GroupNorm32 ResBlocks
+  (plain time-emb addition), SpatialTransformers (GN + 1x1 proj_in, pre-LN
+  self-attn → cross-attn on the text context → GEGLU FF, zero proj_out),
+  stride-2 conv Downsample / nearest-2x + conv Upsample;
+- skip concatenation on the channel axis, zero-init output conv.
+
+Sampling/training keep this repo's single-scan DDIM with classifier-free
 guidance by text-embedding dropout. Text encoding wraps a frozen
-`transformers` T5 encoder on the host (the reference does the same with
-torch) — any (B, L, text_dim) embedding works.
+`transformers` T5 encoder on the host — any (B, L, text_dim) embedding
+works.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from amphion_tpu.modules.diffusion import (
-    DiffusionSchedule,
-    ddim_sample,
-    timestep_embedding,
-)
-from amphion_tpu.models.tta.autoencoder_kl import ResBlock2D
+from amphion_tpu.modules.diffusion import DiffusionSchedule, ddim_sample
 
 
 @dataclass(frozen=True)
 class AudioLDMConfig:
-    latent_channels: int = 8
-    base_channels: int = 128
+    latent_channels: int = 4  # in/out channels (ref in_channels/out_channels)
+    base_channels: int = 256  # ref model_channels
     channel_mults: tuple[int, ...] = (1, 2, 4)
-    attn_levels: tuple[int, ...] = (1, 2)
+    num_res_blocks: int = 2
+    attention_resolutions: tuple[int, ...] = (4, 2, 1)  # ds values with attn
     num_heads: int = 8
-    text_dim: int = 768
+    transformer_depth: int = 1
+    text_dim: int = 768  # ref context_dim
     num_train_steps: int = 1000
     cond_drop_prob: float = 0.1
 
+    # back-compat alias: attn at LEVEL indices (old compact config)
+    attn_levels: tuple[int, ...] | None = None
 
-class CrossAttention2D(nn.Module):
-    channels: int
-    num_heads: int
+    def __post_init__(self):
+        if self.attn_levels is not None:
+            object.__setattr__(
+                self, "attention_resolutions",
+                tuple(2**i for i in self.attn_levels))
+
+
+def _sd_timestep_embedding(t, dim, max_period=10000.0):
+    """ref audioldm.py:81 — [cos | sin] order."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(max_period) * jnp.arange(half) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _gn32(x, name=None):
+    """GroupNorm32 (ref audioldm.py:108); tiny test configs with <32
+    channels fall back to channel-count groups."""
+    return nn.GroupNorm(num_groups=min(32, x.shape[-1]), epsilon=1e-5,
+                        name=name)(x)
+
+
+class SDResBlock(nn.Module):
+    """ref audioldm.py:381 (use_scale_shift_norm=False)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = nn.swish(_gn32(x, "in_norm"))
+        h = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="in_conv")(h)
+        h = h + nn.Dense(self.out_channels, name="emb_proj")(
+            nn.swish(emb))[:, None, None, :]
+        h = nn.swish(_gn32(h, "out_norm"))
+        h = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="skip")(x)
+        return x + h
+
+
+class SDCrossAttention(nn.Module):
+    """ref attention.py:201 — q/k/v without bias, scale dim_head^-0.5."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
 
     @nn.compact
     def __call__(self, x, context=None):
-        """x (B, H, W, C); context (B, L, D) or None (self-attention)."""
-        b, h, w, c = x.shape
-        q_in = x.reshape(b, h * w, c)
-        ctx = q_in if context is None else context
-        nh = self.num_heads
-        d = c // nh
-        q = nn.Dense(c, name="q")(q_in).reshape(b, -1, nh, d)
-        k = nn.Dense(c, name="k")(ctx).reshape(b, -1, nh, d)
-        v = nn.Dense(c, name="v")(ctx).reshape(b, -1, nh, d)
-        att = jax.nn.softmax(
-            jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d), axis=-1
-        )
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, h * w, c)
-        return x + nn.Dense(c, name="out")(out).reshape(b, h, w, c)
+        ctx = x if context is None else context
+        inner = self.heads * self.dim_head
+        b, n, _ = x.shape
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, -1, self.heads, self.dim_head)
+        v = v.reshape(b, -1, self.heads, self.dim_head)
+        sim = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (self.dim_head**-0.5)
+        att = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, n, inner)
+        return nn.Dense(self.query_dim, name="to_out")(out)
 
 
-class UNetBlock(nn.Module):
-    channels: int
-    use_attn: bool
-    num_heads: int
+class SDTransformerBlock(nn.Module):
+    """ref attention.py:244 BasicTransformerBlock."""
+
+    dim: int
+    heads: int
+    dim_head: int
 
     @nn.compact
-    def __call__(self, x, temb, context):
-        h = ResBlock2D(self.channels)(x)
-        h = h + nn.Dense(self.channels, name="temb_proj")(nn.swish(temb))[:, None, None, :]
-        h = ResBlock2D(self.channels)(h)
-        if self.use_attn:
-            h = nn.GroupNorm(num_groups=min(32, self.channels))(h)
-            h = CrossAttention2D(self.channels, self.num_heads, name="self_attn")(h)
-            h = CrossAttention2D(self.channels, self.num_heads, name="cross_attn")(
-                h, context
-            )
-        return h
+    def __call__(self, x, context):
+        x = SDCrossAttention(self.dim, self.heads, self.dim_head,
+                             name="attn1")(
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)) + x
+        x = SDCrossAttention(self.dim, self.heads, self.dim_head,
+                             name="attn2")(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context) + x
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        # GEGLU (attention.py:89): proj → (x, gate), x * gelu(gate)
+        h = nn.Dense(self.dim * 4 * 2, name="ff_proj")(h)
+        a, gate = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.gelu(gate, approximate=False)
+        x = nn.Dense(self.dim, name="ff_out")(h) + x
+        return x
+
+
+class SDSpatialTransformer(nn.Module):
+    """ref attention.py:284."""
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        res = x
+        y = _gn32(x, "norm")
+        y = nn.Conv(self.channels, (1, 1), name="proj_in")(y)
+        y = y.reshape(b, h * w, self.channels)
+        for i in range(self.depth):
+            y = SDTransformerBlock(self.channels, self.heads, self.dim_head,
+                                   name=f"block_{i}")(y, context)
+        y = y.reshape(b, h, w, self.channels)
+        y = nn.Conv(self.channels, (1, 1),
+                    kernel_init=nn.initializers.zeros, name="proj_out")(y)
+        return y + res
+
+
+class SDDownsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                       padding=[(1, 1), (1, 1)], name="op")(x)
+
+
+class SDUpsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       name="conv")(x)
 
 
 class AudioLDM(nn.Module):
-    """eps-prediction UNet over latents (B, T', F', latent_channels)."""
+    """eps-prediction UNet over latents (B, H, W, latent_channels)."""
 
     cfg: AudioLDMConfig
 
@@ -92,42 +191,58 @@ class AudioLDM(nn.Module):
     @nn.compact
     def __call__(self, z_t, t, text_emb):
         c = self.cfg
-        temb = nn.Dense(c.base_channels * 4)(
-            nn.swish(nn.Dense(c.base_channels * 4)(timestep_embedding(t, c.base_channels)))
-        )
-        ctx = nn.Dense(c.base_channels * 4, name="ctx_proj")(text_emb)
+        m = c.base_channels
+        emb = nn.Dense(4 * m, name="time_embed_2")(
+            nn.swish(nn.Dense(4 * m, name="time_embed_0")(
+                _sd_timestep_embedding(t, m))))
 
-        h = nn.Conv(c.base_channels, (3, 3), padding="SAME")(z_t)
-        skips = [h]
-        # down path
-        for i, m in enumerate(c.channel_mults):
-            ch = c.base_channels * m
-            h = UNetBlock(ch, i in c.attn_levels, c.num_heads, name=f"down_{i}")(
-                h, temb, ctx
-            )
-            skips.append(h)
-            if i < len(c.channel_mults) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
-                            name=f"downsample_{i}")(h)
+        def attn(ch, name):
+            # legacy=False: dim_head = ch // num_heads
+            return SDSpatialTransformer(ch, c.num_heads, ch // c.num_heads,
+                                        c.transformer_depth, name=name)
+
+        h = nn.Conv(m, (3, 3), padding=[(1, 1), (1, 1)], name="input_0_0")(z_t)
+        hs = [h]
+        idx = 1
+        ds = 1
+        ch = m
+        # input blocks (mirror ref UNetModel construction indices)
+        for level, mult in enumerate(c.channel_mults):
+            for _ in range(c.num_res_blocks):
+                h = SDResBlock(mult * m, name=f"input_{idx}_0")(h, emb)
+                ch = mult * m
+                if ds in c.attention_resolutions:
+                    h = attn(ch, f"input_{idx}_1")(h, text_emb)
+                hs.append(h)
+                idx += 1
+            if level != len(c.channel_mults) - 1:
+                h = SDDownsample(ch, name=f"input_{idx}_0")(h)
+                hs.append(h)
+                idx += 1
+                ds *= 2
         # middle
-        mid_ch = c.base_channels * c.channel_mults[-1]
-        h = UNetBlock(mid_ch, True, c.num_heads, name="mid")(h, temb, ctx)
-        # up path
-        for i in reversed(range(len(c.channel_mults))):
-            ch = c.base_channels * c.channel_mults[i]
-            if i < len(c.channel_mults) - 1:
-                b, hh, ww, cc = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
-                h = nn.Conv(cc, (3, 3), padding="SAME", name=f"upsample_{i}")(h)
-            skip = skips[i + 1]
-            h = jnp.concatenate([h[:, : skip.shape[1], : skip.shape[2]], skip], -1)
-            h = UNetBlock(ch, i in c.attn_levels, c.num_heads, name=f"up_{i}")(
-                h, temb, ctx
-            )
-        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]))(h)
-        h = nn.swish(h)
-        return nn.Conv(c.latent_channels, (3, 3), padding="SAME",
-                       kernel_init=nn.initializers.zeros)(h)
+        h = SDResBlock(ch, name="middle_0")(h, emb)
+        h = attn(ch, "middle_1")(h, text_emb)
+        h = SDResBlock(ch, name="middle_2")(h, emb)
+        # output blocks
+        idx = 0
+        for level, mult in list(enumerate(c.channel_mults))[::-1]:
+            for i in range(c.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = SDResBlock(mult * m, name=f"output_{idx}_0")(h, emb)
+                ch = mult * m
+                j = 1
+                if ds in c.attention_resolutions:
+                    h = attn(ch, f"output_{idx}_{j}")(h, text_emb)
+                    j += 1
+                if level and i == c.num_res_blocks:
+                    h = SDUpsample(ch, name=f"output_{idx}_{j}")(h)
+                    ds //= 2
+                idx += 1
+        h = nn.swish(_gn32(h, "out_norm"))
+        return nn.Conv(c.latent_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       kernel_init=nn.initializers.zeros, name="out_conv")(h)
 
     def loss(self, z0, text_emb, rng):
         sched = self.schedule
@@ -159,9 +274,6 @@ def audioldm_sample(
     )
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=16)
 def _audioldm_sample_jitted(model, shape, num_steps, guidance_scale):
     sched = model.schedule
@@ -191,29 +303,24 @@ def hash_text_embed(texts: list[str], dim: int = 768, max_len: int = 32):
     fallback for environments without a pretrained-T5 cache. Each whitespace
     token maps to a fixed pseudo-random unit-scale vector keyed by a stable
     hash, so the conditioning signal is consistent across train/infer runs
-    (the UNet's ctx projection learns on top of it)."""
+    (the UNet's cross-attention learns on top of it)."""
     import hashlib
-
-    import numpy as np
 
     out = np.zeros((len(texts), max_len, dim), np.float32)
     for b, text in enumerate(texts):
-        for j, tok in enumerate(text.lower().split()[:max_len]):
-            h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "little")
-            out[b, j] = np.random.default_rng(h).standard_normal(dim)
-    return jnp.asarray(out / np.sqrt(dim))
+        for i, tok in enumerate(text.lower().split()[:max_len]):
+            seed = int.from_bytes(
+                hashlib.sha1(tok.encode()).digest()[:8], "little")
+            out[b, i] = np.random.default_rng(seed).standard_normal(dim)
+    return jnp.asarray(out)
 
 
 def encode_text(texts: list[str], dim: int = 768, backend: str = "auto"):
-    """Text → (B, L, dim) conditioning. backend: 't5' | 'hash' | 'auto'
-    (t5 if a local HF cache has the weights, else hashed embeddings)."""
-    if backend in ("t5", "auto"):
+    """Text → (B, L, dim) conditioning. Tries the frozen T5 encoder (as the
+    reference does); falls back to hashed embeddings offline."""
+    if backend in ("auto", "t5"):
         try:
-            # auto must not hit the network: only use an existing local cache
-            emb = encode_text_t5(texts, local_files_only=(backend == "auto"))
-            if emb.shape[-1] != dim:
-                raise ValueError(f"t5 dim {emb.shape[-1]} != cfg text_dim {dim}")
-            return emb
+            return encode_text_t5(texts)
         except Exception:
             if backend == "t5":
                 raise
@@ -221,19 +328,15 @@ def encode_text(texts: list[str], dim: int = 768, backend: str = "auto"):
 
 
 def encode_text_t5(texts: list[str], model_name: str = "t5-base", device="cpu",
-                   local_files_only: bool = False):
-    """Frozen T5 text encoder via transformers (host-side, like the
-    reference's torch T5; ref `audioldm_trainer.py` text conditioning)."""
-    import numpy as np
+                   max_len: int = 32):
+    """Frozen T5 text encoder via transformers (host-side, torch CPU)."""
     import torch
     from transformers import AutoTokenizer, T5EncoderModel
 
-    tok = AutoTokenizer.from_pretrained(model_name,
-                                        local_files_only=local_files_only)
-    enc = T5EncoderModel.from_pretrained(
-        model_name, local_files_only=local_files_only
-    ).eval()
+    tok = AutoTokenizer.from_pretrained(model_name)
+    enc = T5EncoderModel.from_pretrained(model_name).eval().to(device)
+    batch = tok(texts, return_tensors="pt", padding="max_length",
+                truncation=True, max_length=max_len)
     with torch.no_grad():
-        batch = tok(texts, return_tensors="pt", padding=True, truncation=True)
         out = enc(**batch).last_hidden_state
-    return jnp.asarray(np.asarray(out))
+    return jnp.asarray(out.numpy())

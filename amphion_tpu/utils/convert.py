@@ -1544,3 +1544,194 @@ def torch_fastspeech2_to_flax(sd: Mapping[str, np.ndarray], *,
     if "speaker_emb.weight" in sd:
         params["spk"] = {"embedding": g("speaker_emb.weight")}
     return params
+
+
+# ---------------------------------------------------------------------------
+# AudioLDM UNet — ref models/tta/ldm/audioldm.py + attention.py
+# ---------------------------------------------------------------------------
+
+
+def _sd_gn(sd, p):
+    return {"scale": np.asarray(sd[f"{p}.weight"]),
+            "bias": np.asarray(sd[f"{p}.bias"])}
+
+
+def _sd_resblock(sd: Mapping[str, np.ndarray], p: str) -> dict:
+    g = lambda n: np.asarray(sd[f"{p}.{n}"])
+    out = {
+        "in_norm": _sd_gn(sd, f"{p}.in_layers.0"),
+        "in_conv": conv2d_to_flax(g("in_layers.2.weight"),
+                                  g("in_layers.2.bias")),
+        "emb_proj": linear_to_dense(g("emb_layers.1.weight"),
+                                    g("emb_layers.1.bias")),
+        "out_norm": _sd_gn(sd, f"{p}.out_layers.0"),
+        "out_conv": conv2d_to_flax(g("out_layers.3.weight"),
+                                   g("out_layers.3.bias")),
+    }
+    if f"{p}.skip_connection.weight" in sd:
+        out["skip"] = conv2d_to_flax(g("skip_connection.weight"),
+                                     g("skip_connection.bias"))
+    return out
+
+
+def _sd_spatial_transformer(sd: Mapping[str, np.ndarray], p: str,
+                            depth: int = 1) -> dict:
+    g = lambda n: np.asarray(sd[f"{p}.{n}"])
+
+    def xattn(q):
+        return {
+            "to_q": linear_to_dense(g(f"{q}.to_q.weight")),
+            "to_k": linear_to_dense(g(f"{q}.to_k.weight")),
+            "to_v": linear_to_dense(g(f"{q}.to_v.weight")),
+            "to_out": linear_to_dense(g(f"{q}.to_out.0.weight"),
+                                      g(f"{q}.to_out.0.bias")),
+        }
+
+    def ln(q):
+        return {"scale": g(f"{q}.weight"), "bias": g(f"{q}.bias")}
+
+    out = {
+        "norm": _sd_gn(sd, f"{p}.norm"),
+        "proj_in": conv2d_to_flax(g("proj_in.weight"), g("proj_in.bias")),
+        "proj_out": conv2d_to_flax(g("proj_out.weight"), g("proj_out.bias")),
+    }
+    for i in range(depth):
+        b = f"transformer_blocks.{i}"
+        out[f"block_{i}"] = {
+            "attn1": xattn(f"{b}.attn1"),
+            "norm1": ln(f"{b}.norm1"),
+            "attn2": xattn(f"{b}.attn2"),
+            "norm2": ln(f"{b}.norm2"),
+            "norm3": ln(f"{b}.norm3"),
+            "ff_proj": linear_to_dense(g(f"{b}.ff.net.0.proj.weight"),
+                                       g(f"{b}.ff.net.0.proj.bias")),
+            "ff_out": linear_to_dense(g(f"{b}.ff.net.2.weight"),
+                                      g(f"{b}.ff.net.2.bias")),
+        }
+    return out
+
+
+def audioldm_unet_to_flax(sd: Mapping[str, np.ndarray], *,
+                          channel_mults: tuple[int, ...],
+                          num_res_blocks: int,
+                          attention_resolutions: tuple[int, ...],
+                          transformer_depth: int = 1,
+                          prefix: str = "unet") -> dict:
+    """Reference AudioLDM UNetModel state dict → our AudioLDM params."""
+    sd = {k[len(prefix) + 1:]: v for k, v in sd.items()
+          if k.startswith(f"{prefix}.")} if prefix else dict(sd)
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {
+        "time_embed_0": linear_to_dense(g("time_embed.0.weight"),
+                                        g("time_embed.0.bias")),
+        "time_embed_2": linear_to_dense(g("time_embed.2.weight"),
+                                        g("time_embed.2.bias")),
+        "input_0_0": conv2d_to_flax(g("input_blocks.0.0.weight"),
+                                    g("input_blocks.0.0.bias")),
+        "out_norm": _sd_gn(sd, "out.0"),
+        "out_conv": conv2d_to_flax(g("out.2.weight"), g("out.2.bias")),
+    }
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mults)):
+        for _ in range(num_res_blocks):
+            params[f"input_{idx}_0"] = _sd_resblock(
+                sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                params[f"input_{idx}_1"] = _sd_spatial_transformer(
+                    sd, f"input_blocks.{idx}.1", transformer_depth)
+            idx += 1
+        if level != len(channel_mults) - 1:
+            params[f"input_{idx}_0"] = {"op": conv2d_to_flax(
+                g(f"input_blocks.{idx}.0.op.weight"),
+                g(f"input_blocks.{idx}.0.op.bias"))}
+            idx += 1
+            ds *= 2
+    params["middle_0"] = _sd_resblock(sd, "middle_block.0")
+    params["middle_1"] = _sd_spatial_transformer(sd, "middle_block.1",
+                                                 transformer_depth)
+    params["middle_2"] = _sd_resblock(sd, "middle_block.2")
+    idx = 0
+    for level in list(range(len(channel_mults)))[::-1]:
+        for i in range(num_res_blocks + 1):
+            params[f"output_{idx}_0"] = _sd_resblock(
+                sd, f"output_blocks.{idx}.0")
+            j = 1
+            if ds in attention_resolutions:
+                params[f"output_{idx}_{j}"] = _sd_spatial_transformer(
+                    sd, f"output_blocks.{idx}.{j}", transformer_depth)
+                j += 1
+            if level and i == num_res_blocks:
+                params[f"output_{idx}_{j}"] = {"conv": conv2d_to_flax(
+                    g(f"output_blocks.{idx}.{j}.conv.weight"),
+                    g(f"output_blocks.{idx}.{j}.conv.bias"))}
+                ds //= 2
+            idx += 1
+    return params
+
+
+def autoencoder_kl_to_flax(sd: Mapping[str, np.ndarray], *,
+                           channel_mults: tuple[int, ...],
+                           num_res_blocks: int = 2) -> dict:
+    """Reference AutoencoderKL (models/tta/autoencoder/autoencoder.py:356)
+    → our AutoencoderKL params."""
+    g = lambda n: np.asarray(sd[n])
+
+    def res(p):
+        out = {
+            "norm1": {"scale": g(f"{p}.norm1.weight"),
+                      "bias": g(f"{p}.norm1.bias")},
+            "conv1": conv2d_to_flax(g(f"{p}.conv1.weight"),
+                                    g(f"{p}.conv1.bias")),
+            "norm2": {"scale": g(f"{p}.norm2.weight"),
+                      "bias": g(f"{p}.norm2.bias")},
+            "conv2": conv2d_to_flax(g(f"{p}.conv2.weight"),
+                                    g(f"{p}.conv2.bias")),
+        }
+        if f"{p}.nin_shortcut.weight" in sd:
+            out["nin_shortcut"] = conv2d_to_flax(
+                g(f"{p}.nin_shortcut.weight"), g(f"{p}.nin_shortcut.bias"))
+        return out
+
+    n = len(channel_mults)
+    enc: dict = {
+        "conv_in": conv2d_to_flax(g("encoder.conv_in.weight"),
+                                  g("encoder.conv_in.bias")),
+        "mid_block_1": res("encoder.mid.block_1"),
+        "mid_block_2": res("encoder.mid.block_2"),
+        "norm_out": {"scale": g("encoder.norm_out.weight"),
+                     "bias": g("encoder.norm_out.bias")},
+        "conv_out": conv2d_to_flax(g("encoder.conv_out.weight"),
+                                   g("encoder.conv_out.bias")),
+    }
+    for i in range(n):
+        for j in range(num_res_blocks):
+            enc[f"down_{i}_block_{j}"] = res(f"encoder.down.{i}.block.{j}")
+        if i != n - 1:
+            enc[f"down_{i}_downsample"] = {"conv": conv2d_to_flax(
+                g(f"encoder.down.{i}.downsample.conv.weight"),
+                g(f"encoder.down.{i}.downsample.conv.bias"))}
+    dec: dict = {
+        "conv_in": conv2d_to_flax(g("decoder.conv_in.weight"),
+                                  g("decoder.conv_in.bias")),
+        "mid_block_1": res("decoder.mid.block_1"),
+        "mid_block_2": res("decoder.mid.block_2"),
+        "norm_out": {"scale": g("decoder.norm_out.weight"),
+                     "bias": g("decoder.norm_out.bias")},
+        "conv_out": conv2d_to_flax(g("decoder.conv_out.weight"),
+                                   g("decoder.conv_out.bias")),
+    }
+    for i in range(n):
+        for j in range(num_res_blocks + 1):
+            dec[f"up_{i}_block_{j}"] = res(f"decoder.up.{i}.block.{j}")
+        if i != 0:
+            dec[f"up_{i}_upsample"] = {"conv": conv2d_to_flax(
+                g(f"decoder.up.{i}.upsample.conv.weight"),
+                g(f"decoder.up.{i}.upsample.conv.bias"))}
+    return {
+        "encoder": enc, "decoder": dec,
+        "quant_conv": conv2d_to_flax(g("quant_conv.weight"),
+                                     g("quant_conv.bias")),
+        "post_quant_conv": conv2d_to_flax(g("post_quant_conv.weight"),
+                                          g("post_quant_conv.bias")),
+    }

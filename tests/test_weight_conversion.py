@@ -57,7 +57,7 @@ def _ref_on_path():
                  "torchaudio.functional.functional",
                  "torchaudio.transforms", "librosa", "librosa.filters",
                  "librosa.util", "ruamel", "ruamel.yaml", "pyworld",
-                 "soundfile"):
+                 "soundfile", "omegaconf", "omegaconf.listconfig"):
         _stub(name)
     yield
     sys.path.remove(str(REFERENCE))
@@ -1907,3 +1907,87 @@ class TestFastSpeech2RoundTrip:
                                    out_t["output"].numpy(), atol=2e-4)
         np.testing.assert_allclose(np.asarray(out_j["mel_postnet"]),
                                    out_t["postnet_output"].numpy(), atol=3e-4)
+
+
+class TestAudioLDMRoundTrip:
+    def test_unet_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.tta.ldm.audioldm import AudioLDM as RefAudioLDM
+
+        from amphion_tpu.models.tta.audioldm import AudioLDM, AudioLDMConfig
+        from amphion_tpu.utils.convert import audioldm_unet_to_flax
+
+        torch.manual_seed(85)
+        cfg = SimpleNamespace(
+            image_size=8, in_channels=4, out_channels=4, model_channels=32,
+            attention_resolutions=[2, 1], num_res_blocks=1,
+            channel_mult=[1, 2], num_heads=2, use_spatial_transformer=True,
+            transformer_depth=1, context_dim=16, use_checkpoint=False,
+            legacy=False)
+        ref = RefAudioLDM(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = audioldm_unet_to_flax(
+            sd, channel_mults=(1, 2), num_res_blocks=1,
+            attention_resolutions=(2, 1), transformer_depth=1)
+        torch.manual_seed(86)
+        x = torch.randn(2, 4, 8, 8)
+        t = torch.tensor([3, 7])
+        ctx = torch.randn(2, 5, 16)
+        with torch.no_grad():
+            out_t = ref(x, timesteps=t, context=ctx)
+
+        ours = AudioLDM(AudioLDMConfig(
+            latent_channels=4, base_channels=32, channel_mults=(1, 2),
+            num_res_blocks=1, attention_resolutions=(2, 1), num_heads=2,
+            transformer_depth=1, text_dim=16))
+        out_j = ours.apply(
+            {"params": params},
+            jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+            jnp.asarray(t.numpy()), jnp.asarray(ctx.numpy()))
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t.permute(0, 2, 3, 1).numpy(), atol=3e-5)
+
+
+class TestAutoencoderKLRoundTrip:
+    def test_encode_decode_parity(self):
+        import jax.numpy as jnp
+
+        from models.tta.autoencoder.autoencoder import (
+            AutoencoderKL as RefVAE,
+        )
+
+        from amphion_tpu.models.tta.autoencoder_kl import (
+            AutoencoderKL,
+            AutoencoderKLConfig,
+        )
+        from amphion_tpu.utils.convert import autoencoder_kl_to_flax
+
+        torch.manual_seed(90)
+        # torch GroupNorm(32, ch) needs ch % 32 == 0
+        cfg = SimpleNamespace(ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                              in_channels=1, z_channels=4, out_ch=1,
+                              double_z=True)
+        ref = RefVAE(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = autoencoder_kl_to_flax(sd, channel_mults=(1, 2),
+                                        num_res_blocks=1)
+        torch.manual_seed(91)
+        x = torch.randn(2, 1, 16, 8)
+        with torch.no_grad():
+            post = ref.encode(x)
+            mu_t = post.mean
+            rec_t = ref.decode(post.mode())
+
+        ours = AutoencoderKL(AutoencoderKLConfig(
+            in_channels=1, base_channels=32, channel_mults=(1, 2),
+            num_res_blocks=1, latent_channels=4))
+        z_j, mu_j, _ = ours.apply(
+            {"params": params}, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+            method=AutoencoderKL.encode)
+        np.testing.assert_allclose(
+            np.asarray(mu_j), mu_t.permute(0, 2, 3, 1).numpy(), atol=3e-5)
+        rec_j = ours.apply({"params": params}, mu_j,
+                           method=AutoencoderKL.decode)
+        np.testing.assert_allclose(
+            np.asarray(rec_j), rec_t.permute(0, 2, 3, 1).numpy(), atol=1e-4)
