@@ -28,6 +28,9 @@ class WaveNetDenoiserConfig:
     dilation_cycle: int = 4
     cond_dim: int = 384
     kernel_size: int = 3
+    t_raw_dim: int = 128  # ref step_encoder.dim_raw_embedding
+    t_mlp_hidden: int = 512  # ref step_encoder.dim_hidden_layer
+    t_mlp_layers: int = 2  # ref step_encoder.num_layer
 
 
 class WaveNetDenoiser(nn.Module):
@@ -41,9 +44,13 @@ class WaveNetDenoiser(nn.Module):
         h = nn.Conv(c.hidden, (1,), name="in_proj")(x)
         h = jax.nn.relu(h)
 
-        temb = timestep_embedding(t, 128)
-        temb = nn.Dense(c.hidden * 4, name="t_mlp1")(temb)
-        temb = nn.Dense(c.hidden, name="t_mlp2")(nn.swish(temb))
+        # ref PositionEncoder (modules/encoder/position_encoder.py:9):
+        # Linear(raw, mlp) SiLU [Linear(mlp, mlp) SiLU]x(n-1) Linear(mlp, h)
+        temb = timestep_embedding(t, c.t_raw_dim)
+        temb = nn.swish(nn.Dense(c.t_mlp_hidden, name="t_mlp_0")(temb))
+        for k in range(1, c.t_mlp_layers):
+            temb = nn.swish(nn.Dense(c.t_mlp_hidden, name=f"t_mlp_{k}")(temb))
+        temb = nn.Dense(c.hidden, name="t_mlp_out")(temb)
 
         skip_total = jnp.zeros_like(h)
         for i in range(c.num_layers):

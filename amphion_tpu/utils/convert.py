@@ -1735,3 +1735,38 @@ def autoencoder_kl_to_flax(sd: Mapping[str, np.ndarray], *,
         "post_quant_conv": conv2d_to_flax(g("post_quant_conv.weight"),
                                           g("post_quant_conv.bias")),
     }
+
+
+def svc_diffusion_wrapper_to_flax(sd: Mapping[str, np.ndarray],
+                                  num_layers: int,
+                                  t_mlp_layers: int = 2) -> dict:
+    """Reference DiffusionWrapper (models/svc/diffusion/diffusion_wrapper
+    .py: PositionEncoder + BiDilConv) → our WaveNetDenoiser params."""
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {
+        "in_proj": conv1d_to_flax(g("neural_network.input.0.weight"),
+                                  g("neural_network.input.0.bias")),
+        "post1": conv1d_to_flax(g("neural_network.out_proj.0.weight"),
+                                g("neural_network.out_proj.0.bias")),
+        "post2": conv1d_to_flax(g("neural_network.out_proj.2.weight"),
+                                g("neural_network.out_proj.2.bias")),
+    }
+    # PositionEncoder MLP: out.{0,2,...} Linears
+    for k in range(t_mlp_layers):
+        params[f"t_mlp_{k}"] = linear_to_dense(
+            g(f"diff_encoder.out.{2 * k}.weight"),
+            g(f"diff_encoder.out.{2 * k}.bias"))
+    params["t_mlp_out"] = linear_to_dense(
+        g(f"diff_encoder.out.{2 * t_mlp_layers}.weight"),
+        g(f"diff_encoder.out.{2 * t_mlp_layers}.bias"))
+    for i in range(num_layers):
+        p = f"neural_network.residual_blocks.{i}"
+        params[f"dil_{i}"] = conv1d_to_flax(g(f"{p}.gau.conv.weight"),
+                                            g(f"{p}.gau.conv.bias"))
+        if f"{p}.gau.context_proj.weight" in sd:
+            params[f"cond_{i}"] = conv1d_to_flax(
+                g(f"{p}.gau.context_proj.weight"),
+                g(f"{p}.gau.context_proj.bias"))
+        params[f"out_{i}"] = conv1d_to_flax(g(f"{p}.out_proj.weight"),
+                                            g(f"{p}.out_proj.bias"))
+    return params

@@ -1991,3 +1991,47 @@ class TestAutoencoderKLRoundTrip:
                            method=AutoencoderKL.decode)
         np.testing.assert_allclose(
             np.asarray(rec_j), rec_t.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+class TestDiffSVCDenoiserRoundTrip:
+    def test_wrapper_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.svc.diffusion.diffusion_wrapper import DiffusionWrapper
+
+        from amphion_tpu.modules.wavenet_denoiser import (
+            WaveNetDenoiser,
+            WaveNetDenoiserConfig,
+        )
+        from amphion_tpu.utils.convert import svc_diffusion_wrapper_to_flax
+
+        torch.manual_seed(95)
+        cfg = SimpleNamespace(
+            model=SimpleNamespace(diffusion=SimpleNamespace(
+                model_type="bidilconv",
+                step_encoder=SimpleNamespace(
+                    dim_raw_embedding=32, dim_hidden_layer=64,
+                    activation="SiLU", num_layer=2, max_period=10000),
+                bidilconv=_AttrDict(
+                    base_channel=16, n_res_block=4, conv_kernel_size=3,
+                    dilation_cycle_length=2, conditioner_size=24))),
+            preprocess=SimpleNamespace(n_mel=8))
+        ref = DiffusionWrapper(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = svc_diffusion_wrapper_to_flax(sd, num_layers=4,
+                                               t_mlp_layers=2)
+        torch.manual_seed(96)
+        x = torch.randn(2, 12, 8)
+        t = torch.tensor([3, 7])
+        c = torch.randn(2, 12, 24)
+        with torch.no_grad():
+            out_t = ref(x, t, c)
+
+        ours = WaveNetDenoiser(WaveNetDenoiserConfig(
+            in_dim=8, hidden=16, num_layers=4, dilation_cycle=2,
+            cond_dim=24, kernel_size=3, t_raw_dim=32, t_mlp_hidden=64,
+            t_mlp_layers=2))
+        out_j = ours.apply({"params": params}, jnp.asarray(x.numpy()),
+                           jnp.asarray(t.numpy()), jnp.asarray(c.numpy()))
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                                   atol=3e-5)
