@@ -1770,3 +1770,162 @@ def svc_diffusion_wrapper_to_flax(sd: Mapping[str, np.ndarray],
         params[f"out_{i}"] = conv1d_to_flax(g(f"{p}.out_proj.weight"),
                                             g(f"{p}.out_proj.bias"))
     return params
+
+
+# ---------------------------------------------------------------------------
+# SpeechTokenizer — ref models/codec/speechtokenizer/
+# ---------------------------------------------------------------------------
+
+
+def _torch_lstm_layer_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                              layer: int, reverse: bool = False) -> dict:
+    """One torch nn.LSTM layer → flax OptimizedLSTMCell params. torch
+    packs gates [i, f, g, o]; flax has per-gate dense (input gates without
+    bias), so b_ih + b_hh folds into the hidden-gate biases."""
+    sfx = f"weight_ih_l{layer}" + ("_reverse" if reverse else "")
+    w_ih = np.asarray(sd[f"{prefix}.{sfx}"])
+    w_hh = np.asarray(sd[f"{prefix}.{sfx.replace('ih', 'hh')}"])
+    b = (np.asarray(sd[f"{prefix}.{sfx.replace('weight', 'bias')}"])
+         + np.asarray(sd[f"{prefix}.{sfx.replace('weight_ih', 'bias_hh')}"]))
+    h = w_hh.shape[1]
+    out: dict = {}
+    for gi, gate in enumerate(("i", "f", "g", "o")):
+        out[f"i{gate}"] = {"kernel": np.ascontiguousarray(
+            w_ih[gi * h:(gi + 1) * h].T)}
+        out[f"h{gate}"] = {"kernel": np.ascontiguousarray(
+            w_hh[gi * h:(gi + 1) * h].T),
+            "bias": b[gi * h:(gi + 1) * h]}
+    return out
+
+
+def _slstm_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                   num_layers: int, bidirectional: bool) -> dict:
+    # flax binds the cells at the SLSTM scope as OptimizedLSTMCell_{k}
+    # in creation order (fwd, [bwd], per layer)
+    out: dict = {}
+    k = 0
+    for i in range(num_layers):
+        out[f"OptimizedLSTMCell_{k}"] = _torch_lstm_layer_to_flax(
+            sd, f"{prefix}.lstm", i)
+        k += 1
+        if bidirectional:
+            out[f"OptimizedLSTMCell_{k}"] = _torch_lstm_layer_to_flax(
+                sd, f"{prefix}.lstm", i, reverse=True)
+            k += 1
+    return out
+
+
+def _seanet_resblock_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                             activation: str = "ELU") -> dict:
+    def conv(p):
+        return _plain_or_wn(sd, f"{p}.conv.conv", "conv1d")
+
+    # block indices: [act, conv, act, conv] → block.1, block.3
+    c0, c1 = conv(f"{prefix}.block.1"), conv(f"{prefix}.block.3")
+    sc = conv(f"{prefix}.shortcut")
+    out = {
+        "conv_0": c0["layer"], "WeightNorm_0": {"conv_0/kernel/scale": c0["scale"]},
+        "conv_1": c1["layer"], "WeightNorm_1": {"conv_1/kernel/scale": c1["scale"]},
+        "shortcut": sc["layer"],
+        "WeightNorm_2": {"shortcut/kernel/scale": sc["scale"]},
+    }
+    if activation == "Snake":
+        out["act_0"] = {"alpha": np.asarray(
+            sd[f"{prefix}.block.0.alpha"]).reshape(-1)}
+        out["act_1"] = {"alpha": np.asarray(
+            sd[f"{prefix}.block.2.alpha"]).reshape(-1)}
+    return out
+
+
+def speechtokenizer_to_flax(sd: Mapping[str, np.ndarray], *,
+                            strides: tuple[int, ...],
+                            n_residual_layers: int = 1,
+                            lstm_layers: int = 2,
+                            bidirectional: bool = True,
+                            n_q: int = 8,
+                            activation: str = "ELU") -> dict:
+    """Reference SpeechTokenizer (model.py:14) → our params. The SEANet
+    Sequential indices are reconstructed from the architecture."""
+    n = len(strides)
+
+    def conv(p):
+        c = _plain_or_wn(sd, f"{p}.conv.conv", "conv1d")
+        return c
+
+    # ---- encoder: [conv_in] + per-ratio (res x L, act, down) + lstm +
+    # act + conv_out
+    enc: dict = {}
+    wn_i = 0
+
+    def put(d, fname, c):
+        nonlocal wn_i
+        d[fname] = c["layer"]
+        d[f"WeightNorm_{wn_i}"] = {f"{fname}/kernel/scale": c["scale"]}
+        wn_i += 1
+
+    idx = 0
+    put(enc, "conv_in", conv(f"encoder.model.{idx}"))
+    idx += 1
+    for i in range(n):
+        for j in range(n_residual_layers):
+            enc[f"block_{i}_{j}"] = _seanet_resblock_to_flax(
+                sd, f"encoder.model.{idx}", activation)
+            idx += 1
+        if activation == "Snake":
+            enc[f"down_act_{i}"] = {"alpha": np.asarray(
+                sd[f"encoder.model.{idx}.alpha"]).reshape(-1)}
+        idx += 1  # activation
+        put(enc, f"down_{i}", conv(f"encoder.model.{idx}"))
+        idx += 1
+    enc["lstm"] = _slstm_to_flax(sd, f"encoder.model.{idx}", lstm_layers,
+                                 bidirectional)
+    idx += 1
+    if activation == "Snake":
+        enc["final_act"] = {"alpha": np.asarray(
+            sd[f"encoder.model.{idx}.alpha"]).reshape(-1)}
+    idx += 1
+    put(enc, "conv_out", conv(f"encoder.model.{idx}"))
+
+    # ---- decoder: [conv_in, lstm] + per-ratio (act, up, res x L) +
+    # act + conv_out
+    dec: dict = {}
+    wn_i = 0
+    idx = 0
+    put(dec, "conv_in", conv(f"decoder.model.{idx}"))
+    idx += 1
+    dec["lstm"] = _slstm_to_flax(sd, f"decoder.model.{idx}", lstm_layers,
+                                 False)
+    idx += 1
+    for i in range(n):
+        if activation == "Snake":
+            dec[f"up_act_{i}"] = {"alpha": np.asarray(
+                sd[f"decoder.model.{idx}.alpha"]).reshape(-1)}
+        idx += 1  # activation
+        up = _plain_or_wn(sd, f"decoder.model.{idx}.convtr.convtr",
+                          "convtranspose1d")
+        dec[f"up_{i}"] = {
+            "convtr": up["layer"],
+            "WeightNorm_0": {"convtr/kernel/scale": up["scale"]},
+        }
+        idx += 1
+        for j in range(n_residual_layers):
+            dec[f"block_{i}_{j}"] = _seanet_resblock_to_flax(
+                sd, f"decoder.model.{idx}", activation)
+            idx += 1
+    if activation == "Snake":
+        dec["final_act"] = {"alpha": np.asarray(
+            sd[f"decoder.model.{idx}.alpha"]).reshape(-1)}
+    idx += 1
+    put(dec, "conv_out", conv(f"decoder.model.{idx}"))
+
+    params: dict = {"encoder": enc, "decoder": dec}
+    q: dict = {}
+    for i in range(n_q):
+        q[f"codebook_{i}"] = np.asarray(
+            sd[f"quantizer.vq.layers.{i}._codebook.embed"])
+    params["quantizer"] = q
+    if "transform.weight" in sd:
+        params["semantic"] = linear_to_dense(
+            np.asarray(sd["transform.weight"]),
+            np.asarray(sd["transform.bias"]))
+    return params

@@ -2035,3 +2035,63 @@ class TestDiffSVCDenoiserRoundTrip:
                            jnp.asarray(t.numpy()), jnp.asarray(c.numpy()))
         np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
                                    atol=3e-5)
+
+
+class TestSpeechTokenizerRoundTrip:
+    def test_forward_encode_decode_parity(self):
+        import jax.numpy as jnp
+
+        from models.codec.speechtokenizer.model import (
+            SpeechTokenizer as RefST,
+        )
+
+        from amphion_tpu.models.codec.amphion_codec import CodecConfig
+        from amphion_tpu.models.codec.speechtokenizer import (
+            SpeechTokenizer,
+            SpeechTokenizerConfig,
+        )
+        from amphion_tpu.utils.convert import speechtokenizer_to_flax
+
+        torch.manual_seed(100)
+        cfg = {
+            "n_filters": 4, "dimension": 8, "strides": [2, 5],
+            "lstm_layers": 2, "bidirectional": True, "dilation_base": 2,
+            "residual_kernel_size": 3, "n_residual_layers": 1,
+            "activation": "ELU", "sample_rate": 16000, "n_q": 3,
+            "codebook_size": 16, "semantic_dimension": 12,
+        }
+        ref = RefST(cfg).eval()
+        # the EMA codebooks are zero until the first kmeans training batch;
+        # randomize them for a meaningful quantization oracle
+        with torch.no_grad():
+            for layer in ref.quantizer.vq.layers:
+                layer._codebook.embed.normal_()
+                layer._codebook.inited.fill_(1)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = speechtokenizer_to_flax(
+            sd, strides=(2, 5), n_residual_layers=1, lstm_layers=2,
+            bidirectional=True, n_q=3, activation="ELU")
+        torch.manual_seed(101)
+        x = torch.randn(2, 1, 100) * 0.3
+        with torch.no_grad():
+            o_t, commit_t, feat_t = ref(x, n_q=3)
+            codes_t = ref.encode(x, n_q=3)
+
+        ours = SpeechTokenizer(SpeechTokenizerConfig(
+            codec=CodecConfig(encoder_dim=4, latent_dim=8, strides=(2, 5)),
+            n_q=3, codebook_size=16, semantic_dimension=12, lstm_layers=2,
+            bidirectional=True))
+        recon_j, codes_j, sem_j, _ = ours.apply(
+            {"params": params}, jnp.asarray(x[:, 0].numpy()))
+        np.testing.assert_array_equal(np.asarray(codes_j), codes_t.numpy())
+        np.testing.assert_allclose(np.asarray(sem_j), feat_t.numpy(),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(recon_j), o_t[:, 0].numpy(),
+                                   atol=3e-4)
+        # decode path
+        wav_j = ours.apply({"params": params}, codes_j,
+                           method=SpeechTokenizer.decode)
+        with torch.no_grad():
+            wav_t = ref.decode(torch.as_tensor(np.asarray(codes_j)))
+        np.testing.assert_allclose(np.asarray(wav_j), wav_t[:, 0].numpy(),
+                                   atol=3e-4)
