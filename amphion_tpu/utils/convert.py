@@ -1929,3 +1929,40 @@ def speechtokenizer_to_flax(sd: Mapping[str, np.ndarray], *,
             np.asarray(sd["transform.weight"]),
             np.asarray(sd["transform.bias"]))
     return params
+
+
+def coco_to_flax(sd: Mapping[str, np.ndarray], *, mode: str = "contentstyle",
+                 downsample: int = 4, num_blocks: int = 12,
+                 num_quantizers: int = 1) -> dict:
+    """Reference Coco tokenizer (rep_coco_model.py:33) → our CocoCodec."""
+    import math as _math
+
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {
+        "enc_backbone": _vocos_backbone_to_flax(sd, "encoder.0", num_blocks),
+        "enc_out": linear_to_dense(g("encoder.1.weight"), g("encoder.1.bias")),
+        "dec_backbone": _vocos_backbone_to_flax(sd, "decoder.0", num_blocks),
+        "dec_out": linear_to_dense(g("decoder.1.weight"), g("decoder.1.bias")),
+        "quantizer": torch_residual_vq_to_flax(sd, num_quantizers),
+    }
+    if mode in ("contentstyle", "content"):
+        params["whisper_input_layer"] = linear_to_dense(
+            g("whisper_input_layer.weight"), g("whisper_input_layer.bias"))
+        params["whisper_output_layer"] = linear_to_dense(
+            g("whisper_output_layer.weight"), g("whisper_output_layer.bias"))
+    if mode in ("contentstyle", "style"):
+        params["chromagram_input_layer"] = linear_to_dense(
+            g("chromagram_input_layer.weight"),
+            g("chromagram_input_layer.bias"))
+        params["chromagram_output_layer"] = linear_to_dense(
+            g("chromagram_output_layer.weight"),
+            g("chromagram_output_layer.bias"))
+    n_down = int(_math.log2(downsample)) if downsample > 1 else 0
+    for k in range(n_down):
+        params[f"down_{k}"] = conv1d_to_flax(
+            g(f"downsample_layers.{2 * k}.weight"),
+            g(f"downsample_layers.{2 * k}.bias"))
+        params[f"up_{k}"] = convtranspose1d_to_flax(
+            g(f"upsample_layers.{2 * k}.weight"),
+            g(f"upsample_layers.{2 * k}.bias"))
+    return params

@@ -2095,3 +2095,43 @@ class TestSpeechTokenizerRoundTrip:
             wav_t = ref.decode(torch.as_tensor(np.asarray(codes_j)))
         np.testing.assert_allclose(np.asarray(wav_j), wav_t[:, 0].numpy(),
                                    atol=3e-4)
+
+
+class TestCocoRoundTrip:
+    def test_contentstyle_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.codec.coco.rep_coco_model import CocoContentStyle
+
+        from amphion_tpu.models.codec.coco import CocoCodec, CocoConfig
+        from amphion_tpu.utils.convert import coco_to_flax
+
+        torch.manual_seed(110)
+        cfg = SimpleNamespace(
+            codebook_size=32, hidden_size=16, codebook_dim=4,
+            num_quantizers=1, quantizer_type="fvq", whisper_dim=24,
+            chromagram_dim=12, downsample_rate=2,
+            encoder=SimpleNamespace(vocos_dim=16, vocos_intermediate_dim=32,
+                                    vocos_num_layers=2),
+            decoder=SimpleNamespace(vocos_dim=16, vocos_intermediate_dim=32,
+                                    vocos_num_layers=2))
+        ref = CocoContentStyle(cfg=cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = coco_to_flax(sd, mode="contentstyle", downsample=2,
+                              num_blocks=2, num_quantizers=1)
+        torch.manual_seed(111)
+        wh = torch.randn(2, 12, 24)
+        ch = torch.randn(2, 12, 12)
+        with torch.no_grad():
+            wh_rec, ch_rec, _, idx = ref(wh, ch)
+
+        ours = CocoCodec(CocoConfig(
+            mode="contentstyle", feature_dim=24, chromagram_dim=12,
+            hidden=16, codebook_size=32, codebook_dim=4, downsample=2,
+            vocos_dim=16, vocos_intermediate_dim=32, num_blocks=2))
+        recon, tokens, _ = ours.apply(
+            {"params": params}, jnp.asarray(wh.numpy()),
+            style_feats=jnp.asarray(ch.numpy()))
+        np.testing.assert_array_equal(np.asarray(tokens), idx.numpy()[0])
+        np.testing.assert_allclose(np.asarray(recon), wh_rec.numpy(),
+                                   atol=3e-4)
