@@ -39,6 +39,7 @@ class NS3TransformerLayer(nn.Module):
     filter_size: int
     kernel_size: int = 5
     use_cln: bool = False
+    ffn_act: str = "relu"  # ns3/ns2 use relu; Noro's use_new_ffn uses silu
 
     @nn.compact
     def __call__(self, x, condition=None, mask=None):
@@ -68,7 +69,7 @@ class NS3TransformerLayer(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME",
                     name="ffn_1")(h)
-        h = jax.nn.relu(h)
+        h = jax.nn.silu(h) if self.ffn_act == "silu" else jax.nn.relu(h)
         h = nn.Dense(self.hidden, name="ffn_2")(h)
         return res + h
 
@@ -85,6 +86,7 @@ class NS3TransformerEncoder(nn.Module):
     filter_size: int = 1024
     kernel_size: int = 5
     use_cln: bool = False
+    ffn_act: str = "relu"
 
     @nn.compact
     def __call__(self, x, condition=None, mask=None):
@@ -99,7 +101,8 @@ class NS3TransformerEncoder(nn.Module):
         for i in range(self.num_layers):
             x = NS3TransformerLayer(
                 self.hidden, self.heads, self.filter_size, self.kernel_size,
-                self.use_cln, name=f"layer_{i}")(x, condition, mask)
+                self.use_cln, self.ffn_act, name=f"layer_{i}")(x, condition,
+                                                               mask)
         if self.use_cln:
             return NS3SALN(name="last_ln")(x, condition)
         return nn.LayerNorm(epsilon=1e-5, name="last_ln")(x)

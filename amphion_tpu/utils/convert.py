@@ -1966,3 +1966,44 @@ def coco_to_flax(sd: Mapping[str, np.ndarray], *, mode: str = "contentstyle",
             g(f"upsample_layers.{2 * k}.weight"),
             g(f"upsample_layers.{2 * k}.bias"))
     return params
+
+
+# ---------------------------------------------------------------------------
+# Noro — ref models/vc/Noro/noro_model.py
+# ---------------------------------------------------------------------------
+
+
+def noro_reference_encoder_to_flax(sd: Mapping[str, np.ndarray],
+                                   prefix: str, num_layers: int) -> dict:
+    """ref ReferenceEncoder (noro_model.py:701) → our ReferenceEncoder."""
+    g = lambda n: np.asarray(sd[f"{prefix}.{n}"])
+    out: dict = {
+        "transformer_encoder": _ns3_transformer_to_flax(
+            {k[len(prefix) + 1:]: v for k, v in sd.items()
+             if k.startswith(f"{prefix}.transformer_encoder.")},
+            "transformer_encoder", num_layers),
+        "query_embs": {"embedding": g("query_embs.weight")},
+        "query_attn": _torch_mha_to_flax(sd, f"{prefix}.query_attn"),
+    }
+    if f"{prefix}.in_linear.weight" in sd:
+        out["in_linear"] = linear_to_dense(g("in_linear.weight"),
+                                           g("in_linear.bias"))
+    return out
+
+
+def noro_to_flax(sd: Mapping[str, np.ndarray], *, ref_layers: int,
+                 wavenet_layers: int, cattn_every: int = 3) -> dict:
+    """ref Noro_VCmodel (noro_model.py:1119) → our Noro params."""
+    g = lambda n: np.asarray(sd[n])
+    wn_sd = {k[len("diffusion.diff_estimator."):]: v for k, v in sd.items()
+             if k.startswith("diffusion.diff_estimator.")}
+    return {
+        "reference_encoder": noro_reference_encoder_to_flax(
+            sd, "reference_encoder", ref_layers),
+        "content_f0_ln": {"scale": g("content_f0_enc.0.weight"),
+                          "bias": g("content_f0_enc.0.bias")},
+        "content_f0_conv": conv1d_to_flax(g("content_f0_enc.2.weight"),
+                                          g("content_f0_enc.2.bias")),
+        "diffusion": {"diff_estimator": ns2_wavenet_to_flax(
+            wn_sd, wavenet_layers, cattn_every)},
+    }

@@ -25,7 +25,6 @@ from amphion_tpu.data.dataset import Prefetcher, SegmentAudioDataset
 from amphion_tpu.data.metadata import load_metadata
 from amphion_tpu.data.processors.augment import random_equalizer
 from amphion_tpu.models.vc.noro import Noro, NoroConfig
-from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
 from amphion_tpu.ops.f0 import F0Config, yin_f0
 from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
 from amphion_tpu.runtime.checkpoint import CheckpointManager
@@ -57,13 +56,12 @@ class NoroTrainer:
 
         m = cfg.model
         self.model = Noro(NoroConfig(
-            n_mel=p.n_mel, content_dim=p.n_mel,
+            n_mel=p.n_mel, content_dim=p.n_mel, ref_in_dim=p.n_mel,
             hidden=m.get("hidden", 256),
-            denoiser=WaveNetDenoiserConfig(
-                in_dim=p.n_mel, hidden=m.get("hidden", 256),
-                num_layers=m.get("num_layers", 12),
-                cond_dim=m.get("hidden", 256),
-            ),
+            ref_layers=m.get("ref_layers", 2),
+            ref_heads=m.get("ref_heads", 4),
+            ref_filter=m.get("ref_filter", 4 * m.get("hidden", 256)),
+            wavenet_layers=m.get("num_layers", 12),
         ))
         example = self._batch(list(range(min(self.batch_size, len(utts)))))
         tx = optax.adamw(t.adamw.lr)

@@ -142,9 +142,9 @@ def test_metis_tasks(rng):
 
 def test_noro(rng):
     cfg = NoroConfig(
-        n_mel=8, content_dim=6, hidden=16, num_train_steps=20,
-        denoiser=WaveNetDenoiserConfig(in_dim=8, hidden=16, num_layers=2,
-                                       cond_dim=16),
+        n_mel=8, content_dim=6, hidden=16, ref_in_dim=8, ref_layers=1,
+        ref_heads=2, ref_filter=32, num_query_emb=4, wavenet_layers=2,
+        wavenet_cattn_every=2, wavenet_heads=2,
     )
     model = Noro(cfg)
     mel = jnp.asarray(rng.standard_normal((2, 10, 8)).astype(np.float32))

@@ -2135,3 +2135,86 @@ class TestCocoRoundTrip:
         np.testing.assert_array_equal(np.asarray(tokens), idx.numpy()[0])
         np.testing.assert_allclose(np.asarray(recon), wh_rec.numpy(),
                                    atol=3e-4)
+
+
+class TestNoroRoundTrip:
+    def test_vcmodel_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.vc.Noro.noro_model import Noro_VCmodel
+
+        from amphion_tpu.models.vc.noro import Noro, NoroConfig
+        from amphion_tpu.utils.convert import noro_to_flax
+
+        torch.manual_seed(120)
+        # query_attn heads = encoder_hidden // 64 → hidden must be ≥ 64
+        cfg = SimpleNamespace(
+            reference_encoder=SimpleNamespace(
+                encoder_layer=2, encoder_hidden=64, encoder_head=2,
+                conv_filter_size=128, conv_kernel_size=5,
+                encoder_dropout=0.0, use_skip_connection=False,
+                use_new_ffn=True, ref_in_dim=8, ref_out_dim=64,
+                use_query_emb=True, num_query_emb=4),
+            diffusion=SimpleNamespace(
+                diff_model_type="WaveNet", beta_min=0.05, beta_max=20.0,
+                sigma=1.0, noise_factor=1.0,
+                diff_wavenet=SimpleNamespace(
+                    input_size=8, hidden_size=64, out_size=8, num_layers=4,
+                    cross_attn_per_layer=2, dilation_cycle=2, attn_head=2,
+                    drop_out=0.0)),
+            vc_feature=SimpleNamespace(content_feature_dim=6, hidden_dim=64))
+        ref = Noro_VCmodel(cfg, use_ref_noise=False).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = noro_to_flax(sd, ref_layers=2, wavenet_layers=4,
+                              cattn_every=2)
+        torch.manual_seed(121)
+        b, t, tr = 2, 10, 7
+        mel = torch.randn(b, t, 8)
+        content = torch.randn(b, t, 6)
+        pitch = torch.rand(b, t) * 200 + 60
+        x_ref = torch.randn(b, tr, 8)
+        mask = torch.ones(b, t)
+        ref_mask = torch.ones(b, tr)
+        # deterministic diffusion step + noise
+        orig_rand, orig_randn = torch.rand, torch.randn
+        torch.rand = lambda *a, **kw: torch.full(a, 0.5, **{
+            k: v for k, v in kw.items() if k in ("dtype", "device")})
+        torch.randn = lambda *a, **kw: torch.zeros(*a, **{
+            k: v for k, v in kw.items() if k in ("dtype", "device")})
+        try:
+            with torch.no_grad():
+                diff_out, (ref_emb, _), (cond_emb, _) = ref(
+                    x=mel, content_feature=content, pitch=pitch, x_ref=x_ref,
+                    x_mask=mask, x_ref_mask=ref_mask)
+        finally:
+            torch.rand, torch.randn = orig_rand, orig_randn
+
+        ours = Noro(NoroConfig(
+            n_mel=8, content_dim=6, hidden=64, ref_in_dim=8, ref_layers=2,
+            ref_heads=2, ref_filter=128, ref_kernel=5, num_query_emb=4,
+            wavenet_layers=4, wavenet_cattn_every=2, wavenet_heads=2))
+        spk_j, _ = ours.apply(
+            {"params": params}, jnp.asarray(x_ref.numpy()),
+            jnp.asarray(ref_mask.numpy()),
+            method=lambda m, r, rm: m.reference_encoder(r, rm))
+        np.testing.assert_allclose(np.asarray(spk_j), ref_emb.numpy(),
+                                   atol=3e-5)
+        cond_j = ours.apply(
+            {"params": params}, jnp.asarray(content.numpy()),
+            jnp.asarray(pitch.numpy()),
+            method=lambda m, c_, f_: m._condition(c_, f_))
+        np.testing.assert_allclose(np.asarray(cond_j), cond_emb.numpy(),
+                                   atol=3e-5)
+        # diffusion loss terms at fixed t=0.5, z=0
+        tt = jnp.full((b,), 0.5)
+        z = jnp.zeros((b, t, 8))
+        diff_j = ours.apply(
+            {"params": params}, jnp.asarray(mel.numpy()),
+            jnp.asarray(mask.numpy()), cond_j, spk_j, tt, z,
+            method=lambda m, *a: m.diffusion.loss_terms(*a))
+        np.testing.assert_allclose(
+            np.asarray(diff_j["x0_pred"]),
+            diff_out["x0_pred"].numpy(), atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(diff_j["noise_pred"]),
+            diff_out["noise_pred"].numpy(), atol=2e-3)
