@@ -2007,3 +2007,53 @@ def noro_to_flax(sd: Mapping[str, np.ndarray], *, ref_layers: int,
         "diffusion": {"diff_estimator": ns2_wavenet_to_flax(
             wn_sd, wavenet_layers, cattn_every)},
     }
+
+
+def vevo_repcodec_to_flax(sd: Mapping[str, np.ndarray], *,
+                          enc_strides: tuple[int, ...] = (1, 1),
+                          dec_strides: tuple[int, ...] = (1, 1),
+                          block_dilations: tuple[int, ...] = (1, 1),
+                          codebook_num: int = 1) -> dict:
+    """Reference VevoRepCodec (vevo_repcodec.py:526) → our VevoRepCodec."""
+    g = lambda n: np.asarray(sd[n])
+
+    def conv(p, transpose=False):
+        w = g(f"{p}.weight")
+        b = g(f"{p}.bias") if f"{p}.bias" in sd else None
+        return (convtranspose1d_to_flax(w, b) if transpose
+                else conv1d_to_flax(w, b))
+
+    def resunit(flax_prefix, tp):
+        return {
+            f"{flax_prefix}": {
+                "conv1": conv(f"{tp}.conv1.conv"),
+                "conv2": conv(f"{tp}.conv2"),
+            }
+        }
+
+    enc: dict = {
+        "enc_conv": conv("encoder.conv.conv"),
+        "projector": conv("projector.project.conv"),
+    }
+    for i, s in enumerate(enc_strides):
+        for j in range(len(block_dilations)):
+            enc.update(resunit(
+                f"enc_{i}_res_{j}", f"encoder.conv_blocks.{i}.res_units.{j}"))
+        enc[f"enc_{i}_down"] = conv(f"encoder.conv_blocks.{i}.conv.conv")
+    dec: dict = {
+        "dec_conv1": conv("decoder.conv1.conv"),
+        "dec_conv2": conv("decoder.conv2.conv"),
+    }
+    for i, s in enumerate(dec_strides):
+        tp = f"decoder.conv_blocks.{i}.conv"
+        dec[f"dec_{i}_up"] = conv(
+            f"{tp}.conv" if s == 1 else f"{tp}.deconv", transpose=(s != 1))
+        for j in range(len(block_dilations)):
+            dec.update(resunit(
+                f"dec_{i}_res_{j}", f"decoder.conv_blocks.{i}.res_units.{j}"))
+    params: dict = {"enc": enc, "dec": dec}
+    for i in range(codebook_num):
+        # torch stores embed as (dim, n_embed) — transpose to (n, dim)
+        params[f"codebook_{i}"] = np.ascontiguousarray(
+            g(f"quantizer.codebook.layers.{i}.embed").T)
+    return params

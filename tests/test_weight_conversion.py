@@ -2218,3 +2218,43 @@ class TestNoroRoundTrip:
         np.testing.assert_allclose(
             np.asarray(diff_j["noise_pred"]),
             diff_out["noise_pred"].numpy(), atol=2e-3)
+
+
+class TestVevoRepCodecRoundTrip:
+    def test_forward_encode_parity(self):
+        import jax.numpy as jnp
+
+        from models.codec.vevo.vevo_repcodec import VevoRepCodec as RefVRC
+
+        from amphion_tpu.models.codec.vevo_repcodec import (
+            VevoRepCodec,
+            VevoRepCodecConfig,
+        )
+        from amphion_tpu.utils.convert import vevo_repcodec_to_flax
+
+        torch.manual_seed(130)
+        ref = RefVRC(
+            input_channels=12, output_channels=12, encode_channels=16,
+            decode_channels=16, code_dim=8, codebook_num=1,
+            codebook_size=32, enc_ratios=(1, 1), dec_ratios=(1, 1),
+            enc_strides=(1, 2), dec_strides=(2, 1)).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = vevo_repcodec_to_flax(sd, enc_strides=(1, 2),
+                                       dec_strides=(2, 1))
+        torch.manual_seed(131)
+        x = torch.randn(2, 12, 10)  # (B, C, T)
+        with torch.no_grad():
+            y_t, zq_t, _, _, _ = ref(x)
+            z_enc = ref.projector(ref.encoder(x))
+            _, idx_t = ref.quantizer.inference(z_enc)
+
+        ours = VevoRepCodec(VevoRepCodecConfig(
+            input_channels=12, output_channels=12, encode_channels=16,
+            decode_channels=16, code_dim=8, codebook_num=1,
+            codebook_size=32, enc_ratios=(1.0, 1.0), dec_ratios=(1.0, 1.0),
+            enc_strides=(1, 2), dec_strides=(2, 1)))
+        recon, idxs, _ = ours.apply(
+            {"params": params}, jnp.asarray(x.transpose(1, 2).numpy()))
+        np.testing.assert_array_equal(np.asarray(idxs)[0], idx_t[0].numpy())
+        np.testing.assert_allclose(
+            np.asarray(recon), y_t.transpose(1, 2).numpy(), atol=3e-4)
