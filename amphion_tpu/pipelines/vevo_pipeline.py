@@ -62,9 +62,12 @@ class VevoPipeline:
         return jnp.asarray(feats)[None]
 
     def content_tokens(self, audio: np.ndarray, reduce: bool = True) -> np.ndarray:
+        # method-by-name keeps any tokenizer with an `encode` method usable
+        # (RepCodec here, or the checkpoint-compatible VevoRepCodec —
+        # `models/codec/vevo_repcodec.py` — for converted reference weights)
         toks = self.content_tokenizer.apply(
             {"params": self.params["content_tokenizer"]}, self._ssl(audio),
-            method=RepCodec.encode,
+            method="encode",
         )
         toks = np.asarray(toks)[0]
         return duration_reduce(toks) if reduce else toks
@@ -72,7 +75,7 @@ class VevoPipeline:
     def style_tokens(self, audio: np.ndarray) -> np.ndarray:
         toks = self.style_tokenizer.apply(
             {"params": self.params["style_tokenizer"]}, self._ssl(audio),
-            method=RepCodec.encode,
+            method="encode",
         )
         return np.asarray(toks)[0]
 
