@@ -17,9 +17,14 @@ import jax
 import jax.numpy as jnp
 
 from amphion_tpu.models.tts.fastspeech2.fs2 import VarianceAdaptor, FastSpeech2Config
+from amphion_tpu.models.tts.jets.alignments import (
+    AlignmentModule,
+    average_by_duration,
+    forward_sum_loss,
+    viterbi_decode,
+)
 from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig, HiFiGANGenerator
 from amphion_tpu.modules.transformer import FFTBlock, sinusoidal_positions
-from amphion_tpu.ops.mas import maximum_path
 
 
 @dataclass(frozen=True)
@@ -28,33 +33,6 @@ class JetsConfig:
     decoder: HiFiGANConfig = field(
         default_factory=lambda: HiFiGANConfig(n_mel=256)
     )
-    align_temperature: float = 0.0005
-
-
-class AlignmentModule(nn.Module):
-    """Learned text–mel alignment (ref `alignments.py`): project both
-    streams, Gaussian log-likelihood lattice, MAS hard path."""
-
-    dim: int = 256
-
-    @nn.compact
-    def __call__(self, h_text, text_mask, mel, mel_mask, temperature):
-        q = nn.Dense(self.dim, name="text_proj")(h_text)  # (B, L, D)
-        k = nn.Dense(self.dim, name="mel_proj")(mel)  # (B, T, D)
-        # negative squared distance log-lattice
-        dist = (
-            jnp.sum(q**2, -1)[:, :, None]
-            - 2.0 * jnp.einsum("bld,btd->blt", q, k)
-            + jnp.sum(k**2, -1)[:, None, :]
-        )
-        log_p = -temperature * dist  # (B, L, T)
-        attn_mask = text_mask[:, :, None] * mel_mask[:, None, :]
-        hard = jax.lax.stop_gradient(maximum_path(log_p, attn_mask))
-        # forward-sum style soft loss: maximize log_p along the hard path
-        denom = jnp.maximum(jnp.sum(attn_mask), 1.0)
-        align_loss = -jnp.sum(jax.nn.log_softmax(log_p, axis=1) * hard) / denom
-        durations = jnp.sum(hard, axis=-1)  # (B, L)
-        return durations.astype(jnp.int32), align_loss
 
 
 class Jets(nn.Module):
@@ -62,7 +40,8 @@ class Jets(nn.Module):
 
     def setup(self):
         c = self.cfg.fs2
-        self.aligner = AlignmentModule(c.hidden)
+        self.alignment_module = AlignmentModule(
+            adim=c.hidden, odim=c.n_mel, name="alignment_module")
         self.variance = VarianceAdaptor(c)
         self.decoder = HiFiGANGenerator(self.cfg.decoder)
         self.phone_embed = nn.Embed(c.num_phones, c.hidden)
@@ -87,14 +66,25 @@ class Jets(nn.Module):
 
     def train_forward(self, phones, phone_mask, mel, mel_mask, pitch, energy,
                       deterministic=True):
-        """Returns waveform over all frames + auxiliary losses dict."""
+        """Returns waveform over all frames + auxiliary losses dict.
+
+        Alignment learning per the reference (`jets.py:508-517`): soft
+        log_p_attn → Viterbi hard durations + binarization loss +
+        forward-sum loss; frame-level pitch/energy targets are averaged
+        per token (`average_by_duration`) before the variance adaptor.
+        """
         c = self.cfg.fs2
         h = self.encode_text(phones, phone_mask, deterministic)
-        durations, align_loss = self.aligner(
-            h, phone_mask, mel, mel_mask, self.cfg.align_temperature
-        )
+        log_p_attn = self.alignment_module(h, mel, phone_mask, mel_mask)
+        durations, bin_loss = viterbi_decode(log_p_attn, phone_mask, mel_mask)
+        fsum_loss = forward_sum_loss(log_p_attn, phone_mask, mel_mask)
+        t_mel = mel.shape[1]
+        pitch_tok = average_by_duration(durations, pitch[:, :t_mel],
+                                        phone_mask, mel_mask)
+        energy_tok = average_by_duration(durations, energy[:, :t_mel],
+                                         phone_mask, mel_mask)
         x, fmask, var = self.variance(
-            h, phone_mask, durations, pitch, energy,
+            h, phone_mask, durations, pitch_tok, energy_tok,
             deterministic=deterministic,
         )
         x = x + jnp.asarray(sinusoidal_positions(c.max_frames, c.hidden))[None]
@@ -106,10 +96,14 @@ class Jets(nn.Module):
             ((var["log_duration_pred"] - log_d_tgt) ** 2) * phone_mask
         ) / jnp.maximum(jnp.sum(phone_mask), 1.0)
         return wav, fmask, {
-            "align_loss": align_loss,
+            "align_loss": fsum_loss + bin_loss,
+            "forwardsum_loss": fsum_loss,
+            "bin_loss": bin_loss,
             "dur_loss": dur_loss,
             "pitch_pred": var["pitch_pred"],
             "energy_pred": var["energy_pred"],
+            "pitch_tgt": pitch_tok,
+            "energy_tgt": energy_tok,
             "durations": durations,
         }
 

@@ -772,6 +772,9 @@ class JetsTrainer:
             n_heads=m.get("n_heads", 2) if m else 2,
             ffn_hidden=m.get("ffn_hidden", 4 * hidden) if m else 4 * hidden,
             n_mel=p.n_mel, max_frames=self.max_frames,
+            # JETS variance adaptor is token-level (ref jets.py:512-517:
+            # pitch/energy averaged over Viterbi durations)
+            pitch_level="phoneme", energy_level="phoneme",
         )
         dec = (
             _HG.from_model_cfg(dec_m, n_mel=hidden) if dec_m
@@ -836,8 +839,12 @@ class JetsTrainer:
                 adv = generator_adv_loss(lf_)
                 fm = feature_loss(fr_, ff_)
                 ml = mel_loss(real, wav, mel_cfg)
-                pitch_l = jnp.mean((aux["pitch_pred"] - batch["pitch"]) ** 2)
-                energy_l = jnp.mean((aux["energy_pred"] - batch["energy"]) ** 2)
+                pm = batch["phone_mask"]
+                pden = jnp.maximum(jnp.sum(pm), 1.0)
+                pitch_l = jnp.sum(
+                    (aux["pitch_pred"] - aux["pitch_tgt"]) ** 2 * pm) / pden
+                energy_l = jnp.sum(
+                    (aux["energy_pred"] - aux["energy_tgt"]) ** 2 * pm) / pden
                 total = (adv + fm + ml + 2.0 * aux["align_loss"]
                          + aux["dur_loss"] + pitch_l + energy_l)
                 return total, {"g_adv": adv, "g_fm": fm, "g_mel": ml,

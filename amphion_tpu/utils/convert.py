@@ -2057,3 +2057,13 @@ def vevo_repcodec_to_flax(sd: Mapping[str, np.ndarray], *,
         params[f"codebook_{i}"] = np.ascontiguousarray(
             g(f"quantizer.codebook.layers.{i}.embed").T)
     return params
+
+
+def jets_alignment_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
+    """Reference JETS `AlignmentModule` (models/tts/jets/alignments.py:15)
+    → our `models/tts/jets/alignments.AlignmentModule` params."""
+    g = lambda n: np.asarray(sd[n])
+    return {
+        name: conv1d_to_flax(g(f"{name}.weight"), g(f"{name}.bias"))
+        for name in ("t_conv1", "t_conv2", "f_conv1", "f_conv2", "f_conv3")
+    }

@@ -26,6 +26,7 @@ def test_jets_train_and_infer(rng):
     fs2 = FastSpeech2Config(
         num_phones=16, hidden=16, n_enc_layers=1, n_dec_layers=1, n_heads=2,
         ffn_hidden=32, n_mel=16, max_frames=24,
+        pitch_level="phoneme", energy_level="phoneme",
     )
     dec = HiFiGANConfig(
         resblock="2", upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),

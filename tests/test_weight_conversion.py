@@ -59,6 +59,12 @@ def _ref_on_path():
                  "librosa.util", "ruamel", "ruamel.yaml", "pyworld",
                  "soundfile", "omegaconf", "omegaconf.listconfig"):
         _stub(name)
+    if "numba" not in sys.modules:
+        nb = types.ModuleType("numba")
+        nb.jit = lambda *a, **k: (lambda f: f)  # passthrough decorator
+        nb.__spec__ = importlib.machinery.ModuleSpec("numba", loader=None)
+        sys.modules["numba"] = nb
+        stubs["numba"] = nb
     yield
     sys.path.remove(str(REFERENCE))
     for name in stubs:
@@ -2258,3 +2264,106 @@ class TestVevoRepCodecRoundTrip:
         np.testing.assert_array_equal(np.asarray(idxs)[0], idx_t[0].numpy())
         np.testing.assert_allclose(
             np.asarray(recon), y_t.transpose(1, 2).numpy(), atol=3e-4)
+
+
+class TestJetsAlignmentRoundTrip:
+    """JETS alignment learning vs the reference
+    (models/tts/jets/alignments.py + ForwardSumLoss jets_loss.py:181)."""
+
+    ADIM, ODIM, B, L, T = 12, 9, 2, 6, 11
+
+    def _oracle(self):
+        import torch.nn.functional as F
+
+        from models.tts.jets.alignments import (
+            AlignmentModule as RefAlign,
+            average_by_duration as ref_avg,
+            make_pad_mask,
+            viterbi_decode as ref_viterbi,
+        )
+
+        torch.manual_seed(7)
+        tm = RefAlign(self.ADIM, self.ODIM).eval()
+        text = torch.randn(self.B, self.L, self.ADIM)
+        feats = torch.randn(self.B, self.T, self.ODIM)
+        ilens = torch.tensor([self.L, 4])
+        olens = torch.tensor([self.T, 8])
+        with torch.no_grad():
+            log_p_ref = tm(text, feats, ilens, olens,
+                           make_pad_mask(ilens))
+            ds_ref, bin_ref = ref_viterbi(log_p_ref, ilens, olens)
+        return (tm, text, feats, ilens, olens, log_p_ref, ds_ref, bin_ref,
+                ref_avg, F)
+
+    def _ours(self, tm, text, feats, ilens, olens):
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.jets.alignments import AlignmentModule
+        from amphion_tpu.utils.convert import jets_alignment_to_flax
+
+        model = AlignmentModule(adim=self.ADIM, odim=self.ODIM)
+        params = jax.tree.map(
+            jnp.asarray, jets_alignment_to_flax(tm.state_dict()))
+        tmask = (jnp.arange(self.L)[None] < jnp.asarray(ilens.numpy())[:, None]
+                 ).astype(jnp.float32)
+        fmask = (jnp.arange(self.T)[None] < jnp.asarray(olens.numpy())[:, None]
+                 ).astype(jnp.float32)
+        log_p = model.apply({"params": params}, jnp.asarray(text.numpy()),
+                            jnp.asarray(feats.numpy()), tmask, fmask)
+        return log_p, tmask, fmask
+
+    def test_log_p_attn_and_viterbi(self):
+        (tm, text, feats, ilens, olens, log_p_ref, ds_ref, bin_ref,
+         _, _) = self._oracle()
+        from amphion_tpu.models.tts.jets.alignments import viterbi_decode
+
+        log_p, tmask, fmask = self._ours(tm, text, feats, ilens, olens)
+        ref = log_p_ref.numpy()
+        ours = np.asarray(log_p)
+        for b in range(self.B):
+            tb, nb = int(olens[b]), int(ilens[b])
+            np.testing.assert_allclose(
+                ours[b, :tb, :nb], ref[b, :tb, :nb], atol=2e-4, rtol=1e-4)
+        ds, bin_loss = viterbi_decode(log_p, tmask, fmask)
+        for b in range(self.B):
+            nb = int(ilens[b])
+            np.testing.assert_array_equal(
+                np.asarray(ds)[b, :nb], ds_ref[b, :nb].numpy())
+        np.testing.assert_allclose(
+            float(bin_loss), float(bin_ref), atol=1e-4, rtol=1e-4)
+
+    def test_forward_sum_and_average(self):
+        (tm, text, feats, ilens, olens, log_p_ref, ds_ref, _,
+         ref_avg, F) = self._oracle()
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.jets.alignments import (
+            average_by_duration,
+            forward_sum_loss,
+        )
+
+        log_p, tmask, fmask = self._ours(tm, text, feats, ilens, olens)
+        # torch-side replica of jets_loss.py:181 ForwardSumLoss.forward
+        pd = F.pad(log_p_ref, (1, 0, 0, 0, 0, 0), value=float(np.log(np.e**-1)))
+        loss_t = 0.0
+        for b in range(self.B):
+            tgt = torch.arange(1, int(ilens[b]) + 1).unsqueeze(0)
+            cur = pd[b, : olens[b], : ilens[b] + 1].unsqueeze(1)
+            cur = F.log_softmax(cur, dim=-1)
+            loss_t = loss_t + F.ctc_loss(
+                cur, tgt, olens[b: b + 1], ilens[b: b + 1],
+                zero_infinity=True)
+        loss_t = float(loss_t) / self.B
+        loss_j = float(forward_sum_loss(log_p, tmask, fmask))
+        np.testing.assert_allclose(loss_j, loss_t, atol=2e-4, rtol=1e-4)
+
+        xs = torch.randn(self.B, self.T)
+        avg_ref = ref_avg(ds_ref, xs, ilens, olens).numpy()
+        avg_ours = np.asarray(average_by_duration(
+            jnp.asarray(ds_ref.numpy()).astype(jnp.int32),
+            jnp.asarray(xs.numpy()), tmask, fmask))
+        for b in range(self.B):
+            nb = int(ilens[b])
+            np.testing.assert_allclose(
+                avg_ours[b, :nb], avg_ref[b, :nb], atol=1e-5, rtol=1e-5)
