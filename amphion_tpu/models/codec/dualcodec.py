@@ -1,12 +1,24 @@
-"""DualCodec: dual-stream low-frame-rate codec with semantic distillation.
+"""DualCodec: dual-stream low-frame-rate codec with semantic distillation,
+checkpoint-compatible with the reference
+(`models/codec/dualcodec/dualcodec/model_codec/dualcodec_model.py:30`):
 
-Reference: `models/codec/dualcodec/` (vendored pip package, 16k LoC with its
-own Hydra config/trainer) — operating points 12.5 Hz (<=8 RVQ, 16384/4096)
-and 25 Hz (<=12 RVQ) at 24 kHz, first stream distilled toward w2v-bert
-semantic features (`dualcodec/model_codec/`). The TPU re-design keeps the
-capability: a SEANet encoder at very low frame rate whose FIRST RVQ layer is
-trained to be predictable from SSL semantic features (distillation loss),
-the remaining layers capturing acoustics.
+- a DAC acoustic codec (`dac_model.py:172` — Snake/weight-norm conv
+  encoder, factorized L2-lookup RVQ `dac_quantize.py:23`, mirror decoder)
+  shared with our AmphionCodec blocks (the reference amphion_codec is the
+  same DAC lineage, so `CodecEncoder`/`CodecDecoder` are reused);
+- a semantic stream: w2v-bert features → WN 1x1 conv + ConvNeXt blocks
+  (`cnn.py:12`, no layer-scale, exact GELU) → single FVQ-16384 →
+  ConvNeXt decoder + WN 1x1 conv back to the feature dim;
+- the decoded semantic latent is SUBTRACTED from the DAC latent before
+  the acoustic RVQ and added back before decoding
+  (`dac_model.py:300-313`), so acoustic codes carry only the residual;
+- training distills the decoded semantic toward the w2v-bert features
+  (`trainer.py:223` MSE) — returned here as `losses["distill"]`.
+
+The reference relies on `semantic_dim == latent_dim` (1024 both). When a
+config breaks that tie (e.g. the mel-proxy trainer), an extra Dense
+bridge maps the decoded semantic into the latent space — an extension,
+never populated when converting reference checkpoints.
 """
 
 from __future__ import annotations
@@ -17,7 +29,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from amphion_tpu.models.codec.amphion_codec import CodecConfig, CodecDecoder, CodecEncoder
+from amphion_tpu.models.codec.amphion_codec import (
+    CodecConfig,
+    CodecDecoder,
+    CodecEncoder,
+)
 from amphion_tpu.modules.quantize import FactorizedVectorQuantize, ResidualVQ
 
 
@@ -25,13 +41,35 @@ from amphion_tpu.modules.quantize import FactorizedVectorQuantize, ResidualVQ
 class DualCodecConfig:
     codec: CodecConfig = field(
         default_factory=lambda: CodecConfig(
-            sample_rate=24000, strides=(4, 5, 6, 8),  # hop 960 → 25 Hz
-            num_quantizers=12, codebook_size=16384, codebook_dim=16,
+            sample_rate=24000, encoder_dim=64, strides=(2, 4, 8, 8),
+            latent_dim=1024, decoder_dim=96,  # DAC decoder_dim 1536 / 2^4
+            num_quantizers=9, codebook_size=1024, codebook_dim=8,
         )
     )
-    semantic_dim: int = 1024  # w2v-bert feature dim
+    semantic_dim: int = 1024  # w2v-bert feature dim (== latent_dim in ref)
     semantic_codebook_size: int = 16384
+    semantic_codebook_dim: int = 8
+    convnext_dim: int = 768
+    convnext_layers: int = 4
     distill_weight: float = 1.0
+
+
+class DualConvNeXtBlock(nn.Module):
+    """ref `cnn.py:12` ConvNeXtBlock: depthwise k7 conv, LN(1e-6),
+    pointwise MLP with exact GELU, residual; no layer scale."""
+
+    dim: int
+    intermediate_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.dim, (7,), padding="SAME",
+                    feature_group_count=self.dim, name="dwconv")(x)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
+        y = nn.Dense(self.intermediate_dim, name="pwconv1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="pwconv2")(y)
+        return x + y
 
 
 class DualCodec(nn.Module):
@@ -39,51 +77,105 @@ class DualCodec(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.encoder = CodecEncoder(c.codec)
-        self.decoder = CodecDecoder(c.codec)
-        d = c.codec.latent_dim
-        # stream 1: semantic quantizer (single FVQ codebook)
-        self.q_semantic = FactorizedVectorQuantize(
-            c.semantic_codebook_size, c.codec.codebook_dim, d, name="q_semantic"
-        )
-        # stream 2: residual acoustic quantizers
-        self.q_acoustic = ResidualVQ(
-            num_quantizers=c.codec.num_quantizers - 1,
+        self.encoder = CodecEncoder(c.codec, name="encoder")
+        self.decoder = CodecDecoder(c.codec, name="decoder")
+        self.quantizer = ResidualVQ(
+            num_quantizers=c.codec.num_quantizers,
             codebook_size=c.codec.codebook_size,
             codebook_dim=c.codec.codebook_dim,
-            input_dim=d, name="q_acoustic",
+            input_dim=c.codec.latent_dim, name="quantizer",
         )
-        self.sem_predict = nn.Dense(c.semantic_dim)
+        self.semantic_in = nn.Dense(c.convnext_dim, name="semantic_in")
+        self.sem_enc_blocks = [
+            DualConvNeXtBlock(c.convnext_dim, name=f"sem_enc_{i}")
+            for i in range(c.convnext_layers)
+        ]
+        self.semantic_vq = FactorizedVectorQuantize(
+            c.semantic_codebook_size, c.semantic_codebook_dim,
+            c.convnext_dim, name="semantic_vq",
+        )
+        self.sem_dec_blocks = [
+            DualConvNeXtBlock(c.convnext_dim, name=f"sem_dec_{i}")
+            for i in range(c.convnext_layers)
+        ]
+        self.semantic_out = nn.Dense(c.semantic_dim, name="semantic_out")
+        self.semantic_bridge = (
+            nn.Dense(c.codec.latent_dim, name="semantic_bridge")
+            if c.semantic_dim != c.codec.latent_dim else None
+        )
 
-    def __call__(self, audio, semantic_feats=None, rng=None, train=False):
-        """audio (B, T); semantic_feats (B, N, semantic_dim) frame-aligned.
+    # -- semantic stream (ref dualcodec_model.py:107-118, 153-159) ----------
 
-        Returns (recon, (sem_tokens, acoustic_tokens), losses)."""
+    def _semantic_encode(self, semantic_repr):
+        h = self.semantic_in(semantic_repr)
+        for blk in self.sem_enc_blocks:
+            h = blk(h)
+        return h
+
+    def _semantic_decode(self, zq):
+        for blk in self.sem_dec_blocks:
+            zq = blk(zq)
+        return self.semantic_out(zq)
+
+    def _to_latent(self, sem_decoded):
+        return (self.semantic_bridge(sem_decoded)
+                if self.semantic_bridge is not None else sem_decoded)
+
+    def semantic_quantize(self, semantic_repr):
+        """w2v-bert features (B, N, D) → semantic codes (B, N)."""
+        _, codes, _ = self.semantic_vq(self._semantic_encode(semantic_repr))
+        return codes
+
+    # -- full model ----------------------------------------------------------
+
+    def __call__(self, audio, semantic_feats, rng=None, train=False):
+        """audio (B, T), semantic_feats (B, N, semantic_dim) frame-aligned
+        with the codec rate. Returns (recon (B, T), (sem_codes (B, N'),
+        ac_codes (Q, B, N')), losses) — ref `forward:162` with the eval
+        bypass_quantize=False path."""
         c = self.cfg
-        h = self.encoder(audio)
-        z_sem, sem_tokens, l_sem = self.q_semantic(h)
-        z_ac, ac_tokens, l_ac = self.q_acoustic(
-            h - jax.lax.stop_gradient(z_sem), train=train, rng=rng
-        )
-        recon = self.decoder(z_sem + z_ac)
+        zq_sem, sem_codes, l_sem = self.semantic_vq(
+            self._semantic_encode(semantic_feats))
+        sem_decoded = self._semantic_decode(zq_sem)
+        sem_lat = self._to_latent(sem_decoded)
+
+        z = self.encoder(audio)
+        n = min(z.shape[1], sem_lat.shape[1])
+        z = z[:, :n] - sem_lat[:, :n]
+        zq_ac, ac_codes, l_ac = self.quantizer(z, train=train, rng=rng)
+        recon = self.decoder(zq_ac + sem_lat[:, :n])
+        t = audio.shape[-1]
+        if recon.shape[-1] >= t:
+            recon = recon[..., :t]
+        else:
+            recon = jnp.pad(recon, ((0, 0), (0, t - recon.shape[-1])))
+
         losses = {f"sem_{k}": v for k, v in l_sem.items()}
         losses.update({f"ac_{k}": v for k, v in l_ac.items()})
+        losses["distill"] = c.distill_weight * jnp.mean(
+            (sem_decoded[:, :n] - semantic_feats[:, :n]) ** 2)
+        return recon, (sem_codes[:, :n], ac_codes[..., :n]), losses
+
+    def encode(self, audio, semantic_feats=None):
+        """→ (sem_codes (B, N) | None, ac_codes (Q, B, N)) — ref
+        `encode:121`. Without semantic features the acoustic RVQ encodes
+        the raw latent (extension for generic tokenizer use)."""
+        z = self.encoder(audio)
+        sem_codes = None
         if semantic_feats is not None:
-            pred = self.sem_predict(z_sem)
-            n = min(pred.shape[1], semantic_feats.shape[1])
-            losses["distill"] = c.distill_weight * jnp.mean(
-                (pred[:, :n] - semantic_feats[:, :n]) ** 2
-            )
-        return recon, (sem_tokens, ac_tokens), losses
+            zq_sem, sem_codes, _ = self.semantic_vq(
+                self._semantic_encode(semantic_feats))
+            sem_lat = self._to_latent(self._semantic_decode(zq_sem))
+            n = min(z.shape[1], sem_lat.shape[1])
+            z = z[:, :n] - sem_lat[:, :n]
+            sem_codes = sem_codes[:, :n]
+        _, ac_codes, _ = self.quantizer(z)
+        return sem_codes, ac_codes
 
-    def encode(self, audio):
-        h = self.encoder(audio)
-        z_sem, sem_tokens, _ = self.q_semantic(h)
-        _, ac_tokens, _ = self.q_acoustic(h - z_sem)
-        return sem_tokens, ac_tokens
-
-    def decode_tokens(self, sem_tokens, ac_tokens=None):
-        z = self.q_semantic.decode(sem_tokens)
-        if ac_tokens is not None:
-            z = z + self.q_acoustic.decode(ac_tokens)
+    def decode_tokens(self, sem_codes, ac_codes=None):
+        """codes → waveform — ref `decode_from_codes:153`."""
+        zq_sem = self.semantic_vq.decode(sem_codes)
+        z = self._to_latent(self._semantic_decode(zq_sem))
+        if ac_codes is not None:
+            z = z + self.quantizer.decode(ac_codes)
         return self.decoder(z)

@@ -165,7 +165,8 @@ def f0_to_coarse(f0: jax.Array, pitch_bin: int, f0_min: float, f0_max: float) ->
     scaled = (f0_mel - f0_mel_min) * (pitch_bin - 2) / (f0_mel_max - f0_mel_min) + 1.0
     f0_mel = jnp.where(f0_mel > 0, scaled, f0_mel)
     f0_mel = jnp.clip(f0_mel, 1.0, pitch_bin - 1)
-    return jnp.rint(f0_mel).astype(jnp.int32)
+    # torch path rounds with floor(x + 0.5) (`(f0_mel + 0.5).long()`)
+    return jnp.floor(f0_mel + 0.5).astype(jnp.int32)
 
 
 def get_log_f0(f0: jax.Array) -> jax.Array:

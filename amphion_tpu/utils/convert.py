@@ -520,11 +520,15 @@ def torch_vocos_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     return params
 
 
-def torch_fvq_to_flax(sd: Mapping[str, np.ndarray], prefix: str = "") -> dict:
+def torch_fvq_to_flax(sd: Mapping[str, np.ndarray], prefix: str = "",
+                      in_name: str = "in_project",
+                      out_name: str = "out_project") -> dict:
     """Reference FactorizedVectorQuantize → our FVQ params.
 
     Torch (ref quantize/factorized_vector_quantize.py:41-50): in_project /
-    out_project are weight-normed 1x1 Conv1d, codebook is an Embedding."""
+    out_project are weight-normed 1x1 Conv1d, codebook is an Embedding.
+    DAC's VectorQuantize (dualcodec/model_codec/dac_quantize.py:23) is the
+    same module with `in_proj`/`out_proj` names."""
     g = lambda name: np.asarray(sd[f"{prefix}{name}" if prefix else name])
 
     def wn_1x1(p: str) -> dict:
@@ -539,8 +543,8 @@ def torch_fvq_to_flax(sd: Mapping[str, np.ndarray], prefix: str = "") -> dict:
         return out
 
     return {
-        "in_proj": wn_1x1("in_project"),
-        "out_proj": wn_1x1("out_project"),
+        "in_proj": wn_1x1(in_name),
+        "out_proj": wn_1x1(out_name),
         "codebook": g("codebook.weight"),
     }
 
@@ -2067,3 +2071,89 @@ def jets_alignment_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
         name: conv1d_to_flax(g(f"{name}.weight"), g(f"{name}.bias"))
         for name in ("t_conv1", "t_conv2", "f_conv1", "f_conv2", "f_conv3")
     }
+
+
+def condition_encoder_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
+    """Reference SVC `ConditionEncoder`
+    (modules/encoder/condition_encoder.py:147) → our
+    `modules/condition_encoder.ConditionEncoder` params. Streams absent
+    from the state dict are simply skipped."""
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {}
+    if "melody_encoder.nn.weight" in sd:
+        params["melody"] = {"f0_embed": {"embedding": g("melody_encoder.nn.weight")}}
+        if "melody_encoder.uv_embedding.weight" in sd:
+            params["melody"]["uv_embed"] = {
+                "embedding": g("melody_encoder.uv_embedding.weight")}
+    if "loudness_encoder.nn.weight" in sd:
+        params["energy_bins"] = g("loudness_encoder.energy_bins")
+        params["loudness_embed"] = {"embedding": g("loudness_encoder.nn.weight")}
+    for name in ("whisper", "contentvec", "mert", "wenet"):
+        key = f"{name}_encoder.nn.weight"
+        if key in sd:
+            params[f"{name}_proj"] = {
+                "kernel": g(key).T, "bias": g(f"{name}_encoder.nn.bias")}
+    if "singer_encoder.nn.weight" in sd:
+        params["singer_embed"] = {"embedding": g("singer_encoder.nn.weight")}
+    return params
+
+
+def _sub_state_dict(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _wn_1x1_to_dense(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """weight-normed 1x1 Conv1d → plain Dense params (materialized)."""
+    out = torch_weight_norm_to_flax(
+        np.asarray(sd[f"{prefix}.weight_g"]),
+        np.asarray(sd[f"{prefix}.weight_v"]), "conv1d",
+        np.asarray(sd[f"{prefix}.bias"]) if f"{prefix}.bias" in sd else None)
+    layer = out["layer"]
+    d = {"kernel": layer["kernel"][0]}  # (1, in, out) → (in, out)
+    if "bias" in layer:
+        d["bias"] = layer["bias"]
+    return d
+
+
+def _dual_convnext_block(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """DualCodec ConvNeXtBlock (dualcodec/model_codec/cnn.py:12) → our
+    DualConvNeXtBlock params."""
+    g = lambda n: np.asarray(sd[f"{prefix}.{n}"])
+    return {
+        "dwconv": conv1d_to_flax(g("dwconv.weight"), g("dwconv.bias")),
+        "norm": {"scale": g("norm.weight"), "bias": g("norm.bias")},
+        "pwconv1": linear_to_dense(g("pwconv1.weight"), g("pwconv1.bias")),
+        "pwconv2": linear_to_dense(g("pwconv2.weight"), g("pwconv2.bias")),
+    }
+
+
+def dualcodec_to_flax(sd: Mapping[str, np.ndarray], *,
+                      strides: tuple[int, ...], n_codebooks: int,
+                      convnext_layers: int) -> dict:
+    """Reference DualCodec (dualcodec/model_codec/dualcodec_model.py:30)
+    state dict → our `models/codec/dualcodec.DualCodec` params."""
+    params: dict = {
+        "encoder": torch_codec_encoder_to_flax(
+            _sub_state_dict(sd, "dac.encoder."), strides=strides),
+        "decoder": torch_codec_decoder_to_flax(
+            _sub_state_dict(sd, "dac.decoder."), up_ratios=tuple(
+                reversed(strides)), prefix="model"),
+        "quantizer": {
+            f"q{i}": torch_fvq_to_flax(
+                sd, prefix=f"dac.quantizer.quantizers.{i}.",
+                in_name="in_proj", out_name="out_proj")
+            for i in range(n_codebooks)
+        },
+        "semantic_vq": torch_fvq_to_flax(
+            sd, prefix="semantic_vq.quantizers.0.",
+            in_name="in_proj", out_name="out_proj"),
+        "semantic_in": _wn_1x1_to_dense(sd, "convnext_encoder.0"),
+        "semantic_out": _wn_1x1_to_dense(
+            sd, f"convnext_decoder.{convnext_layers}"),
+    }
+    for i in range(convnext_layers):
+        params[f"sem_enc_{i}"] = _dual_convnext_block(
+            sd, f"convnext_encoder.{i + 1}")
+        params[f"sem_dec_{i}"] = _dual_convnext_block(
+            sd, f"convnext_decoder.{i}")
+    return params

@@ -60,6 +60,7 @@ def test_coco_modes(rng):
 def test_dualcodec_distillation(rng):
     cfg = DualCodecConfig(
         codec=TINY_CODEC, semantic_dim=12, semantic_codebook_size=32,
+        semantic_codebook_dim=4, convnext_dim=8, convnext_layers=1,
     )
     model = DualCodec(cfg)
     audio = jnp.asarray((rng.standard_normal((2, 16 * TINY_CODEC.hop)) * 0.2).astype(np.float32))
@@ -68,7 +69,7 @@ def test_dualcodec_distillation(rng):
     recon, (sem_tok, ac_tok), losses = model.apply(variables, audio, sem)
     assert recon.shape == audio.shape
     assert sem_tok.shape == (2, 16)
-    assert ac_tok.shape == (1, 2, 16)  # num_quantizers-1 = 1
+    assert ac_tok.shape == (2, 2, 16)  # all acoustic quantizers
     assert "distill" in losses
     # decode from tokens only (both streams and semantic-only)
     full = model.apply(variables, sem_tok, ac_tok, method=DualCodec.decode_tokens)

@@ -55,6 +55,7 @@ def _ref_on_path():
                  "lhotse.dataset.input_strategies", "lhotse.utils",
                  "torchaudio", "torchaudio.functional",
                  "torchaudio.functional.functional",
+                 "torchaudio.models", "parselmouth", "torchcrepe",
                  "torchaudio.transforms", "librosa", "librosa.filters",
                  "librosa.util", "ruamel", "ruamel.yaml", "pyworld",
                  "soundfile", "omegaconf", "omegaconf.listconfig"):
@@ -2367,3 +2368,211 @@ class TestJetsAlignmentRoundTrip:
             nb = int(ilens[b])
             np.testing.assert_allclose(
                 avg_ours[b, :nb], avg_ref[b, :nb], atol=1e-5, rtol=1e-5)
+
+
+class TestConditionEncoderRoundTrip:
+    """SVC ConditionEncoder vs the reference
+    (modules/encoder/condition_encoder.py:147)."""
+
+    D = 16  # shared stream output dim
+
+    def _cfg(self, merge_mode):
+        class _Cfg(SimpleNamespace):
+            def __contains__(self, k):
+                return hasattr(self, k)
+
+        return _Cfg(
+            merge_mode=merge_mode,
+            use_whisper=True, whisper_dim=12, content_encoder_dim=self.D,
+            use_contentvec=True, contentvec_dim=10,
+            use_mert=False, use_wenet=False,
+            use_f0=True, use_uv=True,
+            input_melody_dim=1, output_melody_dim=self.D, n_bins_melody=256,
+            f0_min=50, f0_max=1100,
+            use_energy=True, input_loudness_dim=1, output_loudness_dim=self.D,
+            n_bins_loudness=256,
+            use_spkid=True, singer_table_size=8, output_singer_dim=self.D,
+            use_conformer_for_content_features=False,
+        )
+
+    @pytest.mark.parametrize("merge_mode", ["add", "concat"])
+    def test_round_trip(self, merge_mode):
+        import jax
+        import jax.numpy as jnp
+
+        from modules.encoder.condition_encoder import (
+            ConditionEncoder as RefCond,
+        )
+
+        from amphion_tpu.modules.condition_encoder import (
+            ConditionEncoder,
+            ConditionEncoderConfig,
+        )
+        from amphion_tpu.utils.convert import condition_encoder_to_flax
+
+        torch.manual_seed(3)
+        rng = np.random.default_rng(3)
+        tm = RefCond(self._cfg(merge_mode)).eval()
+
+        B, T = 2, 13
+        f0 = rng.uniform(0, 600, (B, T)).astype(np.float32)
+        f0[:, :3] = 0.0  # unvoiced head
+        uv = (f0 > 0).astype(np.int64)
+        loud = rng.uniform(0, 1.5, (B, T)).astype(np.float32)
+        whisper = rng.standard_normal((B, T, 12)).astype(np.float32)
+        cvec = rng.standard_normal((B, T, 10)).astype(np.float32)
+        spk = np.array([[1], [5]], np.int64)
+
+        with torch.no_grad():
+            ref = tm({
+                "frame_pitch": torch.from_numpy(f0),
+                "frame_uv": torch.from_numpy(uv),
+                "frame_energy": torch.from_numpy(loud),
+                "whisper_feat": torch.from_numpy(whisper),
+                "contentvec_feat": torch.from_numpy(cvec),
+                "spk_id": torch.from_numpy(spk),
+                "target_len": torch.tensor([T, T]),
+            }).numpy()
+
+        cfg = ConditionEncoderConfig(
+            output_dim=self.D, merge_mode=merge_mode,
+            use_whisper=True, whisper_dim=12,
+            use_contentvec=True, contentvec_dim=10,
+            use_f0=True, pitch_bin=256, f0_min=50.0, f0_max=1100.0,
+            use_uv=True, use_loudness=True, loudness_bins=256,
+            use_singer=True, num_singers=8)
+        model = ConditionEncoder(cfg)
+        params = jax.tree.map(
+            jnp.asarray, condition_encoder_to_flax(tm.state_dict()))
+        ours = np.asarray(model.apply({"params": params}, {
+            "f0": jnp.asarray(f0), "uv": jnp.asarray(uv),
+            "loudness": jnp.asarray(loud),
+            "whisper": jnp.asarray(whisper),
+            "contentvec": jnp.asarray(cvec),
+            "singer": jnp.asarray(spk[:, 0]),
+        }))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+class TestDualCodecRoundTrip:
+    """DualCodec (DAC + semantic ConvNeXt/FVQ streams) vs the reference
+    (models/codec/dualcodec/dualcodec/model_codec/dualcodec_model.py:30)."""
+
+    STRIDES = (2, 4)
+    N_CB = 3  # acoustic codebooks
+    CN_LAYERS = 2
+    ENC_DIM = 4  # latent = 4 * 2^2 = 16
+    SEM_DIM = 16  # == latent_dim (reference tie)
+    CN_DIM = 12
+
+    def _load_ref_pkg(self):
+        import importlib.util
+        import types as _types
+
+        if "dc_model_codec" in sys.modules:
+            return sys.modules["dc_model_codec.dualcodec_model"]
+        # audiotools / easydict stubs (only what the model files touch)
+        at = _types.ModuleType("audiotools")
+        at.__path__ = []
+        at.AudioSignal = object
+        atml = _types.ModuleType("audiotools.ml")
+        atml.BaseModel = torch.nn.Module
+        ed = _types.ModuleType("easydict")
+
+        class _EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+        ed.EasyDict = _EasyDict
+        sys.modules.setdefault("audiotools", at)
+        sys.modules.setdefault("audiotools.ml", atml)
+        sys.modules.setdefault("easydict", ed)
+
+        base = str(REFERENCE / "models/codec/dualcodec/dualcodec/model_codec")
+        pkg = _types.ModuleType("dc_model_codec")
+        pkg.__path__ = [base]
+        sys.modules["dc_model_codec"] = pkg
+        for mod in ("cnn", "dac_layers", "dac_quantize", "dac_model",
+                    "dualcodec_model"):
+            spec = importlib.util.spec_from_file_location(
+                f"dc_model_codec.{mod}", f"{base}/{mod}.py")
+            m = importlib.util.module_from_spec(spec)
+            sys.modules[f"dc_model_codec.{mod}"] = m
+            spec.loader.exec_module(m)
+        return sys.modules["dc_model_codec.dualcodec_model"]
+
+    def _models(self):
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.codec.amphion_codec import CodecConfig
+        from amphion_tpu.models.codec.dualcodec import DualCodec, DualCodecConfig
+        from amphion_tpu.utils.convert import dualcodec_to_flax
+
+        ref_mod = self._load_ref_pkg()
+        torch.manual_seed(11)
+        tm = ref_mod.DualCodec(
+            encoder_dim=self.ENC_DIM, encoder_rates=list(self.STRIDES),
+            decoder_dim=self.ENC_DIM * 2 ** len(self.STRIDES),
+            decoder_rates=list(reversed(self.STRIDES)),
+            n_codebooks=self.N_CB, codebook_size=32,
+            semantic_codebook_size=64, codebook_dim=4,
+            semantic_codebook_dim=4, sample_rate=24000,
+            convnext_dim=self.CN_DIM, convnext_layers=self.CN_LAYERS,
+        ).eval()
+        # reference hardcodes the semantic feature dim to 1024 in the
+        # convnext pre/post 1x1 convs — shrink them to SEM_DIM for the test
+        dac_layers = sys.modules["dc_model_codec.dac_layers"]
+        tm.convnext_encoder[0] = dac_layers.WNConv1d(
+            self.SEM_DIM, self.CN_DIM, kernel_size=1)
+        tm.convnext_decoder[self.CN_LAYERS] = dac_layers.WNConv1d(
+            self.CN_DIM, self.SEM_DIM, kernel_size=1)
+        tm = tm.eval()
+        cfg = DualCodecConfig(
+            codec=CodecConfig(
+                sample_rate=24000, encoder_dim=self.ENC_DIM,
+                latent_dim=self.ENC_DIM * 2 ** len(self.STRIDES),
+                decoder_dim=self.ENC_DIM, strides=self.STRIDES,
+                num_quantizers=self.N_CB, codebook_size=32, codebook_dim=4),
+            semantic_dim=self.SEM_DIM, semantic_codebook_size=64,
+            semantic_codebook_dim=4, convnext_dim=self.CN_DIM,
+            convnext_layers=self.CN_LAYERS)
+        model = DualCodec(cfg)
+        params = jax.tree.map(jnp.asarray, dualcodec_to_flax(
+            tm.state_dict(), strides=self.STRIDES, n_codebooks=self.N_CB,
+            convnext_layers=self.CN_LAYERS))
+        return tm, model, params
+
+    def test_round_trip(self):
+        import jax.numpy as jnp
+
+        tm, model, params = self._models()
+        rng = np.random.default_rng(11)
+        B, N = 2, 12
+        hop = int(np.prod(self.STRIDES))
+        audio = (rng.standard_normal((B, N * hop)) * 0.2).astype(np.float32)
+        sem = rng.standard_normal((B, N, self.SEM_DIM)).astype(np.float32)
+
+        with torch.no_grad():
+            sem_codes_t, ac_codes_t = tm.encode(
+                torch.from_numpy(audio)[:, None, :], sample_rate=24000,
+                semantic_repr=torch.from_numpy(sem).transpose(1, 2))
+            wav_t = tm.decode_from_codes(sem_codes_t, ac_codes_t).numpy()
+
+        sem_codes, ac_codes = model.apply(
+            {"params": params}, jnp.asarray(audio), jnp.asarray(sem),
+            method=type(model).encode)
+        np.testing.assert_array_equal(
+            np.asarray(sem_codes), sem_codes_t.numpy()[:, 0, :])
+        # torch codes are (B, Q, N); ours (Q, B, N)
+        np.testing.assert_array_equal(
+            np.asarray(ac_codes).transpose(1, 0, 2), ac_codes_t.numpy())
+        wav = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(np.asarray(sem_codes)),
+            jnp.asarray(np.asarray(ac_codes)),
+            method=type(model).decode_tokens))
+        np.testing.assert_allclose(wav, wav_t[:, 0, :], atol=3e-4, rtol=1e-3)
