@@ -37,9 +37,9 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = nn.Conv(self.dim, (7,), padding="SAME", feature_group_count=self.dim)(x)
-        y = nn.LayerNorm()(y)
+        y = nn.LayerNorm(epsilon=1e-6)(y)
         y = nn.Dense(self.intermediate_dim)(y)
-        y = jax.nn.gelu(y)
+        y = jax.nn.gelu(y, approximate=False)  # torch nn.GELU() is exact
         y = nn.Dense(self.dim)(y)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale), (self.dim,)
