@@ -1,8 +1,10 @@
-"""TransformerSVC: plain transformer encoder → mel regression SVC.
-
-Reference: `models/svc/transformer/` — condition encoder features through a
-transformer encoder to mel, trained with masked L1/MSE
-(`models/svc/base/svc_trainer.py:202`).
+"""TransformerSVC: plain transformer encoder → mel regression SVC,
+checkpoint-compatible with the reference
+(`models/svc/transformer/transformer.py:12` — interleaved sinusoidal PE,
+stock torch TransformerEncoderLayer stack at d_model = condition dim with
+the torch-default 2048 FFN, output Linear; composed with the
+ConditionEncoder in `transformer_trainer.py:23-30`), trained with masked
+L1/MSE (`models/svc/base/svc_trainer.py:202`).
 """
 
 from __future__ import annotations
@@ -17,16 +19,19 @@ from amphion_tpu.modules.condition_encoder import (
     ConditionEncoder,
     ConditionEncoderConfig,
 )
-from amphion_tpu.modules.transformer import TransformerEncoder
+from amphion_tpu.modules.transformer import (
+    TorchEncoderLayer,
+    sinusoidal_positions,
+)
 
 
 @dataclass(frozen=True)
 class TransformerSVCConfig:
     n_mel: int = 100
-    hidden: int = 384
+    hidden: int = 384  # must equal condition.output_dim (ref d_model)
     num_layers: int = 6
     num_heads: int = 4
-    ffn_hidden: int = 1536
+    ffn_hidden: int = 2048  # torch TransformerEncoderLayer default
     condition: ConditionEncoderConfig = field(
         default_factory=lambda: ConditionEncoderConfig(output_dim=384)
     )
@@ -39,10 +44,10 @@ class TransformerSVC(nn.Module):
     def __call__(self, features: dict, mask=None):
         c = self.cfg
         x = ConditionEncoder(c.condition, name="condition")(features)
-        x = TransformerEncoder(
-            c.hidden, c.num_heads, c.num_layers, c.ffn_hidden,
-            window_size=None, name="encoder",
-        )(x, mask)
+        x = x + jnp.asarray(sinusoidal_positions(x.shape[1], c.hidden))[None]
+        for i in range(c.num_layers):
+            x = TorchEncoderLayer(c.hidden, c.num_heads, c.ffn_hidden,
+                                  name=f"layer_{i}")(x, mask)
         return nn.Dense(c.n_mel, name="mel_out")(x)
 
 

@@ -204,3 +204,34 @@ class FFTBlock(nn.Module):
         if mask is not None:
             x = x * mask[..., None]
         return x
+
+
+class TorchEncoderLayer(nn.Module):
+    """`torch.nn.TransformerEncoderLayer` equivalent (post-LN, ReLU FFN,
+    packed-QKV attention) — used by models that stack the stock torch
+    encoder (ref `models/svc/transformer/transformer.py:26-28`)."""
+
+    d_model: int
+    heads: int
+    ffn_hidden: int = 2048  # torch dim_feedforward default (ref keeps it)
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        d, h = self.d_model, self.heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = (*x.shape[:2], h, hd)
+        q = q.reshape(shape).transpose(0, 2, 1, 3) / jnp.sqrt(hd).astype(x.dtype)
+        k = k.reshape(shape).transpose(0, 2, 1, 3)
+        v = v.reshape(shape).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if mask is not None:
+            logits = logits + (1.0 - mask[:, None, None, :]) * -1e9
+        a = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v)
+        a = a.transpose(0, 2, 1, 3).reshape(x.shape)
+        a = nn.Dense(d, name="out_proj")(a)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a)
+        y = nn.Dense(self.ffn_hidden, name="linear1")(x)
+        y = nn.Dense(d, name="linear2")(nn.relu(y))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)

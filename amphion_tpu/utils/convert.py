@@ -2157,3 +2157,35 @@ def dualcodec_to_flax(sd: Mapping[str, np.ndarray], *,
         params[f"sem_dec_{i}"] = _dual_convnext_block(
             sd, f"convnext_decoder.{i}")
     return params
+
+
+def torch_encoder_layer_to_flax(sd: Mapping[str, np.ndarray],
+                                prefix: str) -> dict:
+    """`torch.nn.TransformerEncoderLayer` → our
+    `modules/transformer.TorchEncoderLayer` params (packed QKV kept)."""
+    g = lambda n: np.asarray(sd[f"{prefix}.{n}"])
+    return {
+        "in_proj": {"kernel": g("self_attn.in_proj_weight").T,
+                    "bias": g("self_attn.in_proj_bias")},
+        "out_proj": linear_to_dense(g("self_attn.out_proj.weight"),
+                                    g("self_attn.out_proj.bias")),
+        "linear1": linear_to_dense(g("linear1.weight"), g("linear1.bias")),
+        "linear2": linear_to_dense(g("linear2.weight"), g("linear2.bias")),
+        "norm1": {"scale": g("norm1.weight"), "bias": g("norm1.bias")},
+        "norm2": {"scale": g("norm2.weight"), "bias": g("norm2.bias")},
+    }
+
+
+def transformer_svc_to_flax(cond_sd: Mapping[str, np.ndarray],
+                            mapper_sd: Mapping[str, np.ndarray],
+                            num_layers: int) -> dict:
+    """Reference TransformerSVC (condition encoder + acoustic mapper
+    `models/svc/transformer/transformer.py:12`) → our `TransformerSVC`."""
+    params: dict = {"condition": condition_encoder_to_flax(cond_sd)}
+    for i in range(num_layers):
+        params[f"layer_{i}"] = torch_encoder_layer_to_flax(
+            mapper_sd, f"transformer_encoder.layers.{i}")
+    params["mel_out"] = linear_to_dense(
+        np.asarray(mapper_sd["output_mlp.weight"]),
+        np.asarray(mapper_sd["output_mlp.bias"]))
+    return params

@@ -299,7 +299,7 @@ class TransformerSVCTrainer(DiffWaveNetSVCTrainer):
         self.model = TransformerSVC(TransformerSVCConfig(
             n_mel=p.n_mel, hidden=m.get("cond_dim", 384),
             num_layers=m.get("num_layers", 6), num_heads=m.get("n_heads", 4),
-            ffn_hidden=m.get("ffn_hidden", 4 * m.get("cond_dim", 384)),
+            ffn_hidden=m.get("ffn_hidden", 2048),  # torch-default FFN (ref)
             condition=cond,
         ))
         t = cfg.train

@@ -2576,3 +2576,72 @@ class TestDualCodecRoundTrip:
             jnp.asarray(np.asarray(ac_codes)),
             method=type(model).decode_tokens))
         np.testing.assert_allclose(wav, wav_t[:, 0, :], atol=3e-4, rtol=1e-3)
+
+
+class TestTransformerSVCRoundTrip:
+    """TransformerSVC acoustic mapper vs the reference
+    (models/svc/transformer/transformer.py:12 + condition encoder)."""
+
+    D = 16
+
+    def test_round_trip(self):
+        import jax
+        import jax.numpy as jnp
+
+        from models.svc.transformer.transformer import Transformer as RefT
+        from modules.encoder.condition_encoder import (
+            ConditionEncoder as RefCond,
+        )
+
+        from amphion_tpu.models.svc.transformer_svc import (
+            TransformerSVC,
+            TransformerSVCConfig,
+        )
+        from amphion_tpu.modules.condition_encoder import ConditionEncoderConfig
+        from amphion_tpu.utils.convert import transformer_svc_to_flax
+
+        torch.manual_seed(5)
+        rng = np.random.default_rng(5)
+        cond_cfg = TestConditionEncoderRoundTrip()._cfg("add")
+        tc = RefCond(cond_cfg).eval()
+        tm = RefT(SimpleNamespace(
+            dropout=0.0, n_heads=4, n_layers=2, input_dim=self.D,
+            output_dim=10)).eval()
+
+        B, T = 2, 9
+        f0 = rng.uniform(0, 600, (B, T)).astype(np.float32)
+        uv = (f0 > 0).astype(np.int64)
+        loud = rng.uniform(0, 1.5, (B, T)).astype(np.float32)
+        whisper = rng.standard_normal((B, T, 12)).astype(np.float32)
+        cvec = rng.standard_normal((B, T, 10)).astype(np.float32)
+        spk = np.array([[2], [6]], np.int64)
+        with torch.no_grad():
+            cond_t = tc({
+                "frame_pitch": torch.from_numpy(f0),
+                "frame_uv": torch.from_numpy(uv),
+                "frame_energy": torch.from_numpy(loud),
+                "whisper_feat": torch.from_numpy(whisper),
+                "contentvec_feat": torch.from_numpy(cvec),
+                "spk_id": torch.from_numpy(spk),
+                "target_len": torch.tensor([T, T]),
+            })
+            mel_t = tm(cond_t).numpy()
+
+        cfg = TransformerSVCConfig(
+            n_mel=10, hidden=self.D, num_layers=2, num_heads=4,
+            ffn_hidden=2048,
+            condition=ConditionEncoderConfig(
+                output_dim=self.D, use_whisper=True, whisper_dim=12,
+                use_contentvec=True, contentvec_dim=10, use_f0=True,
+                pitch_bin=256, f0_min=50.0, f0_max=1100.0, use_uv=True,
+                use_loudness=True, loudness_bins=256, use_singer=True,
+                num_singers=8))
+        model = TransformerSVC(cfg)
+        params = jax.tree.map(jnp.asarray, transformer_svc_to_flax(
+            tc.state_dict(), tm.state_dict(), num_layers=2))
+        mel = np.asarray(model.apply({"params": params}, {
+            "f0": jnp.asarray(f0), "uv": jnp.asarray(uv),
+            "loudness": jnp.asarray(loud), "whisper": jnp.asarray(whisper),
+            "contentvec": jnp.asarray(cvec), "singer": jnp.asarray(spk[:, 0]),
+        }))
+        np.testing.assert_allclose(mel, mel_t, atol=5e-5, rtol=1e-4)
