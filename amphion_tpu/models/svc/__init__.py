@@ -3,5 +3,5 @@ from amphion_tpu.models.svc.diffusion_svc import (
     DiffusionSVCConfig,
     diffusion_svc_sample,
 )
-from amphion_tpu.models.svc.comosvc import ComoSVC, consistency_distill_step
+from amphion_tpu.models.svc.comosvc import ComoSVC, ComoSVCConfig, comosvc_sample, ct_loss
 from amphion_tpu.models.svc.transformer_svc import TransformerSVC, TransformerSVCConfig

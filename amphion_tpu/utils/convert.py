@@ -2189,3 +2189,47 @@ def transformer_svc_to_flax(cond_sd: Mapping[str, np.ndarray],
         np.asarray(mapper_sd["output_mlp.weight"]),
         np.asarray(mapper_sd["output_mlp.bias"]))
     return params
+
+
+def comosvc_to_flax(cond_sd: Mapping[str, np.ndarray],
+                    model_sd: Mapping[str, np.ndarray], *,
+                    n_layers: int, denoiser_layers: int,
+                    t_mlp_layers: int = 2) -> dict:
+    """Reference ComoSVC (condition encoder + Conformer prior encoder +
+    Consistency decoder, models/svc/comosvc/comosvc.py:315) → our
+    `models/svc/comosvc.ComoSVC` params."""
+    t = lambda n: np.asarray(model_sd[n])
+
+    def ln(p: str) -> dict:
+        return {"scale": t(f"{p}.gamma"), "bias": t(f"{p}.beta")}
+
+    enc: dict = {}
+    for i in range(n_layers):
+        a = f"encoder.conformer_encoder.attn_layers.{i}"
+        enc[f"MultiHeadAttention_{i}"] = {
+            "q": _dense_from_conv1x1(model_sd, f"{a}.conv_q"),
+            "k": _dense_from_conv1x1(model_sd, f"{a}.conv_k"),
+            "v": _dense_from_conv1x1(model_sd, f"{a}.conv_v"),
+            "out": _dense_from_conv1x1(model_sd, f"{a}.conv_o"),
+            "rel_k": t(f"{a}.emb_rel_k")[0],
+            "rel_v": t(f"{a}.emb_rel_v")[0],
+        }
+        f = f"encoder.conformer_encoder.ffn_layers.{i}"
+        enc[f"ConvFFN_{i}"] = {
+            "Conv_0": conv1d_to_flax(t(f"{f}.conv_1.weight"),
+                                     t(f"{f}.conv_1.bias")),
+            "Conv_1": conv1d_to_flax(t(f"{f}.conv_2.weight"),
+                                     t(f"{f}.conv_2.bias")),
+        }
+        enc[f"LayerNorm_{2 * i}"] = ln(
+            f"encoder.conformer_encoder.norm_layers_1.{i}")
+        enc[f"LayerNorm_{2 * i + 1}"] = ln(
+            f"encoder.conformer_encoder.norm_layers_2.{i}")
+    return {
+        "condition_encoder": condition_encoder_to_flax(cond_sd),
+        "encoder": enc,
+        "projection": _dense_from_conv1x1(model_sd, "encoder.projection"),
+        "denoise_fn": svc_diffusion_wrapper_to_flax(
+            _sub_state_dict(model_sd, "decoder.denoise_fn."),
+            denoiser_layers, t_mlp_layers),
+    }

@@ -154,19 +154,16 @@ class DiffWaveNetSVCTrainer:
 
 
 class DiffComoSVCTrainer(DiffWaveNetSVCTrainer):
-    """ComoSVC consistency distillation (ref `models/svc/comosvc/
-    comosvc_trainer.py:18`, teacher loading `:30`): a frozen DiffWaveNetSVC
-    teacher (--teacher_ckpt / cfg.train.teacher_ckpt) distills into a
-    single-step consistency student sharing the same backbone."""
+    """ComoSVC (ref `models/svc/comosvc/comosvc_trainer.py:18`): EDM
+    teacher (cfg.model.comosvc.distill false — ssim + prior + karras
+    diffusion losses) or consistency distillation (distill true — teacher
+    loaded from --teacher_ckpt / cfg.train.teacher_ckpt; student +
+    EMA-target + frozen-pretrained copies, CTLoss_D)."""
 
     def __init__(self, args, cfg):
         import functools
 
-        from amphion_tpu.models.svc.comosvc import (
-            ComoSVC,
-            consistency_distill_step,
-        )
-        from amphion_tpu.models.svc.diffusion_svc import DiffusionSVCConfig
+        from amphion_tpu.models.svc.comosvc import ComoSVC, ComoSVCConfig, ct_loss
         from amphion_tpu.runtime.train_state import TrainState
 
         self.cfg = cfg
@@ -181,71 +178,95 @@ class DiffComoSVCTrainer(DiffWaveNetSVCTrainer):
         self.singer2id = {s: i for i, s in enumerate(singers)}
         self.utts = utts
         m = cfg.model
+        cm = m.get("comosvc", None)
         cond = ConditionEncoderConfig(
             output_dim=m.get("cond_dim", 384), num_singers=max(len(singers), 2),
         )
-        svc_cfg = DiffusionSVCConfig(
-            n_mel=p.n_mel, condition=cond,
+        como_cfg = ComoSVCConfig(
+            n_mel=p.n_mel, condition=cond, hidden=cond.output_dim,
+            n_heads=cm.get("n_heads", 2) if cm else 2,
+            n_layers=cm.get("n_layers", 6) if cm else 6,
+            filter_channels=cm.get("filter_channels", 512) if cm else 512,
             denoiser=WaveNetDenoiserConfig(
                 in_dim=p.n_mel, hidden=m.get("hidden", 256),
-                num_layers=m.get("num_layers", 20), cond_dim=cond.output_dim,
+                num_layers=m.get("num_layers", 20), cond_dim=p.n_mel,
             ),
+            n_timesteps=cm.get("n_timesteps", 18) if cm else 18,
         )
-        teacher = DiffusionSVC(svc_cfg)
-        teacher_ckpt = getattr(args, "teacher_ckpt", "") or cfg.train.get(
-            "teacher_ckpt", "")
+        self.distill = bool(cm.get("distill", False)) if cm else False
+        model = ComoSVC(como_cfg)
+        self.model = model
         t = cfg.train
         self.batch_size = t.batch_size
         self.dataset = SegmentAudioDataset(
             utts, p.sample_rate, t.get("segment_frames", 256) * p.hop_size
         )
         example = self._batch(list(range(min(self.batch_size, len(utts)))))
-        if teacher_ckpt:
-            tree, _, step_ = CheckpointManager(teacher_ckpt).restore_raw()
-            teacher_params = tree["params"] if "params" in tree else tree
-            self.logger.info(f"teacher restored from step {step_}")
-        else:
-            self.logger.warning("no teacher_ckpt: RANDOM teacher (smoke only)")
-            teacher_params = teacher.init(
-                jax.random.key(0), example["mel"], example["features"],
-                example["mask"], jax.random.key(1), method=DiffusionSVC.loss,
-            )["params"]
-        student = ComoSVC(svc_cfg)
-        # initialize the student backbone FROM the teacher (ref `:30`);
-        # deep-copy — the jitted step donates student buffers, and the frozen
-        # teacher must keep its own
-        params = {"backbone": jax.tree_util.tree_map(jnp.copy, teacher_params)}
+        init_params = model.init(
+            jax.random.key(0), example["mel"], example["features"],
+            example["mask"], jax.random.key(1), method=ComoSVC.compute_loss,
+        )["params"]
         tx = optax.adamw(t.adamw.lr)
-        self.state = TrainState(
-            step=jnp.zeros((), jnp.int32), params=params,
-            opt_state=tx.init(params), rng=jax.random.key(2),
-            apply_fn=student.apply, tx=tx,
-        )
-        sched = teacher.schedule
 
-        def teacher_eps_factory(features):
-            def eps_fn(x, t_int):
-                b = x.shape[0]
-                return teacher.apply(
-                    {"params": teacher_params}, x, jnp.full((b,), t_int),
-                    features, method=DiffusionSVC.denoise,
-                )
-            return eps_fn
+        if not self.distill:
+            params = init_params
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                opt_state=tx.init(params), rng=jax.random.key(2),
+                apply_fn=model.apply, tx=tx,
+            )
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state, batch):
-            rng, sub = jax.random.split(state.rng)
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state, batch):
+                rng, sub = jax.random.split(state.rng)
 
-            def loss_fn(prm):
-                return consistency_distill_step(
-                    student, prm, teacher_eps_factory(batch["features"]),
-                    sched, batch["mel"], batch["features"], batch["mask"], sub,
-                )
+                def loss_fn(prm):
+                    losses = model.apply(
+                        {"params": prm}, batch["mel"], batch["features"],
+                        batch["mask"], sub, method=ComoSVC.compute_loss,
+                    )
+                    return losses["ssim"] + losses["prior"] + losses["diff"], losses
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            return state.apply_gradients(grads).replace(rng=rng), {
-                "consistency": loss
-            }
+                (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params)
+                return state.apply_gradients(grads).replace(rng=rng), aux
+        else:
+            teacher_ckpt = getattr(args, "teacher_ckpt", "") or t.get(
+                "teacher_ckpt", "")
+            if teacher_ckpt:
+                tree, _, step_ = CheckpointManager(teacher_ckpt).restore_raw()
+                teacher_params = tree["params"] if "params" in tree else tree
+                self.logger.info(f"teacher restored from step {step_}")
+            else:
+                self.logger.warning("no teacher_ckpt: RANDOM teacher (smoke only)")
+                teacher_params = init_params
+            # student init FROM the teacher; EMA + frozen pretrained copies
+            # (ref Consistency.init_consistency_training:48)
+            params = jax.tree_util.tree_map(jnp.copy, teacher_params)
+            self.params_pretrained = teacher_params
+            self.params_ema = jax.tree_util.tree_map(jnp.copy, teacher_params)
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                opt_state=tx.init(params), rng=jax.random.key(2),
+                apply_fn=model.apply, tx=tx,
+            )
+            pretrained = self.params_pretrained
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(carry, batch):
+                state, ema = carry
+                rng, sub = jax.random.split(state.rng)
+
+                def loss_fn(prm):
+                    return ct_loss(model, prm, ema, pretrained,
+                                   batch["mel"], batch["features"],
+                                   batch["mask"], sub)
+
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                state = state.apply_gradients(grads).replace(rng=rng)
+                # EMA target update, mu = 0.95 (ref CTLoss_D:196)
+                ema = optax.incremental_update(state.params, ema, 0.05)
+                return (state, ema), {"consistency": loss}
 
         ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
         self.ckpt = CheckpointManager(
@@ -256,14 +277,15 @@ class DiffComoSVCTrainer(DiffWaveNetSVCTrainer):
         (ckpt_dir.parent / "singer2id.json").write_text(
             __import__("json").dumps(self.singer2id)
         )
+        loop_state = self.state if not self.distill else (self.state,
+                                                          self.params_ema)
         self.loop = TrainLoop(
             LoopConfig(max_epoch=t.get("max_epoch", -1),
                        max_steps=t.get("max_steps", -1),
                        log_interval=t.get("log_interval", 100),
                        save_checkpoints_steps=t.get("save_checkpoints_steps", 0)),
-            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger,
+            step, loop_state, self._data, ckpt=self.ckpt, logger=self.logger,
         )
-
 
 
 class TransformerSVCTrainer(DiffWaveNetSVCTrainer):

@@ -366,6 +366,28 @@ def test_svc_trainer_integration(corpus):
     assert trainer.loop.step == 2
 
 
+def test_comosvc_trainer_integration(corpus):
+    root, processed = corpus
+    from bins.svc.train import DiffComoSVCTrainer
+
+    como = {"n_heads": 2, "n_layers": 1, "filter_channels": 16,
+            "n_timesteps": 4, "distill": False}
+    cfg = _base_cfg(root, processed, model={
+        "cond_dim": 16, "hidden": 16, "num_layers": 2, "comosvc": dict(como)})
+    cfg.train["segment_frames"] = 32
+    tr = DiffComoSVCTrainer(_args("como_teacher"), cfg)
+    tr.train_loop()
+    assert tr.loop.step == 2
+
+    como["distill"] = True
+    cfg2 = _base_cfg(root, processed, model={
+        "cond_dim": 16, "hidden": 16, "num_layers": 2, "comosvc": como})
+    cfg2.train["segment_frames"] = 32
+    tr2 = DiffComoSVCTrainer(_args("como_distill"), cfg2)
+    tr2.train_loop()
+    assert tr2.loop.step == 2
+
+
 def test_vevo_inference_cli(corpus, monkeypatch):
     """Train AR + FM one step each, then run the zero-shot voice task
     through bins/vc/inference.py (content → AR → FM → Griffin-Lim)."""

@@ -4,7 +4,12 @@ import numpy as np
 import optax
 import pytest
 
-from amphion_tpu.models.svc.comosvc import ComoSVC, comosvc_sample, consistency_distill_step
+from amphion_tpu.models.svc.comosvc import (
+    ComoSVC,
+    ComoSVCConfig,
+    comosvc_sample,
+    ct_loss,
+)
 from amphion_tpu.models.svc.diffusion_svc import (
     DiffusionSVC,
     DiffusionSVCConfig,
@@ -60,27 +65,37 @@ def test_diffusion_svc_loss_and_sample(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_comosvc_distill_and_sample(rng):
-    student = ComoSVC(SVC_TINY)
+def test_comosvc_teacher_distill_and_sample(rng):
+    cfg = ComoSVCConfig(
+        n_mel=8, condition=COND, hidden=COND.output_dim, n_heads=2,
+        n_layers=1, filter_channels=16,
+        denoiser=WaveNetDenoiserConfig(in_dim=8, hidden=16, num_layers=2,
+                                       cond_dim=8),
+        n_timesteps=4,
+    )
+    model = ComoSVC(cfg)
     feats = _features(rng)
     mel = jnp.asarray(rng.standard_normal((2, 10, 8)).astype(np.float32))
     mask = jnp.ones((2, 10))
-    params = student.init(
-        jax.random.key(0), mel, jnp.ones(()), feats, method=ComoSVC.denoised
+    params = model.init(
+        jax.random.key(0), mel, feats, mask, jax.random.key(1),
+        method=ComoSVC.compute_loss,
     )["params"]
-
-    def teacher_eps(x, t_int):
-        return jnp.zeros_like(x)  # dummy frozen teacher
-
-    from amphion_tpu.modules.diffusion import DiffusionSchedule
-
-    loss = consistency_distill_step(
-        student, params, teacher_eps, DiffusionSchedule.create(50),
-        mel, feats, mask, jax.random.key(1),
+    losses = model.apply(
+        {"params": params}, mel, feats, mask, jax.random.key(2),
+        method=ComoSVC.compute_loss,
     )
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    # consistency distillation loss (student == ema == pretrained smoke)
+    loss = ct_loss(model, params, params, params, mel, feats, mask,
+                   jax.random.key(3))
     assert np.isfinite(float(loss))
-    out = comosvc_sample(student, params, feats, (2, 10, 8), jax.random.key(2))
-    assert out.shape == (2, 10, 8)
+    # one-step consistency sampling and multi-step teacher sampling
+    out = comosvc_sample(model, params, feats, (2, 10, 8), jax.random.key(4))
+    assert out.shape == (2, 10, 8) and np.isfinite(np.asarray(out)).all()
+    out_t = comosvc_sample(model, params, feats, (2, 10, 8),
+                           jax.random.key(5), num_steps=3, teacher=True)
+    assert out_t.shape == (2, 10, 8) and np.isfinite(np.asarray(out_t)).all()
 
 
 def test_transformer_svc(rng):

@@ -2645,3 +2645,112 @@ class TestTransformerSVCRoundTrip:
             "contentvec": jnp.asarray(cvec), "singer": jnp.asarray(spk[:, 0]),
         }))
         np.testing.assert_allclose(mel, mel_t, atol=5e-5, rtol=1e-4)
+
+
+class TestComoSVCRoundTrip:
+    """ComoSVC prior Conformer + EDM-preconditioned denoiser vs the
+    reference (models/svc/comosvc/comosvc.py — Conformer:369,
+    EDMPrecond:52)."""
+
+    D, MEL, LAYERS = 16, 8, 2
+
+    def test_prior_and_precond(self):
+        import jax
+        import jax.numpy as jnp
+
+        from models.svc.comosvc.comosvc import ComoSVC as RefComo
+        from modules.encoder.condition_encoder import (
+            ConditionEncoder as RefCond,
+        )
+
+        from amphion_tpu.models.svc.comosvc import ComoSVC, ComoSVCConfig
+        from amphion_tpu.modules.condition_encoder import ConditionEncoderConfig
+        from amphion_tpu.modules.wavenet_denoiser import WaveNetDenoiserConfig
+        from amphion_tpu.utils.convert import comosvc_to_flax
+
+        torch.manual_seed(21)
+        rng = np.random.default_rng(21)
+        cond_cfg = TestConditionEncoderRoundTrip()._cfg("add")
+        tc = RefCond(cond_cfg).eval()
+        ref_cfg = SimpleNamespace(
+            model=SimpleNamespace(
+                comosvc=_AttrDict(
+                    distill=False, input_dim=self.D, output_dim=self.MEL,
+                    n_heads=2, n_layers=self.LAYERS, filter_channels=24,
+                    dropout=0.0, P_mean=-1.2, P_std=1.2, sigma_data=0.5,
+                    sigma_min=0.002, sigma_max=80, rho=7, n_timesteps=4,
+                    n_mel=self.MEL),
+                diffusion=SimpleNamespace(
+                    model_type="bidilconv",
+                    step_encoder=SimpleNamespace(
+                        dim_raw_embedding=32, dim_hidden_layer=64,
+                        activation="SiLU", num_layer=2, max_period=10000),
+                    bidilconv=_AttrDict(
+                        base_channel=16, n_res_block=3, conv_kernel_size=3,
+                        dilation_cycle_length=2, conditioner_size=self.MEL))),
+            preprocess=SimpleNamespace(n_mel=self.MEL))
+        tm = RefComo(ref_cfg).eval()
+
+        B, T = 2, 11
+        f0 = rng.uniform(0, 600, (B, T)).astype(np.float32)
+        uv = (f0 > 0).astype(np.int64)
+        loud = rng.uniform(0, 1.5, (B, T)).astype(np.float32)
+        whisper = rng.standard_normal((B, T, 12)).astype(np.float32)
+        cvec = rng.standard_normal((B, T, 10)).astype(np.float32)
+        spk = np.array([[1], [3]], np.int64)
+        mel = rng.standard_normal((B, T, self.MEL)).astype(np.float32)
+
+        with torch.no_grad():
+            cond_t = tc({
+                "frame_pitch": torch.from_numpy(f0),
+                "frame_uv": torch.from_numpy(uv),
+                "frame_energy": torch.from_numpy(loud),
+                "whisper_feat": torch.from_numpy(whisper),
+                "contentvec_feat": torch.from_numpy(cvec),
+                "spk_id": torch.from_numpy(spk),
+                "target_len": torch.tensor([T, T]),
+            })
+            mask_t = torch.ones(B, T, 1)
+            mu_t = tm.encoder(cond_t, mask_t)  # (B, T, MEL)
+            # EDM precond at a few sigmas (channel-major in the reference)
+            d_ts = []
+            for sig in (0.01, 1.0, 80.0):
+                s = torch.full((B, 1, 1), sig)
+                d = tm.decoder.EDMPrecond(
+                    torch.from_numpy(mel).transpose(1, 2), s,
+                    mu_t.transpose(1, 2), tm.decoder.denoise_fn)
+                d_ts.append(d.transpose(1, 2).numpy())
+
+        cfg = ComoSVCConfig(
+            n_mel=self.MEL, hidden=self.D, n_heads=2, n_layers=self.LAYERS,
+            filter_channels=24, dropout=0.0,
+            denoiser=WaveNetDenoiserConfig(
+                in_dim=self.MEL, hidden=16, num_layers=3, dilation_cycle=2,
+                cond_dim=self.MEL, t_raw_dim=32, t_mlp_hidden=64,
+                t_mlp_layers=2),
+            n_timesteps=4,
+            condition=ConditionEncoderConfig(
+                output_dim=self.D, use_whisper=True, whisper_dim=12,
+                use_contentvec=True, contentvec_dim=10, use_f0=True,
+                pitch_bin=256, f0_min=50.0, f0_max=1100.0, use_uv=True,
+                use_loudness=True, loudness_bins=256, use_singer=True,
+                num_singers=8))
+        model = ComoSVC(cfg)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = jax.tree.map(jnp.asarray, comosvc_to_flax(
+            tc.state_dict(), sd, n_layers=self.LAYERS, denoiser_layers=3))
+        feats = {
+            "f0": jnp.asarray(f0), "uv": jnp.asarray(uv),
+            "loudness": jnp.asarray(loud), "whisper": jnp.asarray(whisper),
+            "contentvec": jnp.asarray(cvec), "singer": jnp.asarray(spk[:, 0]),
+        }
+        mu = model.apply({"params": params}, feats, jnp.ones((B, T)),
+                         method=ComoSVC.prior)
+        np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                                   atol=5e-5, rtol=1e-4)
+        for sig, d_t in zip((0.01, 1.0, 80.0), d_ts):
+            d_j = model.apply({"params": params}, jnp.asarray(mel),
+                              jnp.full((B,), sig), mu,
+                              method=ComoSVC.precond)
+            np.testing.assert_allclose(np.asarray(d_j), d_t,
+                                       atol=5e-5, rtol=1e-4)
