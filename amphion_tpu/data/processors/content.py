@@ -201,6 +201,192 @@ def wenet_native_extractor(ckpt_path: str, num_layers: int = 12,
                     num_heads, ffn_hidden), build)
 
 
+def _load_hf_dir(model_dir):
+    """(config dict, numpy state dict) from a local HF checkpoint directory
+    (config.json + model.safetensors | pytorch_model.bin)."""
+    import json
+    from pathlib import Path
+
+    d = Path(model_dir)
+    cfg = json.loads((d / "config.json").read_text())
+    from amphion_tpu.utils.convert import (
+        load_safetensors,
+        load_torch_checkpoint,
+    )
+
+    if (d / "model.safetensors").exists():
+        sd = load_safetensors(d / "model.safetensors")
+    else:
+        sd = load_torch_checkpoint(d / "pytorch_model.bin")
+    return cfg, sd
+
+
+def hubert_native_extractor(model_dir: str, layer: int = -1):
+    """TPU-native HuBERT/ContentVec/MERT extractor: our flax
+    `HubertEncoder` jitted on device, weights converted from a local HF
+    checkpoint dir. Inputs are padded to 1 s buckets with a frame mask so
+    XLA compiles one program per bucket, not per utterance length."""
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.ssl_encoders import HubertConfig, HubertEncoder
+        from amphion_tpu.utils.convert import hf_hubert_to_flax
+
+        hf, sd = _load_hf_dir(model_dir)
+        cfg = HubertConfig(
+            hidden=hf["hidden_size"], num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            ffn_hidden=hf["intermediate_size"],
+            conv_dim=tuple(hf["conv_dim"]),
+            conv_kernel=tuple(hf["conv_kernel"]),
+            conv_stride=tuple(hf["conv_stride"]),
+            conv_bias=hf.get("conv_bias", False),
+            feat_extract_norm=hf["feat_extract_norm"],
+            do_stable_layer_norm=hf.get("do_stable_layer_norm", False),
+            num_conv_pos_embeddings=hf.get("num_conv_pos_embeddings", 128),
+            num_conv_pos_embedding_groups=hf.get(
+                "num_conv_pos_embedding_groups", 16))
+        params = jax.tree_util.tree_map(jnp.asarray, hf_hubert_to_flax(
+            sd, num_layers=cfg.num_layers,
+            num_feat_layers=len(cfg.conv_dim),
+            feat_extract_norm=cfg.feat_extract_norm))
+        model = HubertEncoder(cfg)
+
+        @jax.jit
+        def fwd(wav, num_valid):
+            # frozen extractor: feature fidelity over MXU throughput (TPU
+            # default bf16 matmuls cost ~3e-2 abs error on these features)
+            with jax.default_matmul_precision("float32"):
+                _, hidden = model.apply({"params": params}, wav,
+                                        num_valid=num_valid)
+            return hidden[layer]
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            t_pad = max(-(-len(x) // 16000) * 16000, 16000)
+            n_valid = cfg.frame_length(len(x))
+            wav = np.zeros((1, t_pad), np.float32)
+            wav[0, :len(x)] = x
+            out = fwd(jnp.asarray(wav), jnp.asarray([len(x)]))
+            return np.asarray(out)[0, :n_valid]
+
+        return extract
+
+    return _cached(("hubert_native", model_dir, layer), build)
+
+
+def w2v_bert_native_extractor(model_dir: str, layer: int = 17):
+    """TPU-native w2v-bert-2.0 extractor (MaskGCT semantic features,
+    ref `maskgct_utils.py:46-56` taps hidden layer 17). Fbank stacking is
+    the numpy SeamlessM4T front end; the 600M conformer runs jitted."""
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+        from transformers import SeamlessM4TFeatureExtractor
+
+        from amphion_tpu.models.ssl_encoders import (
+            W2VBertConfig,
+            W2VBertEncoder,
+        )
+        from amphion_tpu.utils.convert import hf_w2v_bert_to_flax
+
+        hf, sd = _load_hf_dir(model_dir)
+        from pathlib import Path
+
+        if (Path(model_dir) / "preprocessor_config.json").exists():
+            fe = SeamlessM4TFeatureExtractor.from_pretrained(model_dir)
+        else:
+            fe = SeamlessM4TFeatureExtractor(feature_size=80)
+        cfg = W2VBertConfig(
+            hidden=hf["hidden_size"], num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            ffn_hidden=hf["intermediate_size"],
+            input_dim=hf.get("feature_projection_input_dim", 160),
+            conv_kernel=hf.get("conv_depthwise_kernel_size", 31),
+            left_max_pos=hf.get("left_max_position_embeddings", 64),
+            right_max_pos=hf.get("right_max_position_embeddings", 8))
+        params = jax.tree_util.tree_map(
+            jnp.asarray, hf_w2v_bert_to_flax(sd, num_layers=cfg.num_layers))
+        model = W2VBertEncoder(cfg)
+
+        @jax.jit
+        def fwd(feats, mask):
+            with jax.default_matmul_precision("float32"):
+                _, hidden = model.apply({"params": params}, feats, mask)
+            return hidden[layer]
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            feats = fe(x, sampling_rate=16000,
+                       return_tensors="np").input_features[0]
+            n_valid = feats.shape[0]
+            t_pad = max(-(-n_valid // 100) * 100, 100)
+            buf = np.zeros((1, t_pad, feats.shape[1]), np.float32)
+            buf[0, :n_valid] = feats
+            mask = (np.arange(t_pad) < n_valid)[None]
+            out = fwd(jnp.asarray(buf), jnp.asarray(mask, np.float32))
+            return np.asarray(out)[0, :n_valid]
+
+        return extract
+
+    return _cached(("w2v_bert_native", model_dir, layer), build)
+
+
+def whisper_native_extractor(model_dir: str):
+    """TPU-native Whisper-encoder extractor: numpy log-mel front end
+    (WhisperFeatureExtractor, 30 s pad — same contract as the reference's
+    `WhisperExtractor:267`), flax encoder jitted on device."""
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+        from transformers import WhisperFeatureExtractor
+
+        from amphion_tpu.models.ssl_encoders import (
+            WhisperEncConfig,
+            WhisperEncoder,
+        )
+        from amphion_tpu.utils.convert import hf_whisper_encoder_to_flax
+
+        hf, sd = _load_hf_dir(model_dir)
+        from pathlib import Path
+
+        if (Path(model_dir) / "preprocessor_config.json").exists():
+            fe = WhisperFeatureExtractor.from_pretrained(model_dir)
+        else:
+            fe = WhisperFeatureExtractor(
+                feature_size=hf.get("num_mel_bins", 80))
+        cfg = WhisperEncConfig(
+            hidden=hf["d_model"], num_layers=hf["encoder_layers"],
+            num_heads=hf["encoder_attention_heads"],
+            ffn_hidden=hf["encoder_ffn_dim"],
+            n_mels=hf.get("num_mel_bins", 80),
+            max_source_positions=hf.get("max_source_positions", 1500))
+        params = jax.tree_util.tree_map(jnp.asarray, hf_whisper_encoder_to_flax(
+            sd, num_layers=cfg.num_layers))
+        model = WhisperEncoder(cfg)
+        def _fwd(mel):
+            with jax.default_matmul_precision("float32"):
+                return model.apply({"params": params}, mel)
+
+        fwd = jax.jit(_fwd)
+
+        def extract(audio, sample_rate=16000) -> np.ndarray:
+            x = _to_16k(audio, sample_rate)
+            mel = fe(x, sampling_rate=16000,
+                     return_tensors="np").input_features[0]  # (80, 3000)
+            out = fwd(jnp.asarray(mel.T[None]))
+            n_frames = int(len(x) / 16000 * 50)
+            return np.asarray(out)[0, :n_frames]
+
+        return extract
+
+    return _cached(("whisper_native", model_dir), build)
+
+
 EXTRACTORS = {
     "whisper": whisper_extractor,
     "hubert": hubert_extractor,
@@ -209,6 +395,11 @@ EXTRACTORS = {
     "wenet": wenet_extractor,
     "wenet_native": wenet_native_extractor,
     "w2v_bert": w2v_bert_extractor,
+    "hubert_native": hubert_native_extractor,
+    "contentvec_native": hubert_native_extractor,
+    "mert_native": hubert_native_extractor,
+    "w2v_bert_native": w2v_bert_native_extractor,
+    "whisper_native": whisper_native_extractor,
 }
 
 

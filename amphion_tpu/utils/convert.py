@@ -2233,3 +2233,153 @@ def comosvc_to_flax(cond_sd: Mapping[str, np.ndarray],
             _sub_state_dict(model_sd, "decoder.denoise_fn."),
             denoiser_layers, t_mlp_layers),
     }
+
+
+# ---------------------------------------------------------------------------
+# SSL content encoders (HuBERT / w2v-bert-2.0 / Whisper encoder)
+# ---------------------------------------------------------------------------
+
+
+def _ln_(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _lin_(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    b = (np.asarray(sd[f"{prefix}.bias"])
+         if f"{prefix}.bias" in sd else None)
+    return linear_to_dense(np.asarray(sd[f"{prefix}.weight"]), b)
+
+
+def _materialize_wn_dim_last(sd: Mapping[str, np.ndarray], prefix: str):
+    """Effective (weight, bias) of a torch conv weight-normed with dim=2
+    (HF pos-conv embedding): w = g * v / ||v||_{dims 0,1}. Handles both the
+    legacy ``weight_g/weight_v`` and new ``parametrizations.weight.original0/1``
+    key layouts."""
+    b = np.asarray(sd[f"{prefix}.bias"]) if f"{prefix}.bias" in sd else None
+    if f"{prefix}.parametrizations.weight.original0" in sd:
+        g = np.asarray(sd[f"{prefix}.parametrizations.weight.original0"],
+                       np.float64)
+        v = np.asarray(sd[f"{prefix}.parametrizations.weight.original1"],
+                       np.float64)
+    elif f"{prefix}.weight_g" in sd:
+        g = np.asarray(sd[f"{prefix}.weight_g"], np.float64)
+        v = np.asarray(sd[f"{prefix}.weight_v"], np.float64)
+    else:
+        return np.asarray(sd[f"{prefix}.weight"]), b
+    nv = np.sqrt(np.sum(v**2, axis=(0, 1), keepdims=True))
+    return (g * v / np.maximum(nv, 1e-12)).astype(np.float32), b
+
+
+def hf_hubert_to_flax(sd: Mapping[str, np.ndarray], *, num_layers: int,
+                      num_feat_layers: int = 7,
+                      feat_extract_norm: str = "group") -> dict:
+    """HF `HubertModel` state dict → `models.ssl_encoders.HubertEncoder`
+    params (also fits ContentVec / MERT checkpoints exported to the HF
+    Hubert/Wav2Vec2 key layout)."""
+    fe: dict = {}
+    for i in range(num_feat_layers):
+        p = f"feature_extractor.conv_layers.{i}"
+        b = (np.asarray(sd[f"{p}.conv.bias"])
+             if f"{p}.conv.bias" in sd else None)
+        fe[f"conv_{i}"] = conv1d_to_flax(np.asarray(sd[f"{p}.conv.weight"]), b)
+        if feat_extract_norm == "group" and i == 0:
+            fe["group_norm_scale"] = np.asarray(sd[f"{p}.layer_norm.weight"])
+            fe["group_norm_bias"] = np.asarray(sd[f"{p}.layer_norm.bias"])
+        elif feat_extract_norm == "layer":
+            fe[f"layer_norm_{i}"] = _ln_(sd, f"{p}.layer_norm")
+    w, b = _materialize_wn_dim_last(sd, "encoder.pos_conv_embed.conv")
+    out = {
+        "feature_encoder": fe,
+        "fp_layer_norm": _ln_(sd, "feature_projection.layer_norm"),
+        "fp_projection": _lin_(sd, "feature_projection.projection"),
+        "pos_conv_embed": {"conv": conv1d_to_flax(w, b)},
+        "layer_norm": _ln_(sd, "encoder.layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}"
+        out[f"layers_{i}"] = {
+            "attention": {
+                "q_proj": _lin_(sd, f"{p}.attention.q_proj"),
+                "k_proj": _lin_(sd, f"{p}.attention.k_proj"),
+                "v_proj": _lin_(sd, f"{p}.attention.v_proj"),
+                "out_proj": _lin_(sd, f"{p}.attention.out_proj"),
+            },
+            "layer_norm": _ln_(sd, f"{p}.layer_norm"),
+            "intermediate_dense": _lin_(sd, f"{p}.feed_forward.intermediate_dense"),
+            "output_dense": _lin_(sd, f"{p}.feed_forward.output_dense"),
+            "final_layer_norm": _ln_(sd, f"{p}.final_layer_norm"),
+        }
+    return out
+
+
+def hf_w2v_bert_to_flax(sd: Mapping[str, np.ndarray], *,
+                        num_layers: int) -> dict:
+    """HF `Wav2Vec2BertModel` (position_embeddings_type="relative_key",
+    the w2v-bert-2.0 layout) → `models.ssl_encoders.W2VBertEncoder` params."""
+    out = {
+        "fp_layer_norm": _ln_(sd, "feature_projection.layer_norm"),
+        "fp_projection": _lin_(sd, "feature_projection.projection"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}"
+        pw1 = np.asarray(sd[f"{p}.conv_module.pointwise_conv1.weight"])[:, :, 0]
+        pw2 = np.asarray(sd[f"{p}.conv_module.pointwise_conv2.weight"])[:, :, 0]
+        out[f"layers_{i}"] = {
+            "ffn1_layer_norm": _ln_(sd, f"{p}.ffn1_layer_norm"),
+            "ffn1_intermediate": _lin_(sd, f"{p}.ffn1.intermediate_dense"),
+            "ffn1_output": _lin_(sd, f"{p}.ffn1.output_dense"),
+            "self_attn_layer_norm": _ln_(sd, f"{p}.self_attn_layer_norm"),
+            "self_attn": {
+                "linear_q": _lin_(sd, f"{p}.self_attn.linear_q"),
+                "linear_k": _lin_(sd, f"{p}.self_attn.linear_k"),
+                "linear_v": _lin_(sd, f"{p}.self_attn.linear_v"),
+                "linear_out": _lin_(sd, f"{p}.self_attn.linear_out"),
+                "distance_embedding": embedding_to_flax(
+                    np.asarray(sd[f"{p}.self_attn.distance_embedding.weight"])),
+            },
+            "conv_module": {
+                "layer_norm": _ln_(sd, f"{p}.conv_module.layer_norm"),
+                "pointwise_conv1": linear_to_dense(pw1),
+                "depthwise_conv": conv1d_to_flax(
+                    np.asarray(sd[f"{p}.conv_module.depthwise_conv.weight"])),
+                "depthwise_layer_norm": _ln_(
+                    sd, f"{p}.conv_module.depthwise_layer_norm"),
+                "pointwise_conv2": linear_to_dense(pw2),
+            },
+            "ffn2_layer_norm": _ln_(sd, f"{p}.ffn2_layer_norm"),
+            "ffn2_intermediate": _lin_(sd, f"{p}.ffn2.intermediate_dense"),
+            "ffn2_output": _lin_(sd, f"{p}.ffn2.output_dense"),
+            "final_layer_norm": _ln_(sd, f"{p}.final_layer_norm"),
+        }
+    return out
+
+
+def hf_whisper_encoder_to_flax(sd: Mapping[str, np.ndarray], *,
+                               num_layers: int,
+                               prefix: str = "encoder.") -> dict:
+    """HF `WhisperModel` state dict (or a bare `WhisperEncoder` one with
+    prefix="") → `models.ssl_encoders.WhisperEncoder` params."""
+    g = lambda name: f"{prefix}{name}"
+    out = {
+        "conv1": conv1d_to_flax(np.asarray(sd[g("conv1.weight")]),
+                                np.asarray(sd[g("conv1.bias")])),
+        "conv2": conv1d_to_flax(np.asarray(sd[g("conv2.weight")]),
+                                np.asarray(sd[g("conv2.bias")])),
+        "embed_positions": np.asarray(sd[g("embed_positions.weight")]),
+        "layer_norm": _ln_(sd, g("layer_norm")),
+    }
+    for i in range(num_layers):
+        p = g(f"layers.{i}")
+        out[f"layers_{i}_self_attn"] = {
+            "q_proj": _lin_(sd, f"{p}.self_attn.q_proj"),
+            "k_proj": _lin_(sd, f"{p}.self_attn.k_proj"),
+            "v_proj": _lin_(sd, f"{p}.self_attn.v_proj"),
+            "out_proj": _lin_(sd, f"{p}.self_attn.out_proj"),
+        }
+        out[f"layers_{i}_self_attn_layer_norm"] = _ln_(
+            sd, f"{p}.self_attn_layer_norm")
+        out[f"layers_{i}_fc1"] = _lin_(sd, f"{p}.fc1")
+        out[f"layers_{i}_fc2"] = _lin_(sd, f"{p}.fc2")
+        out[f"layers_{i}_final_layer_norm"] = _ln_(sd, f"{p}.final_layer_norm")
+    return out

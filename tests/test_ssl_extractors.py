@@ -1,0 +1,126 @@
+"""End-to-end tests of the TPU-native SSL content extractors
+(`data/processors/content.py` *_native paths): a tiny random-init HF
+checkpoint is saved to disk, loaded through our converter, and the
+jitted flax extract (with bucket padding + frame masks) must match the
+torch model run on the raw unpadded audio.
+
+Reference behavior: `processors/content_extractor.py` (WhisperExtractor:267,
+ContentvecExtractor:317, HubertExtractor:502) + MaskGCT semantic features
+(`models/tts/maskgct/maskgct_utils.py:46-56`).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_hubert_dir(tmp_path_factory):
+    from transformers import HubertConfig, HubertModel
+
+    torch.manual_seed(70)
+    model = HubertModel(HubertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=48, num_feat_extract_layers=3,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, mask_time_prob=0.0)).eval()
+    d = tmp_path_factory.mktemp("hubert_tiny")
+    model.save_pretrained(d, safe_serialization=True)
+    return model, str(d)
+
+
+class TestNativeExtractors:
+    def test_hubert_native_matches_torch(self, tiny_hubert_dir):
+        from amphion_tpu.data.processors.content import hubert_native_extractor
+
+        model, d = tiny_hubert_dir
+        extract = hubert_native_extractor(d, layer=-1)
+        rng = np.random.RandomState(0)
+        wav = rng.randn(4000).astype(np.float32)
+        ours = extract(wav, 16000)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(wav)[None]).last_hidden_state[0]
+        assert ours.shape == tuple(ref.shape)
+        np.testing.assert_allclose(ours, ref.numpy(), atol=5e-4)
+
+    def test_hubert_native_layer_tap(self, tiny_hubert_dir):
+        from amphion_tpu.data.processors.content import hubert_native_extractor
+
+        model, d = tiny_hubert_dir
+        extract = hubert_native_extractor(d, layer=1)
+        rng = np.random.RandomState(1)
+        wav = rng.randn(3200).astype(np.float32)
+        ours = extract(wav, 16000)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(wav)[None],
+                        output_hidden_states=True).hidden_states[1][0]
+        np.testing.assert_allclose(ours, ref.numpy(), atol=5e-4)
+
+    def test_w2v_bert_native_matches_torch(self, tmp_path):
+        from transformers import (
+            SeamlessM4TFeatureExtractor,
+            Wav2Vec2BertConfig,
+            Wav2Vec2BertModel,
+        )
+
+        from amphion_tpu.data.processors.content import (
+            w2v_bert_native_extractor,
+        )
+
+        torch.manual_seed(71)
+        model = Wav2Vec2BertModel(Wav2Vec2BertConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=48, feature_projection_input_dim=160,
+            conv_depthwise_kernel_size=7,
+            position_embeddings_type="relative_key",
+            left_max_position_embeddings=8, right_max_position_embeddings=4,
+            hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            feat_proj_dropout=0.0, conformer_conv_dropout=0.0, layerdrop=0.0,
+            apply_spec_augment=False)).eval()
+        model.save_pretrained(tmp_path, safe_serialization=True)
+        extract = w2v_bert_native_extractor(str(tmp_path), layer=1)
+        rng = np.random.RandomState(2)
+        wav = rng.randn(8000).astype(np.float32)
+        ours = extract(wav, 16000)
+        fe = SeamlessM4TFeatureExtractor(feature_size=80)
+        feats = fe(wav, sampling_rate=16000, return_tensors="pt")
+        with torch.no_grad():
+            ref = model(feats.input_features,
+                        output_hidden_states=True).hidden_states[1][0]
+        assert ours.shape == tuple(ref.shape)
+        np.testing.assert_allclose(ours, ref.numpy(), atol=5e-4)
+
+    def test_whisper_native_matches_torch(self, tmp_path):
+        from transformers import (
+            WhisperConfig,
+            WhisperFeatureExtractor,
+            WhisperModel,
+        )
+
+        from amphion_tpu.data.processors.content import (
+            whisper_native_extractor,
+        )
+
+        torch.manual_seed(72)
+        model = WhisperModel(WhisperConfig(
+            d_model=32, encoder_layers=2, encoder_attention_heads=2,
+            encoder_ffn_dim=48, num_mel_bins=80, max_source_positions=1500,
+            decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=48,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)).eval()
+        model.save_pretrained(tmp_path, safe_serialization=True)
+        extract = whisper_native_extractor(str(tmp_path))
+        rng = np.random.RandomState(3)
+        wav = rng.randn(16000).astype(np.float32)
+        ours = extract(wav, 16000)
+        fe = WhisperFeatureExtractor(feature_size=80)
+        mel = fe(wav, sampling_rate=16000, return_tensors="pt").input_features
+        with torch.no_grad():
+            ref = model.encoder(mel).last_hidden_state[0]
+        # reference keeps len/16000*50 frames (`content_extractor.py` whisper
+        # frame-rate contract)
+        assert ours.shape == (50, 32)
+        np.testing.assert_allclose(ours, ref.numpy()[:50], atol=5e-4)

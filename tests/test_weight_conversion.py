@@ -2754,3 +2754,143 @@ class TestComoSVCRoundTrip:
                               method=ComoSVC.precond)
             np.testing.assert_allclose(np.asarray(d_j), d_t,
                                        atol=5e-5, rtol=1e-4)
+
+
+class TestSSLEncoderRoundTrip:
+    """HF SSL content-encoder oracles (the reference consumes these as
+    frozen torch checkpoints: HuBERT `vevo_utils.py:46`, w2v-bert-2.0
+    `maskgct_utils.py:46`, Whisper `content_extractor.py:267`). Tiny
+    random-init HF models → convert → our flax encoders must match."""
+
+    def _hubert_cfg(self, **kw):
+        from transformers import HubertConfig as HFConfig
+
+        return HFConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=48, num_feat_extract_layers=3,
+            conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3),
+            conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+            attention_dropout=0.0, activation_dropout=0.0,
+            feat_proj_dropout=0.0, layerdrop=0.0, mask_time_prob=0.0,
+            **kw)
+
+    def _run_hubert(self, hf_cfg, our_cfg, seed):
+        import jax.numpy as jnp
+        from transformers import HubertModel
+
+        from amphion_tpu.models.ssl_encoders import HubertEncoder
+        from amphion_tpu.utils.convert import hf_hubert_to_flax
+
+        torch.manual_seed(seed)
+        ref = HubertModel(hf_cfg).eval()
+        wav = torch.randn(2, 400)
+        with torch.no_grad():
+            out = ref(wav, output_hidden_states=True)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = hf_hubert_to_flax(
+            sd, num_layers=2, num_feat_layers=3,
+            feat_extract_norm=hf_cfg.feat_extract_norm)
+        last, hidden = HubertEncoder(our_cfg).apply(
+            {"params": params}, jnp.asarray(wav.numpy()))
+        assert last.shape == tuple(out.last_hidden_state.shape)
+        np.testing.assert_allclose(np.asarray(last),
+                                   out.last_hidden_state.numpy(), atol=2e-5)
+        # hidden-state tap indexing must match HF (extractors select layers)
+        np.testing.assert_allclose(np.asarray(hidden[1]),
+                                   out.hidden_states[1].numpy(), atol=2e-5)
+
+    def test_hubert_base_style(self):
+        from amphion_tpu.models.ssl_encoders import HubertConfig
+
+        self._run_hubert(
+            self._hubert_cfg(feat_extract_norm="group",
+                             do_stable_layer_norm=False, conv_bias=False),
+            HubertConfig(hidden=32, num_layers=2, num_heads=2, ffn_hidden=48,
+                         conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3),
+                         conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4,
+                         feat_extract_norm="group",
+                         do_stable_layer_norm=False, conv_bias=False),
+            seed=60)
+
+    def test_hubert_large_style(self):
+        from amphion_tpu.models.ssl_encoders import HubertConfig
+
+        self._run_hubert(
+            self._hubert_cfg(feat_extract_norm="layer",
+                             do_stable_layer_norm=True, conv_bias=True),
+            HubertConfig(hidden=32, num_layers=2, num_heads=2, ffn_hidden=48,
+                         conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3),
+                         conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4,
+                         feat_extract_norm="layer",
+                         do_stable_layer_norm=True, conv_bias=True),
+            seed=61)
+
+    def test_w2v_bert(self):
+        import jax.numpy as jnp
+        from transformers import Wav2Vec2BertConfig, Wav2Vec2BertModel
+
+        from amphion_tpu.models.ssl_encoders import (
+            W2VBertConfig,
+            W2VBertEncoder,
+        )
+        from amphion_tpu.utils.convert import hf_w2v_bert_to_flax
+
+        torch.manual_seed(62)
+        ref = Wav2Vec2BertModel(Wav2Vec2BertConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=48, feature_projection_input_dim=16,
+            conv_depthwise_kernel_size=7,
+            position_embeddings_type="relative_key",
+            left_max_position_embeddings=8, right_max_position_embeddings=4,
+            hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, feat_proj_dropout=0.0,
+            conformer_conv_dropout=0.0, layerdrop=0.0,
+            apply_spec_augment=False)).eval()
+        feats = torch.randn(2, 23, 16)
+        with torch.no_grad():
+            out = ref(feats, output_hidden_states=True)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = hf_w2v_bert_to_flax(sd, num_layers=2)
+        last, hidden = W2VBertEncoder(W2VBertConfig(
+            hidden=32, num_layers=2, num_heads=2, ffn_hidden=48,
+            input_dim=16, conv_kernel=7, left_max_pos=8,
+            right_max_pos=4)).apply(
+                {"params": params}, jnp.asarray(feats.numpy()))
+        np.testing.assert_allclose(np.asarray(last),
+                                   out.last_hidden_state.numpy(), atol=2e-5)
+        # MaskGCT taps hidden_states[17] on the real model — indexing parity
+        np.testing.assert_allclose(np.asarray(hidden[1]),
+                                   out.hidden_states[1].numpy(), atol=2e-5)
+
+    def test_whisper_encoder(self):
+        import jax.numpy as jnp
+        from transformers import WhisperConfig, WhisperModel
+
+        from amphion_tpu.models.ssl_encoders import (
+            WhisperEncConfig,
+            WhisperEncoder,
+        )
+        from amphion_tpu.utils.convert import hf_whisper_encoder_to_flax
+
+        torch.manual_seed(63)
+        ref = WhisperModel(WhisperConfig(
+            d_model=32, encoder_layers=2, encoder_attention_heads=2,
+            encoder_ffn_dim=48, num_mel_bins=16, max_source_positions=20,
+            decoder_layers=1, decoder_attention_heads=2, decoder_ffn_dim=48,
+            dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0)).eval()
+        mel = torch.randn(2, 16, 40)  # (B, n_mels, T); T = 2*max_source_pos
+        with torch.no_grad():
+            out = ref.encoder(mel).last_hidden_state
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = hf_whisper_encoder_to_flax(sd, num_layers=2)
+        ours = WhisperEncoder(WhisperEncConfig(
+            hidden=32, num_layers=2, num_heads=2, ffn_hidden=48, n_mels=16,
+            max_source_positions=20)).apply(
+                {"params": params},
+                jnp.asarray(mel.numpy().transpose(0, 2, 1)))
+        assert ours.shape == tuple(out.shape)
+        np.testing.assert_allclose(np.asarray(ours), out.numpy(), atol=2e-5)
