@@ -279,27 +279,25 @@ def hubert_native_extractor(model_dir: str, layer: int = -1):
 
 def w2v_bert_native_extractor(model_dir: str, layer: int = 17):
     """TPU-native w2v-bert-2.0 extractor (MaskGCT semantic features,
-    ref `maskgct_utils.py:46-56` taps hidden layer 17). Fbank stacking is
-    the numpy SeamlessM4T front end; the 600M conformer runs jitted."""
+    ref `maskgct_utils.py:46-56` taps hidden layer 17). Fully on-device:
+    the Kaldi-style fbank front end (`ops/ssl_frontend.seamless_fbank`)
+    and the conformer run in ONE jitted program over 1 s wav buckets."""
 
     def build():
         import jax
         import jax.numpy as jnp
-        from transformers import SeamlessM4TFeatureExtractor
 
         from amphion_tpu.models.ssl_encoders import (
             W2VBertConfig,
             W2VBertEncoder,
         )
+        from amphion_tpu.ops.ssl_frontend import (
+            num_fbank_frames,
+            seamless_fbank,
+        )
         from amphion_tpu.utils.convert import hf_w2v_bert_to_flax
 
         hf, sd = _load_hf_dir(model_dir)
-        from pathlib import Path
-
-        if (Path(model_dir) / "preprocessor_config.json").exists():
-            fe = SeamlessM4TFeatureExtractor.from_pretrained(model_dir)
-        else:
-            fe = SeamlessM4TFeatureExtractor(feature_size=80)
         cfg = W2VBertConfig(
             hidden=hf["hidden_size"], num_layers=hf["num_hidden_layers"],
             num_heads=hf["num_attention_heads"],
@@ -311,23 +309,27 @@ def w2v_bert_native_extractor(model_dir: str, layer: int = 17):
         params = jax.tree_util.tree_map(
             jnp.asarray, hf_w2v_bert_to_flax(sd, num_layers=cfg.num_layers))
         model = W2VBertEncoder(cfg)
+        n_mels = cfg.input_dim // 2
 
         @jax.jit
-        def fwd(feats, mask):
+        def fwd(wav, num_valid):
             with jax.default_matmul_precision("float32"):
+                feats = seamless_fbank(wav, n_mels=n_mels,
+                                       num_valid_samples=num_valid)
+                # stacked-frame validity: ceil(valid_frames / 2)
+                nv = (num_fbank_frames(num_valid) + 1) // 2
+                mask = (jnp.arange(feats.shape[1])[None, :]
+                        < nv[:, None]).astype(feats.dtype)
                 _, hidden = model.apply({"params": params}, feats, mask)
             return hidden[layer]
 
         def extract(audio, sample_rate=16000) -> np.ndarray:
             x = _to_16k(audio, sample_rate)
-            feats = fe(x, sampling_rate=16000,
-                       return_tensors="np").input_features[0]
-            n_valid = feats.shape[0]
-            t_pad = max(-(-n_valid // 100) * 100, 100)
-            buf = np.zeros((1, t_pad, feats.shape[1]), np.float32)
-            buf[0, :n_valid] = feats
-            mask = (np.arange(t_pad) < n_valid)[None]
-            out = fwd(jnp.asarray(buf), jnp.asarray(mask, np.float32))
+            t_pad = max(-(-len(x) // 16000) * 16000, 16000)
+            n_valid = (num_fbank_frames(len(x)) + 1) // 2
+            wav = np.zeros((1, t_pad), np.float32)
+            wav[0, :len(x)] = x
+            out = fwd(jnp.asarray(wav), jnp.asarray([len(x)]))
             return np.asarray(out)[0, :n_valid]
 
         return extract
@@ -336,29 +338,23 @@ def w2v_bert_native_extractor(model_dir: str, layer: int = 17):
 
 
 def whisper_native_extractor(model_dir: str):
-    """TPU-native Whisper-encoder extractor: numpy log-mel front end
-    (WhisperFeatureExtractor, 30 s pad — same contract as the reference's
-    `WhisperExtractor:267`), flax encoder jitted on device."""
+    """TPU-native Whisper-encoder extractor, fully on-device: the log-mel
+    front end (`ops/ssl_frontend.whisper_log_mel` over the fixed 30 s
+    window — same contract as the reference's `WhisperExtractor:267`) and
+    the encoder run in ONE jitted program."""
 
     def build():
         import jax
         import jax.numpy as jnp
-        from transformers import WhisperFeatureExtractor
 
         from amphion_tpu.models.ssl_encoders import (
             WhisperEncConfig,
             WhisperEncoder,
         )
+        from amphion_tpu.ops.ssl_frontend import whisper_log_mel
         from amphion_tpu.utils.convert import hf_whisper_encoder_to_flax
 
         hf, sd = _load_hf_dir(model_dir)
-        from pathlib import Path
-
-        if (Path(model_dir) / "preprocessor_config.json").exists():
-            fe = WhisperFeatureExtractor.from_pretrained(model_dir)
-        else:
-            fe = WhisperFeatureExtractor(
-                feature_size=hf.get("num_mel_bins", 80))
         cfg = WhisperEncConfig(
             hidden=hf["d_model"], num_layers=hf["encoder_layers"],
             num_heads=hf["encoder_attention_heads"],
@@ -368,17 +364,21 @@ def whisper_native_extractor(model_dir: str):
         params = jax.tree_util.tree_map(jnp.asarray, hf_whisper_encoder_to_flax(
             sd, num_layers=cfg.num_layers))
         model = WhisperEncoder(cfg)
-        def _fwd(mel):
-            with jax.default_matmul_precision("float32"):
-                return model.apply({"params": params}, mel)
 
-        fwd = jax.jit(_fwd)
+        @jax.jit
+        def fwd(wav):
+            with jax.default_matmul_precision("float32"):
+                mel = whisper_log_mel(wav, n_mels=cfg.n_mels)
+                return model.apply({"params": params},
+                                   mel.transpose(0, 2, 1))
+
+        n_samples = cfg.max_source_positions * 2 * 160  # 30 s default
 
         def extract(audio, sample_rate=16000) -> np.ndarray:
             x = _to_16k(audio, sample_rate)
-            mel = fe(x, sampling_rate=16000,
-                     return_tensors="np").input_features[0]  # (80, 3000)
-            out = fwd(jnp.asarray(mel.T[None]))
+            buf = np.zeros((1, n_samples), np.float32)
+            buf[0, :min(len(x), n_samples)] = x[:n_samples]
+            out = fwd(jnp.asarray(buf))
             n_frames = int(len(x) / 16000 * 50)
             return np.asarray(out)[0, :n_frames]
 
