@@ -264,14 +264,20 @@ def hubert_native_extractor(model_dir: str, layer: int = -1):
             return hidden[layer]
 
         def extract(audio, sample_rate=16000) -> np.ndarray:
-            x = _to_16k(audio, sample_rate)
-            t_pad = max(-(-len(x) // 16000) * 16000, 16000)
-            n_valid = cfg.frame_length(len(x))
-            wav = np.zeros((1, t_pad), np.float32)
-            wav[0, :len(x)] = x
-            out = fwd(jnp.asarray(wav), jnp.asarray([len(x)]))
-            return np.asarray(out)[0, :n_valid]
+            return extract_batch([audio], sample_rate)[0]
 
+        def extract_batch(audios, sample_rate=16000) -> list:
+            xs = [_to_16k(a, sample_rate) for a in audios]
+            t_pad = max(max(-(-len(x) // 16000) * 16000 for x in xs), 16000)
+            wav = np.zeros((len(xs), t_pad), np.float32)
+            for i, x in enumerate(xs):
+                wav[i, :len(x)] = x
+            out = np.asarray(fwd(jnp.asarray(wav),
+                                 jnp.asarray([len(x) for x in xs])))
+            return [out[i, :cfg.frame_length(len(x))]
+                    for i, x in enumerate(xs)]
+
+        extract.batch = extract_batch
         return extract
 
     return _cached(("hubert_native", model_dir, layer), build)
@@ -324,14 +330,20 @@ def w2v_bert_native_extractor(model_dir: str, layer: int = 17):
             return hidden[layer]
 
         def extract(audio, sample_rate=16000) -> np.ndarray:
-            x = _to_16k(audio, sample_rate)
-            t_pad = max(-(-len(x) // 16000) * 16000, 16000)
-            n_valid = (num_fbank_frames(len(x)) + 1) // 2
-            wav = np.zeros((1, t_pad), np.float32)
-            wav[0, :len(x)] = x
-            out = fwd(jnp.asarray(wav), jnp.asarray([len(x)]))
-            return np.asarray(out)[0, :n_valid]
+            return extract_batch([audio], sample_rate)[0]
 
+        def extract_batch(audios, sample_rate=16000) -> list:
+            xs = [_to_16k(a, sample_rate) for a in audios]
+            t_pad = max(max(-(-len(x) // 16000) * 16000 for x in xs), 16000)
+            wav = np.zeros((len(xs), t_pad), np.float32)
+            for i, x in enumerate(xs):
+                wav[i, :len(x)] = x
+            out = np.asarray(fwd(jnp.asarray(wav),
+                                 jnp.asarray([len(x) for x in xs])))
+            return [out[i, :(num_fbank_frames(len(x)) + 1) // 2]
+                    for i, x in enumerate(xs)]
+
+        extract.batch = extract_batch
         return extract
 
     return _cached(("w2v_bert_native", model_dir, layer), build)
@@ -375,13 +387,18 @@ def whisper_native_extractor(model_dir: str):
         n_samples = cfg.max_source_positions * 2 * 160  # 30 s default
 
         def extract(audio, sample_rate=16000) -> np.ndarray:
-            x = _to_16k(audio, sample_rate)
-            buf = np.zeros((1, n_samples), np.float32)
-            buf[0, :min(len(x), n_samples)] = x[:n_samples]
-            out = fwd(jnp.asarray(buf))
-            n_frames = int(len(x) / 16000 * 50)
-            return np.asarray(out)[0, :n_frames]
+            return extract_batch([audio], sample_rate)[0]
 
+        def extract_batch(audios, sample_rate=16000) -> list:
+            xs = [_to_16k(a, sample_rate) for a in audios]
+            buf = np.zeros((len(xs), n_samples), np.float32)
+            for i, x in enumerate(xs):
+                buf[i, :min(len(x), n_samples)] = x[:n_samples]
+            out = np.asarray(fwd(jnp.asarray(buf)))
+            return [out[i, :int(len(x) / 16000 * 50)]
+                    for i, x in enumerate(xs)]
+
+        extract.batch = extract_batch
         return extract
 
     return _cached(("whisper_native", model_dir), build)
@@ -423,6 +440,7 @@ def extract_content_features(
     output_dir,
     sample_rate: int,
     target_hop: int | None = None,
+    batch_size: int = 8,
     **extractor_kw,
 ):
     """Offline extraction loop → per-uid .npy (ref
@@ -434,10 +452,29 @@ def extract_content_features(
     out = Path(output_dir) / extractor_name
     out.mkdir(parents=True, exist_ok=True)
     extract = EXTRACTORS[extractor_name](**extractor_kw)
-    for u in utterances:
-        x, sr = load_wav(u.path, sr=sample_rate)
-        feats = extract(x, sample_rate)
+    batch_fn = getattr(extract, "batch", None)
+    utterances = list(utterances)
+
+    def _save(u, x, feats):
         if target_hop is not None:
             feats = align_content_features(feats, len(x) // target_hop)
         np.save(out / f"{u.uid}.npy", feats)
+
+    if batch_fn is None:
+        for u in utterances:
+            x, sr = load_wav(u.path, sr=sample_rate)
+            _save(u, x, extract(x, sample_rate))
+        return out
+    # device extractors: bucket by duration and run batched (one program
+    # per 1 s bucket; ~50 ms tunnel dispatch + MXU batch efficiency)
+    loaded = []
+    for u in utterances:
+        x, sr = load_wav(u.path, sr=sample_rate)
+        loaded.append((u, x))
+    loaded.sort(key=lambda t: len(t[1]))
+    for i in range(0, len(loaded), batch_size):
+        chunk = loaded[i:i + batch_size]
+        feats = batch_fn([x for _, x in chunk], sample_rate)
+        for (u, x), f in zip(chunk, feats):
+            _save(u, x, f)
     return out

@@ -124,3 +124,43 @@ class TestNativeExtractors:
         # frame-rate contract)
         assert ours.shape == (50, 32)
         np.testing.assert_allclose(ours, ref.numpy()[:50], atol=5e-4)
+
+    def test_hubert_native_batch_matches_single(self, tiny_hubert_dir):
+        """Bucketed batch extraction must equal per-utterance extraction
+        (mixed lengths in one device program)."""
+        from amphion_tpu.data.processors.content import hubert_native_extractor
+
+        _, d = tiny_hubert_dir
+        extract = hubert_native_extractor(d, layer=-1)
+        rng = np.random.RandomState(7)
+        wavs = [rng.randn(n).astype(np.float32) for n in (3000, 4500, 7000)]
+        batched = extract.batch(wavs, 16000)
+        for wav, feats in zip(wavs, batched):
+            single = extract(wav, 16000)
+            assert feats.shape == single.shape
+            np.testing.assert_allclose(feats, single, atol=1e-5)
+
+    def test_extract_content_features_batched(self, tiny_hubert_dir, tmp_path):
+        """Offline extraction CLI loop uses the batched device path and
+        writes per-uid .npy (ref content_extractor.py:561)."""
+        from types import SimpleNamespace
+
+        from amphion_tpu.data.audio_io import save_wav
+        from amphion_tpu.data.processors.content import (
+            extract_content_features,
+        )
+
+        _, d = tiny_hubert_dir
+        rng = np.random.RandomState(8)
+        utts = []
+        for i, n in enumerate((4000, 6000, 5000)):
+            wav = (rng.randn(n) * 0.1).astype(np.float32)
+            path = tmp_path / f"u{i}.wav"
+            save_wav(str(path), wav, 16000)
+            utts.append(SimpleNamespace(uid=f"u{i}", path=str(path)))
+        out = extract_content_features(
+            "hubert_native", utts, tmp_path / "feats", sample_rate=16000,
+            batch_size=2, model_dir=d)
+        for u in utts:
+            f = np.load(out / f"{u.uid}.npy")
+            assert f.ndim == 2 and f.shape[1] == 32
