@@ -54,9 +54,16 @@ def main():
                 from amphion_tpu.data.processors.content import \
                     extract_content_features
 
+                # entries: "hubert" or {"name": "hubert_native",
+                # "model_dir": "/path/to/hf_ckpt", "layer": -1, ...}
+                if isinstance(extractor, str):
+                    name, kw = extractor, {}
+                else:
+                    kw = dict(extractor)
+                    name = kw.pop("name")
                 extract_content_features(
-                    extractor, utts, out, p.sample_rate,
-                    target_hop=p.hop_size,
+                    name, utts, out, p.sample_rate,
+                    target_hop=p.hop_size, **kw,
                 )
             logger.info(f"  {name}: {len(utts)} utterances done")
 
