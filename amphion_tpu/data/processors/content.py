@@ -422,16 +422,20 @@ EXTRACTORS = {
 
 def align_content_features(feats: np.ndarray, target_frames: int) -> np.ndarray:
     """Resample (T_src, D) features to target_frames by linear interpolation
-    (ref `offline_resolution_transformation:101`)."""
+    (ref `offline_resolution_transformation:101`), vectorized over the
+    feature dim (real SSL features are D=768-1280; a per-dim np.interp
+    loop dominates extraction time)."""
     src = feats.shape[0]
     if src == target_frames:
         return feats
-    x_old = np.linspace(0.0, 1.0, src)
-    x_new = np.linspace(0.0, 1.0, target_frames)
-    out = np.empty((target_frames, feats.shape[1]), feats.dtype)
-    for d in range(feats.shape[1]):
-        out[:, d] = np.interp(x_new, x_old, feats[:, d])
-    return out
+    if src == 1:
+        return np.repeat(feats, target_frames, axis=0)
+    # positions of target frames in source index coordinates
+    pos = np.linspace(0.0, src - 1.0, target_frames)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, src - 2)
+    w = (pos - lo)[:, None].astype(feats.dtype)
+    out = feats[lo] * (1.0 - w) + feats[lo + 1] * w
+    return out.astype(feats.dtype)
 
 
 def extract_content_features(

@@ -95,6 +95,23 @@ def test_align_content_features():
     np.testing.assert_allclose(out[-1], feats[-1])
 
 
+def test_align_content_features_matches_interp():
+    """Vectorized alignment == per-dim np.interp (the reference's
+    `offline_resolution_transformation` semantics)."""
+    rng = np.random.RandomState(11)
+    for src, tgt in [(50, 83), (83, 50), (200, 199), (1, 5)]:
+        f = rng.randn(src, 8).astype(np.float32)
+        ours = align_content_features(f, tgt)
+        x_old = np.linspace(0.0, 1.0, max(src, 2))[:src]
+        if src == 1:
+            ref = np.repeat(f, tgt, axis=0)
+        else:
+            x_new = np.linspace(0.0, 1.0, tgt)
+            ref = np.stack([np.interp(x_new, x_old, f[:, d])
+                            for d in range(8)], axis=1).astype(np.float32)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_griffin_lim_reconstructs_tone():
     cfg = MelConfig(sample_rate=SR, n_fft=256, win_size=256, hop_size=64,
                     n_mel=16, fmax=4000)
