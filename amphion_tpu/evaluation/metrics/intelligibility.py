@@ -62,6 +62,20 @@ def character_error_rate(ref_text: str, hyp_text: str | None = None, *,
 _WHISPER_CACHE: dict = {}
 
 
+def whisper_native_transcriber(model_dir: str, language: str = "en"):
+    """(audio, sr) -> text from a LOCAL HF Whisper checkpoint dir, running
+    our flax encoder + decoder jitted on the accelerator
+    (`models/whisper_asr.py`) — no torch, no network."""
+    key = ("native", model_dir, language)
+    if key not in _WHISPER_CACHE:
+        from amphion_tpu.models.whisper_asr import (
+            whisper_native_transcriber as build,
+        )
+
+        _WHISPER_CACHE[key] = build(model_dir, language=language)
+    return _WHISPER_CACHE[key]
+
+
 def whisper_transcriber(model_name: str = "openai/whisper-base"):
     """Build a (audio, sr) -> text callable from a frozen Whisper checkpoint."""
     if model_name in _WHISPER_CACHE:

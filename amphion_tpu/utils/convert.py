@@ -2383,3 +2383,29 @@ def hf_whisper_encoder_to_flax(sd: Mapping[str, np.ndarray], *,
         out[f"layers_{i}_fc2"] = _lin_(sd, f"{p}.fc2")
         out[f"layers_{i}_final_layer_norm"] = _ln_(sd, f"{p}.final_layer_norm")
     return out
+
+
+def hf_whisper_decoder_to_flax(sd: Mapping[str, np.ndarray], *,
+                               num_layers: int,
+                               prefix: str = "decoder.") -> dict:
+    """HF `WhisperDecoder` state dict → `models.whisper_asr.WhisperDecoder`
+    params (logits are tied to embed_tokens, as in HF)."""
+    g = lambda name: f"{prefix}{name}"
+    out = {
+        "embed_tokens": embedding_to_flax(
+            np.asarray(sd[g("embed_tokens.weight")])),
+        "embed_positions": np.asarray(sd[g("embed_positions.weight")]),
+        "layer_norm": _ln_(sd, g("layer_norm")),
+    }
+    for i in range(num_layers):
+        p = g(f"layers.{i}")
+        for attn in ("self_attn", "encoder_attn"):
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                out[f"layers_{i}_{attn}_{proj}"] = _lin_(
+                    sd, f"{p}.{attn}.{proj}")
+            out[f"layers_{i}_{attn}_layer_norm"] = _ln_(
+                sd, f"{p}.{attn}_layer_norm")
+        out[f"layers_{i}_final_layer_norm"] = _ln_(sd, f"{p}.final_layer_norm")
+        out[f"layers_{i}_fc1"] = _lin_(sd, f"{p}.fc1")
+        out[f"layers_{i}_fc2"] = _lin_(sd, f"{p}.fc2")
+    return out
