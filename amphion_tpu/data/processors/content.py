@@ -252,35 +252,80 @@ def hubert_native_extractor(model_dir: str, layer: int = -1):
             sd, num_layers=cfg.num_layers,
             num_feat_layers=len(cfg.conv_dim),
             feat_extract_norm=cfg.feat_extract_norm))
-        model = HubertEncoder(cfg)
-
-        @jax.jit
-        def fwd(wav, num_valid):
-            # frozen extractor: feature fidelity over MXU throughput (TPU
-            # default bf16 matmuls cost ~3e-2 abs error on these features)
-            with jax.default_matmul_precision("float32"):
-                _, hidden = model.apply({"params": params}, wav,
-                                        num_valid=num_valid)
-            return hidden[layer]
-
-        def extract(audio, sample_rate=16000) -> np.ndarray:
-            return extract_batch([audio], sample_rate)[0]
-
-        def extract_batch(audios, sample_rate=16000) -> list:
-            xs = [_to_16k(a, sample_rate) for a in audios]
-            t_pad = max(max(-(-len(x) // 16000) * 16000 for x in xs), 16000)
-            wav = np.zeros((len(xs), t_pad), np.float32)
-            for i, x in enumerate(xs):
-                wav[i, :len(x)] = x
-            out = np.asarray(fwd(jnp.asarray(wav),
-                                 jnp.asarray([len(x) for x in xs])))
-            return [out[i, :cfg.frame_length(len(x))]
-                    for i, x in enumerate(xs)]
-
-        extract.batch = extract_batch
-        return extract
+        return _hubert_extract_fns(cfg, params, layer)
 
     return _cached(("hubert_native", model_dir, layer), build)
+
+
+def _hubert_extract_fns(cfg, params, layer):
+    """Jitted bucket-padded extract()/extract.batch() over a
+    `HubertEncoder` (shared by the HF-dir and fairseq-ckpt loaders)."""
+    import jax
+    import jax.numpy as jnp
+
+    from amphion_tpu.models.ssl_encoders import HubertEncoder
+
+    model = HubertEncoder(cfg)
+
+    @jax.jit
+    def fwd(wav, num_valid):
+        # frozen extractor: feature fidelity over MXU throughput (TPU
+        # default bf16 matmuls cost ~3e-2 abs error on these features)
+        with jax.default_matmul_precision("float32"):
+            _, hidden = model.apply({"params": params}, wav,
+                                    num_valid=num_valid)
+        return hidden[layer]
+
+    def extract(audio, sample_rate=16000) -> np.ndarray:
+        return extract_batch([audio], sample_rate)[0]
+
+    def extract_batch(audios, sample_rate=16000) -> list:
+        xs = [_to_16k(a, sample_rate) for a in audios]
+        t_pad = max(max(-(-len(x) // 16000) * 16000 for x in xs), 16000)
+        wav = np.zeros((len(xs), t_pad), np.float32)
+        for i, x in enumerate(xs):
+            wav[i, :len(x)] = x
+        out = np.asarray(fwd(jnp.asarray(wav),
+                             jnp.asarray([len(x) for x in xs])))
+        return [out[i, :cfg.frame_length(len(x))]
+                for i, x in enumerate(xs)]
+
+    extract.batch = extract_batch
+    return extract
+
+
+def contentvec_fairseq_extractor(ckpt_path: str, layer: int = -1,
+                                 num_layers: int = 12, hidden: int = 768,
+                                 num_heads: int = 12, ffn_hidden: int = 3072,
+                                 feat_extract_norm: str = "group",
+                                 **cfg_overrides):
+    """TPU-native ContentVec/fairseq-HuBERT extractor: loads the fairseq
+    checkpoint layout the reference uses directly
+    (`checkpoint_best_legacy_500.pt`, `content_extractor.py:317`) into our
+    flax `HubertEncoder` (defaults = HuBERT-base geometry)."""
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.ssl_encoders import HubertConfig
+        from amphion_tpu.utils.convert import (
+            fairseq_hubert_to_flax,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(ckpt_path)
+        cfg = HubertConfig(
+            hidden=hidden, num_layers=num_layers, num_heads=num_heads,
+            ffn_hidden=ffn_hidden, feat_extract_norm=feat_extract_norm,
+            do_stable_layer_norm=False, **cfg_overrides)
+        params = jax.tree_util.tree_map(jnp.asarray, fairseq_hubert_to_flax(
+            sd, num_layers=num_layers, num_feat_layers=len(cfg.conv_dim),
+            feat_extract_norm=feat_extract_norm))
+        return _hubert_extract_fns(cfg, params, layer)
+
+    return _cached(("contentvec_fairseq", ckpt_path, layer, num_layers,
+                    hidden, tuple(sorted(cfg_overrides.items()))), build)
 
 
 def w2v_bert_native_extractor(model_dir: str, layer: int = 17):
@@ -414,6 +459,7 @@ EXTRACTORS = {
     "w2v_bert": w2v_bert_extractor,
     "hubert_native": hubert_native_extractor,
     "contentvec_native": hubert_native_extractor,
+    "contentvec_fairseq": contentvec_fairseq_extractor,
     "mert_native": hubert_native_extractor,
     "w2v_bert_native": w2v_bert_native_extractor,
     "whisper_native": whisper_native_extractor,

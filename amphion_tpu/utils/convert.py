@@ -31,7 +31,12 @@ def load_safetensors(path: str | Path) -> dict[str, np.ndarray]:
 def load_torch_checkpoint(path: str | Path) -> dict[str, np.ndarray]:
     import torch
 
-    state = torch.load(str(path), map_location="cpu", weights_only=True)
+    try:
+        state = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        # fairseq checkpoints pickle their omegaconf config next to the
+        # weights; fall back to a full unpickle for local trusted files
+        state = torch.load(str(path), map_location="cpu", weights_only=False)
     if "state_dict" in state:
         state = state["state_dict"]
     if "model" in state and isinstance(state["model"], dict):
@@ -2408,4 +2413,55 @@ def hf_whisper_decoder_to_flax(sd: Mapping[str, np.ndarray], *,
         out[f"layers_{i}_final_layer_norm"] = _ln_(sd, f"{p}.final_layer_norm")
         out[f"layers_{i}_fc1"] = _lin_(sd, f"{p}.fc1")
         out[f"layers_{i}_fc2"] = _lin_(sd, f"{p}.fc2")
+    return out
+
+
+def fairseq_hubert_to_flax(sd: Mapping[str, np.ndarray], *, num_layers: int,
+                           num_feat_layers: int = 7,
+                           feat_extract_norm: str = "group") -> dict:
+    """fairseq HubertModel/Wav2Vec2Model state dict (the layout of the
+    ContentVec `checkpoint_best_legacy_500.pt` the reference's SVC
+    extractors load, `processors/content_extractor.py:317`) →
+    `models.ssl_encoders.HubertEncoder` params.
+
+    fairseq key layout: `feature_extractor.conv_layers.{i}.0` (conv),
+    `.2` / `.2.1` (group/layer norm), top-level `layer_norm` (pre-proj
+    feature LN), `post_extract_proj`, `encoder.pos_conv.0` (weight-norm
+    dim=2), `encoder.layers.{i}.{self_attn.*, self_attn_layer_norm,
+    fc1, fc2, final_layer_norm}`, `encoder.layer_norm`."""
+    fe: dict = {}
+    for i in range(num_feat_layers):
+        p = f"feature_extractor.conv_layers.{i}"
+        b = (np.asarray(sd[f"{p}.0.bias"]) if f"{p}.0.bias" in sd else None)
+        fe[f"conv_{i}"] = conv1d_to_flax(np.asarray(sd[f"{p}.0.weight"]), b)
+        if feat_extract_norm == "group" and i == 0:
+            fe["group_norm_scale"] = np.asarray(sd[f"{p}.2.weight"])
+            fe["group_norm_bias"] = np.asarray(sd[f"{p}.2.bias"])
+        elif feat_extract_norm == "layer":
+            fe[f"layer_norm_{i}"] = {
+                "scale": np.asarray(sd[f"{p}.2.1.weight"]),
+                "bias": np.asarray(sd[f"{p}.2.1.bias"]),
+            }
+    w, b = _materialize_wn_dim_last(sd, "encoder.pos_conv.0")
+    out = {
+        "feature_encoder": fe,
+        "fp_layer_norm": _ln_(sd, "layer_norm"),
+        "fp_projection": _lin_(sd, "post_extract_proj"),
+        "pos_conv_embed": {"conv": conv1d_to_flax(w, b)},
+        "layer_norm": _ln_(sd, "encoder.layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}"
+        out[f"layers_{i}"] = {
+            "attention": {
+                "q_proj": _lin_(sd, f"{p}.self_attn.q_proj"),
+                "k_proj": _lin_(sd, f"{p}.self_attn.k_proj"),
+                "v_proj": _lin_(sd, f"{p}.self_attn.v_proj"),
+                "out_proj": _lin_(sd, f"{p}.self_attn.out_proj"),
+            },
+            "layer_norm": _ln_(sd, f"{p}.self_attn_layer_norm"),
+            "intermediate_dense": _lin_(sd, f"{p}.fc1"),
+            "output_dense": _lin_(sd, f"{p}.fc2"),
+            "final_layer_norm": _ln_(sd, f"{p}.final_layer_norm"),
+        }
     return out

@@ -164,3 +164,94 @@ class TestNativeExtractors:
         for u in utts:
             f = np.load(out / f"{u.uid}.npy")
             assert f.ndim == 2 and f.shape[1] == 32
+
+
+class TestFairseqContentVec:
+    def _to_fairseq_sd(self, hf_sd):
+        """Re-key an HF HubertModel state dict into the fairseq layout
+        (inverse of the official HF conversion mapping) — serves as the
+        oracle source for `fairseq_hubert_to_flax`."""
+        out = {}
+        for k, v in hf_sd.items():
+            v = v.numpy() if hasattr(v, "numpy") else v
+            if k.startswith("feature_extractor.conv_layers."):
+                parts = k.split(".")
+                i, sub = parts[2], ".".join(parts[3:])
+                if sub.startswith("conv."):
+                    out[f"feature_extractor.conv_layers.{i}.0."
+                        f"{sub.split('.')[1]}"] = v
+                else:  # layer_norm.* → GroupNorm at Sequential index 2
+                    out[f"feature_extractor.conv_layers.{i}.2."
+                        f"{sub.split('.')[1]}"] = v
+            elif k.startswith("feature_projection.layer_norm."):
+                out[k.replace("feature_projection.layer_norm.",
+                              "layer_norm.")] = v
+            elif k.startswith("feature_projection.projection."):
+                out[k.replace("feature_projection.projection.",
+                              "post_extract_proj.")] = v
+            elif k.startswith("encoder.pos_conv_embed.conv."):
+                out[k.replace("encoder.pos_conv_embed.conv.",
+                              "encoder.pos_conv.0.")] = v
+            elif ".feed_forward.intermediate_dense." in k:
+                out[k.replace(".feed_forward.intermediate_dense.",
+                              ".fc1.").replace(".attention.",
+                                               ".self_attn.")] = v
+            elif ".feed_forward.output_dense." in k:
+                out[k.replace(".feed_forward.output_dense.", ".fc2.")] = v
+            elif ".attention." in k:
+                out[k.replace(".attention.", ".self_attn.")] = v
+            elif ".layer_norm." in k and "encoder.layers." in k:
+                out[k.replace(".layer_norm.", ".self_attn_layer_norm.")] = v
+            else:
+                out[k] = v
+        return out
+
+    def test_fairseq_layout_matches_hf(self, tiny_hubert_dir):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.ssl_encoders import (
+            HubertConfig,
+            HubertEncoder,
+        )
+        from amphion_tpu.utils.convert import fairseq_hubert_to_flax
+
+        model, _ = tiny_hubert_dir
+        fsd = self._to_fairseq_sd(dict(model.state_dict()))
+        params = fairseq_hubert_to_flax(fsd, num_layers=2, num_feat_layers=3)
+        cfg = HubertConfig(hidden=32, num_layers=2, num_heads=2,
+                           ffn_hidden=48, conv_dim=(16, 16, 16),
+                           conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+                           num_conv_pos_embeddings=16,
+                           num_conv_pos_embedding_groups=4)
+        rng = np.random.RandomState(13)
+        wav = rng.randn(2, 400).astype(np.float32)
+        last, _ = HubertEncoder(cfg).apply({"params": params},
+                                           jnp.asarray(wav))
+        with torch.no_grad():
+            ref = model(torch.from_numpy(wav)).last_hidden_state.numpy()
+        np.testing.assert_allclose(np.asarray(last), ref, atol=2e-5)
+
+    def test_fairseq_ckpt_extractor(self, tiny_hubert_dir, tmp_path):
+        """End-to-end: a fairseq-style .pt (with the reference's
+        {'model': ...} nesting) loads through contentvec_fairseq_extractor."""
+        from amphion_tpu.data.processors.content import (
+            contentvec_fairseq_extractor,
+        )
+
+        model, _ = tiny_hubert_dir
+        fsd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+               self._to_fairseq_sd(dict(model.state_dict())).items()}
+        ckpt = tmp_path / "checkpoint_best_legacy_tiny.pt"
+        torch.save({"model": fsd}, ckpt)
+        extract = contentvec_fairseq_extractor(
+            str(ckpt), num_layers=2, hidden=32, num_heads=2, ffn_hidden=48,
+            conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3),
+            conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4)
+        rng = np.random.RandomState(14)
+        wav = rng.randn(4000).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(wav)[None]).last_hidden_state[0]
+        ours = extract(wav, 16000)
+        assert ours.shape == tuple(ref.shape)
+        np.testing.assert_allclose(ours, ref.numpy(), atol=5e-4)
