@@ -165,6 +165,97 @@ def bench_valle_rtf() -> None:
     _emit("valle_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
 
 
+def bench_vevo_rtf() -> None:
+    """Vevo1.5-scale zero-shot VC RTF: AR 780M-class content-style decode
+    + FM 350M-class 32-step ODE + Vocos 250M-class decode (ref model sizes
+    `models/svc/vevosing/README.md:24-27`)."""
+    from amphion_tpu.models.vc.ar_transformer import (
+        ARTransformer, ARTransformerConfig, ar_transformer_generate,
+    )
+    from amphion_tpu.models.vc.flow_matching_transformer import (
+        FlowMatchingTransformer, FMTConfig, fmt_inference,
+    )
+    from amphion_tpu.models.vocoders.vocos import VocosConfig, VocosGenerator
+
+    r = jax.random.key(0)
+    # AR: content (50 Hz) -> content-style tokens; 3 s prompt + 10 s target
+    ar = ARTransformer(ARTransformerConfig(
+        input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
+        num_heads=16, intermediate=6144, max_position=4096))
+    content = jnp.zeros((1, 650), jnp.int32)
+    cmask = jnp.ones((1, 650), jnp.float32)
+    out0 = jnp.zeros((1, 500), jnp.int32)
+    omask = jnp.ones((1, 500), jnp.float32)
+    ar_params = ar.init(r, content, cmask, out0, omask,
+                        method=ARTransformer.loss)["params"]
+    # FM: tokens -> mel (hop-256 Vocos rate); Lp=281, Lt=938
+    lp, lt = 281, 938
+    fm = FlowMatchingTransformer(FMTConfig(hidden=1024, num_layers=16))
+    tok0 = jnp.zeros((1, lp + lt), jnp.int32)
+    mel_full = jnp.zeros((1, lp + lt, 80))
+    pmask = jnp.concatenate([jnp.ones((1, lp)), jnp.zeros((1, lt))], axis=1)
+    xmask = jnp.ones((1, lp + lt), jnp.float32)
+    fm_params = fm.init(r, mel_full, tok0, pmask, xmask, jax.random.key(1),
+                        method=FlowMatchingTransformer.loss)["params"]
+    voc = VocosGenerator(VocosConfig(dim=1280, intermediate_dim=4096, num_layers=24))
+    mel0 = jnp.zeros((1, lt, 80))
+    voc_params = voc.init(r, mel0)["params"]
+    voc_fwd = jax.jit(lambda prm, m: voc.apply({"params": prm}, m))
+    tokens_full = jnp.zeros((1, lp + lt), jnp.int32)
+    prompt_mel = jnp.zeros((1, lp, 80))
+
+    def run(rng):
+        toks, _ = ar_transformer_generate(ar, ar_params, content, rng,
+                                          max_new=500, top_k=40)
+        del toks  # frame-aligned tokens for FM are precomputed below
+        mel = fmt_inference(fm, fm_params, tokens_full, prompt_mel, rng,
+                            num_steps=32, cfg_scale=1.0)
+        return voc_fwd(voc_params, mel)
+
+    _fence(run(jax.random.key(2)))
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        _fence(run(jax.random.key(3 + i)))
+    dt = (time.perf_counter() - t0) / n_iters
+    rtf = dt / 10.0
+    _emit("vevo_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
+
+
+def bench_ssl_extract() -> None:
+    """w2v-bert-2.0-class (1024/24 conformer) fused front-end + encoder
+    extraction throughput (x realtime, 16 kHz input)."""
+    from amphion_tpu.models.ssl_encoders import W2VBertConfig, W2VBertEncoder
+    from amphion_tpu.ops.ssl_frontend import num_fbank_frames, seamless_fbank
+
+    cfg = W2VBertConfig()
+    model = W2VBertEncoder(cfg)
+    b, secs = 8, 10
+    wav = jnp.zeros((b, secs * 16000))
+    nv = jnp.full((b,), secs * 16000)
+    feats0 = seamless_fbank(wav[:1], num_valid_samples=nv[:1])
+    params = model.init(jax.random.key(0), feats0)["params"]
+
+    @jax.jit
+    def fwd(w, n):
+        with jax.default_matmul_precision("float32"):
+            feats = seamless_fbank(w, num_valid_samples=n)
+            nf = (num_fbank_frames(n) + 1) // 2
+            mask = (jnp.arange(feats.shape[1])[None, :]
+                    < nf[:, None]).astype(feats.dtype)
+            _, hidden = model.apply({"params": params}, feats, mask)
+        return hidden[17]
+
+    _fence(fwd(wav, nv))
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        _fence(fwd(wav, nv))
+    dt = (time.perf_counter() - t0) / n_iters
+    xrt = b * secs / dt
+    _emit("ssl_extract_xrt", xrt, "x realtime (w2v-bert-2.0-class)", xrt / 1.0)
+
+
 def main() -> None:
     from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig, HiFiGANGenerator
 
@@ -217,3 +308,5 @@ if __name__ == "__main__":
         bench_bigvgan()
         bench_maskgct_rtf()
         bench_valle_rtf()
+        bench_vevo_rtf()
+        bench_ssl_extract()
