@@ -44,6 +44,10 @@ class FMTConfig:
     cond_drop_prob: float = 0.2  # ref cfg_scale: prob of uncond training step
     sigma_min: float = 1e-5
     time_scheduler: str = "linear"  # or "cos" (CosyVoice-style)
+    # integer nearest-neighbor upsampling of the condition stream to the
+    # mel frame rate (DualCodec-VoiceBox: 12.5 Hz semantic codes × 4 →
+    # 50 Hz mel; ref dualcodec voicebox_models.py cond_scale_factor)
+    cond_scale_factor: int = 1
 
     remat: bool = False  # rematerialize backbone blocks (memory lever)
 
@@ -94,7 +98,10 @@ class FlowMatchingTransformer(nn.Module):
         self.diff_estimator = DiffLlamaMel(c.llama(), c.n_mel)
 
     def _cond(self, tokens):
-        return self.cond_emb(tokens)
+        cond = self.cond_emb(tokens)
+        if self.cfg.cond_scale_factor != 1:
+            cond = jnp.repeat(cond, self.cfg.cond_scale_factor, axis=1)
+        return cond
 
     def velocity(self, x_t, t, tokens, prompt_mel, prompt_len_mask, x_mask,
                  drop_cond=False):
@@ -102,7 +109,7 @@ class FlowMatchingTransformer(nn.Module):
         prompt_mel: (B, T, n_mel) with valid frames marked by
         prompt_len_mask (B, T) — prompt frames enter CLEAN (ref
         forward_diffusion: xt = noisy*mask + x*(1-mask)); tokens: (B, T)."""
-        cond = self._cond(tokens)
+        cond = self._cond(tokens)[:, :x_t.shape[1]]
         # ref loss_t: condition dropped entirely for CFG training steps
         cond = cond * (1.0 - jnp.asarray(drop_cond, jnp.float32))
         x_in = jnp.where(prompt_len_mask[..., None] > 0, prompt_mel, x_t)
@@ -122,7 +129,7 @@ class FlowMatchingTransformer(nn.Module):
         x_t, v_target = cfm_pair(mel, t, noise, c.sigma_min)
         # ref: cond dropped for rows whose prompt_len == 0
         has_prompt = (jnp.sum(prompt_len_mask, axis=1) > 0)[:, None, None]
-        cond = self._cond(tokens) * has_prompt.astype(mel.dtype)
+        cond = self._cond(tokens)[:, :mel.shape[1]] * has_prompt.astype(mel.dtype)
         x_in = jnp.where(prompt_len_mask[..., None] > 0, mel, x_t)
         v_pred = self.diff_estimator(x_in, t, cond, mask=x_mask)
         w = x_mask * (1.0 - prompt_len_mask)
@@ -137,8 +144,8 @@ class FlowMatchingTransformer(nn.Module):
         combined with the std-rescale trick. xt: (B, Lt, n_mel);
         cond_tokens: (B, Lp+Lt); prompt_mel: (B, Lp, n_mel)."""
         lp = prompt_mel.shape[1]
-        cond = self._cond(cond_tokens)
         x_full = jnp.concatenate([prompt_mel, xt], axis=1)
+        cond = self._cond(cond_tokens)[:, :x_full.shape[1]]
         flow = self.diff_estimator(x_full, t, cond)[:, lp:]
         if cfg > 0:
             un = self.diff_estimator(xt, t, jnp.zeros_like(cond[:, lp:]))
@@ -189,7 +196,7 @@ def fmt_inference(
     (B, Lt, n_mel)."""
     b = tokens.shape[0]
     lp = prompt_mel.shape[1]
-    lt = tokens.shape[1] - lp
+    lt = tokens.shape[1] * model.cfg.cond_scale_factor - lp
     return _fmt_inference_jitted(
         model, b, lp, lt, num_steps, float(cfg_scale), float(rescale_cfg))(
         params, tokens, prompt_mel, rng)

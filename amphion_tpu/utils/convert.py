@@ -2465,3 +2465,53 @@ def fairseq_hubert_to_flax(sd: Mapping[str, np.ndarray], *, num_layers: int,
             "final_layer_norm": _ln_(sd, f"{p}.final_layer_norm"),
         }
     return out
+
+
+def dualcodec_valle_nar_to_flax(sd: Mapping[str, np.ndarray], *,
+                                num_layers: int,
+                                num_quantizers: int = 8) -> dict:
+    """Reference DualCodec ValleNAR state dict
+    (`dualcodec/model_tts/valle_nar/valle_nar_model.py`) →
+    `models.tts.dualcodec_tts.DualCodecValleNAR` params. The 7 residual
+    embeddings gain one extra zero row (the token-dropout mask slot) and
+    the 7 per-layer LM heads are stacked into one (7, H, V) param."""
+    g = lambda name: np.asarray(sd[name])
+
+    def ada(prefix: str) -> dict:
+        return {"to_weight": linear_to_dense(g(f"{prefix}.to_weight.weight"),
+                                             g(f"{prefix}.to_weight.bias"))}
+
+    backbone: dict = {}
+    for i in range(num_layers):
+        p = f"model.model.layers.{i}"
+        backbone[f"layer_{i}"] = {
+            "input_norm": ada(f"{p}.input_layernorm"),
+            "post_norm": ada(f"{p}.post_attention_layernorm"),
+            "attn": {
+                "q_proj": linear_to_dense(g(f"{p}.self_attn.q_proj.weight")),
+                "k_proj": linear_to_dense(g(f"{p}.self_attn.k_proj.weight")),
+                "v_proj": linear_to_dense(g(f"{p}.self_attn.v_proj.weight")),
+                "o_proj": linear_to_dense(g(f"{p}.self_attn.o_proj.weight")),
+            },
+            "mlp": {
+                "gate_proj": linear_to_dense(g(f"{p}.mlp.gate_proj.weight")),
+                "up_proj": linear_to_dense(g(f"{p}.mlp.up_proj.weight")),
+                "down_proj": linear_to_dense(g(f"{p}.mlp.down_proj.weight")),
+            },
+        }
+    backbone["final_norm"] = ada("model.model.norm")
+    rest = []
+    for i in range(1, num_quantizers):
+        w = g(f"prompt_embedder.embeddings.{i}.weight")
+        rest.append(np.concatenate([w, np.zeros((1, w.shape[1]), w.dtype)]))
+    heads = [np.ascontiguousarray(g(f"model.lm_head.{j}.weight").T)
+             for j in range(num_quantizers - 1)]
+    return {
+        "phone_embedder": embedding_to_flax(g("phone_embedder.weight")),
+        "embed_first": embedding_to_flax(
+            g("prompt_embedder.embeddings.0.weight")),
+        "embed_rest": np.stack(rest),
+        "embed_cond": embedding_to_flax(g("model.model.embed_cond.weight")),
+        "backbone": backbone,
+        "lm_heads": np.stack(heads),
+    }
