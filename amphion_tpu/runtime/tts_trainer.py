@@ -1240,3 +1240,237 @@ class MetisTrainer(MaskGCTTrainer):
         )
         if getattr(args, "resume", False):
             self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+
+class DualCodecTTSTrainer:
+    """DualCodec TTS trainer (ref the vendored package's Hydra CLI,
+    `models/codec/dualcodec/dualcodec/train.py` + `model_tts/` trainers),
+    unified here under the standard TrainLoop with a `mode` knob:
+
+    - ``ar``: text → 25 Hz semantic codes (`DualCodecValleAR.loss`)
+    - ``nar``: semantic + residual acoustic layers (`DualCodecValleNAR.loss`)
+    - ``voicebox``: CFM mel infilling conditioned on semantic codes
+      (`FlowMatchingTransformer` with ``cond_scale_factor``)
+
+    Data contract: per-uid ``codes_dualcodec/{uid}.npy`` of shape
+    (1 + Q_acoustic, T) — row 0 the semantic stream — plus the usual
+    phone/text-token json (``phone_dir``); voicebox additionally loads
+    waveforms and computes mel on device."""
+
+    def __init__(self, args, cfg):
+        import functools
+
+        import optax
+
+        from amphion_tpu.data.samplers import LengthBucketSampler
+        from amphion_tpu.models.tts.dualcodec_tts import (
+            DualARConfig,
+            DualCodecValleAR,
+            DualCodecValleNAR,
+            DualNARConfig,
+        )
+        from amphion_tpu.models.vc.flow_matching_transformer import (
+            FlowMatchingTransformer,
+            FMTConfig,
+        )
+        from amphion_tpu.runtime.optimizers import maybe_accumulate
+        from amphion_tpu.runtime.train_state import TrainState
+
+        self.args = args
+        self.cfg = cfg
+        self.logger = get_logger("dualcodec_tts",
+                                 level=getattr(args, "log_level", "info"))
+        p = cfg.preprocess
+        m = cfg.model.dualcodec_tts
+        self.mode = m.get("mode", "ar")
+        self.utts = []
+        for ds in cfg.dataset:
+            self.utts.extend(
+                load_metadata(Path(p.processed_dir) / ds / "train.json"))
+        self.code_dir = {
+            ds: Path(p.processed_dir) / ds / "codes_dualcodec"
+            for ds in cfg.dataset
+        }
+        self.phone_dir = {
+            ds: Path(p.processed_dir) / ds / p.phone_dir for ds in cfg.dataset
+        }
+        self.utts = [
+            u for u in self.utts
+            if (self.code_dir[u.dataset] / f"{u.uid}.npy").is_file()
+            and (self.mode == "voicebox"
+                 or (self.phone_dir[u.dataset] / f"{u.uid}.json").is_file())
+        ]
+        assert self.utts, "no utterances with dualcodec codes (+ phones)"
+        t = cfg.train
+        self.max_phones = t.get("max_phones", 256)
+        self.mel_cfg = MelConfig.from_preprocess_cfg(p)
+        self.scale_factor = m.get("cond_scale_factor", 4)
+
+        if self.mode == "ar":
+            self.model = DualCodecValleAR(DualARConfig(
+                text_vocab=m.get("text_vocab", 51866),
+                speech_vocab=m.get("speech_vocab", 16384),
+                hidden=m.get("hidden", 1024),
+                intermediate=m.get("intermediate", 4096),
+                num_layers=m.get("num_layers", 12),
+                num_heads=m.get("num_heads", 16)))
+        elif self.mode == "nar":
+            self.model = DualCodecValleNAR(DualNARConfig(
+                phone_vocab=m.get("text_vocab", 51866),
+                first_layer_vocab=m.get("speech_vocab", 16384),
+                target_vocab=m.get("acoustic_vocab", 4096),
+                hidden=m.get("hidden", 1024),
+                intermediate=m.get("intermediate", 4096),
+                num_layers=m.get("num_layers", 12),
+                num_heads=m.get("num_heads", 16),
+                num_quantizers=m.get("num_quantizers", 8)))
+        else:
+            self.model = FlowMatchingTransformer(FMTConfig(
+                token_vocab=m.get("speech_vocab", 16384),
+                n_mel=p.get("n_mel", 80),
+                hidden=m.get("hidden", 1024),
+                num_layers=m.get("num_layers", 16),
+                num_heads=m.get("num_heads", 16),
+                cond_scale_factor=self.scale_factor))
+
+        lengths = []
+        for u in self.utts:
+            codes = np.load(self.code_dir[u.dataset] / f"{u.uid}.npy",
+                            mmap_mode="r")
+            n = int(codes.shape[-1])
+            lengths.append(n * self.scale_factor
+                           if self.mode == "voicebox" else n)
+        self.sampler = LengthBucketSampler(
+            lengths, max_tokens=t.get("max_tokens", 8192),
+            min_bucket=t.get("min_bucket", 64), seed=t.get("seed", 0))
+
+        first = next(iter(self.sampler))
+        example = self._make_batch(*first)
+        tx = optax.adamw(t.adamw.lr, b1=t.adamw.get("adam_b1", 0.9),
+                         b2=t.adamw.get("adam_b2", 0.95),
+                         weight_decay=t.adamw.get("weight_decay", 0.01))
+        tx = maybe_accumulate(
+            optax.chain(optax.clip_by_global_norm(1.0), tx), t)
+        loss_method = {
+            "ar": "loss", "nar": "loss", "voicebox": "loss",
+        }[self.mode]
+        params = self.model.init(
+            jax.random.key(t.get("seed", 0)),
+            *self._loss_args(example, jax.random.key(1)),
+            method=loss_method)["params"]
+        from amphion_tpu.utils.logging import model_summary
+
+        model_summary(params, self.logger)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.key(2),
+            apply_fn=self.model.apply, tx=tx)
+
+        model = self.model
+        mode = self.mode
+        loss_args = self._loss_args
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=())
+        def step(state, batch):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(prm):
+                out = model.apply({"params": prm},
+                                  *loss_args(batch, sub),
+                                  method=loss_method)
+                return out if isinstance(out, tuple) else (out, {})
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            if mode == "voicebox" and not aux:
+                aux = {"vb_loss": loss}
+            return state.apply_gradients(grads).replace(rng=rng), aux
+
+        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        self.ckpt = CheckpointManager(
+            ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
+            list(t.get("keep_last", [-1])))
+        self.loop = TrainLoop(
+            LoopConfig(max_epoch=t.get("max_epoch", -1),
+                       max_steps=t.get("max_steps", -1),
+                       log_interval=t.get("log_interval", 100),
+                       save_checkpoints_steps=t.get(
+                           "save_checkpoints_steps", 0)),
+            step, self.state, self._data, ckpt=self.ckpt, logger=self.logger)
+        if getattr(args, "resume", False):
+            self.loop.resume(None, getattr(args, "resume_type", "resume"))
+
+    def _loss_args(self, batch, rng):
+        if self.mode == "ar":
+            return (batch["text"], batch["text_mask"], batch["semantic"],
+                    batch["frame_mask"])
+        if self.mode == "nar":
+            return (batch["text"], batch["text_mask"], batch["codes"],
+                    batch["frame_mask"], rng)
+        return (batch["mel"], batch["semantic"], batch["prompt_mask"],
+                batch["mel_mask"], rng)
+
+    def _make_batch(self, indices, bucket):
+        texts, codes_l, lens, wavs = [], [], [], []
+        code_bucket = (bucket // self.scale_factor
+                       if self.mode == "voicebox" else bucket)
+        for i in indices:
+            u = self.utts[i]
+            c = np.load(self.code_dir[u.dataset] / f"{u.uid}.npy")
+            codes_l.append(c[:, :code_bucket])
+            lens.append(min(c.shape[1], code_bucket))
+            if self.mode != "voicebox":
+                ph = json.loads(
+                    (self.phone_dir[u.dataset] / f"{u.uid}.json").read_text())
+                texts.append(np.asarray(ph[: self.max_phones], np.int32))
+            else:
+                x, _ = load_wav(u.path, sr=self.mel_cfg.sample_rate)
+                wavs.append(x)
+        b = len(indices)
+        q = codes_l[0].shape[0]
+        codes = np.zeros((q, b, code_bucket), np.int32)
+        for r, c in enumerate(codes_l):
+            codes[:, r, : c.shape[1]] = c
+        frame_mask = (np.arange(code_bucket)[None, :]
+                      < np.asarray(lens)[:, None]).astype(np.float32)
+        out = {"semantic": jnp.asarray(codes[0]),
+               "codes": jnp.asarray(codes),
+               "frame_mask": jnp.asarray(frame_mask)}
+        if self.mode != "voicebox":
+            ph, ph_len = pad_batch(texts)
+            out["text"] = jnp.asarray(ph)
+            out["text_mask"] = jnp.asarray(
+                (np.arange(ph.shape[1])[None, :]
+                 < ph_len[:, None]).astype(np.float32))
+        else:
+            from amphion_tpu.ops.mel import mel_spectrogram
+
+            t_mel = code_bucket * self.scale_factor
+            n_samp = t_mel * self.mel_cfg.hop_size
+            buf = np.zeros((b, n_samp), np.float32)
+            mel_lens = []
+            for r, x in enumerate(wavs):
+                n = min(len(x), n_samp)
+                buf[r, :n] = x[:n]
+                mel_lens.append(n // self.mel_cfg.hop_size)
+            mel = mel_spectrogram(jnp.asarray(buf), self.mel_cfg)
+            out["mel"] = mel.transpose(0, 2, 1)
+            out["mel_mask"] = jnp.asarray(
+                (np.arange(t_mel)[None, :]
+                 < np.asarray(mel_lens)[:, None]).astype(np.float32))
+            # CFM prompt region: leading quarter of valid frames
+            out["prompt_mask"] = jnp.asarray(
+                (np.arange(t_mel)[None, :]
+                 < (np.asarray(mel_lens) // 4)[:, None]).astype(np.float32))
+        return out
+
+    def _data(self):
+        def gen():
+            for indices, bucket in self.sampler:
+                yield self._make_batch(indices, bucket)
+
+        return Prefetcher(gen)
+
+    def train_loop(self):
+        return self.loop.run()

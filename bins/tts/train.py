@@ -6,6 +6,7 @@ from __future__ import annotations
 import argparse
 
 from amphion_tpu.runtime.tts_trainer import (
+    DualCodecTTSTrainer,
     FastSpeech2Trainer,
     JetsTrainer,
     MaskGCTTrainer,
@@ -26,6 +27,7 @@ def build_trainer(args, cfg):
         "Metis": MetisTrainer,
         "Jets": JetsTrainer,
         "NaturalSpeech2": NS2Trainer,
+        "DualCodecTTS": DualCodecTTSTrainer,
     }
     if cfg.model_type not in supported_trainer:
         raise NotImplementedError(

@@ -728,3 +728,43 @@ def test_vevo_ar_trainer_integration(corpus):
     trainer = AutoregressiveTransformerTrainer(_args("ar_it"), cfg)
     trainer.train_loop()
     assert trainer.loop.step == 2
+
+
+@pytest.mark.parametrize("mode", ["ar", "nar", "voicebox"])
+def test_dualcodec_tts_trainer_integration(corpus, mode):
+    """DualCodec TTS trainers (ref the vendored package's Hydra CLI):
+    ar / nar / voicebox modes over synthetic dual-stream codes."""
+    root, processed = corpus
+    from amphion_tpu.data.metadata import load_metadata
+
+    rng = np.random.default_rng(3)
+    code_dir = processed / "ljspeech" / "codes_dualcodec"
+    code_dir.mkdir(exist_ok=True)
+    utts = load_metadata(processed / "ljspeech" / "train.json")
+    for u in utts:
+        t = rng.integers(20, 30)
+        codes = np.concatenate([
+            rng.integers(0, 24, (1, t)),  # semantic stream
+            rng.integers(0, 16, (3, t)),  # acoustic residual layers
+        ]).astype(np.int32)
+        np.save(code_dir / f"{u.uid}.npy", codes)
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="DualCodecTTS",
+        model={"dualcodec_tts": {
+            "mode": mode, "text_vocab": 64, "speech_vocab": 24,
+            "acoustic_vocab": 16, "hidden": 32, "intermediate": 64,
+            "num_layers": 1, "num_heads": 2, "num_quantizers": 4,
+            "cond_scale_factor": 2,
+        }},
+    )
+    cfg.train["max_tokens"] = 512
+    cfg.train["min_bucket"] = 16
+
+    from amphion_tpu.runtime.tts_trainer import DualCodecTTSTrainer
+
+    trainer = DualCodecTTSTrainer(_args(f"dctts_{mode}"), cfg)
+    trainer.train_loop()
+    assert trainer.loop.step == 2
+    assert trainer.ckpt.latest() is not None
