@@ -35,19 +35,30 @@ class WaveNetConfig:
     num_layers: int = 20
     dilation_cycle: int = 10
     classes: int = 256
+    # "mulaw": 256-way categorical over mu-law ids; "mol": discretized
+    # mixture of logistics over raw [-1, 1] samples (ref wavenet.py:42-44,
+    # utils/distribution.py)
+    out_mode: str = "mulaw"
+    num_mixtures: int = 10
 
 
 class WaveNetVocoder(nn.Module):
-    """Causal dilated WaveNet over mu-law classes, mel-conditioned."""
+    """Causal dilated WaveNet, mel-conditioned; mu-law categorical or
+    mixture-of-logistics output head."""
 
     cfg: WaveNetConfig
 
     @nn.compact
-    def __call__(self, audio_ids, mel):
-        """Teacher-forced logits: audio_ids (B, T) → (B, T, classes)
-        predicting the NEXT sample."""
+    def __call__(self, audio_in, mel):
+        """Teacher-forced head params: audio_in (B, T) — mu-law ids
+        ("mulaw") or raw samples in [-1, 1] ("mol") → (B, T, classes) or
+        (B, T, 3*num_mixtures), predicting the NEXT sample."""
         c = self.cfg
-        x = nn.Embed(c.classes, c.residual_channels, name="embed")(audio_ids)
+        if c.out_mode == "mol":
+            x = nn.Dense(c.residual_channels, name="embed_scalar")(
+                audio_in[..., None].astype(jnp.float32))
+        else:
+            x = nn.Embed(c.classes, c.residual_channels, name="embed")(audio_in)
         cond = jnp.repeat(mel, c.hop_size, axis=1)[:, : x.shape[1]]
         cond = nn.Conv(2 * c.residual_channels, (1,), name="cond")(cond)
         skip_total = 0.0
@@ -65,9 +76,19 @@ class WaveNetVocoder(nn.Module):
             skip_total = skip_total + skip
         h = jax.nn.relu(skip_total)
         h = jax.nn.relu(nn.Conv(c.residual_channels, (1,), name="post1")(h))
-        return nn.Conv(c.classes, (1,), name="post2")(h)
+        out_dim = (3 * c.num_mixtures if c.out_mode == "mol" else c.classes)
+        return nn.Conv(out_dim, (1,), name="post2")(h)
 
     def loss(self, audio, mel):
+        c = self.cfg
+        if c.out_mode == "mol":
+            from amphion_tpu.ops.distributions import (
+                discretized_mix_logistic_loss,
+            )
+
+            y_hat = self(audio[:, :-1], mel)
+            return discretized_mix_logistic_loss(y_hat, audio[:, 1:],
+                                                 num_classes=c.classes)
         ids = mu_law_encode(audio)
         logits = self(ids[:, :-1], mel)
         targets = ids[:, 1:]
