@@ -129,3 +129,129 @@ class WaveRNNVocoder(nn.Module):
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         return -jnp.mean(ll)
+
+
+# ---------------------------------------------------------------------------
+# Sample-by-sample generation (lax.scan programs)
+# ---------------------------------------------------------------------------
+
+
+def _dense(p, x):
+    return x @ p["kernel"] + p.get("bias", 0.0)
+
+
+def wavenet_generate(cfg: WaveNetConfig, params, mel: jax.Array,
+                     rng: jax.Array, temperature: float = 1.0) -> jax.Array:
+    """AR waveform generation (ref `wavenet.py` incremental forward): one
+    `lax.scan` over samples with per-layer dilation ring buffers (the
+    kernel-2 dilated conv needs only the layer input from `dilation` steps
+    back; buffers init to zero = the causal left padding). Returns
+    (B, frames*hop) float audio in [-1, 1].
+
+    The step math reads the same param tree as the teacher-forced
+    `__call__`; `tests/test_ar_vocoder_generate.py` locks the two paths
+    together."""
+    c = cfg
+    b, frames, _ = mel.shape
+    t_total = frames * c.hop_size
+    cond_all = jnp.repeat(mel, c.hop_size, axis=1)  # (B, T, n_mel)
+    cond_all = _dense({"kernel": params["cond"]["kernel"][0],
+                       "bias": params["cond"]["bias"]}, cond_all)
+    dilations = [2 ** (i % c.dilation_cycle) for i in range(c.num_layers)]
+    bufs0 = [jnp.zeros((b, d, c.residual_channels)) for d in dilations]
+
+    def net_step(x, cond_t, bufs):
+        new_bufs = []
+        skip_total = 0.0
+        for i, d in enumerate(dilations):
+            kp = params[f"dil_{i}"]
+            y = (bufs[i][:, 0] @ kp["kernel"][0] + x @ kp["kernel"][1]
+                 + kp["bias"] + cond_t)
+            a_, b_ = jnp.split(y, 2, axis=-1)
+            y = jnp.tanh(a_) * jax.nn.sigmoid(b_)
+            y = _dense({"kernel": params[f"out_{i}"]["kernel"][0],
+                        "bias": params[f"out_{i}"]["bias"]}, y)
+            res, skip = jnp.split(y, 2, axis=-1)
+            new_bufs.append(jnp.concatenate([bufs[i][:, 1:], x[:, None]],
+                                            axis=1))
+            x = x + res
+            skip_total = skip_total + skip
+        h = jax.nn.relu(skip_total)
+        h = jax.nn.relu(_dense({"kernel": params["post1"]["kernel"][0],
+                                "bias": params["post1"]["bias"]}, h))
+        out = _dense({"kernel": params["post2"]["kernel"][0],
+                      "bias": params["post2"]["bias"]}, h)
+        return out, new_bufs
+
+    mol = c.out_mode == "mol"
+
+    def body(carry, t):
+        prev, bufs, r = carry
+        if mol:
+            x = _dense(params["embed_scalar"], prev[..., None])
+        else:
+            x = jnp.take(params["embed"]["embedding"], prev, axis=0)
+        out, bufs = net_step(x, cond_all[:, t], bufs)
+        r, sub = jax.random.split(r)
+        if mol:
+            from amphion_tpu.ops.distributions import (
+                sample_from_discretized_mix_logistic,
+            )
+
+            nxt = sample_from_discretized_mix_logistic(
+                sub, out[:, None])[:, 0]
+            sample = nxt
+        else:
+            nxt = jax.random.categorical(sub, out / temperature, axis=-1)
+            sample = mu_law_decode(nxt)
+        return (nxt, bufs, r), sample
+
+    if mol:
+        init_prev = jnp.zeros((b,), jnp.float32)
+    else:
+        init_prev = jnp.full((b,), c.classes // 2, jnp.int32)
+
+    @jax.jit
+    def run(rng):
+        (_, _, _), samples = jax.lax.scan(
+            body, (init_prev, bufs0, rng), jnp.arange(t_total))
+        return jnp.moveaxis(samples, 0, 1)
+
+    return run(rng)
+
+
+def wavernn_generate(cfg: WaveRNNConfig, params, mel: jax.Array,
+                     rng: jax.Array, temperature: float = 1.0) -> jax.Array:
+    """AR WaveRNN generation: GRU-cell steps under `lax.scan`
+    (ref `wavernn/wavernn.py` generate)."""
+    import flax.linen as fnn
+
+    c = cfg
+    b, frames, _ = mel.shape
+    t_total = frames * c.hop_size
+    cond_all = jnp.repeat(mel, c.hop_size, axis=1)
+    cell = fnn.GRUCell(c.rnn_dim)
+    # the RNN wrapper shares scope with its cell: params live at GRUCell_0
+    cell_params = params["GRUCell_0"]
+
+    def body(carry, t):
+        prev, h, r = carry
+        x = jnp.take(params["embed"]["embedding"], prev, axis=0)
+        inp = jnp.concatenate([x, cond_all[:, t]], axis=-1)
+        h, y = cell.apply({"params": cell_params}, h, inp)
+        y = jax.nn.relu(_dense(params["fc1"], y))
+        logits = _dense(params["fc2"], y)
+        r, sub = jax.random.split(r)
+        nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        return (nxt, h, r), mu_law_decode(nxt)
+
+    h0 = jnp.zeros((b, c.rnn_dim))
+    init_prev = jnp.full((b,), c.classes // 2, jnp.int32)
+
+    @jax.jit
+    def run(rng):
+        (_, _, _), samples = jax.lax.scan(
+            body, (init_prev, h0, rng), jnp.arange(t_total))
+        return jnp.moveaxis(samples, 0, 1)
+
+    return run(rng)

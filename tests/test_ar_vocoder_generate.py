@@ -1,0 +1,80 @@
+"""AR vocoder generation (`wavenet_generate` / `wavernn_generate`):
+the incremental step math must reproduce the teacher-forced `__call__`
+logits exactly when fed the generated prefix."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amphion_tpu.models.vocoders.autoregressive import (
+    WaveNetConfig,
+    WaveNetVocoder,
+    WaveRNNConfig,
+    WaveRNNVocoder,
+    mu_law_encode,
+    wavenet_generate,
+    wavernn_generate,
+)
+
+
+class TestWaveNetGenerate:
+    @pytest.mark.parametrize("out_mode", ["mulaw", "mol"])
+    def test_generate_shapes(self, out_mode):
+        rng = np.random.RandomState(40)
+        cfg = WaveNetConfig(n_mel=4, hop_size=4, residual_channels=8,
+                            num_layers=4, dilation_cycle=2,
+                            out_mode=out_mode, num_mixtures=2)
+        model = WaveNetVocoder(cfg)
+        mel = jnp.asarray(rng.randn(2, 6, 4).astype(np.float32))
+        if out_mode == "mol":
+            a0 = jnp.zeros((2, 8), jnp.float32)
+        else:
+            a0 = jnp.zeros((2, 8), jnp.int32)
+        params = model.init(jax.random.key(0), a0, mel)["params"]
+        audio = wavenet_generate(cfg, params, mel, jax.random.key(1))
+        assert audio.shape == (2, 24)
+        assert float(jnp.abs(audio).max()) <= 1.0
+
+    def test_step_matches_teacher_forced(self):
+        """Greedy incremental decode == argmax over teacher-forced logits
+        on the same prefix (locks buffers/param-tree math to __call__)."""
+        rng = np.random.RandomState(41)
+        cfg = WaveNetConfig(n_mel=4, hop_size=2, residual_channels=8,
+                            num_layers=4, dilation_cycle=2)
+        model = WaveNetVocoder(cfg)
+        mel = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32))
+        params = model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32),
+                            mel)["params"]
+        # deterministic decode: temperature→0 === argmax
+        gen = wavenet_generate(cfg, params, mel, jax.random.key(1),
+                               temperature=1e-6)
+        ids = mu_law_encode(gen)  # (1, 16) decoded ids re-encoded exactly
+        # teacher-forced pass over [128, ids[:-1]] must predict ids greedily
+        prefix = jnp.concatenate(
+            [jnp.full((1, 1), cfg.classes // 2, jnp.int32), ids[:, :-1]],
+            axis=1)
+        logits = model.apply({"params": params}, prefix, mel)
+        np.testing.assert_array_equal(np.asarray(logits.argmax(-1)),
+                                      np.asarray(ids))
+
+
+class TestWaveRNNGenerate:
+    def test_generate_and_consistency(self):
+        rng = np.random.RandomState(42)
+        cfg = WaveRNNConfig(n_mel=4, hop_size=4, rnn_dim=16, fc_dim=16)
+        model = WaveRNNVocoder(cfg)
+        mel = jnp.asarray(rng.randn(2, 5, 4).astype(np.float32))
+        params = model.init(jax.random.key(0), jnp.zeros((2, 8), jnp.int32),
+                            mel)["params"]
+        audio = wavernn_generate(cfg, params, mel, jax.random.key(1),
+                                 temperature=1e-6)
+        assert audio.shape == (2, 20)
+        ids = mu_law_encode(audio)
+        prefix = jnp.concatenate(
+            [jnp.full((2, 1), cfg.classes // 2, jnp.int32), ids[:, :-1]],
+            axis=1)
+        logits = model.apply({"params": params}, prefix, mel)
+        np.testing.assert_array_equal(np.asarray(logits.argmax(-1)),
+                                      np.asarray(ids))
