@@ -42,7 +42,13 @@ def main():
                         help="singer name or integer id")
     parser.add_argument("--output_path", required=True)
     parser.add_argument("--key_shift", type=float, default=0.0,
-                        help="semitones applied to the source F0")
+                        help="semitones applied to the source F0; pass "
+                             "'autoshift' via --auto_f0 instead to match "
+                             "the target singer's pitch register")
+    parser.add_argument("--auto_f0", action="store_true",
+                        help="scale source F0 by target_median/source_median "
+                             "from the preprocessing pitch statistics (ref "
+                             "utils/data_utils.py get_conversion_f0_factor)")
     parser.add_argument("--num_steps", type=int, default=50)
     parser.add_argument("--vocoder_ckpt", default="",
                         help="GAN vocoder checkpoint (Griffin-Lim if empty)")
@@ -79,6 +85,21 @@ def main():
     au = jnp.asarray(x[:t])[None]
     mel = mel_spectrogram(au, mel_cfg)
     f0, uv = yin_f0(au, f0_cfg)
+    if args.auto_f0:
+        # ref `get_conversion_f0_factor` (utils/data_utils.py:74): shift the
+        # source register to the target singer's median voiced F0
+        stats_path = (Path(p.processed_dir) / cfg.dataset[0]
+                      / "statistics.json")
+        stats = json.loads(stats_path.read_text()).get("pitch", {})
+        tgt = stats.get(str(args.target_singer))
+        voiced = np.asarray(f0)[np.asarray(f0) > 0]
+        if tgt and voiced.size:
+            factor = tgt["median"] / float(np.median(voiced))
+            f0 = f0 * factor
+            logger.info(f"auto f0 factor {factor:.3f} "
+                        f"(target median {tgt['median']:.1f} Hz)")
+        else:
+            logger.warning("auto_f0: no target pitch statistics; skipping")
     f0 = f0 * (2.0 ** (args.key_shift / 12.0))
     energy = energy_from_log_mel(mel)
     try:
