@@ -146,6 +146,10 @@ class TestDualCodecNARRoundTrip:
                   "audiotools", "audiotools.ml", "audiotools.core",
                   "descript_audio_codec", "einx", "wandb"):
             stub(n)
+        # the codec oracle tests (test_weight_conversion) need a REAL
+        # BaseModel on audiotools.ml — keep the shared stub compatible
+        sys.modules["audiotools.ml"].BaseModel = torch.nn.Module
+        sys.modules["audiotools"].AudioSignal = object
         from dualcodec.model_tts.valle_nar import valle_nar_model
         return valle_nar_model
 
