@@ -440,3 +440,69 @@ def _mel_pallas_forward(y: jax.Array, cfg, interpret: bool | None = None):
     )(windows, jnp.asarray(wp), jnp.asarray(mb))
     out = out.reshape(b, tiles * tile, mp)[:, :n, : cfg.n_mel]
     return jnp.transpose(out, (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only matmul (AR-decode bandwidth lever)
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight_int8(w: jax.Array):
+    """Per-output-channel symmetric int8 quantization of a (K, N) kernel:
+    returns (w_q int8 (K, N), scale f32 (N,)) with w ≈ w_q * scale."""
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return w_q, scale.astype(jnp.float32)
+
+
+def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, k_tiles):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    w = w_ref[...].astype(jnp.float32)
+    o_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == k_tiles - 1)
+    def _scale():
+        o_ref[...] *= s_ref[...].astype(jnp.float32)
+
+
+def int8_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+                       block_n: int = 512, block_k: int = 512,
+                       interpret: bool | None = None) -> jax.Array:
+    """x (B, K) @ dequant(w_q (K, N), scale (N,)) → (B, N) f32.
+
+    AR decode is weight-HBM-bandwidth bound (BENCHMARKS.md: bf16 weights
+    alone gave ~2x on VALL-E). This kernel streams the weight matrix from
+    HBM as int8 tiles and dequantizes in VMEM registers — guaranteed
+    int8-bytes-per-step traffic, immune to XLA hoisting a dequantized
+    copy out of the decode scan. Accumulation is f32."""
+    interpret = _resolve_interpret(interpret)
+    b, k_dim = x.shape
+    k2, n = w_q.shape
+    assert k2 == k_dim and scale.shape == (n,)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k_dim)
+    grid = (pl.cdiv(n, block_n), pl.cdiv(k_dim, block_k))
+    kern = functools.partial(_int8_matmul_kernel, k_tiles=grid[1])
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, block_k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, w_q, scale[None, :])

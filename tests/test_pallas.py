@@ -176,3 +176,37 @@ def test_mel_pallas_gradients_match_xla(rng):
         mel_spectrogram_pallas(a, cfg, True) ** 2))(y)
     g2 = jax.grad(lambda a: jnp.sum(mel_spectrogram_xla(a, cfg) ** 2))(y)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-2)
+
+
+def test_int8_matmul_matches_dequant(rng):
+    from amphion_tpu.ops.pallas_kernels import (
+        int8_matmul_pallas,
+        quantize_weight_int8,
+    )
+
+    x = jnp.asarray(rng.standard_normal((4, 96)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((96, 160)).astype(np.float32))
+    w_q, scale = quantize_weight_int8(w)
+    # quantization error bound: |w - w_q*scale| <= scale/2 per element
+    np.testing.assert_allclose(np.asarray(w_q).astype(np.float32)
+                               * np.asarray(scale)[None, :], np.asarray(w),
+                               atol=float(np.asarray(scale).max()) * 0.51)
+    ref = x @ (w_q.astype(jnp.float32) * scale[None, :])
+    out = int8_matmul_pallas(x, w_q, scale, block_n=64, block_k=32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_int8_matmul_full_blocks(rng):
+    from amphion_tpu.ops.pallas_kernels import (
+        int8_matmul_pallas,
+        quantize_weight_int8,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32))
+    w_q, scale = quantize_weight_int8(w)
+    out = int8_matmul_pallas(x, w_q, scale, block_n=64, block_k=64,
+                             interpret=True)
+    ref = x @ (w_q.astype(jnp.float32) * scale[None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
