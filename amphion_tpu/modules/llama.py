@@ -36,6 +36,12 @@ class LlamaConfig:
     rope_theta: float = 1e4
     max_position: int = 4096
     adaptive: bool = False  # adaLN conditioning (NAR diffusion backbones)
+    # "none" | "int8": decode-time weight-only quantization — projection
+    # kernels are stored int8 + per-channel scale and consumed by the
+    # Pallas int8 matmul (ops/pallas_kernels.int8_matmul_pallas), so the
+    # HBM-bound decode loop reads int8 bytes per step. Use
+    # `quantize_llama_params` to transform a trained f32 tree.
+    decode_quant: str = "none"
     dtype: str = "float32"
     remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
 
@@ -105,6 +111,57 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
+class QDense(nn.Module):
+    """Weight-only-int8 Dense (no bias): params kernel_q (K, N) int8 +
+    scale (N,) f32, applied via the Pallas streaming matmul."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from amphion_tpu.ops.pallas_kernels import int8_matmul_pallas
+
+        k_in = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros, (k_in, self.features),
+            jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        x2 = x.reshape(-1, k_in)
+        out = int8_matmul_pallas(x2.astype(jnp.float32), kernel_q, scale)
+        return out.reshape(*x.shape[:-1], self.features).astype(x.dtype)
+
+
+def _proj(cfg: LlamaConfig, features: int, name: str):
+    if cfg.decode_quant == "int8":
+        return QDense(features, name=name)
+    return nn.Dense(features, use_bias=False, name=name)
+
+
+def quantize_llama_params(params):
+    """f32 decoder param tree → int8-decode tree: every projection kernel
+    (q/k/v/o, gate/up/down) becomes {kernel_q, scale}; other leaves pass
+    through. Pair with `LlamaConfig(decode_quant="int8")`."""
+    from amphion_tpu.ops.pallas_kernels import quantize_weight_int8
+
+    proj_names = {"q_proj", "k_proj", "v_proj", "o_proj",
+                  "gate_proj", "up_proj", "down_proj"}
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if (k in proj_names and isinstance(v, dict)
+                    and "kernel" in v and getattr(v["kernel"], "ndim", 0) == 2):
+                w_q, scale = quantize_weight_int8(jnp.asarray(v["kernel"]))
+                out[k] = {"kernel_q": w_q, "scale": scale}
+            elif isinstance(v, dict):
+                out[k] = walk(v)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
 class LlamaAttention(nn.Module):
     cfg: LlamaConfig
 
@@ -114,9 +171,9 @@ class LlamaAttention(nn.Module):
         keys/values are appended at ``cache_index``; returns updated cache."""
         c = self.cfg
         b, t, _ = x.shape
-        q = nn.Dense(c.num_heads * c.head_dim, use_bias=False, name="q_proj")(x)
-        k = nn.Dense(c.kv_heads * c.head_dim, use_bias=False, name="k_proj")(x)
-        v = nn.Dense(c.kv_heads * c.head_dim, use_bias=False, name="v_proj")(x)
+        q = _proj(c, c.num_heads * c.head_dim, "q_proj")(x)
+        k = _proj(c, c.kv_heads * c.head_dim, "k_proj")(x)
+        v = _proj(c, c.kv_heads * c.head_dim, "v_proj")(x)
         q = q.reshape(b, t, c.num_heads, c.head_dim)
         k = k.reshape(b, t, c.kv_heads, c.head_dim)
         v = v.reshape(b, t, c.kv_heads, c.head_dim)
@@ -159,7 +216,7 @@ class LlamaAttention(nn.Module):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(b, t, c.num_heads * c.head_dim)
-        out = nn.Dense(c.hidden_size, use_bias=False, name="o_proj")(out)
+        out = _proj(c, c.hidden_size, "o_proj")(out)
         return (out, new_cache) if cache is not None else out
 
 
@@ -169,11 +226,9 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = nn.Dense(c.ffn_dim, use_bias=False, name="gate_proj")(x)
-        up = nn.Dense(c.ffn_dim, use_bias=False, name="up_proj")(x)
-        return nn.Dense(c.hidden_size, use_bias=False, name="down_proj")(
-            nn.silu(gate) * up
-        )
+        gate = _proj(c, c.ffn_dim, "gate_proj")(x)
+        up = _proj(c, c.ffn_dim, "up_proj")(x)
+        return _proj(c, c.hidden_size, "down_proj")(nn.silu(gate) * up)
 
 
 class LlamaBlock(nn.Module):

@@ -210,3 +210,40 @@ def test_int8_matmul_full_blocks(rng):
                              interpret=True)
     ref = x @ (w_q.astype(jnp.float32) * scale[None, :])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_int8_llama_decode_close_to_f32(rng):
+    """LlamaDecoder with decode_quant="int8" + quantized tree ≈ the f32
+    decoder (weight-only quantization error only)."""
+    import dataclasses
+
+    from amphion_tpu.modules.llama import (
+        LlamaConfig,
+        LlamaDecoder,
+        quantize_llama_params,
+    )
+
+    cfg = LlamaConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                      num_heads=2, max_position=64)
+    dec = LlamaDecoder(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 5, 32)).astype(np.float32))
+    params = dec.init(jax.random.key(0), x)["params"]
+    ref = dec.apply({"params": params}, x)
+
+    qcfg = dataclasses.replace(cfg, decode_quant="int8")
+    qdec = LlamaDecoder(qcfg)
+    qparams = quantize_llama_params(params)
+    out = qdec.apply({"params": qparams}, x)
+    err = float(jnp.abs(out - ref).max())
+    scale_ref = float(jnp.abs(ref).max())
+    assert err < 0.05 * max(scale_ref, 1.0), (err, scale_ref)
+
+    # cached decode path too (prefill + one step)
+    caches = qdec.init_cache(1, 8)
+    h, caches = qdec.apply({"params": qparams}, x[:, :4], caches=caches,
+                           cache_index=0)
+    h2, _ = qdec.apply({"params": qparams}, x[:, 4:5], caches=caches,
+                       cache_index=4)
+    full = qdec.apply({"params": qparams}, x[:, :5])
+    np.testing.assert_allclose(np.asarray(h2[:, 0]), np.asarray(full[:, 4]),
+                               atol=1e-3)
