@@ -37,6 +37,9 @@ class VALLEConfig:
     num_heads: int = 16
     max_position: int = 4096
     remat: bool = False  # rematerialize decoder blocks (memory lever)
+    # decode-time weight-only quantization of the AR decoder projections
+    # ("none" | "int8"); use ar_generate(compute_dtype="int8")
+    decode_quant: str = "none"
 
     @property
     def eos_id(self) -> int:
@@ -50,6 +53,7 @@ class VALLEConfig:
             max_position=self.max_position,
             adaptive=adaptive,
             remat=self.remat,
+            decode_quant="none" if adaptive else self.decode_quant,
         )
 
 
@@ -217,10 +221,25 @@ def _ar_generate_impl(
     (tokens (B, max_new), lengths (B,)); positions past EOS are zero.
     """
     c = model.cfg
-    dt = jnp.dtype(compute_dtype)
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
-    )
+    if compute_dtype == "int8":
+        # weight-only int8 AR decoder (Pallas streaming matmul); activations
+        # and everything outside the projections stay bf16
+        import dataclasses
+
+        from amphion_tpu.modules.llama import quantize_llama_params
+
+        model = VALLE(dataclasses.replace(c, decode_quant="int8"))
+        c = model.cfg
+        dt = jnp.dtype(jnp.bfloat16)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        # quantize AFTER the bf16 cast so the f32 scales stay f32
+        params = {**params, "ar": quantize_llama_params(params["ar"])}
+    else:
+        dt = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+        )
     b, lp = phones.shape
     lt = prompt_tokens.shape[1]
     total = lp + lt + max_new
