@@ -50,6 +50,9 @@ class ARTransformerConfig:
     timbre_hidden: int = 512
     timbre_heads: int = 4
     timbre_layers: int = 4
+    # decode-time weight-only quantization ("none" | "int8") — see
+    # ar_transformer_generate(compute_dtype="int8")
+    decode_quant: str = "none"
     remat: bool = False  # rematerialize decoder blocks (memory lever)
 
     # -- unified token space (ref ar_model.py:58-62) -------------------------
@@ -83,6 +86,7 @@ class ARTransformerConfig:
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, intermediate_size=self.intermediate,
             max_position=self.max_position, remat=self.remat,
+            decode_quant=self.decode_quant,
         )
 
 
@@ -273,10 +277,23 @@ def _ar_transformer_generate_impl(
     """KV-cache sampled decode (ref `ar_model.py:240` generate), one
     lax.scan over sampled steps, stop at OUT_EOS."""
     c = model.cfg
-    dt = jnp.dtype(compute_dtype)
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
-    )
+    if compute_dtype == "int8":
+        import dataclasses
+
+        from amphion_tpu.modules.llama import quantize_llama_params
+
+        model = ARTransformer(dataclasses.replace(c, decode_quant="int8"))
+        c = model.cfg
+        dt = jnp.dtype(jnp.bfloat16)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        params = {**params,
+                  "decoder": quantize_llama_params(params["decoder"])}
+    else:
+        dt = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+        )
     if ref_mel is not None:
         ref_mel = ref_mel.astype(dt)
     b, li = input_tokens.shape
