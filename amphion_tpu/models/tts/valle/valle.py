@@ -40,6 +40,14 @@ class VALLEConfig:
     # decode-time weight-only quantization of the AR decoder projections
     # ("none" | "int8"); use ar_generate(compute_dtype="int8")
     decode_quant: str = "none"
+    # NAR acoustic-prompt prefix mode (ref `valle.py:121`,
+    # `utils/prompt_preparer.py`): 0 = no prefix; 1 = a random prefix of the
+    # utterance conditions the NAR pass with ALL codebook embeddings and is
+    # excluded from the loss (the reference recipe default,
+    # `egs/tts/VALLE/exp_config.json:22`). Implemented mask-based so one
+    # compiled program serves every prefix length.
+    prefix_mode: int = 1
+    max_prefix_len: int = 225  # ref prompt_preparer.py:35 (3 s at 75 Hz)
 
     @property
     def eos_id(self) -> int:
@@ -111,40 +119,69 @@ class VALLE(nn.Module):
 
     # ---- NAR stage -------------------------------------------------------
 
-    def nar_forward(self, phones, phone_mask, tokens_all, token_mask, stage):
+    def nar_forward(self, phones, phone_mask, tokens_all, token_mask, stage,
+                    prompt_mask=None):
         """NAR logits for codebook ``stage`` (int array (B,) in [1, Q)).
 
         tokens_all: (B, Q, T) ground-truth codes; the input embedding sums
-        codebooks < stage (ref `valle.py` NAR embedding sum)."""
+        codebooks < stage (ref `valle.py` NAR embedding sum). Where
+        ``prompt_mask`` (B, T) is 1 the position is an acoustic prompt and
+        ALL codebook embeddings are summed (ref
+        `utils/prompt_preparer.py:36-43` prefix_mode 1)."""
         c = self.cfg
         pe = self.phone_embed(phones)
-        # sum of embeddings of codebooks below `stage`
+        # sum of embeddings of codebooks below `stage` (all in the prompt)
         acc = self.audio_embeds[0](tokens_all[:, 0])
-        for q in range(1, c.num_quantizers - 1):
+        for q in range(1, c.num_quantizers):
             contrib = self.audio_embeds[q](tokens_all[:, q])
-            acc = acc + jnp.where((stage > q)[:, None, None], contrib, 0.0)
+            take = jnp.broadcast_to((stage > q)[:, None], token_mask.shape)
+            if prompt_mask is not None:
+                take = jnp.logical_or(take, prompt_mask > 0)
+            acc = acc + jnp.where(take[..., None], contrib, 0.0)
         x = jnp.concatenate([pe, acc], axis=1)
         mask = jnp.concatenate([phone_mask, token_mask], axis=1)
         cond = self.stage_embed(stage - 1)
         h = self.nar(x, cond=cond, mask=mask)
         return self.nar_head(h[:, phones.shape[1] :])
 
-    def nar_loss(self, phones, phone_mask, tokens_all, token_mask, stage):
-        logits = self.nar_forward(phones, phone_mask, tokens_all, token_mask, stage)
+    def nar_loss(self, phones, phone_mask, tokens_all, token_mask, stage,
+                 prompt_mask=None):
+        logits = self.nar_forward(phones, phone_mask, tokens_all, token_mask,
+                                  stage, prompt_mask)
         targets = jnp.take_along_axis(
             tokens_all, stage[:, None, None], axis=1
         )[:, 0]
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        return -jnp.sum(ll * token_mask) / jnp.maximum(jnp.sum(token_mask), 1.0)
+        w = token_mask
+        if prompt_mask is not None:
+            # prompt positions condition but are not predicted
+            # (ref `valle.py:405` targets = targets[:, prefix_len:])
+            w = w * (1.0 - prompt_mask)
+        return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     def train_loss(self, phones, phone_mask, tokens_all, token_mask, rng):
         """Joint training objective (both stages; the reference trains them
         in separate runs via --train_stage, both supported here)."""
         c = self.cfg
         ar = self.ar_loss(phones, phone_mask, tokens_all[:, 0], token_mask)
+        rng, rng_p = jax.random.split(rng)
         stage = jax.random.randint(rng, (phones.shape[0],), 1, c.num_quantizers)
-        nar = self.nar_loss(phones, phone_mask, tokens_all, token_mask, stage)
+        prompt_mask = None
+        if c.prefix_mode == 1:
+            # prefix_len ~ U[low, 2*low), low = 0.25*min_len, capped at 225
+            # (ref `utils/prompt_preparer.py:32-35`)
+            lens = jnp.sum(token_mask, axis=1)
+            low = (0.25 * jnp.min(lens)).astype(jnp.int32)
+            plen = jax.random.randint(rng_p, (), 0, jnp.maximum(low, 1)) + low
+            plen = jnp.minimum(plen, c.max_prefix_len)
+            t = token_mask.shape[1]
+            prompt_mask = (
+                (jnp.arange(t)[None, :] < plen).astype(token_mask.dtype)
+                * token_mask
+            )
+        nar = self.nar_loss(phones, phone_mask, tokens_all, token_mask, stage,
+                            prompt_mask)
         return ar + nar, {"ar_loss": ar, "nar_loss": nar}
 
     # ---- generation ------------------------------------------------------
@@ -166,17 +203,41 @@ class VALLE(nn.Module):
     def make_cache(self, batch: int, total_len: int):
         return self.ar.init_cache(batch, total_len)
 
-    def nar_generate(self, phones, phone_mask, tokens0, token_mask):
-        """Greedy NAR decoding of codebooks 1..Q-1 given codebook 0."""
+    def nar_generate(self, phones, phone_mask, tokens0, token_mask,
+                     prompt_tokens=None):
+        """Greedy NAR decoding of codebooks 1..Q-1 given codebook 0.
+
+        ``prompt_tokens`` (B, Q, Tp): the enrolled prompt's full codec codes,
+        prepended as an acoustic-prompt prefix whose ALL-codebook embeddings
+        condition timbre (ref `valle.py:585-605` NAR inference: y_prompts
+        sums nar_audio_embeddings[j](prompts[..., j])). Returns codes for
+        the target region only, (B, Q, T)."""
         c = self.cfg
         b, t = tokens0.shape
-        all_tokens = jnp.zeros((b, c.num_quantizers, t), tokens0.dtype)
-        all_tokens = all_tokens.at[:, 0].set(tokens0)
+        if prompt_tokens is None:
+            all_tokens = jnp.zeros((b, c.num_quantizers, t), tokens0.dtype)
+            all_tokens = all_tokens.at[:, 0].set(tokens0)
+            full_mask, prompt_mask, tp = token_mask, None, 0
+        else:
+            tp = prompt_tokens.shape[2]
+            all_tokens = jnp.concatenate([
+                prompt_tokens.astype(tokens0.dtype),
+                jnp.zeros((b, c.num_quantizers, t), tokens0.dtype)
+                .at[:, 0].set(tokens0),
+            ], axis=2)
+            ones = jnp.ones((b, tp), token_mask.dtype)
+            full_mask = jnp.concatenate([ones, token_mask], axis=1)
+            prompt_mask = jnp.concatenate(
+                [ones, jnp.zeros_like(token_mask)], axis=1)
         for q in range(1, c.num_quantizers):
             stage = jnp.full((b,), q, jnp.int32)
-            logits = self.nar_forward(phones, phone_mask, all_tokens, token_mask, stage)
-            all_tokens = all_tokens.at[:, q].set(jnp.argmax(logits, axis=-1))
-        return all_tokens
+            logits = self.nar_forward(phones, phone_mask, all_tokens,
+                                      full_mask, stage, prompt_mask)
+            pred = jnp.argmax(logits, axis=-1)
+            if prompt_mask is not None:
+                pred = jnp.where(prompt_mask > 0, all_tokens[:, q], pred)
+            all_tokens = all_tokens.at[:, q].set(pred)
+        return all_tokens[:, :, tp:]
 
 
 import functools

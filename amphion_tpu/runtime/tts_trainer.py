@@ -127,7 +127,12 @@ class VITSTrainer:
 
     def _phones(self, u) -> list[int]:
         path = self.phone_dir[u.dataset] / f"{u.uid}.json"
-        return json.loads(path.read_text())
+        ids = json.loads(path.read_text())
+        if self.cfg.preprocess.get("add_blank", True):
+            # ref `models/tts/base/tts_dataset.py:212` (config/tts.json:19)
+            from amphion_tpu.text import intersperse
+            ids = intersperse(ids, 0)
+        return ids
 
     def _make_batch(self, utts):
         phones, audios = [], []
@@ -226,6 +231,8 @@ class VALLETrainer:
             num_heads=m.num_heads if m else 16,
             max_position=m.get("max_position", 4096) if m else 4096,
             remat=m.get("remat", False) if m else False,
+            # ref `egs/tts/VALLE/exp_config.json:22` trains with prefix_mode 1
+            prefix_mode=m.get("prefix_mode", 1) if m else 1,
         ))
         t = cfg.train
         lengths = []

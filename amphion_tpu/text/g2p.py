@@ -104,3 +104,12 @@ class G2PModule:
 
     def to_ids(self, text: str, table: SymbolTable) -> list[int]:
         return [table[p] for p in self.phonemes(text) if p in table]
+
+
+def intersperse(ids: list[int], item: int = 0) -> list[int]:
+    """[a, b] -> [item, a, item, b, item] (ref `utils/data_utils.py:15`;
+    applied to phone sequences when `preprocess.add_blank`,
+    `models/tts/base/tts_dataset.py:212`, `vits_inference.py:124`)."""
+    out = [item] * (2 * len(ids) + 1)
+    out[1::2] = ids
+    return out

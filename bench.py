@@ -128,7 +128,7 @@ def bench_maskgct_rtf() -> None:
     _emit("maskgct_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
 
 
-def bench_valle_rtf() -> None:
+def bench_valle_rtf(compute_dtype="bfloat16") -> None:
     """Full-size VALL-E zero-shot inference RTF (target < 0.1)."""
     from amphion_tpu.models.tts.valle.valle import (
         VALLE, VALLEConfig, ar_generate,
@@ -152,7 +152,8 @@ def bench_valle_rtf() -> None:
 
     def run(rng):
         toks, _ = ar_generate(model, params, phones, prompt0, rng,
-                              max_new=new, top_k=50)
+                              max_new=new, top_k=50,
+                              compute_dtype=compute_dtype)
         return nar(params, toks, jnp.ones((1, new), jnp.float32))
 
     _fence(run(jax.random.key(2)))
@@ -162,10 +163,12 @@ def bench_valle_rtf() -> None:
         _fence(run(jax.random.key(3 + i)))
     dt = (time.perf_counter() - t0) / n_iters
     rtf = dt / 10.0
-    _emit("valle_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
+    suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
+    _emit(f"valle_zero_shot_rtf{suffix}", rtf, "RTF (lower better)",
+          0.1 / max(rtf, 1e-9))
 
 
-def bench_vevo_rtf() -> None:
+def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
     """Vevo1.5-scale zero-shot VC RTF: AR 780M-class content-style decode
     + FM 350M-class 32-step ODE + Vocos 250M-class decode (ref model sizes
     `models/svc/vevosing/README.md:24-27`)."""
@@ -206,7 +209,8 @@ def bench_vevo_rtf() -> None:
 
     def run(rng):
         toks, _ = ar_transformer_generate(ar, ar_params, content, rng,
-                                          max_new=500, top_k=40)
+                                          max_new=500, top_k=40,
+                                          compute_dtype=compute_dtype)
         del toks  # frame-aligned tokens for FM are precomputed below
         mel = fmt_inference(fm, fm_params, tokens_full, prompt_mel, rng,
                             num_steps=32, cfg_scale=1.0)
@@ -219,7 +223,9 @@ def bench_vevo_rtf() -> None:
         _fence(run(jax.random.key(3 + i)))
     dt = (time.perf_counter() - t0) / n_iters
     rtf = dt / 10.0
-    _emit("vevo_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
+    suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
+    _emit(f"vevo_zero_shot_rtf{suffix}", rtf, "RTF (lower better)",
+          0.1 / max(rtf, 1e-9))
 
 
 def bench_ssl_extract() -> None:
@@ -308,5 +314,7 @@ if __name__ == "__main__":
         bench_bigvgan()
         bench_maskgct_rtf()
         bench_valle_rtf()
+        bench_valle_rtf("int8")
         bench_vevo_rtf()
+        bench_vevo_rtf("int8")
         bench_ssl_extract()

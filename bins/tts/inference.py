@@ -93,11 +93,14 @@ def valle_inference(args, cfg, logger):
     )
     n = max(int(lengths[0]), 1)
     token_mask = (jnp.arange(tokens0.shape[1]) < n).astype(jnp.float32)[None]
-    nar = jax.jit(lambda prm, ph, pm, t0, tm: model.apply(
-        {"params": prm}, ph, pm, t0, tm, method=VALLE.nar_generate,
+    nar = jax.jit(lambda prm, ph, pm, t0, tm, pc: model.apply(
+        {"params": prm}, ph, pm, t0, tm, pc, method=VALLE.nar_generate,
     ))
+    # the prompt's full codes condition the NAR pass as an acoustic prefix
+    # (ref `valle.py:585-605` y_prompts; timbre transfer happens here)
     all_codes = nar(
-        params, phones, jnp.ones_like(phones, jnp.float32), tokens0, token_mask
+        params, phones, jnp.ones_like(phones, jnp.float32), tokens0,
+        token_mask, jnp.asarray(prompt_codes)[None],
     )
     wav = tok.decode(np.asarray(all_codes)[:, :, :n])
     save_wav(args.output_path, wav[0], p.sample_rate)
@@ -409,6 +412,10 @@ def main():
     )
     g2p = G2PModule(p.get("g2p_backend", "char"), p.get("lexicon_path") or None)
     ids = g2p.to_ids(args.text, symbols)
+    if p.get("add_blank", True):
+        # ref `models/tts/vits/vits_inference.py:124` intersperse(seq, 0)
+        from amphion_tpu.text import intersperse
+        ids = intersperse(ids, 0)
 
     mgr = CheckpointManager(exp_dir / "checkpoint")
     tree, epoch, step = mgr.restore_raw()

@@ -117,3 +117,11 @@ def test_acoustic_extraction_pipeline(tmp_path, rng):
     )
     assert len(ids) > 0
     assert (out / "ljspeech" / "symbols.dict").is_file()
+
+
+def test_intersperse_blank():
+    """ref `utils/data_utils.py:15`: [1,74,5,31] -> 0-interleaved."""
+    from amphion_tpu.text import intersperse
+
+    assert intersperse([1, 74, 5, 31], 0) == [0, 1, 0, 74, 0, 5, 0, 31, 0]
+    assert intersperse([], 0) == [0]

@@ -101,6 +101,47 @@ def test_valle_nar_generate(valle_setup):
     np.testing.assert_array_equal(np.asarray(out)[:, 0], np.asarray(batch["tokens"])[:, 0])
 
 
+def test_valle_nar_generate_with_prompt(valle_setup):
+    """Acoustic-prompt prefix (ref prefix_mode 1 inference): the prompt's
+    full codes condition the NAR pass; only target-region codes return."""
+    rng = np.random.default_rng(1)
+    model, params, batch = valle_setup
+    prompt = jnp.asarray(rng.integers(0, 32, (2, TINY.num_quantizers, 6)))
+    out = model.apply(
+        {"params": params},
+        batch["phones"], batch["phone_mask"], batch["tokens"][:, 0],
+        batch["token_mask"], prompt,
+        method=VALLE.nar_generate,
+    )
+    assert out.shape == batch["tokens"].shape
+    np.testing.assert_array_equal(
+        np.asarray(out)[:, 0], np.asarray(batch["tokens"])[:, 0])
+    # prompt conditioning must change the completion vs no-prompt decode
+    base = model.apply(
+        {"params": params},
+        batch["phones"], batch["phone_mask"], batch["tokens"][:, 0],
+        batch["token_mask"],
+        method=VALLE.nar_generate,
+    )
+    assert not np.array_equal(np.asarray(out)[:, 1:], np.asarray(base)[:, 1:])
+
+
+def test_valle_prefix_mode_0_loss(rng):
+    """prefix_mode=0 keeps the original full-sequence NAR objective."""
+    import dataclasses
+    model = VALLE(dataclasses.replace(TINY, prefix_mode=0))
+    batch = _batch(rng)
+    params = model.init(
+        jax.random.key(0), batch["phones"], batch["phone_mask"],
+        batch["tokens"], batch["token_mask"], jax.random.key(1),
+        method=VALLE.train_loss)["params"]
+    loss, aux = model.apply(
+        {"params": params}, batch["phones"], batch["phone_mask"],
+        batch["tokens"], batch["token_mask"], jax.random.key(1),
+        method=VALLE.train_loss)
+    assert np.isfinite(float(loss))
+
+
 def test_ar_generate_int8_runs(rng):
     """compute_dtype="int8": weight-only-quantized AR decode produces
     valid tokens (Pallas kernel in interpret mode on CPU)."""
