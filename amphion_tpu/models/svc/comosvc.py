@@ -23,6 +23,7 @@ pretrained copies of the reference become explicit param arguments.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 
@@ -243,9 +244,20 @@ def ct_sampler(model: ComoSVC, params, features: dict, shape, rng,
     return x
 
 
+@functools.lru_cache(maxsize=16)
+def _comosvc_sample_jitted(model, shape, num_steps, teacher):
+    def core(params, features, rng):
+        if teacher:
+            return edm_sampler(model, params, features, shape, rng, num_steps)
+        return ct_sampler(model, params, features, shape, rng, num_steps)
+
+    return jax.jit(core)
+
+
 def comosvc_sample(model: ComoSVC, params, features: dict, shape, rng,
                    num_steps: int = 1, teacher: bool = False):
-    """Inference entry: teacher Karras sampling or distilled CT steps."""
-    if teacher:
-        return edm_sampler(model, params, features, shape, rng, num_steps)
-    return ct_sampler(model, params, features, shape, rng, num_steps)
+    """Inference entry: teacher Karras sampling or distilled CT steps.
+    Memoized self-jitting — the eager CT loop otherwise dispatches each
+    denoiser call op-by-op through the TPU tunnel."""
+    return _comosvc_sample_jitted(model, tuple(shape), num_steps, teacher)(
+        params, features, rng)

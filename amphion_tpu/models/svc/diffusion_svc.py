@@ -12,6 +12,7 @@ the module library, schedules/samplers as compile-time scans.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import flax.linen as nn
@@ -60,6 +61,12 @@ class DiffusionSVC(nn.Module):
         cond = self.condition_encoder(features)
         return self.denoiser(x_t, t, cond)
 
+    def encode_condition(self, features: dict):
+        return self.condition_encoder(features)
+
+    def denoise_cond(self, x_t, t, cond):
+        return self.denoiser(x_t, t, cond)
+
     def loss(self, mel, features: dict, mask, rng):
         """Epsilon-prediction MSE (masked). mel: (B, T, n_mel)."""
         sched = self.schedule
@@ -76,6 +83,36 @@ class DiffusionSVC(nn.Module):
         return loss, {"diff_loss": loss}
 
 
+@functools.lru_cache(maxsize=16)
+def _diffusion_svc_sample_jitted(model, shape, sampler, num_steps,
+                                 compute_dtype):
+    sched = model.schedule
+    dt = jnp.dtype(compute_dtype)
+
+    def core(params, features, rng):
+        # condition encoder runs ONCE outside the denoise scan; the
+        # num_steps x WaveNet loop runs in compute_dtype, sampler
+        # coefficient math stays f32 (eps upcast)
+        cond = model.apply(
+            {"params": params}, features,
+            method=DiffusionSVC.encode_condition)
+        params_dt = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        cond_dt = cond.astype(dt)
+
+        def eps_fn(x, t):
+            tt = jnp.full((shape[0],), t)
+            return model.apply(
+                {"params": params_dt}, x.astype(dt), tt, cond_dt,
+                method=DiffusionSVC.denoise_cond).astype(jnp.float32)
+
+        if sampler == "ddpm":
+            return ddpm_sample(eps_fn, sched, shape, rng, num_steps)
+        return ddim_sample(eps_fn, sched, shape, rng, num_steps)
+
+    return jax.jit(core)
+
+
 def diffusion_svc_sample(
     model: DiffusionSVC,
     params,
@@ -84,16 +121,10 @@ def diffusion_svc_sample(
     rng: jax.Array,
     sampler: str = "ddim",
     num_steps: int = 50,
+    compute_dtype: str = "bfloat16",
 ):
-    """Sample mel given conditioning (ref `diffusion_inference_pipeline.py`)."""
-    sched = model.schedule
-
-    def eps_fn(x, t):
-        tt = jnp.full((shape[0],), t)
-        return model.apply(
-            {"params": params}, x, tt, features, method=DiffusionSVC.denoise
-        )
-
-    if sampler == "ddpm":
-        return ddpm_sample(eps_fn, sched, shape, rng, num_steps)
-    return ddim_sample(eps_fn, sched, shape, rng, num_steps)
+    """Sample mel given conditioning (ref `diffusion_inference_pipeline.py`).
+    Memoized self-jitting; denoiser in ``compute_dtype`` (bf16 default)."""
+    return _diffusion_svc_sample_jitted(
+        model, tuple(shape), sampler, num_steps, compute_dtype)(
+        params, features, rng)

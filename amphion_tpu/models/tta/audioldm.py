@@ -266,20 +266,28 @@ def audioldm_sample(
     rng: jax.Array,
     num_steps: int = 50,
     guidance_scale: float = 3.0,
+    compute_dtype: str = "bfloat16",
 ):
     """DDIM sampling with classifier-free guidance (memoized self-jitting —
-    a fresh jit per call would recompile every prompt)."""
-    return _audioldm_sample_jitted(model, shape, num_steps, guidance_scale)(
+    a fresh jit per call would recompile every prompt). UNet runs in
+    ``compute_dtype``; guidance and DDIM math stay f32."""
+    return _audioldm_sample_jitted(
+        model, shape, num_steps, guidance_scale, compute_dtype)(
         params, text_emb, rng
     )
 
 
 @functools.lru_cache(maxsize=16)
-def _audioldm_sample_jitted(model, shape, num_steps, guidance_scale):
+def _audioldm_sample_jitted(model, shape, num_steps, guidance_scale,
+                            compute_dtype="bfloat16"):
     sched = model.schedule
     b = shape[0]
+    dt = jnp.dtype(compute_dtype)
 
     def core(params, text_emb, rng):
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        text_emb = text_emb.astype(dt)
         null_emb = jnp.zeros_like(text_emb)
 
         def eps_fn(x, t):
@@ -287,9 +295,9 @@ def _audioldm_sample_jitted(model, shape, num_steps, guidance_scale):
             # one batched fwd for [cond; uncond] halves the step count
             e2 = model.apply(
                 {"params": params},
-                jnp.concatenate([x, x]), jnp.concatenate([tt, tt]),
+                jnp.concatenate([x, x]).astype(dt), jnp.concatenate([tt, tt]),
                 jnp.concatenate([text_emb, null_emb]),
-            )
+            ).astype(jnp.float32)
             e_c, e_u = e2[:b], e2[b:]
             return e_u + guidance_scale * (e_c - e_u)
 

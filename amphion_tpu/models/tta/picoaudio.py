@@ -10,6 +10,7 @@ with the text-embedding context.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import flax.linen as nn
@@ -68,21 +69,42 @@ class PicoAudio(nn.Module):
         return self.ldm.loss(z0, self._context(text_emb, timing_roll), rng)
 
 
-def picoaudio_sample(model: PicoAudio, params, text_emb, timing_roll, shape,
-                     rng, num_steps: int = 50, guidance_scale: float = 3.0):
-    """DDIM sampling with CFG over the combined (text + timing) context."""
+@functools.lru_cache(maxsize=16)
+def _picoaudio_sample_jitted(model, shape, num_steps, guidance_scale,
+                             compute_dtype):
     from amphion_tpu.modules.diffusion import DiffusionSchedule, ddim_sample
 
     b = shape[0]
-
-    def eps_fn(x, t):
-        tt = jnp.full((b,), t)
-        e_c = model.apply({"params": params}, x, tt, text_emb, timing_roll)
-        e_u = model.apply(
-            {"params": params}, x, tt, jnp.zeros_like(text_emb),
-            jnp.zeros_like(timing_roll),
-        )
-        return e_u + guidance_scale * (e_c - e_u)
-
+    dt = jnp.dtype(compute_dtype)
     sched = DiffusionSchedule.create(model.cfg.ldm.num_train_steps)
-    return ddim_sample(eps_fn, sched, shape, rng, num_steps)
+
+    def core(params, text_emb, timing_roll, rng):
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        text_emb = text_emb.astype(dt)
+        timing_roll = timing_roll.astype(dt)
+
+        def eps_fn(x, t):
+            tt = jnp.full((2 * b,), t)
+            # one batched fwd for [cond; uncond] halves the step count
+            e2 = model.apply(
+                {"params": params}, jnp.concatenate([x, x]).astype(dt), tt,
+                jnp.concatenate([text_emb, jnp.zeros_like(text_emb)]),
+                jnp.concatenate([timing_roll, jnp.zeros_like(timing_roll)]),
+            ).astype(jnp.float32)
+            e_c, e_u = e2[:b], e2[b:]
+            return e_u + guidance_scale * (e_c - e_u)
+
+        return ddim_sample(eps_fn, sched, shape, rng, num_steps)
+
+    return jax.jit(core)
+
+
+def picoaudio_sample(model: PicoAudio, params, text_emb, timing_roll, shape,
+                     rng, num_steps: int = 50, guidance_scale: float = 3.0,
+                     compute_dtype: str = "bfloat16"):
+    """DDIM sampling with CFG over the combined (text + timing) context.
+    Memoized self-jitting; UNet in ``compute_dtype``, CFG/DDIM math f32."""
+    return _picoaudio_sample_jitted(
+        model, tuple(shape), num_steps, float(guidance_scale),
+        compute_dtype)(params, text_emb, timing_roll, rng)

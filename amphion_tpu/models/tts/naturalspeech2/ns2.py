@@ -22,6 +22,7 @@ latents (e.g. `models/codec/amphion_codec`).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import flax.linen as nn
@@ -312,7 +313,11 @@ class Diffusion(nn.Module):
         c = self.cfg
         cb = self._cum_beta(t)[:, None, None]
         bt = self._beta_t(t)[:, None, None]
-        x0_pred = self.diff_estimator(xt, x_mask, cond, t, spk_query_emb)
+        # estimator runs in xt.dtype (bf16 under ns2_sample's default);
+        # the SDE coefficient math stays f32
+        x0_pred = self.diff_estimator(
+            xt, x_mask, cond, t, spk_query_emb).astype(jnp.float32)
+        xt = xt.astype(jnp.float32)
         mean_pred = x0_pred * jnp.exp(-0.5 * cb / c.sigma**2)
         var = c.sigma**2 * (1.0 - jnp.exp(-cb / c.sigma**2))
         logp = -(xt - mean_pred) / (var + 1e-8)
@@ -386,29 +391,49 @@ class NaturalSpeech2(nn.Module):
         return self.diffusion.cal_dxt(xt, x_mask, cond, spk_query, t, h)
 
 
+@functools.lru_cache(maxsize=16)
+def _ns2_sample_jitted(model, num_steps, max_frames, compute_dtype):
+    c = model.cfg
+    dt = jnp.dtype(compute_dtype)
+    h = 1.0 / num_steps
+
+    def core(params, phone_id, phone_mask, ref_latent, ref_mask, rng):
+        # prior (duration/pitch) stays f32 so frame counts match training;
+        # the num_steps x WaveNet denoise loop — the hot path — runs in
+        # compute_dtype with f32 SDE math (cal_dxt upcasts)
+        cond, fmask, spk_query = model.apply(
+            {"params": params}, phone_id, phone_mask, ref_latent, ref_mask,
+            max_frames, method=NaturalSpeech2.prior_infer)
+        b, t_len = fmask.shape
+        params_dt = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        cond_dt = cond.astype(dt)
+        sq_dt = spk_query.astype(dt)
+        xt = jax.random.normal(rng, (b, t_len, c.latent_dim)) * c.noise_factor
+
+        def body(x, i):
+            t = (1.0 - (i.astype(jnp.float32) + 0.5) * h) * jnp.ones((b,))
+            dxt = model.apply(
+                {"params": params_dt}, x.astype(dt), fmask, cond_dt, sq_dt,
+                t, h, method=NaturalSpeech2.denoise_step)
+            return x - dxt, None
+
+        xt, _ = jax.lax.scan(body, xt, jnp.arange(num_steps))
+        return xt * fmask[..., None], fmask
+
+    return jax.jit(core)
+
+
 def ns2_sample(
     model: NaturalSpeech2, params, phone_id, phone_mask, ref_latent, ref_mask,
     rng, num_steps: int = 100, max_frames: int | None = None,
+    compute_dtype: str = "bfloat16",
 ):
     """Reverse SDE Euler sampler (ref diffusion.py reverse_diffusion:
-    t from 1 → 0, xt -= dxt). Self-jitting over the scan."""
-    c = model.cfg
-    cond, fmask, spk_query = model.apply(
-        {"params": params}, phone_id, phone_mask, ref_latent, ref_mask,
-        max_frames, method=NaturalSpeech2.prior_infer)
-    b, t_len = fmask.shape
-    h = 1.0 / num_steps
-    xt = jax.random.normal(rng, (b, t_len, c.latent_dim)) * c.noise_factor
-
-    def body(x, i):
-        t = (1.0 - (i.astype(jnp.float32) + 0.5) * h) * jnp.ones((b,))
-        dxt = model.apply(
-            {"params": params}, x, fmask, cond, spk_query, t, h,
-            method=NaturalSpeech2.denoise_step)
-        return x - dxt, None
-
-    xt, _ = jax.lax.scan(body, xt, jnp.arange(num_steps))
-    return xt * fmask[..., None], fmask
+    t from 1 → 0, xt -= dxt). Memoized self-jitting (eager loops dispatch
+    op-by-op through the TPU tunnel); denoiser in ``compute_dtype``."""
+    return _ns2_sample_jitted(model, num_steps, max_frames, compute_dtype)(
+        params, phone_id, phone_mask, ref_latent, ref_mask, rng)
 
 
 def ns2_config_from_model_cfg(m, num_phones: int, latent_dim: int,

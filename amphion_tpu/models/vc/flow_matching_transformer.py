@@ -145,10 +145,13 @@ class FlowMatchingTransformer(nn.Module):
         cond_tokens: (B, Lp+Lt); prompt_mel: (B, Lp, n_mel)."""
         lp = prompt_mel.shape[1]
         x_full = jnp.concatenate([prompt_mel, xt], axis=1)
-        cond = self._cond(cond_tokens)[:, :x_full.shape[1]]
-        flow = self.diff_estimator(x_full, t, cond)[:, lp:]
+        cond = self._cond(cond_tokens)[:, :x_full.shape[1]].astype(xt.dtype)
+        # CFG std-rescale + Euler integration stay f32 even when the
+        # estimator runs bf16 (fmt_inference compute_dtype)
+        flow = self.diff_estimator(x_full, t, cond)[:, lp:].astype(jnp.float32)
         if cfg > 0:
-            un = self.diff_estimator(xt, t, jnp.zeros_like(cond[:, lp:]))
+            un = self.diff_estimator(
+                xt, t, jnp.zeros_like(cond[:, lp:])).astype(jnp.float32)
             pos_std = jnp.std(flow)
             flow_cfg = flow + cfg * (flow - un)
             rescaled = flow_cfg * pos_std / jnp.maximum(
@@ -159,18 +162,25 @@ class FlowMatchingTransformer(nn.Module):
 
 @functools.lru_cache(maxsize=32)
 def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
-                          rescale_cfg):
+                          rescale_cfg, compute_dtype):
     n_mel = model.cfg.n_mel
     h = 1.0 / num_steps
+    dt = jnp.dtype(compute_dtype)
 
     def core(params, tokens, prompt_mel, rng):
+        # the 32-step ODE re-reads the estimator weights every step — bf16
+        # weights halve that HBM traffic and double MXU rate; integration
+        # state and CFG math stay f32 (flow_eval upcasts)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        pm = prompt_mel.astype(dt)
         xt0 = jax.random.normal(rng, (b, lt, n_mel))
 
         def body(xt, i):
             # midpoint times t = (i + 0.5)/n (ref fmt_model.py:260)
             t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
             flow = model.apply(
-                {"params": params}, xt, t, tokens, prompt_mel, cfg_scale,
+                {"params": params}, xt.astype(dt), t, tokens, pm, cfg_scale,
                 rescale_cfg, method=FlowMatchingTransformer.flow_eval)
             return xt + h * flow, None
 
@@ -189,14 +199,17 @@ def fmt_inference(
     num_steps: int = 32,
     cfg_scale: float = 0.0,
     rescale_cfg: float = 0.75,
+    compute_dtype: str = "bfloat16",
 ):
     """Euler ODE from noise to mel with the reference's prompt-prefix + CFG
     std-rescale protocol. Memoized self-jitting (eager loops dispatch
-    op-by-op through the TPU tunnel). Returns generated target mel
-    (B, Lt, n_mel)."""
+    op-by-op through the TPU tunnel). The estimator runs in
+    ``compute_dtype`` (bf16 default — same decode lever as MaskGCT/VALL-E);
+    CFG std-rescale and the Euler state stay f32. Returns generated target
+    mel (B, Lt, n_mel)."""
     b = tokens.shape[0]
     lp = prompt_mel.shape[1]
     lt = tokens.shape[1] * model.cfg.cond_scale_factor - lp
     return _fmt_inference_jitted(
-        model, b, lp, lt, num_steps, float(cfg_scale), float(rescale_cfg))(
-        params, tokens, prompt_mel, rng)
+        model, b, lp, lt, num_steps, float(cfg_scale), float(rescale_cfg),
+        compute_dtype)(params, tokens, prompt_mel, rng)

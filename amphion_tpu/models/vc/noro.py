@@ -16,6 +16,7 @@ with the reference (`models/vc/Noro/noro_model.py`):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import flax.linen as nn
@@ -149,24 +150,42 @@ class Noro(nn.Module):
         return self._condition(content, f0), spk
 
 
-def noro_convert(model: Noro, params, content, f0, ref_mel, rng,
-                 num_steps=50):
-    """Zero-shot VC: reverse-SDE sample target mel given source content/F0
-    + a reference (ref Noro inference → diffusion.reverse_diffusion)."""
-    cond, spk = model.apply(
-        {"params": params}, content, f0, ref_mel,
-        method=Noro.prepare_inference)
-    b, t_len = content.shape[:2]
+@functools.lru_cache(maxsize=16)
+def _noro_convert_jitted(model, num_steps, compute_dtype):
     c = model.cfg
+    dt = jnp.dtype(compute_dtype)
     h = 1.0 / num_steps
-    xt = jax.random.normal(rng, (b, t_len, c.n_mel)) * c.noise_factor
-    mask = jnp.ones((b, t_len))
 
-    def body(x, i):
-        t = (1.0 - (i.astype(jnp.float32) + 0.5) * h) * jnp.ones((b,))
-        dxt = model.apply({"params": params}, x, mask, cond, spk, t, h,
-                          method=Noro.denoise_step)
-        return x - dxt, None
+    def core(params, content, f0, ref_mel, rng):
+        # reference/condition encoders run once in f32; the num_steps
+        # denoise loop in compute_dtype with f32 SDE math (cal_dxt upcasts)
+        cond, spk = model.apply(
+            {"params": params}, content, f0, ref_mel,
+            method=Noro.prepare_inference)
+        b, t_len = content.shape[:2]
+        params_dt = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        cond_dt, spk_dt = cond.astype(dt), spk.astype(dt)
+        xt = jax.random.normal(rng, (b, t_len, c.n_mel)) * c.noise_factor
+        mask = jnp.ones((b, t_len))
 
-    xt, _ = jax.lax.scan(body, xt, jnp.arange(num_steps))
-    return xt
+        def body(x, i):
+            t = (1.0 - (i.astype(jnp.float32) + 0.5) * h) * jnp.ones((b,))
+            dxt = model.apply(
+                {"params": params_dt}, x.astype(dt), mask, cond_dt, spk_dt,
+                t, h, method=Noro.denoise_step)
+            return x - dxt.astype(jnp.float32), None
+
+        xt, _ = jax.lax.scan(body, xt, jnp.arange(num_steps))
+        return xt
+
+    return jax.jit(core)
+
+
+def noro_convert(model: Noro, params, content, f0, ref_mel, rng,
+                 num_steps=50, compute_dtype: str = "bfloat16"):
+    """Zero-shot VC: reverse-SDE sample target mel given source content/F0
+    + a reference (ref Noro inference → diffusion.reverse_diffusion).
+    Memoized self-jitting; denoiser in ``compute_dtype``."""
+    return _noro_convert_jitted(model, num_steps, compute_dtype)(
+        params, content, f0, ref_mel, rng)

@@ -153,21 +153,31 @@ class DiffWave(nn.Module):
 
 
 @functools.lru_cache(maxsize=16)
-def _diffwave_sample_jitted(model, b, n, num_steps):
+def _diffwave_sample_jitted(model, b, n, num_steps, compute_dtype):
     sched = model.schedule
     shape = (b, n * model.cfg.hop_size)
+    dt = jnp.dtype(compute_dtype)
 
     def core(params, mel, rng):
+        params_dt = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        mel_dt = mel.astype(dt)
+
         def eps_fn(x, t):
-            return model.apply({"params": params}, x, jnp.full((b,), t), mel)
+            return model.apply(
+                {"params": params_dt}, x.astype(dt), jnp.full((b,), t),
+                mel_dt).astype(jnp.float32)
 
         return ddpm_sample(eps_fn, sched, shape, rng, num_steps)
 
     return jax.jit(core)
 
 
-def diffwave_sample(model: DiffWave, params, mel, rng, num_steps=None):
+def diffwave_sample(model: DiffWave, params, mel, rng, num_steps=None,
+                    compute_dtype: str = "bfloat16"):
     """Memoized self-jitting DDPM sampling (one cached program per shape
-    bucket; eager scans dispatch op-by-op through the TPU tunnel)."""
+    bucket; eager scans dispatch op-by-op through the TPU tunnel). The
+    denoiser runs in ``compute_dtype``; DDPM coefficient math stays f32."""
     b, n, _ = mel.shape
-    return _diffwave_sample_jitted(model, b, n, num_steps)(params, mel, rng)
+    return _diffwave_sample_jitted(model, b, n, num_steps, compute_dtype)(
+        params, mel, rng)

@@ -202,8 +202,10 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
                         method=FlowMatchingTransformer.loss)["params"]
     voc = VocosGenerator(VocosConfig(dim=1280, intermediate_dim=4096, num_layers=24))
     mel0 = jnp.zeros((1, lt, 80))
-    voc_params = voc.init(r, mel0)["params"]
-    voc_fwd = jax.jit(lambda prm, m: voc.apply({"params": prm}, m))
+    voc_params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), voc.init(r, mel0)["params"])
+    voc_fwd = jax.jit(
+        lambda prm, m: voc.apply({"params": prm}, m.astype(jnp.bfloat16)))
     tokens_full = jnp.zeros((1, lp + lt), jnp.int32)
     prompt_mel = jnp.zeros((1, lp, 80))
 
