@@ -263,11 +263,10 @@ def ns2_inference(args, cfg, logger):
     logger.info(f"wrote {args.output_path} ({n * p.hop_size / p.sample_rate:.2f}s)")
 
 
-def maskgct_zeroshot_inference(args, cfg, logger):
-    """MaskGCT zero-shot TTS (ref `models/tts/maskgct/maskgct_inference.py`):
-    prompt audio + prompt text + target text → wav through the assembled
-    pipeline (g2p → T2S mask-predict → S2A per-RVQ-layer → codec decode)."""
-    from amphion_tpu.data.audio_io import load_wav
+def build_maskgct_pipeline(args, cfg, logger):
+    """Assemble a :class:`MaskGCTPipeline` from a trained checkpoint (ref
+    `models/tts/maskgct/maskgct_utils.py:75` builders). Shared between the
+    batch inference CLI and `bins/demo_server.py`."""
     from amphion_tpu.models.codec.amphion_codec import CodecConfig
     from amphion_tpu.models.codec.repcodec import RepCodecConfig
     from amphion_tpu.models.tts.maskgct.maskgct import S2AConfig, T2SConfig
@@ -365,6 +364,17 @@ def maskgct_zeroshot_inference(args, cfg, logger):
         symbol_table=symbols, sample_rate=p.sample_rate,
         semantic_rate=p.sample_rate // hop,
     )
+    return pipe
+
+
+def maskgct_zeroshot_inference(args, cfg, logger):
+    """MaskGCT zero-shot TTS (ref `models/tts/maskgct/maskgct_inference.py`):
+    prompt audio + prompt text + target text → wav through the assembled
+    pipeline (g2p → T2S mask-predict → S2A per-RVQ-layer → codec decode)."""
+    from amphion_tpu.data.audio_io import load_wav
+
+    pipe = build_maskgct_pipeline(args, cfg, logger)
+    p = cfg.preprocess
     prompt, _ = load_wav(args.prompt_audio, sr=p.sample_rate)
     wav = pipe(prompt, args.prompt_text, args.text, jax.random.key(0))
     save_wav(args.output_path, wav, p.sample_rate)
