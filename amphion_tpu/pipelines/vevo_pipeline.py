@@ -79,6 +79,14 @@ class VevoPipeline:
         )
         return np.asarray(toks)[0]
 
+    def _mel(self, audio: np.ndarray) -> jax.Array:
+        """(1, T, n_mel) mel of a waveform, hop-truncated."""
+        hop = self.mel_cfg.hop_size
+        t = max(len(audio) // hop * hop, hop)
+        return mel_spectrogram(
+            jnp.asarray(audio[:t])[None], self.mel_cfg
+        ).transpose(0, 2, 1)
+
     # -- stages (ref vevo_utils.py:403-600) ---------------------------------
 
     def ar_stage(self, input_tokens: np.ndarray, rng, max_new=2048, **sample_kw):
@@ -90,19 +98,24 @@ class VevoPipeline:
         return np.asarray(tokens)[0, :n]
 
     def fm_stage(self, style_tokens: np.ndarray, prompt_audio: np.ndarray,
-                 rng, flow_matching_steps: int = 32) -> jax.Array:
-        hop = self.mel_cfg.hop_size
-        t_prompt = len(prompt_audio) // hop * hop
-        prompt_mel = mel_spectrogram(
-            jnp.asarray(prompt_audio[:t_prompt])[None], self.mel_cfg
-        ).transpose(0, 2, 1)  # (1, Np, n_mel)
-        n_p = prompt_mel.shape[1]
-        n_t = len(style_tokens)
-        total = n_p + n_t
-        # prompt token region: use style tokens of the prompt itself if the
-        # caller provides them concatenated; zeros otherwise
-        tok = jnp.zeros((1, total), jnp.int32)
-        tok = tok.at[:, n_p:].set(jnp.asarray(style_tokens)[None])
+                 rng, flow_matching_steps: int = 32,
+                 prompt_tokens: np.ndarray | None = None) -> jax.Array:
+        prompt_mel = self._mel(prompt_audio)  # (1, Np, n_mel)
+        csf = self.fm.cfg.cond_scale_factor
+        # prompt token region carries the timbre reference's OWN
+        # content-style tokens (ref vevo_utils.py:549-553 concatenates
+        # timbre_ref_hubert_codecs before the predicted codecs); extract
+        # them from the prompt audio unless the caller already has them
+        if prompt_tokens is None:
+            prompt_tokens = self.style_tokens(prompt_audio)
+        # align mel prefix to a whole number of condition tokens
+        n_ptok = min(len(prompt_tokens), prompt_mel.shape[1] // csf)
+        n_p = n_ptok * csf
+        prompt_mel = prompt_mel[:, :n_p]
+        tok = jnp.concatenate([
+            jnp.asarray(prompt_tokens[:n_ptok], jnp.int32),
+            jnp.asarray(style_tokens, jnp.int32),
+        ])[None]
         # fmt_inference takes the clean prompt mel as the prefix and
         # returns only the generated target region (ref reverse_diffusion)
         return fmt_inference(
@@ -122,20 +135,64 @@ class VevoPipeline:
         mel = self.fm_stage(style, ref_audio, rng, **kw)
         return self.vocode(mel)
 
+    def ar_style_prompt(self, style_ref_audio):
+        """(prompt_output_tokens, ref_mel) for style-prompted AR decode (ref
+        vevo_utils.py:528-543): the style reference's own content-style
+        tokens prefix the output stream so generation continues in that
+        style; its mel feeds the global encoder when the AR has one."""
+        prompt_out = self.style_tokens(style_ref_audio)[None]
+        ref_mel = (self._mel(style_ref_audio)
+                   if self.ar.cfg.use_global_timbre else None)
+        return jnp.asarray(prompt_out, jnp.int32), ref_mel
+
     def inference_ar_and_fm(self, src_audio, style_ref_audio, timbre_ref_audio,
-                            rng, **kw):
+                            rng, use_style_prompt: bool = True,
+                            max_new: int = 2048, **kw):
         """Vevo-Voice/-Style: content of src → style tokens of style-ref →
-        timbre of timbre-ref."""
+        timbre of timbre-ref. Vevo-Style (accent conversion) is this with
+        ``timbre_ref_audio = src_audio`` (ref infer_vevostyle.py:12-19).
+
+        Style prompting follows the reference (vevo_utils.py:486-543):
+        content tokens are extracted from [style_ref ‖ src] so the AR sees
+        the reference's content as context, and the output stream is
+        prompted with the style reference's own content-style tokens
+        (dropped from the result — our AR generate returns only new
+        tokens). ``use_style_prompt=False`` = the reference's
+        global-guided mode (global encoder only)."""
         r1, r2 = jax.random.split(rng)
-        content = self.content_tokens(src_audio)
-        style = self.ar_stage(content, r1)
+        if use_style_prompt:
+            content = self.content_tokens(
+                np.concatenate([np.asarray(style_ref_audio),
+                                np.asarray(src_audio)]))
+            prompt_out, ref_mel = self.ar_style_prompt(style_ref_audio)
+        else:
+            content = self.content_tokens(src_audio)
+            prompt_out = None
+            ref_mel = (self._mel(style_ref_audio)
+                       if self.ar.cfg.use_global_timbre else None)
+        style = self.ar_stage(content, r1, max_new=max_new,
+                              prompt_output_tokens=prompt_out,
+                              ref_mel=ref_mel)
         mel = self.fm_stage(style, timbre_ref_audio, r2, **kw)
         return self.vocode(mel)
 
-    def inference_tts(self, phone_ids: list[int], timbre_ref_audio, rng, **kw):
-        """Vevo-TTS: phones → style tokens → mel with reference timbre."""
+    def inference_tts(self, phone_ids: list[int], timbre_ref_audio, rng,
+                      style_ref_audio=None, style_ref_phone_ids=None,
+                      max_new: int = 2048, **kw):
+        """Vevo-TTS: phones → style tokens → mel with reference timbre.
+        With a style reference + its transcript phones, the AR is prompted
+        the same way the reference is (vevo_utils.py:464-486: style phones
+        prefix the input, style content-style tokens prefix the output)."""
         r1, r2 = jax.random.split(rng)
-        style = self.ar_stage(np.asarray(phone_ids), r1)
+        ids = list(phone_ids)
+        prompt_out = ref_mel = None
+        if style_ref_audio is not None:
+            if style_ref_phone_ids is not None:
+                ids = list(style_ref_phone_ids) + ids
+            prompt_out, ref_mel = self.ar_style_prompt(style_ref_audio)
+        style = self.ar_stage(np.asarray(ids), r1, max_new=max_new,
+                              prompt_output_tokens=prompt_out,
+                              ref_mel=ref_mel)
         mel = self.fm_stage(style, timbre_ref_audio, r2, **kw)
         return self.vocode(mel)
 

@@ -4,7 +4,10 @@
 
 Tasks map to the reference's four products:
   timbre — FM only: source style tokens re-rendered with reference timbre
+  style  — AR + FM, timbre_ref defaults to the source (accent conversion:
+           style from --style_ref, speaker kept)
   voice  — AR + FM: source content → style tokens → reference timbre
+           (style_ref defaults to the timbre reference)
   tts    — phone AR + FM: text → style tokens → reference timbre
 
 Tokenizers run over the on-device mel front end (the same online
@@ -140,10 +143,16 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--task", default="voice",
-                        choices=["timbre", "voice", "tts"])
+                        choices=["timbre", "style", "voice", "tts"])
     parser.add_argument("--src_audio", default="")
-    parser.add_argument("--timbre_ref", required=True,
-                        help="reference audio carrying the target timbre")
+    parser.add_argument("--timbre_ref", default="",
+                        help="reference audio carrying the target timbre "
+                             "(style task defaults it to --src_audio: "
+                             "accent/style change, speaker kept)")
+    parser.add_argument("--style_ref", default="",
+                        help="reference audio carrying the target style "
+                             "(style/voice tasks; voice defaults it to "
+                             "--timbre_ref)")
     parser.add_argument("--text", default="", help="target text (tts)")
     parser.add_argument("--output_path", required=True)
     parser.add_argument("--ar_exp", default="",
@@ -166,28 +175,47 @@ def main():
 
     pipe, has_vocoder = build_pipeline(args, cfg, logger)
     rng = jax.random.key(args.seed)
-    timbre_ref, _ = load_wav(args.timbre_ref, sr=p.sample_rate)
+    fm_kw = {"flow_matching_steps": args.flow_matching_steps}
 
     if args.task == "timbre":
-        assert args.src_audio, "--src_audio required for timbre"
+        assert args.src_audio and args.timbre_ref, (
+            "--src_audio and --timbre_ref required for timbre")
         src, _ = load_wav(args.src_audio, sr=p.sample_rate)
+        timbre_ref, _ = load_wav(args.timbre_ref, sr=p.sample_rate)
         style = pipe.style_tokens(src)
-        mel = pipe.fm_stage(style, timbre_ref, rng,
-                            flow_matching_steps=args.flow_matching_steps)
-    elif args.task == "voice":
+        mel = pipe.fm_stage(style, timbre_ref, rng, **fm_kw)
+    elif args.task in ("style", "voice"):
+        # style (accent conversion): timbre_ref defaults to the source
+        # itself (ref infer_vevostyle.py:12-19); voice: style_ref defaults
+        # to the timbre reference (ref infer_vevovoice.py)
         assert args.src_audio and args.ar_exp, (
-            "--src_audio and --ar_exp required for voice")
+            "--src_audio and --ar_exp required for style/voice")
         src, _ = load_wav(args.src_audio, sr=p.sample_rate)
+        if args.task == "style":
+            assert args.style_ref, "--style_ref required for style"
+            timbre_ref = (load_wav(args.timbre_ref, sr=p.sample_rate)[0]
+                          if args.timbre_ref else src)
+            style_ref, _ = load_wav(args.style_ref, sr=p.sample_rate)
+        else:
+            assert args.timbre_ref, "--timbre_ref required for voice"
+            timbre_ref, _ = load_wav(args.timbre_ref, sr=p.sample_rate)
+            style_ref = (load_wav(args.style_ref, sr=p.sample_rate)[0]
+                         if args.style_ref else timbre_ref)
         r1, r2 = jax.random.split(rng)
-        content = pipe.content_tokens(src)
-        style = pipe.ar_stage(content, r1, max_new=args.max_new)
-        mel = pipe.fm_stage(style, timbre_ref, r2,
-                            flow_matching_steps=args.flow_matching_steps)
+        content = pipe.content_tokens(
+            np.concatenate([style_ref, src]))
+        prompt_out, ref_mel = pipe.ar_style_prompt(style_ref)
+        style = pipe.ar_stage(content, r1, max_new=args.max_new,
+                              prompt_output_tokens=prompt_out,
+                              ref_mel=ref_mel)
+        mel = pipe.fm_stage(style, timbre_ref, r2, **fm_kw)
     else:  # tts
-        assert args.text and args.ar_exp, "--text and --ar_exp required"
+        assert args.text and args.ar_exp and args.timbre_ref, (
+            "--text, --ar_exp and --timbre_ref required")
         from amphion_tpu.text.g2p import G2PModule
         from amphion_tpu.text.symbol_table import SymbolTable
 
+        timbre_ref, _ = load_wav(args.timbre_ref, sr=p.sample_rate)
         symbols = SymbolTable.from_file(
             Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict
         )
@@ -196,8 +224,7 @@ def main():
         ids = g2p.to_ids(args.text, symbols)
         r1, r2 = jax.random.split(rng)
         style = pipe.ar_stage(np.asarray(ids), r1, max_new=args.max_new)
-        mel = pipe.fm_stage(style, timbre_ref, r2,
-                            flow_matching_steps=args.flow_matching_steps)
+        mel = pipe.fm_stage(style, timbre_ref, r2, **fm_kw)
 
     if has_vocoder:
         wav = pipe.vocode(mel)

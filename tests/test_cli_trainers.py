@@ -441,6 +441,21 @@ def test_vevo_inference_cli(corpus, monkeypatch):
     wav, sr = load_wav(out)
     assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
 
+    # style task (accent conversion): style from --style_ref, timbre kept
+    # from the source itself (ref infer_vevostyle.py:12-19)
+    out2 = root / "vevo_style.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--task", "style",
+        "--src_audio", str(wavs / "LJ001-0000.wav"),
+        "--style_ref", str(wavs / "LJ001-0001.wav"),
+        "--output_path", str(out2), "--ar_exp", "vevo_ar_zs",
+        "--fm_exp", "vevo_fm_zs", "--max_new", "16",
+        "--flow_matching_steps", "4",
+    ])
+    vc_main()
+    wav2, sr2 = load_wav(out2)
+    assert sr2 == 8000 and wav2.size > 0 and np.isfinite(wav2).all()
+
 
 def test_vits_svc_trainer_integration(corpus):
     root, processed = corpus
