@@ -282,20 +282,21 @@ def _ar_generate_impl(
     (tokens (B, max_new), lengths (B,)); positions past EOS are zero.
     """
     c = model.cfg
-    if compute_dtype == "int8":
-        # weight-only int8 AR decoder (Pallas streaming matmul); activations
-        # and everything outside the projections stay bf16
+    if compute_dtype in ("int8", "int4"):
+        # weight-only quantized AR decoder (Pallas streaming matmul);
+        # activations and everything outside the projections stay bf16
         import dataclasses
 
         from amphion_tpu.modules.llama import quantize_llama_params
 
-        model = VALLE(dataclasses.replace(c, decode_quant="int8"))
+        model = VALLE(dataclasses.replace(c, decode_quant=compute_dtype))
         c = model.cfg
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
         # quantize AFTER the bf16 cast so the f32 scales stay f32
-        params = {**params, "ar": quantize_llama_params(params["ar"])}
+        params = {**params,
+                  "ar": quantize_llama_params(params["ar"], compute_dtype)}
     else:
         dt = jnp.dtype(compute_dtype)
         params = jax.tree_util.tree_map(

@@ -277,18 +277,19 @@ def _ar_transformer_generate_impl(
     """KV-cache sampled decode (ref `ar_model.py:240` generate), one
     lax.scan over sampled steps, stop at OUT_EOS."""
     c = model.cfg
-    if compute_dtype == "int8":
+    if compute_dtype in ("int8", "int4"):
         import dataclasses
 
         from amphion_tpu.modules.llama import quantize_llama_params
 
-        model = ARTransformer(dataclasses.replace(c, decode_quant="int8"))
+        model = ARTransformer(dataclasses.replace(c, decode_quant=compute_dtype))
         c = model.cfg
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
         params = {**params,
-                  "decoder": quantize_llama_params(params["decoder"])}
+                  "decoder": quantize_llama_params(params["decoder"],
+                                                   compute_dtype)}
     else:
         dt = jnp.dtype(compute_dtype)
         params = jax.tree_util.tree_map(

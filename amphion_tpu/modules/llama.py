@@ -131,27 +131,71 @@ class QDense(nn.Module):
         return out.reshape(*x.shape[:-1], self.features).astype(x.dtype)
 
 
+def int4_group(k_in: int) -> int:
+    """Largest group size ≤128 dividing K (sub-channel int4 scales);
+    shared by QDense4 and quantize_llama_params so shapes agree."""
+    for g in (128, 64, 32, 16, 8, 4, 2):
+        if k_in % g == 0:
+            return g
+    raise ValueError(f"int4 decode needs even K, got {k_in}")
+
+
+class QDense4(nn.Module):
+    """Weight-only-int4 Dense (no bias): params kernel_q (K/2, N) int8
+    (two nibbles per byte) + scale (K/group, N) f32, applied via the
+    Pallas streaming int4 matmul — ~half the decode HBM traffic of int8."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from amphion_tpu.ops.pallas_kernels import int4_matmul_pallas
+
+        k_in = x.shape[-1]
+        g = int4_group(k_in)
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros, (k_in // 2, self.features),
+            jnp.int8)
+        scale = self.param(
+            "scale", nn.initializers.ones, (k_in // g, self.features))
+        x2 = x.reshape(-1, k_in)
+        out = int4_matmul_pallas(x2.astype(jnp.float32), kernel_q, scale,
+                                 group=g)
+        return out.reshape(*x.shape[:-1], self.features).astype(x.dtype)
+
+
 def _proj(cfg: LlamaConfig, features: int, name: str):
     if cfg.decode_quant == "int8":
         return QDense(features, name=name)
+    if cfg.decode_quant == "int4":
+        return QDense4(features, name=name)
     return nn.Dense(features, use_bias=False, name=name)
 
 
-def quantize_llama_params(params):
-    """f32 decoder param tree → int8-decode tree: every projection kernel
-    (q/k/v/o, gate/up/down) becomes {kernel_q, scale}; other leaves pass
-    through. Pair with `LlamaConfig(decode_quant="int8")`."""
-    from amphion_tpu.ops.pallas_kernels import quantize_weight_int8
+def quantize_llama_params(params, quant: str = "int8"):
+    """f32 decoder param tree → quantized-decode tree: every projection
+    kernel (q/k/v/o, gate/up/down) becomes {kernel_q, scale}; other leaves
+    pass through. Pair with `LlamaConfig(decode_quant=quant)` —
+    ``"int8"`` (per-channel) or ``"int4"`` (group-wise sub-channel)."""
+    from amphion_tpu.ops.pallas_kernels import (
+        quantize_weight_int4,
+        quantize_weight_int8,
+    )
 
     proj_names = {"q_proj", "k_proj", "v_proj", "o_proj",
                   "gate_proj", "up_proj", "down_proj"}
+
+    def quantize(w):
+        if quant == "int4":
+            return quantize_weight_int4(w, group=int4_group(w.shape[0]))
+        return quantize_weight_int8(w)
 
     def walk(tree):
         out = {}
         for k, v in tree.items():
             if (k in proj_names and isinstance(v, dict)
                     and "kernel" in v and getattr(v["kernel"], "ndim", 0) == 2):
-                w_q, scale = quantize_weight_int8(jnp.asarray(v["kernel"]))
+                w_q, scale = quantize(jnp.asarray(v["kernel"]))
                 out[k] = {"kernel_q": w_q, "scale": scale}
             elif isinstance(v, dict):
                 out[k] = walk(v)

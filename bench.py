@@ -317,6 +317,8 @@ if __name__ == "__main__":
         bench_maskgct_rtf()
         bench_valle_rtf()
         bench_valle_rtf("int8")
+        bench_valle_rtf("int4")
         bench_vevo_rtf()
         bench_vevo_rtf("int8")
+        bench_vevo_rtf("int4")
         bench_ssl_extract()

@@ -165,3 +165,28 @@ def test_ar_generate_int8_runs(rng):
                              compute_dtype="int8")
     assert toks.shape == (1, 4)
     assert int(toks.max()) <= cfg.audio_vocab
+
+
+def test_ar_generate_int4_runs(rng):
+    """compute_dtype="int4": group-wise int4 weight-only decode produces
+    valid tokens (Pallas kernel in interpret mode on CPU)."""
+    from amphion_tpu.models.tts.valle.valle import (
+        VALLE,
+        VALLEConfig,
+        ar_generate,
+    )
+
+    cfg = VALLEConfig(num_phones=16, audio_vocab=16, num_quantizers=2,
+                      hidden=32, num_layers=1, num_heads=2, max_position=128)
+    model = VALLE(cfg)
+    phones = jnp.asarray(rng.integers(0, 16, (1, 5)))
+    prompt = jnp.asarray(rng.integers(0, 16, (1, 6)))
+    params = model.init(
+        jax.random.key(0), phones, jnp.ones((1, 5)),
+        jnp.zeros((1, 2, 14), jnp.int32), jnp.ones((1, 14)),
+        jax.random.key(1), method=VALLE.train_loss)["params"]
+    toks, lens = ar_generate(model, params, phones, prompt,
+                             jax.random.key(2), max_new=4, top_k=5,
+                             compute_dtype="int4")
+    assert toks.shape == (1, 4)
+    assert int(toks.max()) <= cfg.audio_vocab

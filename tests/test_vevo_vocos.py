@@ -124,3 +124,22 @@ def test_fmt_loss_overfit_and_inference(rng):
     )
     assert out.shape == (b, t - 4, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ar_transformer_generate_int4_runs(rng):
+    """compute_dtype="int4": group-wise int4 weight-only decode produces
+    valid unified-vocab tokens (Pallas kernel in interpret mode on CPU)."""
+    model = ARTransformer(AR_TINY)
+    inp = jnp.asarray(rng.integers(0, 8, (1, 6)))
+    out = jnp.asarray(rng.integers(0, 16, (1, 10)))
+    ref_mel = jnp.asarray(rng.standard_normal((1, 16, 80)).astype(np.float32))
+    params = model.init(
+        jax.random.key(0), inp, jnp.ones((1, 6)), out, jnp.ones((1, 10)),
+        ref_mel, method=ARTransformer.loss,
+    )["params"]
+    toks, lens = ar_transformer_generate(
+        model, params, inp, jax.random.key(1), max_new=4, top_k=5,
+        ref_mel=ref_mel, compute_dtype="int4",
+    )
+    assert toks.shape == (1, 4)
+    assert (np.asarray(toks) < AR_TINY.total_vocab).all()
