@@ -125,3 +125,9 @@ class RepCodec(nn.Module):
                 tokens = tokens[None]
             return self.quantizer.decode(tokens)
         return self.quantizer.decode(tokens)
+
+    def reconstruct_tokens(self, tokens):
+        """tokens (B, T) → reconstructed features (B, T, feature_dim) —
+        the decoder run on the quantized latents (ref RepCodec usage where
+        downstream stages consume SSL-feature-space conditioning)."""
+        return self._decode_latent(self.decode_tokens(tokens))

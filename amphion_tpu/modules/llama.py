@@ -141,9 +141,9 @@ def int4_group(k_in: int) -> int:
 
 
 class QDense4(nn.Module):
-    """Weight-only-int4 Dense (no bias): params kernel_q (K/2, N) int8
-    (two nibbles per byte) + scale (K/group, N) f32, applied via the
-    Pallas streaming int4 matmul — ~half the decode HBM traffic of int8."""
+    """Weight-only-int4 Dense (no bias): params kernel_q (K, N) **native
+    jnp.int4** + scale (K/group, N) f32, applied via the Pallas streaming
+    int4 matmul — half the decode HBM traffic of int8, hardware unpack."""
 
     features: int
 
@@ -154,8 +154,8 @@ class QDense4(nn.Module):
         k_in = x.shape[-1]
         g = int4_group(k_in)
         kernel_q = self.param(
-            "kernel_q", nn.initializers.zeros, (k_in // 2, self.features),
-            jnp.int8)
+            "kernel_q", nn.initializers.zeros, (k_in, self.features),
+            jnp.int4)
         scale = self.param(
             "scale", nn.initializers.ones, (k_in // g, self.features))
         x2 = x.reshape(-1, k_in)

@@ -15,6 +15,7 @@ plus elementwise ops, which XLA fuses into a single kernel — this is the
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass
 
 import jax
@@ -37,6 +38,12 @@ class MelConfig:
     fmax: float = 12000.0
     clip_val: float = 1e-5
     htk: bool = False  # HTK mel scale (kaldi-fbank-style front ends)
+    # dataset-level log-mel standardization (ref `preprocess.mel_mean` /
+    # `mel_var` — Vocos `vocos_trainer.py:512`, Coco `rep_coco_trainer.py:126`,
+    # Vevo AR/FMT trainers and `vevo_utils.py:267` all run in
+    # `(logmel - mean) / sqrt(var)` space; defaults are a no-op)
+    mean: float = 0.0
+    var: float = 1.0
 
     @classmethod
     def from_preprocess_cfg(cls, p) -> "MelConfig":
@@ -49,6 +56,8 @@ class MelConfig:
             n_mel=p.n_mel,
             fmin=p.fmin,
             fmax=p.fmax,
+            mean=float(p.get("mel_mean", 0.0)),
+            var=float(p.get("mel_var", 1.0)),
         )
 
 
@@ -155,7 +164,8 @@ def mel_spectrogram(y: jax.Array, cfg: MelConfig) -> jax.Array:
     if _use_pallas_mel(cfg):
         from amphion_tpu.ops.pallas_kernels import mel_spectrogram_pallas
 
-        return mel_spectrogram_pallas(y, cfg, interpret=False)
+        mel = mel_spectrogram_pallas(y, cfg, interpret=False)
+        return _standardize(mel, cfg)
     return mel_spectrogram_xla(y, cfg)
 
 
@@ -183,7 +193,14 @@ def mel_spectrogram_xla(y: jax.Array, cfg: MelConfig) -> jax.Array:
                        cfg.fmax, cfg.htk)
     )
     mel = jnp.einsum("mf,bfn->bmn", basis, mag, precision=jax.lax.Precision.HIGHEST)
-    return log_compression(mel, cfg.clip_val)
+    return _standardize(log_compression(mel, cfg.clip_val), cfg)
+
+
+def _standardize(mel: jax.Array, cfg: MelConfig) -> jax.Array:
+    """Apply the config's dataset-level mean/var (no-op at the defaults)."""
+    if cfg.mean == 0.0 and cfg.var == 1.0:
+        return mel
+    return (mel - cfg.mean) * (1.0 / math.sqrt(cfg.var))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

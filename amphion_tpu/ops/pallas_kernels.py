@@ -518,75 +518,88 @@ def quantize_weight_int4(w: jax.Array, group: int = 128):
 
     K is split into groups of ``group`` rows; each (group, n) column-group
     gets one scale (AWQ-style sub-channel scaling — per-channel int4 loses
-    too much). The two nibbles of each stored byte hold rows ``k`` and
-    ``k + group/2`` of the SAME group, so the kernel unpacks with a
-    concatenate instead of an interleave.
+    too much). Values are stored as **native jnp.int4** so the TPU reads
+    4-bit weights straight from HBM and the hardware load/convert path
+    unpacks them (a manual two-nibbles-per-int8 packing measured SLOWER
+    than int8: the VPU bit-twiddling cost exceeded the bandwidth win).
 
-    Returns (w_p int8 (K/2, N) packed, scale f32 (K/group, N)) with
-    w ≈ unpack(w_p) * scale[k // group].
+    Call under jit on the axon platform — eager int4 materialization is
+    not supported by the tunnel transfer path.
+
+    Returns (w_q int4 (K, N), scale f32 (K/group, N)) with
+    w ≈ w_q * scale[k // group].
     """
     k_dim, n = w.shape
     assert k_dim % group == 0, f"K={k_dim} not a multiple of group={group}"
-    assert group % 2 == 0
-    wg = w.reshape(k_dim // group, group, n)
+    wg = w.astype(jnp.float32).reshape(k_dim // group, group, n)
     amax = jnp.max(jnp.abs(wg), axis=1)  # (K/g, N)
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7).astype(jnp.int32)
-    lo = q[:, : group // 2]  # nibble 0 ← group row k
-    hi = q[:, group // 2 :]  # nibble 1 ← group row k + group/2
-    packed = ((lo & 0xF) | (hi << 4)).astype(jnp.int8)
-    return packed.reshape(k_dim // 2, n), scale.astype(jnp.float32)
+    q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    return (q.reshape(k_dim, n).astype(jnp.int4),
+            scale.astype(jnp.float32))
 
 
-def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref):
+def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group, sub):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    w8 = w_ref[...].astype(jnp.int32)  # (group/2, bn): two nibbles per byte
-    lo = ((w8 & 0xF) ^ 8) - 8  # sign-extended low nibble
-    hi = ((w8 >> 4) & 0xF ^ 8) - 8
-    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (group, bn)
-    # per-group scale folds into this K-tile's partial product
-    o_ref[...] += (
-        jnp.dot(x_ref[...].astype(jnp.float32), w,
-                preferred_element_type=jnp.float32)
-        * s_ref[...].astype(jnp.float32)
-    )
+    # static unroll over the quantization groups inside this K tile; the
+    # native-int4 block load is the whole point (hardware unpack), the
+    # per-group scale folds into each sub-dot's partial product
+    acc = jnp.zeros_like(o_ref)
+    for i in range(sub):
+        w = w_ref[i * group:(i + 1) * group, :].astype(jnp.float32)
+        s = s_ref[pl.ds(k * sub + i, 1), :].astype(jnp.float32)
+        acc += jnp.dot(
+            x_ref[:, i * group:(i + 1) * group].astype(jnp.float32), w,
+            preferred_element_type=jnp.float32,
+        ) * s
+    o_ref[...] += acc
 
 
-def int4_matmul_pallas(x: jax.Array, w_p: jax.Array, scale: jax.Array,
+def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
                        group: int = 128, block_n: int = 512,
+                       block_k: int = 512,
                        interpret: bool | None = None) -> jax.Array:
-    """x (B, K) @ dequant-int4(w_p (K/2, N), scale (K/group, N)) → (B, N).
+    """x (B, K) @ dequant-int4(w_q (K, N), scale (K/group, N)) → (B, N) f32.
 
-    Same streaming structure as :func:`int8_matmul_pallas` but each HBM
-    byte carries TWO weights — ~1.8x less decode-weight traffic than int8
-    after the group-scale overhead (f32 scales every ``group`` rows). The
-    K-grid tile IS the quantization group, so scales multiply each tile's
-    partial product during accumulation."""
+    Same streaming structure as :func:`int8_matmul_pallas` but the weight
+    lives in HBM as native int4 — half the decode-weight bytes of int8.
+    ``w_q`` may be passed as int8 (test convenience); it is converted to
+    int4 before the call, so pass int4 directly inside scans to keep the
+    conversion out of the hot loop (quantize_llama_params does)."""
     interpret = _resolve_interpret(interpret)
     b, k_dim = x.shape
-    kp, n = w_p.shape
-    assert kp * 2 == k_dim and k_dim % group == 0
-    assert scale.shape == (k_dim // group, n)
+    k2, n = w_q.shape
+    assert k2 == k_dim and k_dim % group == 0
+    assert scale.shape == (k_dim // group, n), scale.shape
+    if w_q.dtype != jnp.int4:
+        w_q = w_q.astype(jnp.int4)
     block_n = min(block_n, n)
-    grid = (pl.cdiv(n, block_n), k_dim // group)
+    # block_k must be a multiple of group that divides K exactly (partial
+    # K tiles would read out of bounds and index past the scale rows)
+    block_k = max(group, min(block_k, k_dim) // group * group)
+    while k_dim % block_k:
+        block_k -= group
+    sub = block_k // group
+    grid = (pl.cdiv(n, block_n), k_dim // block_k)
+    kern = functools.partial(_int4_matmul_kernel, group=group, sub=sub)
     return pl.pallas_call(
-        _int4_matmul_kernel,
+        kern,
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, group), lambda i, j: (0, j),
+            pl.BlockSpec((b, block_k), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group // 2, block_n), lambda i, j: (j, i),
+            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (j, i),
+            pl.BlockSpec((k_dim // group, block_n), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, w_p, scale)
+    )(x, w_q, scale)

@@ -541,6 +541,30 @@ def test_metis_trainer_integration(corpus):
     trainer.train_loop()
     assert trainer.loop.step == 1
 
+    # per-task inference CLI (ref metis_infer_vc.py): src audio → wav
+    import sys
+
+    cfg_path = root / "metis.json"
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+    out = root / "metis_vc.wav"
+    wavs = root / "LJSpeech-1.1" / "wavs"
+    import unittest.mock as mock
+
+    with mock.patch.object(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--exp_name", "metis_vc",
+        "--task", "vc", "--src_audio", str(wavs / "LJ001-0000.wav"),
+        "--prompt_audio", str(wavs / "LJ001-0001.wav"),
+        "--output_path", str(out), "--n_steps", "3",
+        "--first_layer_steps", "2",
+    ]):
+        from bins.tts.metis_inference import main as metis_main
+
+        metis_main()
+    from amphion_tpu.data.audio_io import load_wav as _lw
+
+    wav, sr = _lw(out)
+    assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
+
 
 def test_dualcodec_trainer_integration(corpus):
     root, processed = corpus

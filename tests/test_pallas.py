@@ -258,19 +258,16 @@ def test_int4_matmul_matches_dequant(rng):
     group = 32
     x = jnp.asarray(rng.standard_normal((4, 96)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((96, 160)).astype(np.float32))
-    w_p, scale = quantize_weight_int4(w, group=group)
-    # reconstruct the dequantized weight by unpacking nibbles
-    w8 = np.asarray(w_p).astype(np.int32).reshape(96 // group, group // 2, 160)
-    lo = ((w8 & 0xF) ^ 8) - 8
-    hi = (((w8 >> 4) & 0xF) ^ 8) - 8
-    wq = np.concatenate([lo, hi], axis=1).astype(np.float32)
-    deq = (wq * np.asarray(scale)[:, None, :]).reshape(96, 160)
+    w_q, scale = quantize_weight_int4(w, group=group)
+    assert w_q.dtype == jnp.int4 and w_q.shape == (96, 160)
+    deq = (np.asarray(w_q, np.float32).reshape(96 // group, group, 160)
+           * np.asarray(scale)[:, None, :]).reshape(96, 160)
     # group-wise int4: |w - deq| <= scale/2 per element
     assert np.max(np.abs(deq - np.asarray(w))
                   / np.repeat(np.asarray(scale), group, 0)) <= 0.51
     ref = np.asarray(x) @ deq
-    out = int4_matmul_pallas(x, w_p, scale, group=group, block_n=64,
-                             interpret=True)
+    out = int4_matmul_pallas(x, w_q, scale, group=group, block_n=64,
+                             block_k=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-5)
 
 
@@ -283,11 +280,9 @@ def test_int4_matmul_batch1_full_width(rng):
     x = jnp.asarray(rng.standard_normal((1, 128)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
     w_p, scale = quantize_weight_int4(w, group=128)
-    out = int4_matmul_pallas(x, w_p, scale, group=128, block_n=64,
-                             interpret=True)
-    w8 = np.asarray(w_p).astype(np.int32)
-    lo = ((w8 & 0xF) ^ 8) - 8
-    hi = (((w8 >> 4) & 0xF) ^ 8) - 8
-    deq = np.concatenate([lo, hi], 0).astype(np.float32) * np.asarray(scale)
+    # int8-carrier convenience path: converted to int4 inside the call
+    out = int4_matmul_pallas(x, w_p.astype(jnp.int8), scale, group=128,
+                             block_n=64, interpret=True)
+    deq = np.asarray(w_p, np.float32) * np.repeat(np.asarray(scale), 128, 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) @ deq,
                                atol=1e-3, rtol=1e-5)

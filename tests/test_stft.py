@@ -54,6 +54,27 @@ def test_mel_spectrogram_matches_torch_pipeline(rng):
     np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=1e-3)
 
 
+def test_mel_standardization(rng):
+    """`mel_mean`/`mel_var` standardize the log-mel exactly like the
+    reference trainers (`vocos_trainer.py:512`, `rep_coco_trainer.py:126`,
+    `vevo_utils.py:267`): (logmel - mean) / sqrt(var)."""
+    raw_cfg = MelConfig()
+    t = raw_cfg.hop_size * 50
+    y = (rng.standard_normal(t) * 0.2).astype(np.float32)
+    raw = np.asarray(mel_spectrogram(jnp.asarray(y), raw_cfg))
+
+    class P(dict):
+        __getattr__ = dict.__getitem__
+
+    p = P(sample_rate=24000, n_fft=1024, win_size=480, hop_size=120,
+          n_mel=80, fmin=0.0, fmax=12000.0, mel_mean=-4.92, mel_var=8.14)
+    norm_cfg = MelConfig.from_preprocess_cfg(p)
+    assert norm_cfg.mean == -4.92 and norm_cfg.var == 8.14
+    norm = np.asarray(mel_spectrogram(jnp.asarray(y), norm_cfg))
+    np.testing.assert_allclose(
+        norm, (raw + 4.92) / np.sqrt(8.14), atol=1e-5, rtol=1e-5)
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(24000, 1024, 80, 0.0, 12000.0)
     assert fb.shape == (80, 513)
