@@ -128,14 +128,24 @@ class CocoCodec(nn.Module):
         else:
             pad = jnp.repeat(y[:, -1:], t_in - y.shape[1], axis=1)
             y = jnp.concatenate([y, pad], axis=1)
+        # rec losses are L1 with weight 32 (ref rep_coco_trainer.py:159-191:
+        # whisper_rec_loss * 32 + chromagram_rec_loss * 32 + codebook_loss)
+        rec_w = 32.0
         losses = dict(vq_losses)
         recon = None
         if self.use_whisper:
             recon = self.whisper_output_layer(y)
             if content_feats is not None:
-                losses["recon"] = jnp.mean((recon - content_feats) ** 2)
+                losses["whisper_rec"] = rec_w * jnp.mean(
+                    jnp.abs(recon - content_feats))
         if self.use_chroma:
             chroma_rec = self.chromagram_output_layer(y)
+            target = (style_feats if style_feats is not None else
+                      (f0_to_chromagram_proxy(f0, c.chromagram_dim)
+                       if f0 is not None else None))
+            if target is not None:
+                losses["chromagram_rec"] = rec_w * jnp.mean(
+                    jnp.abs(chroma_rec - target))
             if recon is None:
                 recon = chroma_rec
         tokens = tokens[0] if tokens.shape[0] == 1 else tokens

@@ -40,6 +40,11 @@ from amphion_tpu.ops.sampling import sample_logits
 class ARTransformerConfig:
     input_vocab: int = 32  # content tokens (or phone vocab / 1056 for uni-training)
     output_vocab: int = 8192  # content-style tokens
+    # optional middle prosody/style token stream — the Vevo1.5/VevoSing AR
+    # variant (ref `models/svc/autoregressive_transformer/ar_model.py:24`:
+    # content ids shifted by style+content_style, style ids by
+    # content_style, six special tokens). 0 = the plain VC layout above.
+    style_vocab: int = 0
     hidden: int = 1024
     intermediate: int | None = 4096
     num_layers: int = 16
@@ -55,10 +60,11 @@ class ARTransformerConfig:
     decode_quant: str = "none"
     remat: bool = False  # rematerialize decoder blocks (memory lever)
 
-    # -- unified token space (ref ar_model.py:58-62) -------------------------
+    # -- unified token space (ref vc ar_model.py:58-62; svc ar_model.py
+    # :54-65 when style_vocab > 0) --------------------------------------------
     @property
     def pad_id(self) -> int:
-        return self.input_vocab + self.output_vocab
+        return self.input_vocab + self.style_vocab + self.output_vocab
 
     @property
     def input_bos_id(self) -> int:
@@ -69,17 +75,29 @@ class ARTransformerConfig:
         return self.pad_id + 2
 
     @property
-    def bos_id(self) -> int:  # output BOS
+    def style_bos_id(self) -> int:
         return self.pad_id + 3
 
     @property
-    def eos_id(self) -> int:  # output EOS (decode stop token)
+    def style_eos_id(self) -> int:
         return self.pad_id + 4
+
+    @property
+    def bos_id(self) -> int:  # output BOS
+        return self.pad_id + (5 if self.style_vocab else 3)
+
+    @property
+    def eos_id(self) -> int:  # output EOS (decode stop token)
+        return self.pad_id + (6 if self.style_vocab else 4)
+
+    @property
+    def input_shift(self) -> int:
+        return self.style_vocab + self.output_vocab
 
     @property
     def total_vocab(self) -> int:
         # +20 headroom for post-training special tokens (ref ar_model.py:69)
-        return self.input_vocab + self.output_vocab + 20
+        return self.input_vocab + self.style_vocab + self.output_vocab + 20
 
     def llama(self) -> LlamaConfig:
         return LlamaConfig(
@@ -153,15 +171,18 @@ class ARTransformer(nn.Module):
         c = self.cfg
         in_ids, in_m = _pack_block(
             input_tokens, input_mask, c.input_bos_id, c.input_eos_id,
-            c.pad_id, c.output_vocab)
+            c.pad_id, c.input_shift)
         out_ids, out_m = _pack_block(
             output_tokens, output_mask, c.bos_id, c.eos_id, c.pad_id, 0)
         return in_ids, in_m, out_ids, out_m
 
     def forward(self, input_tokens, input_mask, output_tokens, output_mask,
-                ref_mel=None, ref_mel_mask=None):
+                ref_mel=None, ref_mel_mask=None, style_tokens=None,
+                style_mask=None):
         """Teacher-forced logits over the full packed sequence
-        [input block (+ style emb), output block]; (B, Lin+Lout+4(+1), V)."""
+        [input block (+ style emb) (+ style-token block), output block];
+        (B, Lin(+Lsty)+Lout+4..6(+1), V). The style-token block is the
+        Vevo1.5 prosody stream (ref svc ar_model.py:126-170)."""
         c = self.cfg
         in_ids, in_m, out_ids, out_m = self._blocks(
             input_tokens, input_mask, output_tokens, output_mask)
@@ -174,6 +195,15 @@ class ARTransformer(nn.Module):
             style = self.timbre_encoder(ref_mel, ref_mel_mask)[:, None, :]
             parts_emb.append(style)
             parts_mask.append(jnp.ones_like(in_m[:, :1]))
+        if style_tokens is not None:
+            assert c.style_vocab > 0, "style stream needs style_vocab > 0"
+            if style_mask is None:
+                style_mask = jnp.ones(style_tokens.shape, in_m.dtype)
+            sty_ids, sty_m = _pack_block(
+                style_tokens, style_mask, c.style_bos_id, c.style_eos_id,
+                c.pad_id, c.output_vocab)
+            parts_emb.append(self.embed_tokens(sty_ids))
+            parts_mask.append(sty_m)
         parts_emb.append(self.embed_tokens(out_ids))
         parts_mask.append(out_m)
         x = jnp.concatenate(parts_emb, axis=1)
@@ -182,13 +212,14 @@ class ARTransformer(nn.Module):
         return self.lm_head(h), out_ids, out_m
 
     def loss(self, input_tokens, input_mask, output_tokens, output_mask,
-             ref_mel=None, ref_mel_mask=None):
+             ref_mel=None, ref_mel_mask=None, style_tokens=None,
+             style_mask=None):
         """HF-style shifted CE: labels are -100 on the input block and pads,
         the OUTPUT block labels are [OUT_BOS, outputs, OUT_EOS] (the
         reference loss includes predicting OUT_BOS — ref ar_model.py:235)."""
         logits, out_ids, out_m = self.forward(
             input_tokens, input_mask, output_tokens, output_mask, ref_mel,
-            ref_mel_mask)
+            ref_mel_mask, style_tokens, style_mask)
         lo = out_ids.shape[1]
         out_logits = logits[:, -lo - 1:-1]  # predict out block from prefix
         w = out_m.astype(jnp.float32)
@@ -202,15 +233,17 @@ class ARTransformer(nn.Module):
     # -- decode helpers -----------------------------------------------------
 
     def prefill(self, input_tokens, caches, ref_mel=None,
-                prompt_output_tokens=None):
-        """Prompt = [IN_BOS, inputs, IN_EOS] (+ style emb) + [OUT_BOS,
-        prompt outputs] (ref generate(), ar_model.py:240-300). Valid (no-pad)
+                prompt_output_tokens=None, style_tokens=None):
+        """Prompt = [IN_BOS, inputs, IN_EOS] (+ style emb)
+        (+ [STY_BOS, styles, STY_EOS]) + [OUT_BOS, prompt outputs]
+        (ref generate(), vc ar_model.py:240-300; svc ar_model.py:293-360
+        concatenates content/style/prompt-output blocks). Valid (no-pad)
         inputs only — decode is per-utterance like the reference."""
         c = self.cfg
         b, li = input_tokens.shape
         in_ids = jnp.concatenate([
             jnp.full((b, 1), c.input_bos_id, jnp.int32),
-            (input_tokens + c.output_vocab).astype(jnp.int32),
+            (input_tokens + c.input_shift).astype(jnp.int32),
             jnp.full((b, 1), c.input_eos_id, jnp.int32),
         ], axis=1)
         parts = [self.embed_tokens(in_ids)]
@@ -218,6 +251,13 @@ class ARTransformer(nn.Module):
             style = self.timbre_encoder(
                 ref_mel, jnp.ones(ref_mel.shape[:2], jnp.float32))[:, None, :]
             parts.append(style)
+        if style_tokens is not None:
+            sty_ids = jnp.concatenate([
+                jnp.full((b, 1), c.style_bos_id, jnp.int32),
+                (style_tokens + c.output_vocab).astype(jnp.int32),
+                jnp.full((b, 1), c.style_eos_id, jnp.int32),
+            ], axis=1)
+            parts.append(self.embed_tokens(sty_ids))
         out_ids = [jnp.full((b, 1), c.bos_id, jnp.int32)]
         if prompt_output_tokens is not None:
             out_ids.append(prompt_output_tokens.astype(jnp.int32))
@@ -237,7 +277,7 @@ class ARTransformer(nn.Module):
 
 @functools.lru_cache(maxsize=32)
 def _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
-                        compute_dtype, prompt_len):
+                        compute_dtype, prompt_len, style_len):
     core = functools.partial(
         _ar_transformer_generate_impl, model, max_new=max_new,
         temperature=temperature, top_k=top_k, top_p=top_p,
@@ -248,16 +288,18 @@ def _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
 
 def ar_transformer_generate(model, params, input_tokens, rng, max_new=1024,
                             temperature=1.0, top_k=40, top_p=1.0, ref_mel=None,
-                            prompt_output_tokens=None,
+                            prompt_output_tokens=None, style_tokens=None,
                             compute_dtype="bfloat16"):
     """KV-cache sampled decode, fully jit-compiled. bf16 by default — the
     token-by-token loop is weight-HBM-bandwidth bound (sampling sees f32
     logits). Returns (tokens (B, max_new) raw output-vocab ids, lengths)."""
     plen = (0 if prompt_output_tokens is None
             else prompt_output_tokens.shape[1])
+    slen = 0 if style_tokens is None else style_tokens.shape[1]
     return _ar_generate_jitted(model, max_new, temperature, top_k, top_p,
-                               compute_dtype, plen)(
-        params, input_tokens, rng, ref_mel, prompt_output_tokens
+                               compute_dtype, plen, slen)(
+        params, input_tokens, rng, ref_mel, prompt_output_tokens,
+        style_tokens,
     )
 
 
@@ -268,6 +310,7 @@ def _ar_transformer_generate_impl(
     rng: jax.Array,
     ref_mel: jax.Array | None = None,
     prompt_output_tokens: jax.Array | None = None,
+    style_tokens: jax.Array | None = None,
     max_new: int = 1024,
     temperature: float = 1.0,
     top_k: int = 40,
@@ -299,12 +342,13 @@ def _ar_transformer_generate_impl(
         ref_mel = ref_mel.astype(dt)
     b, li = input_tokens.shape
     plen = 0 if prompt_output_tokens is None else prompt_output_tokens.shape[1]
-    style_len = 1 if (c.use_global_timbre and ref_mel is not None) else 0
-    total = li + 2 + style_len + 1 + plen + max_new
+    emb_len = 1 if (c.use_global_timbre and ref_mel is not None) else 0
+    sty_len = 0 if style_tokens is None else style_tokens.shape[1] + 2
+    total = li + 2 + emb_len + sty_len + 1 + plen + max_new
     caches = LlamaDecoder(c.llama()).init_cache(b, total, dtype=dt)
     logits, caches, pref_len = model.apply(
         {"params": params}, input_tokens, caches, ref_mel,
-        prompt_output_tokens, method=ARTransformer.prefill
+        prompt_output_tokens, style_tokens, method=ARTransformer.prefill
     )
 
     def body(carry, i):

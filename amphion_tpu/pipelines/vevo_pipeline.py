@@ -210,26 +210,141 @@ class VevoSingPipeline(VevoPipeline):
     prosody_tokenizer: object = None  # CocoCodec(style) module
     prosody_params: dict | None = None
 
-    def prosody_tokens(self, audio: np.ndarray, f0: np.ndarray) -> np.ndarray:
-        assert self.prosody_tokenizer is not None
-        import jax
+    def _is_coco(self, tokenizer, mode: str) -> bool:
+        from amphion_tpu.models.codec.coco import CocoCodec
 
-        toks = self.prosody_tokenizer.apply(
-            {"params": self.prosody_params}, None, jnp.asarray(f0)[None],
-            method=type(self.prosody_tokenizer).encode,
-        )
+        return isinstance(tokenizer, CocoCodec) and tokenizer.cfg.mode == mode
+
+    def style_tokens(self, audio: np.ndarray) -> np.ndarray:
+        """Content-style tokens. A Coco content-style tokenizer consumes
+        whisper-space features AND the chromagram (ref
+        ``extract_coco_codec("content_style", ...)``
+        `vevosing_utils.py:302-378`); any other tokenizer gets the SSL
+        stream only (base behavior)."""
+        if self._is_coco(self.style_tokenizer, "contentstyle"):
+            feats = self._ssl(audio)
+            chroma = self.chromagram(np.asarray(audio))[None]
+            n = min(feats.shape[1], chroma.shape[1])
+            toks = self.style_tokenizer.apply(
+                {"params": self.params["style_tokenizer"]}, feats[:, :n],
+                None, jnp.asarray(chroma[:, :n]), method="encode")
+            return np.asarray(toks)[0]
+        return super().style_tokens(audio)
+
+    def chromagram(self, audio: np.ndarray,
+                   frame_len_ratio: float = 1.0,
+                   shifted_steps: int = 0) -> np.ndarray:
+        """(T, 24) chromagram in the reference's frame convention (ref
+        `vevosing_utils.py:380-398`); ``shifted_steps`` pitch-shifts the
+        source first (the f0-median-matching trick of `inference_fm`,
+        `vevosing_utils.py:425-443`)."""
+        from amphion_tpu.data.processors.augment import pitch_shift
+        from amphion_tpu.ops.chroma import chromagram_for_frames
+
+        mc = self.mel_cfg
+        audio = np.asarray(audio, np.float32)
+        if shifted_steps:
+            audio = pitch_shift(audio, mc.sample_rate, shifted_steps)
+        return chromagram_for_frames(
+            audio, len(audio) // mc.hop_size, mc.sample_rate, mc.n_fft,
+            mc.hop_size, mc.win_size, frame_len_ratio=frame_len_ratio)
+
+    def shifted_steps_to_match(self, src_audio, ref_audio) -> int:
+        """Semitone shift aligning the source's F0 median to the timbre
+        reference's (ref `vevosing_utils.py:425-443`)."""
+        from amphion_tpu.ops.f0 import F0Config, yin_f0
+
+        fc = F0Config(sample_rate=self.mel_cfg.sample_rate,
+                      hop_size=self.mel_cfg.hop_size)
+
+        def median_f0(a):
+            f0, _ = yin_f0(jnp.asarray(
+                np.asarray(a[: len(a) // fc.hop_size * fc.hop_size],
+                           np.float32))[None], fc)
+            f0 = np.asarray(f0)[0]
+            voiced = f0[f0 > 1.0]
+            return float(np.median(voiced)) if voiced.size else 0.0
+
+        src, ref = median_f0(src_audio), median_f0(ref_audio)
+        if src <= 0 or ref <= 0:
+            return 0
+        return int(round(12 * np.log2(ref / src)))
+
+    def prosody_tokens(self, audio: np.ndarray, f0: np.ndarray = None,
+                       frame_len_ratio: float = 1.0,
+                       shifted_steps: int = 0) -> np.ndarray:
+        """Style (prosody) tokens. By default the conditioning is the
+        reference's 24-bin chromagram; passing ``f0`` instead uses the
+        offline F0-proxy path (tokenizers trained with
+        ``style_feature: "f0"``)."""
+        assert self.prosody_tokenizer is not None
+        if f0 is not None:
+            toks = self.prosody_tokenizer.apply(
+                {"params": self.prosody_params}, None, jnp.asarray(f0)[None],
+                method=type(self.prosody_tokenizer).encode,
+            )
+        else:
+            chroma = self.chromagram(audio, frame_len_ratio, shifted_steps)
+            toks = self.prosody_tokenizer.apply(
+                {"params": self.prosody_params}, None, None,
+                jnp.asarray(chroma)[None],
+                method=type(self.prosody_tokenizer).encode,
+            )
         return np.asarray(toks)[0]
 
-    def inference_svc(self, src_audio, src_f0, timbre_ref_audio, rng, **kw):
-        """Singing voice conversion: content + prosody of source → timbre of
-        reference."""
-        import jax
+    def inference_fm(self, src_audio, ref_audio, rng,
+                     match_pitch_prosody: bool = False,
+                     match_pitch_contentstyle: bool = False, **kw):
+        """Vevo1.5 timbre conversion (ref `vevosing_utils.py:400-498`
+        ``inference_fm``): content-style tokens of the source re-rendered
+        with the reference's timbre. The two flags reproduce
+        ``use_shifted_src_to_extract_{prosody,contentstyle}``: the source
+        is pitch-shifted to the reference's F0 median before extracting
+        the chroma (prosody) and/or whisper (content) streams, so the
+        token stream itself carries the target register."""
+        if ((match_pitch_prosody or match_pitch_contentstyle)
+                and self._is_coco(self.style_tokenizer, "contentstyle")):
+            from amphion_tpu.data.processors.augment import pitch_shift
 
+            steps = self.shifted_steps_to_match(src_audio, ref_audio)
+            sr = self.mel_cfg.sample_rate
+            src = np.asarray(src_audio, np.float32)
+            content_src = (pitch_shift(src, sr, steps)
+                           if match_pitch_contentstyle and steps else src)
+            feats = self._ssl(content_src)
+            chroma = self.chromagram(
+                src, shifted_steps=steps if match_pitch_prosody else 0)[None]
+            n = min(feats.shape[1], chroma.shape[1])
+            toks = self.style_tokenizer.apply(
+                {"params": self.params["style_tokenizer"]}, feats[:, :n],
+                None, jnp.asarray(chroma[:, :n]), method="encode")
+            style = np.asarray(toks)[0]
+            mel = self.fm_stage(style, ref_audio, rng, **kw)
+            return self.vocode(mel)
+        return super().inference_fm(src_audio, ref_audio, rng, **kw)
+
+    def inference_svc(self, src_audio, timbre_ref_audio, rng, src_f0=None,
+                      match_pitch: bool = False,
+                      target_src_duration_ratio: float = 1.0, **kw):
+        """Singing voice conversion: content + prosody of source → timbre
+        of reference (ref `infer_vevosing_ar.py` conversion task with
+        ``use_style_tokens_as_ar_input``). ``match_pitch`` extracts prosody
+        from a source pitch-shifted to the reference's F0 median."""
         r1, r2 = jax.random.split(rng)
         content = self.content_tokens(src_audio)
-        prosody = self.prosody_tokens(src_audio, src_f0)
-        # interleave prosody into the AR conditioning stream
-        inp = np.concatenate([prosody, content])
-        style = self.ar_stage(inp, r1)
+        steps = (self.shifted_steps_to_match(src_audio, timbre_ref_audio)
+                 if match_pitch else 0)
+        prosody = self.prosody_tokens(
+            src_audio, src_f0, frame_len_ratio=target_src_duration_ratio,
+            shifted_steps=steps)
+        if self.ar.cfg.style_vocab:
+            # dedicated prosody stream in the unified vocab (ref svc
+            # ar_model.py:126-170: [content block][style block][output])
+            style = self.ar_stage(
+                content, r1,
+                style_tokens=jnp.asarray(prosody, jnp.int32)[None])
+        else:
+            # legacy single-stream AR: prosody prefixes the content tokens
+            style = self.ar_stage(np.concatenate([prosody, content]), r1)
         mel = self.fm_stage(style, timbre_ref_audio, r2, **kw)
         return self.vocode(mel)

@@ -259,6 +259,7 @@ class CocoTrainer(AmphionCodecTrainer):
         import optax
 
         from amphion_tpu.models.codec.coco import CocoCodec, CocoConfig
+        from amphion_tpu.ops.chroma import chroma_stft
         from amphion_tpu.ops.f0 import F0Config, yin_f0
         from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
         from amphion_tpu.runtime.train_state import TrainState
@@ -270,8 +271,14 @@ class CocoTrainer(AmphionCodecTrainer):
         self.f0_cfg = F0Config.from_preprocess_cfg(p)
         self._mel = mel_spectrogram
         self._yin = yin_f0
+        self._chroma = chroma_stft
         m = cfg.model.get("coco", None)
         self.mode = m.get("mode", "contentstyle") if m else "contentstyle"
+        # the reference conditions the style stream on a real 24-bin
+        # chromagram (`vevosing_utils.py:380`, rep_coco preprocess); the
+        # YIN-f0 proxy stays available as a config knob
+        self.style_feature = (m.get("style_feature", "chroma") if m
+                              else "chroma")
         # SSL features from content_dir when extracted; else mel proxy
         self.content_dir = {
             ds: Path(p.processed_dir) / ds / p.get("content_dir", "content")
@@ -306,7 +313,8 @@ class CocoTrainer(AmphionCodecTrainer):
         example = self._batch(list(range(min(self.batch_size, len(utts)))))
         tx = optax.adamw(t.adamw.lr)
         params = self.model.init(
-            jax.random.key(t.get("seed", 0)), example["content"], example["f0"]
+            jax.random.key(t.get("seed", 0)), example["content"],
+            example["f0"], example["style"],
         )["params"]
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
@@ -319,7 +327,8 @@ class CocoTrainer(AmphionCodecTrainer):
         def step(state, batch):
             def loss_fn(prm):
                 _, _, losses = model.apply(
-                    {"params": prm}, batch["content"], batch["f0"]
+                    {"params": prm}, batch["content"], batch["f0"],
+                    batch["style"],
                 )
                 return sum(losses.values()), losses
 
@@ -348,15 +357,28 @@ class CocoTrainer(AmphionCodecTrainer):
             return self._batch_ssl(idxs)
         audio = np.stack([self.dataset[i]["audio"] for i in idxs])
         au = jnp.asarray(audio)
-        content = f0 = None
+        mc = self.mel_cfg
+        content = f0 = style = None
         if self.mode in ("contentstyle", "content"):
-            content = self._mel(au, self.mel_cfg).transpose(0, 2, 1)
+            content = self._mel(au, mc).transpose(0, 2, 1)
         if self.mode in ("contentstyle", "style"):
-            f0, _ = self._yin(au, self.f0_cfg)
-        if content is not None and f0 is not None:
-            n = min(content.shape[1], f0.shape[1])
-            content, f0 = content[:, :n], f0[:, :n]
-        return {"content": content, "f0": f0}
+            if self.style_feature == "chroma":
+                # centered chroma has T//hop + 1 frames; drop the last to
+                # align with the mel frame grid (ref get_chromagram
+                # truncates to the mel frame count the same way)
+                style = self._chroma(au, mc.sample_rate, mc.n_fft,
+                                     mc.hop_size, mc.win_size)
+                style = style.transpose(0, 2, 1)[:, : audio.shape[1]
+                                                 // mc.hop_size]
+            else:
+                f0, _ = self._yin(au, self.f0_cfg)
+        feats = [x for x in (content, f0, style) if x is not None]
+        if len(feats) > 1:
+            n = min(x.shape[1] for x in feats)
+            content = content[:, :n] if content is not None else None
+            f0 = f0[:, :n] if f0 is not None else None
+            style = style[:, :n] if style is not None else None
+        return {"content": content, "f0": f0, "style": style}
 
     def _batch_ssl(self, idxs):
         """Window over pre-extracted SSL feature frames; F0 from the full
@@ -364,33 +386,47 @@ class CocoTrainer(AmphionCodecTrainer):
         frames = self.cfg.train.get("segment_frames", 128)
         rng = np.random.default_rng(self.loop.epoch if hasattr(self, "loop")
                                     else 0)
-        feats, f0s = [], []
+        use_chroma = self.style_feature == "chroma"
+        feats, f0s, styles = [], [], []
         for i in idxs:
             u = self.dataset.utts[i]
             feat = np.load(self.content_dir[u.dataset] / f"{u.uid}.npy")
             n = feat.shape[0]
+            f0 = sty = None
             if self.mode in ("contentstyle", "style"):
                 au = jnp.asarray(self.dataset.audio(i))[None]
-                f0_full, _ = self._yin(au, self.f0_cfg)
-                f0_full = np.asarray(f0_full)[0]
-                f0 = np.interp(np.linspace(0, len(f0_full) - 1, n),
-                               np.arange(len(f0_full)), f0_full)
-            else:
-                f0 = None
+                if use_chroma:
+                    from amphion_tpu.ops.chroma import chromagram_for_frames
+
+                    mc = self.mel_cfg
+                    sty = chromagram_for_frames(
+                        np.asarray(au)[0], n, mc.sample_rate, mc.n_fft,
+                        mc.hop_size, mc.win_size)
+                else:
+                    f0_full, _ = self._yin(au, self.f0_cfg)
+                    f0_full = np.asarray(f0_full)[0]
+                    f0 = np.interp(np.linspace(0, len(f0_full) - 1, n),
+                                   np.arange(len(f0_full)), f0_full)
             if n < frames:
                 feat = np.pad(feat, ((0, frames - n), (0, 0)))
                 if f0 is not None:
                     f0 = np.pad(f0, (0, frames - n))
+                if sty is not None:
+                    sty = np.pad(sty, ((0, frames - n), (0, 0)))
                 start = 0
             else:
                 start = int(rng.integers(0, n - frames + 1))
             feats.append(feat[start : start + frames])
             if f0 is not None:
                 f0s.append(f0[start : start + frames])
+            if sty is not None:
+                styles.append(sty[start : start + frames])
         content = (jnp.asarray(np.stack(feats).astype(np.float32))
                    if self.mode in ("contentstyle", "content") else None)
         f0 = jnp.asarray(np.stack(f0s).astype(np.float32)) if f0s else None
-        return {"content": content, "f0": f0}
+        style = (jnp.asarray(np.stack(styles).astype(np.float32))
+                 if styles else None)
+        return {"content": content, "f0": f0, "style": style}
 
 
 class DualCodecTrainer(AmphionCodecTrainer):

@@ -582,8 +582,16 @@ def main():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--resume_type", default="resume")
     parser.add_argument("--teacher_ckpt", default="")
+    parser.add_argument("--content_ckpt", default="")
+    parser.add_argument("--style_ckpt", default="")
+    parser.add_argument("--prosody_ckpt", default="")
+    parser.add_argument("--model_type", default="",
+                        help="override cfg.model_type (one config can drive "
+                             "both the AR and FM stages)")
     args = parser.parse_args()
     cfg = load_config(args.config)
+    if args.model_type:
+        cfg.model_type = args.model_type
     # the Vevo1.5/VevoSing AR + FM stages train through the same trainers
     # as VC (ref `bins/svc/train.py:25-32` registry includes both)
     from bins.vc.train import (

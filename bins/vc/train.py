@@ -184,7 +184,11 @@ class FlowMatchingTransformerTrainer(_VevoTrainerBase):
 
 class AutoregressiveTransformerTrainer(_VevoTrainerBase):
     """Vevo AR stage: duration-reduced content tokens → content-style tokens
-    (ref `models/vc/autoregressive_transformer/ar_trainer.py`)."""
+    (ref `models/vc/autoregressive_transformer/ar_trainer.py`). With
+    ``model.ar.style_vocab > 0`` this is the Vevo1.5/VevoSing variant (ref
+    `models/svc/autoregressive_transformer/ar_trainer.py:193`): half the
+    batches additionally condition on prosody (chroma-FVQ) tokens through
+    the unified-vocab style block — SVC/SVS-task training next to VC."""
 
     def __init__(self, args, cfg):
         self.cfg = cfg
@@ -196,6 +200,7 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
         m = cfg.model.get("ar", None)
         in_vocab = m.input_vocab if m else 32
         out_vocab = m.output_vocab if m else 8192
+        style_vocab = m.get("style_vocab", 0) if m else 0
         self.content_encode = self._setup_tokenizer(
             "content_tokenizer", cfg, getattr(args, "content_ckpt", ""),
             in_vocab, self.logger,
@@ -204,8 +209,13 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
             "style_tokenizer", cfg, getattr(args, "style_ckpt", ""),
             out_vocab, self.logger,
         )
+        self.prosody_encode = (
+            self._setup_prosody_tokenizer(
+                cfg, getattr(args, "prosody_ckpt", ""), style_vocab)
+            if style_vocab else None)
         self.model = ARTransformer(ARTransformerConfig(
             input_vocab=in_vocab, output_vocab=out_vocab,
+            style_vocab=style_vocab,
             hidden=m.hidden if m else 1024,
             num_layers=m.num_layers if m else 16,
             num_heads=m.num_heads if m else 16,
@@ -236,7 +246,8 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
             def loss_fn(prm):
                 return model.apply(
                     {"params": prm}, batch["input_tokens"], batch["input_mask"],
-                    batch["output_tokens"], batch["output_mask"],
+                    batch["output_tokens"], batch["output_mask"], None, None,
+                    batch.get("style_tokens"), batch.get("style_mask"),
                     method=ARTransformer.loss,
                 )
 
@@ -246,6 +257,34 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
             return state.apply_gradients(grads), aux
 
         self._setup_loop(args, cfg, step_fn, state)
+
+    def _setup_prosody_tokenizer(self, cfg, ckpt_path, vocab):
+        """Chroma-FVQ prosody tokenizer (Coco style mode — ref
+        `rep_coco_model.py` CocoStyle) for the VevoSing style stream."""
+        from amphion_tpu.models.codec.coco import CocoCodec, CocoConfig
+
+        m = cfg.model.get("prosody_tokenizer", None)
+        codec = CocoCodec(CocoConfig(
+            mode="style",
+            codebook_size=vocab,
+            hidden=m.get("hidden", 256) if m else 256,
+            codebook_dim=m.get("codebook_dim", 8) if m else 8,
+            downsample=m.get("downsample", 4) if m else 4,
+            num_blocks=m.get("num_blocks", 2) if m else 2,
+        ))
+        if ckpt_path:
+            tree, _, step = CheckpointManager(ckpt_path).restore_raw()
+            params = tree.get("g", tree).get("params", tree.get("params"))
+            self.logger.info(f"prosody_tokenizer restored from step {step}")
+        else:
+            self.logger.warning(
+                "no checkpoint for prosody_tokenizer: RANDOM weights (smoke)")
+            params = codec.init(
+                jax.random.key(11), None, None,
+                jnp.zeros((1, 8, codec.cfg.chromagram_dim)),
+            )["params"]
+        return jax.jit(lambda ch: codec.apply(
+            {"params": params}, None, None, ch, method=CocoCodec.encode))
 
     def _make_batch(self, idxs):
         from amphion_tpu.pipelines.vevo_pipeline import duration_reduce
@@ -262,7 +301,7 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
             red = duration_reduce(content[r])[:mc]
             inp[r, : len(red)] = red
             in_len[r] = len(red)
-        return {
+        batch = {
             "input_tokens": jnp.asarray(inp),
             "input_mask": jnp.asarray(
                 (np.arange(mc)[None] < in_len[:, None]).astype(np.float32)
@@ -270,6 +309,23 @@ class AutoregressiveTransformerTrainer(_VevoTrainerBase):
             "output_tokens": jnp.asarray(style),
             "output_mask": jnp.ones((b, n), jnp.float32),
         }
+        if self.prosody_encode is not None:
+            # SVC/SVS-task batches with p=0.5 (ref svc ar_trainer.py:193:
+            # `use_style_tokens_as_input and random.random() < 0.5`)
+            coin = np.random.default_rng(
+                int(np.asarray(style)[0, 0]) + 7 * b).random()
+            if coin < 0.5:
+                from amphion_tpu.ops.chroma import chroma_stft
+
+                mcf = self.mel_cfg
+                chroma = chroma_stft(
+                    jnp.asarray(audio), mcf.sample_rate, mcf.n_fft,
+                    mcf.hop_size, mcf.win_size).transpose(0, 2, 1)
+                chroma = chroma[:, : audio.shape[1] // mcf.hop_size]
+                prosody = self.prosody_encode(chroma)
+                batch["style_tokens"] = prosody
+                batch["style_mask"] = jnp.ones(prosody.shape, jnp.float32)
+        return batch
 
 
 def main():
@@ -280,6 +336,7 @@ def main():
     parser.add_argument("--resume_type", default="resume")
     parser.add_argument("--content_ckpt", default="")
     parser.add_argument("--style_ckpt", default="")
+    parser.add_argument("--prosody_ckpt", default="")
     parser.add_argument("--model_type", default="",
                         help="override cfg.model_type (one config can drive "
                              "both the AR and FM stages)")

@@ -457,6 +457,81 @@ def test_vevo_inference_cli(corpus, monkeypatch):
     assert sr2 == 8000 and wav2.size > 0 and np.isfinite(wav2).all()
 
 
+def test_vevosing_inference_cli(corpus, monkeypatch):
+    """Vevo1.5/VevoSing: train the style-stream AR + FM one step each,
+    then run svc + fm tasks through bins/svc/vevosing_inference.py
+    (content + chroma-FVQ prosody → AR → content-style → FM →
+    Griffin-Lim)."""
+    root, processed = corpus
+    from bins.vc.train import (
+        AutoregressiveTransformerTrainer,
+        FlowMatchingTransformerTrainer,
+    )
+
+    model = {
+        "ar": {"input_vocab": 8, "output_vocab": 16, "style_vocab": 6,
+               "hidden": 32, "num_layers": 1, "num_heads": 4},
+        "fm": {"token_vocab": 16, "hidden": 32, "num_layers": 1,
+               "num_heads": 4},
+        "content_tokenizer": {"hidden": 8, "codebook_dim": 4, "num_blocks": 1},
+        "style_tokenizer": {"hidden": 8, "codebook_dim": 4, "num_blocks": 1},
+        "prosody_tokenizer": {"hidden": 8, "codebook_dim": 4,
+                              "num_blocks": 1, "downsample": 2},
+    }
+    cfg = _base_cfg(root, processed, model_type="AutoregressiveTransformer",
+                    model=model)
+    cfg.train["max_steps"] = 2
+    cfg.train["save_checkpoints_steps"] = 2
+    cfg.train["segment_frames"] = 32
+    ar_args = _args("vevosing_ar")
+    ar_args.content_ckpt = ""
+    ar_args.style_ckpt = ""
+    ar_args.prosody_ckpt = ""
+    tr = AutoregressiveTransformerTrainer(ar_args, cfg)
+    assert tr.prosody_encode is not None  # style stream wired
+    tr.train_loop()
+    cfg.model_type = "FlowMatchingTransformer"
+    fm_args = _args("vevosing_fm")
+    fm_args.style_ckpt = ""
+    FlowMatchingTransformerTrainer(fm_args, cfg).train_loop()
+
+    import sys
+
+    cfg_path = root / "vevosing.json"
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+    wavs = root / "LJSpeech-1.1" / "wavs"
+    from bins.svc.vevosing_inference import main as vevosing_main
+
+    out = root / "vevosing_svc.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--task", "svc",
+        "--src_audio", str(wavs / "LJ001-0000.wav"),
+        "--timbre_ref", str(wavs / "LJ001-0001.wav"),
+        "--output_path", str(out), "--ar_exp", "vevosing_ar",
+        "--fm_exp", "vevosing_fm", "--max_new", "16",
+        "--flow_matching_steps", "4", "--match_pitch",
+    ])
+    vevosing_main()
+    from amphion_tpu.data.audio_io import load_wav
+
+    wav, sr = load_wav(out)
+    assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
+
+    # fm-only timbre task with the shifted-source extraction flags
+    out2 = root / "vevosing_fm.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--task", "fm",
+        "--src_audio", str(wavs / "LJ001-0000.wav"),
+        "--timbre_ref", str(wavs / "LJ001-0001.wav"),
+        "--output_path", str(out2), "--fm_exp", "vevosing_fm",
+        "--flow_matching_steps", "4", "--match_pitch_prosody",
+        "--match_pitch_contentstyle",
+    ])
+    vevosing_main()
+    wav2, sr2 = load_wav(out2)
+    assert sr2 == 8000 and wav2.size > 0 and np.isfinite(wav2).all()
+
+
 def test_vits_svc_trainer_integration(corpus):
     root, processed = corpus
     from bins.svc.train import VitsSVCTrainer

@@ -1142,6 +1142,140 @@ class TestVevoARRoundTrip:
         np.testing.assert_array_equal(np.asarray(toks)[0], ref_tokens)
 
 
+class TestVevoSingARRoundTrip:
+    """Vevo1.5/VevoSing AutoregressiveTransformer oracle round trips (ref
+    models/svc/autoregressive_transformer/ar_model.py:20): the three-stream
+    unified vocab (content ids +style+content_style, style ids
+    +content_style, six special tokens) and the
+    [content][style][content-style] packing protocol."""
+
+    def _pair(self, seed=21):
+        from models.svc.autoregressive_transformer.ar_model import (
+            AutoregressiveTransformer as RefAR,
+        )
+
+        from amphion_tpu.models.vc.ar_transformer import (
+            ARTransformer,
+            ARTransformerConfig,
+        )
+        from amphion_tpu.utils.convert import vevo_ar_to_flax
+
+        torch.manual_seed(seed)
+        ref = RefAR(content_vocab_size=8, style_vocab_size=6,
+                    content_style_vocab_size=16, hidden_size=32,
+                    intermediate_size=64, num_hidden_layers=2,
+                    num_attention_heads=4)
+        ref.eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = vevo_ar_to_flax(sd, num_layers=2)
+        ours = ARTransformer(ARTransformerConfig(
+            input_vocab=8, output_vocab=16, style_vocab=6, hidden=32,
+            intermediate=64, num_layers=2, num_heads=4))
+        # special-token layout must agree exactly with the reference
+        c = ours.cfg
+        assert c.pad_id == ref.pad_token_id
+        assert c.input_bos_id == ref.content_bos_token_id
+        assert c.input_eos_id == ref.content_eos_token_id
+        assert c.style_bos_id == ref.style_bos_token_id
+        assert c.style_eos_id == ref.style_eos_token_id
+        assert c.bos_id == ref.content_style_bos_token_id
+        assert c.eos_id == ref.content_style_eos_token_id
+        assert c.total_vocab == ref.config.vocab_size
+        return ref, ours, params
+
+    def test_forward_and_loss_parity_with_style(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vc.ar_transformer import ARTransformer
+
+        ref, ours, params = self._pair()
+        torch.manual_seed(22)
+        inp = torch.randint(0, 8, (2, 5))
+        sty = torch.randint(0, 6, (2, 4))
+        out = torch.randint(0, 16, (2, 7))
+        im = torch.ones(2, 5, dtype=torch.long)
+        sm = torch.ones(2, 4, dtype=torch.long)
+        om = torch.ones(2, 7, dtype=torch.long)
+        im[1, 3:] = 0
+        sm[1, 2:] = 0
+        om[1, 5:] = 0
+        inp, sty, out = inp * im, sty * sm, out * om
+        with torch.no_grad():
+            ref_out = ref(inp, im, sty, sm, out, om)
+
+        loss, aux = ours.apply(
+            {"params": params}, jnp.asarray(inp.numpy()),
+            jnp.asarray(im.numpy()).astype(jnp.float32),
+            jnp.asarray(out.numpy()),
+            jnp.asarray(om.numpy()).astype(jnp.float32),
+            None, None, jnp.asarray(sty.numpy()),
+            jnp.asarray(sm.numpy()).astype(jnp.float32),
+            method=ARTransformer.loss)
+        np.testing.assert_allclose(float(loss), float(ref_out.loss),
+                                   atol=3e-5)
+
+    def test_forward_no_style_matches_reference(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vc.ar_transformer import ARTransformer
+
+        ref, ours, params = self._pair(seed=23)
+        torch.manual_seed(24)
+        inp = torch.randint(0, 8, (2, 5))
+        out = torch.randint(0, 16, (2, 6))
+        im = torch.ones(2, 5, dtype=torch.long)
+        om = torch.ones(2, 6, dtype=torch.long)
+        with torch.no_grad():
+            ref_out = ref(inp, im, None, None, out, om)
+        loss, _ = ours.apply(
+            {"params": params}, jnp.asarray(inp.numpy()),
+            jnp.asarray(im.numpy()).astype(jnp.float32),
+            jnp.asarray(out.numpy()),
+            jnp.asarray(om.numpy()).astype(jnp.float32),
+            method=ARTransformer.loss)
+        np.testing.assert_allclose(float(loss), float(ref_out.loss),
+                                   atol=3e-5)
+
+    def test_greedy_decode_with_style_parity(self):
+        """Greedy KV-cache decode through the three-block prompt protocol
+        matches HF `generate(do_sample=False)`."""
+        import jax
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.vc.ar_transformer import (
+            ar_transformer_generate,
+        )
+
+        ref, ours, params = self._pair(seed=25)
+        torch.manual_seed(26)
+        inp = torch.randint(0, 8, (1, 5))
+        sty = torch.randint(0, 6, (1, 4))
+        prompt_out = torch.randint(0, 16, (1, 3))
+        c = ours.cfg
+        ids = torch.cat([
+            torch.tensor([[c.input_bos_id]]), inp + c.input_shift,
+            torch.tensor([[c.input_eos_id]]),
+            torch.tensor([[c.style_bos_id]]), sty + c.output_vocab,
+            torch.tensor([[c.style_eos_id]]),
+            torch.tensor([[c.bos_id]]), prompt_out,
+        ], dim=1)
+        max_new = 6
+        with torch.no_grad():
+            gen = ref.model.generate(
+                ids, do_sample=False, max_new_tokens=max_new,
+                min_new_tokens=max_new, pad_token_id=c.pad_id,
+                eos_token_id=None)
+        ref_tokens = gen[0, ids.shape[1]:].numpy()
+
+        toks, lens = ar_transformer_generate(
+            ours, params, jnp.asarray(inp.numpy()), jax.random.key(0),
+            max_new=max_new, temperature=0.0,
+            prompt_output_tokens=jnp.asarray(prompt_out.numpy()),
+            style_tokens=jnp.asarray(sty.numpy()),
+            compute_dtype="float32")
+        np.testing.assert_array_equal(np.asarray(toks)[0], ref_tokens)
+
+
 class TestVevoFMTRoundTrip:
     """Vevo FlowMatchingTransformer oracle round trips (ref
     models/vc/flow_matching_transformer/fmt_model.py:13 + llama_nar DiffLlama
