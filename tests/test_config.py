@@ -50,3 +50,21 @@ def test_legacy_hparams():
 
     with _pytest.raises(KeyError):
         h.parse("unknown=1")
+
+
+def test_all_shipped_configs_resolve():
+    """Every config/*.json (incl. config/svc/) resolves its base_config
+    inheritance chain and carries the family's model_type / task fields
+    (the reference ships one file per model family — config/*.json)."""
+    import os
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    os.environ.setdefault("WORK_DIR", str(root))
+    files = sorted((root / "config").rglob("*.json"))
+    assert len(files) >= 18
+    for f in files:
+        cfg = load_config(f)
+        assert cfg.preprocess.sample_rate > 0, f
+        if f.name not in ("base.json", "tts.json") and f.parent.name != "svc":
+            assert cfg.get("model_type", ""), f
