@@ -528,3 +528,36 @@ def extract_content_features(
         for (u, x), f in zip(chunk, feats):
             _save(u, x, f)
     return out
+
+
+def compute_feature_stats(feature_files, out_path=None):
+    """Per-dim mean/std over a set of extracted feature .npy files (the
+    reference's offline whisper stats — `rep_coco_trainer.py:115` loads
+    ``whisper_stats_path`` with ``{"mean": (D,), "std": (D,)}`` and
+    standardizes features before tokenization). Streaming Welford over
+    frames; returns (mean, std) float32 and writes ``out_path`` .npz when
+    given."""
+    count = 0
+    mean = m2 = None
+    for f in feature_files:
+        x = np.load(f).astype(np.float64)
+        x = x.reshape(-1, x.shape[-1])
+        if mean is None:
+            mean = np.zeros(x.shape[-1])
+            m2 = np.zeros(x.shape[-1])
+        for row_chunk in np.array_split(x, max(1, len(x) // 4096)):
+            n = len(row_chunk)
+            if n == 0:
+                continue
+            cm = row_chunk.mean(axis=0)
+            cv = row_chunk.var(axis=0)
+            delta = cm - mean
+            tot = count + n
+            mean = mean + delta * n / tot
+            m2 = m2 + cv * n + delta**2 * count * n / tot
+            count = tot
+    std = np.sqrt(np.maximum(m2 / max(count, 1), 1e-12))
+    mean, std = mean.astype(np.float32), std.astype(np.float32)
+    if out_path is not None:
+        np.savez(out_path, mean=mean, std=std)
+    return mean, std

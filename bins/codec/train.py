@@ -279,6 +279,14 @@ class CocoTrainer(AmphionCodecTrainer):
         # YIN-f0 proxy stays available as a config knob
         self.style_feature = (m.get("style_feature", "chroma") if m
                               else "chroma")
+        # per-dim SSL-feature standardization (ref rep_coco_trainer.py:96:
+        # `(features - whisper_mean) / whisper_std`, stats from
+        # `whisper_stats_path`); stats file is an .npz with mean/std
+        self.content_stats = None
+        if m and m.get("use_normed_whisper", False):
+            stats = np.load(m.whisper_stats_path)
+            self.content_stats = (stats["mean"].astype(np.float32),
+                                  stats["std"].astype(np.float32))
         # SSL features from content_dir when extracted; else mel proxy
         self.content_dir = {
             ds: Path(p.processed_dir) / ds / p.get("content_dir", "content")
@@ -361,6 +369,9 @@ class CocoTrainer(AmphionCodecTrainer):
         content = f0 = style = None
         if self.mode in ("contentstyle", "content"):
             content = self._mel(au, mc).transpose(0, 2, 1)
+            if self.content_stats is not None:
+                mean, std = self.content_stats
+                content = (content - mean) / std
         if self.mode in ("contentstyle", "style"):
             if self.style_feature == "chroma":
                 # centered chroma has T//hop + 1 frames; drop the last to
@@ -391,6 +402,9 @@ class CocoTrainer(AmphionCodecTrainer):
         for i in idxs:
             u = self.dataset.utts[i]
             feat = np.load(self.content_dir[u.dataset] / f"{u.uid}.npy")
+            if self.content_stats is not None:
+                mean, std = self.content_stats
+                feat = (feat - mean) / std
             n = feat.shape[0]
             f0 = sty = None
             if self.mode in ("contentstyle", "style"):

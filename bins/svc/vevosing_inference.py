@@ -130,12 +130,22 @@ def build_pipeline(args, cfg, logger) -> tuple[VevoSingPipeline, bool]:
                   if args.vocoder_ckpt else None)
 
     mel_extract = jax.jit(lambda au: mel_spectrogram(au, mel_cfg))
+    # per-dim whisper-space standardization (ref vevosing_utils.py:202-210
+    # use_normed_whisper: (features - mean) / std from whisper_stats_path)
+    stats = None
+    mcoco = cfg.model.get("coco", None)
+    if mcoco and mcoco.get("use_normed_whisper", False):
+        z = np.load(mcoco.whisper_stats_path)
+        stats = (z["mean"].astype(np.float32), z["std"].astype(np.float32))
 
     def ssl(audio, sample_rate):
         t = len(audio) // mel_cfg.hop_size * mel_cfg.hop_size
-        return np.asarray(
+        feats = np.asarray(
             mel_extract(jnp.asarray(audio[:t])[None])
         ).transpose(0, 2, 1)[0]
+        if stats is not None:
+            feats = (feats - stats[0]) / stats[1]
+        return feats
 
     pipe = VevoSingPipeline(
         content_tokenizer=content_tok, style_tokenizer=cs_tok,

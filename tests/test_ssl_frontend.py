@@ -90,3 +90,28 @@ class TestBucketedFbank:
         np.testing.assert_allclose(ours[:n_stacked], ref, atol=1e-4)
         # padded region is zeroed
         assert np.abs(ours[n_stacked:]).max() == 0.0
+
+
+def test_compute_feature_stats_welford(tmp_path):
+    """Streaming per-dim stats == direct mean/std over the concatenation
+    (ref whisper_stats_path contents: {"mean": (D,), "std": (D,)})."""
+    import numpy as np
+
+    from amphion_tpu.data.processors.content import compute_feature_stats
+
+    rng = np.random.default_rng(0)
+    files = []
+    chunks = []
+    for i in range(3):
+        x = (rng.standard_normal((50 + 30 * i, 8)) * (i + 1) + i).astype(
+            np.float32)
+        f = tmp_path / f"feat{i}.npy"
+        np.save(f, x)
+        files.append(f)
+        chunks.append(x)
+    mean, std = compute_feature_stats(files, out_path=tmp_path / "stats.npz")
+    allx = np.concatenate(chunks).astype(np.float64)
+    np.testing.assert_allclose(mean, allx.mean(0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(std, allx.std(0), rtol=1e-4, atol=1e-5)
+    z = np.load(tmp_path / "stats.npz")
+    np.testing.assert_array_equal(z["mean"], mean)
