@@ -44,6 +44,10 @@ class LlamaConfig:
     decode_quant: str = "none"
     dtype: str = "float32"
     remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
+    # fused flash attention (ops/pallas_kernels.flash_attention_pallas) for
+    # the full-sequence (no-KV-cache) path: O(L) memory, logits never hit
+    # HBM; decode/prefill keep the dense path (tiny T, cache-offset math)
+    use_flash: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -210,9 +214,13 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, bias=None, positions=None, cache=None, cache_index=None):
+    def __call__(self, x, bias=None, positions=None, cache=None,
+                 cache_index=None, kv_mask=None, causal=False):
         """x: (B, T, D). If ``cache`` is given, T is the new-token count and
-        keys/values are appended at ``cache_index``; returns updated cache."""
+        keys/values are appended at ``cache_index``; returns updated cache.
+        With ``cfg.use_flash`` (and no cache/bias) the padding mask and
+        causality go to the fused kernel as ``kv_mask``/``causal`` instead
+        of an additive bias."""
         c = self.cfg
         b, t, _ = x.shape
         q = _proj(c, c.num_heads * c.head_dim, "q_proj")(x)
@@ -242,12 +250,26 @@ class LlamaAttention(nn.Module):
             k, v = ck, cv
             new_cache = (ck, cv)
 
+        if c.use_flash and cache is None and bias is None:
+            from amphion_tpu.ops.pallas_kernels import flash_attention
+
+            out = flash_attention(q, k, v, kv_mask, causal)
+            out = out.reshape(b, t, c.num_heads * c.head_dim)
+            return _proj(c, c.hidden_size, "o_proj")(out)
+
         if c.kv_heads != c.num_heads:
             rep = c.num_heads // c.kv_heads
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(c.head_dim)
+        neg = jnp.finfo(scores.dtype).min
+        if causal:
+            tq, tk = scores.shape[-2], scores.shape[-1]
+            scores = jnp.where(
+                jnp.tril(jnp.ones((tq, tk), bool))[None, None], scores, neg)
+        if kv_mask is not None:
+            scores = jnp.where(kv_mask[:, None, None, :] > 0, scores, neg)
         if cache is not None:
             # mask out cache slots beyond cache_index + t
             s = k.shape[1]
@@ -280,7 +302,7 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond=None, bias=None, positions=None, cache=None,
-                 cache_index=None):
+                 cache_index=None, kv_mask=None, causal=False):
         c = self.cfg
         if c.adaptive:
             assert cond is not None
@@ -288,7 +310,8 @@ class LlamaBlock(nn.Module):
         else:
             h = RMSNorm(name="input_norm")(x)
         attn_out = LlamaAttention(c, name="attn")(
-            h, bias=bias, positions=positions, cache=cache, cache_index=cache_index
+            h, bias=bias, positions=positions, cache=cache,
+            cache_index=cache_index, kv_mask=kv_mask, causal=causal
         )
         if cache is not None:
             attn_out, new_cache = attn_out
@@ -311,8 +334,10 @@ class LlamaEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond=None, mask=None):
-        bias = None
-        if mask is not None:
+        bias = kv_mask = None
+        if self.cfg.use_flash:
+            kv_mask = mask  # fused kernel consumes the padding mask directly
+        elif mask is not None:
             bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
         # optional rematerialization: activations are recomputed in the
         # backward pass instead of stored — O(sqrt(L)) memory for long
@@ -320,7 +345,8 @@ class LlamaEncoder(nn.Module):
         block_cls = (nn.remat(LlamaBlock, static_argnums=())
                      if self.cfg.remat else LlamaBlock)
         for i in range(self.cfg.num_layers):
-            x = block_cls(self.cfg, name=f"layer_{i}")(x, cond=cond, bias=bias)
+            x = block_cls(self.cfg, name=f"layer_{i}")(x, cond=cond, bias=bias,
+                                                       kv_mask=kv_mask)
         if self.cfg.adaptive:
             return AdaptiveRMSNorm(name="final_norm")(x, cond)
         return RMSNorm(name="final_norm")(x)
@@ -347,17 +373,25 @@ class LlamaDecoder(nn.Module):
         at ``cache_index`` and returns (hidden, new_caches)."""
         t = x.shape[1]
         if caches is None:
-            bias = jnp.where(
-                jnp.tril(jnp.ones((t, t), bool)), 0.0, jnp.finfo(jnp.float32).min
-            )[None, None]
-            if mask is not None:
-                bias = bias + jnp.where(
-                    mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min
-                )
+            bias = kv_mask = None
+            if self.cfg.use_flash:
+                kv_mask = mask  # causal handled analytically in the kernel
+            else:
+                bias = jnp.where(
+                    jnp.tril(jnp.ones((t, t), bool)), 0.0,
+                    jnp.finfo(jnp.float32).min
+                )[None, None]
+                if mask is not None:
+                    bias = bias + jnp.where(
+                        mask[:, None, None, :], 0.0,
+                        jnp.finfo(jnp.float32).min
+                    )
             block_cls = (nn.remat(LlamaBlock, static_argnums=())
                          if self.cfg.remat else LlamaBlock)
             for i in range(self.cfg.num_layers):
-                x = block_cls(self.cfg, name=f"layer_{i}")(x, bias=bias)
+                x = block_cls(self.cfg, name=f"layer_{i}")(
+                    x, bias=bias, kv_mask=kv_mask,
+                    causal=self.cfg.use_flash)
             return RMSNorm(name="final_norm")(x)
         new_caches = []
         if t > 1:

@@ -603,3 +603,179 @@ def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, w_q, scale)
+
+
+# ---------------------------------------------------------------------------
+# Flash attention (online-softmax, O(L) memory)
+# ---------------------------------------------------------------------------
+
+
+def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *,
+                            block_k, lk, causal, scale, has_mask):
+    """One (batch, head, q-block) tile: online-softmax over K chunks.
+
+    K/V for this (batch, kv-head) are VMEM-resident (audio sequences are
+    ≤ a few thousand tokens — ~1 MB per tensor at D=64); the (Lq, Lk)
+    score matrix is never materialized, so HBM traffic is O(L·D) instead
+    of the O(L²) of the unfused softmax path."""
+    iq = pl.program_id(2)
+    bq = q_ref.shape[1]
+    d = q_ref.shape[-1]
+    q = q_ref[0, :, 0, :].astype(jnp.float32) * scale  # (bq, D)
+    row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+
+    n_chunks = pl.cdiv(lk, block_k)
+    if causal:
+        # blocks strictly above the diagonal contribute nothing
+        n_chunks = jnp.minimum(
+            n_chunks, pl.cdiv((iq + 1) * bq, block_k))
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, bk)
+        col = (j * block_k
+               + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
+        ok = col < lk
+        if causal:
+            ok = jnp.logical_and(ok, col <= row)
+        if has_mask:
+            kvm = m_ref[0, pl.ds(j * block_k, block_k)]
+            ok = jnp.logical_and(ok, (kvm > 0)[None, :])
+        s = jnp.where(ok, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(ok, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+def flash_attention_pallas(
+    q: jax.Array,      # (B, Lq, H, D)
+    k: jax.Array,      # (B, Lk, KVH, D), KVH divides H (GQA)
+    v: jax.Array,      # (B, Lk, KVH, D)
+    kv_mask: jax.Array | None = None,  # (B, Lk), 1 = attend
+    causal: bool = False,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused multi-head attention with online softmax → (B, Lq, H, D).
+
+    Grid (B, H, Lq/block_q); each tile streams its KV-head's keys/values
+    from VMEM in ``block_k`` chunks carrying running (max, denominator)
+    statistics, so the (Lq, Lk) logits never hit HBM. GQA is free: the
+    K/V BlockSpec index map folds the query head onto its KV head. Causal
+    masking prunes the chunk loop above the diagonal analytically (no
+    wasted MXU work on the upper triangle). f32 statistics regardless of
+    input dtype (bf16 in → bf16 out, f32 softmax)."""
+    interpret = _resolve_interpret(interpret)
+    b, lq, h, d = q.shape
+    _, lk, kvh, _ = k.shape
+    assert h % kvh == 0, (h, kvh)
+    rep = h // kvh
+    block_q = min(block_q, lq)
+    block_k = min(block_k, lk)
+    # pad K/V to a block multiple: the kernel chunks with pl.ds, whose
+    # out-of-bounds start CLAMPS (dynamic-slice semantics) and would
+    # silently shift the tail chunk; padded cols are masked via `col < lk`
+    lk_pad = pl.cdiv(lk, block_k) * block_k
+    if lk_pad != lk:
+        padw = ((0, 0), (0, lk_pad - lk), (0, 0), (0, 0))
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+        if kv_mask is not None:
+            kv_mask = jnp.pad(kv_mask, ((0, 0), (0, lk_pad - lk)))
+    grid = (b, h, pl.cdiv(lq, block_q))
+    has_mask = kv_mask is not None
+    if not has_mask:  # dummy operand keeps the call signature static
+        kv_mask = jnp.ones((b, 1), jnp.float32)
+    kern = functools.partial(
+        _flash_attention_kernel, block_k=block_k, lk=lk, causal=causal,
+        scale=1.0 / float(np.sqrt(d)), has_mask=has_mask)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d),
+                         lambda bi, hi, qi: (bi, qi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, 1, d),
+                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, 1, d),
+                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_mask.shape[1]),
+                         lambda bi, hi, qi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 1, d),
+                               lambda bi, hi, qi: (bi, qi, hi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v, kv_mask.astype(jnp.float32))
+
+
+def _attention_dense_ref(q, k, v, kv_mask, causal):
+    """Dense jnp attention with the kernel's exact masking semantics —
+    the recompute target for the backward pass."""
+    b, lq, h, d = q.shape
+    kvh = k.shape[2]
+    if kvh != h:
+        rep = h // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / np.sqrt(d)
+    if causal:
+        s = jnp.where(
+            jnp.tril(jnp.ones((lq, k.shape[1]), bool))[None, None], s, -1e30)
+    if kv_mask is not None:
+        s = jnp.where((kv_mask > 0)[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q, k, v, kv_mask=None, causal=False,
+                    block_q=256, block_k=256):
+    """Differentiable flash attention: fused Pallas forward (O(L) memory,
+    logits never in HBM), dense-recompute backward (flash backward would
+    save backward memory too; at audio sequence lengths the forward is
+    where the win is). GQA-aware; kv_mask (B, Lk) optional."""
+    return flash_attention_pallas(q, k, v, kv_mask=kv_mask, causal=causal,
+                                  block_q=block_q, block_k=block_k)
+
+
+def _flash_attention_fwd(q, k, v, kv_mask, causal, block_q, block_k):
+    out = flash_attention_pallas(q, k, v, kv_mask=kv_mask, causal=causal,
+                                 block_q=block_q, block_k=block_k)
+    return out, (q, k, v, kv_mask)
+
+
+def _flash_attention_bwd(causal, block_q, block_k, res, g):
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_dense_ref(q_, k_, v_, kv_mask, causal),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)

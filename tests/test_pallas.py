@@ -286,3 +286,111 @@ def test_int4_matmul_batch1_full_width(rng):
     deq = np.asarray(w_p, np.float32) * np.repeat(np.asarray(scale), 128, 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) @ deq,
                                atol=1e-3, rtol=1e-5)
+
+
+def _dense_attention(q, k, v, kv_mask=None, causal=False):
+    """Reference einsum attention with the same masking semantics."""
+    b, lq, h, d = q.shape
+    _, lk, kvh, _ = k.shape
+    if kvh != h:
+        k = np.repeat(k, h // kvh, axis=2)
+        v = np.repeat(v, h // kvh, axis=2)
+    s = np.einsum("bqhd,bkhd->bhqk", q.astype(np.float64),
+                  k.astype(np.float64)) / np.sqrt(d)
+    neg = -1e30
+    if causal:
+        tri = np.tril(np.ones((lq, lk), bool))
+        s = np.where(tri[None, None], s, neg)
+    if kv_mask is not None:
+        s = np.where((kv_mask > 0)[:, None, None, :], s, neg)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / np.maximum(p.sum(-1, keepdims=True), 1e-30)
+    return np.einsum("bhqk,bkhd->bqhd", p, v.astype(np.float64))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_dense(rng, causal):
+    from amphion_tpu.ops.pallas_kernels import flash_attention_pallas
+
+    b, lq, lk, h, d = 2, 48, 48, 4, 16
+    q = rng.standard_normal((b, lq, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, lk, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, lk, h, d)).astype(np.float32)
+    mask = (rng.random((b, lk)) > 0.2).astype(np.float32)
+    mask[:, :4] = 1.0  # keep at least some attendable prefix
+    out = flash_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        kv_mask=jnp.asarray(mask), causal=causal,
+        block_q=16, block_k=16, interpret=True)
+    ref = _dense_attention(q, k, v, kv_mask=mask, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_gqa_and_uneven_blocks(rng):
+    """KV heads < Q heads (grouped) and Lq/Lk not multiples of the block
+    sizes (tail masking)."""
+    from amphion_tpu.ops.pallas_kernels import flash_attention_pallas
+
+    b, lq, lk, h, kvh, d = 1, 37, 53, 8, 2, 8
+    q = rng.standard_normal((b, lq, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, lk, kvh, d)).astype(np.float32)
+    v = rng.standard_normal((b, lk, kvh, d)).astype(np.float32)
+    out = flash_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        block_q=16, block_k=16, interpret=True)
+    ref = _dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_bf16_causal(rng):
+    from amphion_tpu.ops.pallas_kernels import flash_attention_pallas
+
+    b, l, h, d = 2, 32, 2, 16
+    q = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, l, h, d)).astype(np.float32)
+    out = flash_attention_pallas(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), causal=True, block_q=16, block_k=16,
+        interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _dense_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_llama_flash_equivalence_and_grads(rng):
+    """LlamaEncoder/LlamaDecoder with use_flash reproduce the dense path
+    (forward AND parameter gradients — custom-VJP dense recompute)."""
+    import dataclasses
+
+    import jax
+
+    from amphion_tpu.modules.llama import LlamaConfig, LlamaDecoder, LlamaEncoder
+
+    cfg = LlamaConfig(hidden_size=32, num_layers=2, num_heads=4,
+                      num_kv_heads=2, max_position=128)
+    cfg_f = dataclasses.replace(cfg, use_flash=True)
+    x = jnp.asarray(rng.standard_normal((2, 24, 32)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 24)) > 0.2).astype(np.float32))
+    mask = mask.at[:, :2].set(1.0)
+
+    for cls, kw in ((LlamaEncoder, {}), (LlamaDecoder, {})):
+        dense = cls(cfg)
+        flash = cls(cfg_f)
+        params = dense.init(jax.random.key(0), x, mask=mask)["params"]
+        out_d = dense.apply({"params": params}, x, mask=mask)
+        out_f = flash.apply({"params": params}, x, mask=mask)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                                   atol=2e-5, rtol=1e-4)
+
+        def loss(m, prm):
+            return jnp.sum(m.apply({"params": prm}, x, mask=mask) ** 2)
+
+        g_d = jax.grad(lambda p: loss(dense, p))(params)
+        g_f = jax.grad(lambda p: loss(flash, p))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3),
+            g_d, g_f)
