@@ -230,6 +230,46 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
           0.1 / max(rtf, 1e-9))
 
 
+def bench_flash_attention() -> None:
+    """Fused flash attention vs the dense einsum path at training shape
+    (B=8, L=2048, H=16, D=64, causal+padding mask, forward)."""
+    from amphion_tpu.ops.pallas_kernels import flash_attention_pallas
+
+    b, l, h, d = 8, 2048, 16, 64
+    r = jax.random.key(0)
+    q = jax.random.normal(r, (b, l, h, d), jnp.bfloat16)
+    k = jax.random.normal(r, (b, l, h, d), jnp.bfloat16)
+    v = jax.random.normal(r, (b, l, h, d), jnp.bfloat16)
+    mask = jnp.ones((b, l), jnp.float32)
+
+    @jax.jit
+    def dense(q, k, v, m):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+        neg = jnp.finfo(jnp.float32).min
+        s = jnp.where(jnp.tril(jnp.ones((l, l), bool))[None, None],
+                      s.astype(jnp.float32), neg)
+        s = jnp.where(m[:, None, None, :] > 0, s, neg)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    flash = jax.jit(lambda q, k, v, m: flash_attention_pallas(
+        q, k, v, kv_mask=m, causal=True, interpret=False))
+
+    def time_fn(fn):
+        _fence(fn(q, k, v, mask))
+        n = 10
+        t0 = time.perf_counter()
+        outs = [fn(q, k, v, mask) for _ in range(n)]
+        for o in outs:
+            _fence(o)
+        return (time.perf_counter() - t0) / n
+
+    t_dense, t_flash = time_fn(dense), time_fn(flash)
+    _emit("flash_attention_speedup_vs_dense", t_dense / t_flash,
+          f"x (dense {t_dense * 1e3:.2f} ms -> flash {t_flash * 1e3:.2f} ms)",
+          t_dense / t_flash)
+
+
 def bench_ssl_extract() -> None:
     """w2v-bert-2.0-class (1024/24 conformer) fused front-end + encoder
     extraction throughput (x realtime, 16 kHz input)."""
@@ -321,4 +361,5 @@ if __name__ == "__main__":
         bench_vevo_rtf()
         bench_vevo_rtf("int8")
         bench_vevo_rtf("int4")
+        bench_flash_attention()
         bench_ssl_extract()
