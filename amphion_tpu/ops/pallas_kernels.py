@@ -610,8 +610,8 @@ def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *,
-                            block_k, lk, causal, scale, has_mask):
+def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
+                            *, block_k, lk, causal, scale, has_mask):
     """One (batch, head, q-block) tile: online-softmax over K chunks.
 
     K/V for this (batch, kv-head) are VMEM-resident (audio sequences are
@@ -661,6 +661,8 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *,
     acc, m, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0, 0, :] = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
 
 
 def flash_attention_pallas(
@@ -672,6 +674,7 @@ def flash_attention_pallas(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool | None = None,
+    return_lse: bool = False,
 ) -> jax.Array:
     """Fused multi-head attention with online softmax → (B, Lq, H, D).
 
@@ -706,9 +709,19 @@ def flash_attention_pallas(
     kern = functools.partial(
         _flash_attention_kernel, block_k=block_k, lk=lk, causal=causal,
         scale=1.0 / float(np.sqrt(d)), has_mask=has_mask)
+    out_shape = jax.ShapeDtypeStruct((b, lq, h, d), q.dtype)
+    out_spec = pl.BlockSpec((1, block_q, 1, d),
+                            lambda bi, hi, qi: (bi, qi, hi, 0),
+                            memory_space=pltpu.VMEM)
+    if return_lse:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, h, lq), jnp.float32)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, 1, block_q),
+                                 lambda bi, hi, qi: (bi, hi, qi),
+                                 memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, 1, d),
@@ -724,9 +737,7 @@ def flash_attention_pallas(
                          lambda bi, hi, qi: (bi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d),
-                               lambda bi, hi, qi: (bi, qi, hi, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=interpret,
     )(q, k, v, kv_mask.astype(jnp.float32))
 
@@ -752,29 +763,246 @@ def _attention_dense_ref(q, k, v, kv_mask, causal):
                       v.astype(jnp.float32)).astype(q.dtype)
 
 
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
+                         dl_ref, dq_ref, *, block_k, lk, causal, scale,
+                         has_mask):
+    """dQ for one (batch, head, q-block) tile: recompute P from (Q, K, LSE)
+    chunk-by-chunk, dS = P ⊙ (dO·Vᵀ − Δ), dQ += dS·K — the (Lq, Lk) logits
+    never exist in HBM in the backward either (FlashAttention-2 eq. 4-5)."""
+    iq = pl.program_id(2)
+    bq = q_ref.shape[1]
+    d = q_ref.shape[-1]
+    q = q_ref[0, :, 0, :].astype(jnp.float32)
+    do = do_ref[0, :, 0, :].astype(jnp.float32)
+    lse = lse_ref[0, 0, :][:, None]          # (bq, 1)
+    delta = dl_ref[0, 0, :][:, None]         # (bq, 1)
+    row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+
+    n_chunks = pl.cdiv(lk, block_k)
+    if causal:
+        n_chunks = jnp.minimum(n_chunks, pl.cdiv((iq + 1) * bq, block_k))
+
+    def body(j, acc):
+        k = k_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        col = (j * block_k
+               + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
+        ok = col < lk
+        if causal:
+            ok = jnp.logical_and(ok, col <= row)
+        if has_mask:
+            kvm = m_ref[0, pl.ds(j * block_k, block_k)]
+            ok = jnp.logical_and(ok, (kvm > 0)[None, :])
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, :, 0, :] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dl_ref,
+                          m_ref, dk_ref, dv_ref, *, block_q, lq, lk, causal,
+                          scale, has_mask):
+    """dK/dV for one (batch, q-head, k-block) tile: stream Q/dO chunks,
+    dV += Pᵀ·dO and dK += dSᵀ·Q (FlashAttention-2 eq. 6-7). Causal pruning
+    starts the chunk loop at the diagonal; fully-masked/padded rows drop out
+    through the `ok` mask (their P row is 0)."""
+    ik = pl.program_id(2)
+    bk = k_ref.shape[1]
+    d = k_ref.shape[-1]
+    k = k_ref[0, :, 0, :].astype(jnp.float32)
+    v = v_ref[0, :, 0, :].astype(jnp.float32)
+    col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    okc = col < lk
+    if has_mask:
+        okc = jnp.logical_and(okc, (m_ref[0, :] > 0)[None, :])
+
+    n_chunks = pl.cdiv(lq, block_q)
+    start = (ik * bk) // block_q if causal else 0
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), 0, :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), 0, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = dl_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        row = (i * block_q
+               + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+        ok = jnp.logical_and(okc, row < lq)
+        if causal:
+            ok = jnp.logical_and(ok, col <= row)
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bk, d)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bk, d)
+        return dk_acc, dv_acc
+
+    zero = jnp.zeros((bk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(start, n_chunks, body, (zero, zero))
+    dk_ref[0, :, 0, :] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0, :, 0, :] = dv_acc.astype(dv_ref.dtype)
+
+
+def flash_attention_bwd_pallas(q, k, v, kv_mask, out, lse, g, causal=False,
+                               block_q=256, block_k=256, interpret=None):
+    """Pallas flash backward → (dq, dk, dv); O(L·D) HBM like the forward.
+
+    Two kernels: dQ over (B, H, Lq-blocks) and dK/dV over (B, H, Lk-blocks)
+    with GQA head-group reduction done outside (dk/dv are produced per
+    query head, then summed over each group of `H/KVH` heads). Δ =
+    rowsum(dO ⊙ O) is a cheap fused XLA reduction, not a kernel."""
+    interpret = _resolve_interpret(interpret)
+    b, lq, h, d = q.shape
+    _, lk, kvh, _ = k.shape
+    rep = h // kvh
+    block_q = min(block_q, lq)
+    block_k = min(block_k, lk)
+    scale = 1.0 / float(np.sqrt(d))
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).transpose(0, 2, 1)  # (B, H, Lq)
+
+    has_mask = kv_mask is not None
+    mask = (kv_mask.astype(jnp.float32) if has_mask
+            else jnp.ones((b, 1), jnp.float32))
+
+    # --- dQ: same geometry as the forward (K/V VMEM-resident per head) ---
+    lk_pad = pl.cdiv(lk, block_k) * block_k
+    kp, vp, maskp = k, v, mask
+    if lk_pad != lk:
+        padw = ((0, 0), (0, lk_pad - lk), (0, 0), (0, 0))
+        kp, vp = jnp.pad(k, padw), jnp.pad(v, padw)
+        if has_mask:
+            maskp = jnp.pad(mask, ((0, 0), (0, lk_pad - lk)))
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, lk=lk,
+                          causal=causal, scale=scale, has_mask=has_mask),
+        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
+        grid=(b, h, pl.cdiv(lq, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d),
+                         lambda bi, hi, qi: (bi, qi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, 1, d),
+                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, 1, d),
+                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maskp.shape[1]), lambda bi, hi, qi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1, d),
+                         lambda bi, hi, qi: (bi, qi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 1, d),
+                               lambda bi, hi, qi: (bi, qi, hi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, kp, vp, maskp, g, lse, delta)
+
+    # --- dK/dV: Q/dO/LSE/Δ VMEM-resident per head, chunked with pl.ds —
+    # pad Lq to a block multiple (pl.ds clamps out-of-bounds starts) ---
+    lq_pad = pl.cdiv(lq, block_q) * block_q
+    qp, gp, lsep, deltap = q, g, lse, delta
+    if lq_pad != lq:
+        padw = ((0, 0), (0, lq_pad - lq), (0, 0), (0, 0))
+        qp, gp = jnp.pad(q, padw), jnp.pad(g, padw)
+        lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_pad - lq)))
+        deltap = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad - lq)))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, lq=lq,
+                          lk=lk, causal=causal, scale=scale,
+                          has_mask=has_mask),
+        out_shape=[jax.ShapeDtypeStruct((b, lk_pad, h, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, lk_pad, h, d), v.dtype)],
+        grid=(b, h, lk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, 1, d),
+                         lambda bi, hi, ki, rep=rep: (bi, ki, hi // rep, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1, d),
+                         lambda bi, hi, ki, rep=rep: (bi, ki, hi // rep, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_pad, 1, d),
+                         lambda bi, hi, ki: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq_pad, 1, d),
+                         lambda bi, hi, ki: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq_pad), lambda bi, hi, ki: (bi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lq_pad), lambda bi, hi, ki: (bi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, block_k), lambda bi, hi, ki: (bi, ki),
+                          memory_space=pltpu.VMEM) if has_mask else
+             pl.BlockSpec((1, 1), lambda bi, hi, ki: (bi, 0),
+                          memory_space=pltpu.VMEM)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, 1, d),
+                         lambda bi, hi, ki: (bi, ki, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1, d),
+                         lambda bi, hi, ki: (bi, ki, hi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(kp, vp, qp, gp, lsep, deltap, maskp)
+    dk = dk[:, :lk]
+    dv = dv[:, :lk]
+    if rep > 1:  # query heads are KV-head-major: h = kv * rep + r
+        dk = dk.reshape(b, lk, kvh, rep, d).sum(axis=3).astype(k.dtype)
+        dv = dv.reshape(b, lk, kvh, rep, d).sum(axis=3).astype(v.dtype)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(q, k, v, kv_mask=None, causal=False,
                     block_q=256, block_k=256):
-    """Differentiable flash attention: fused Pallas forward (O(L) memory,
-    logits never in HBM), dense-recompute backward (flash backward would
-    save backward memory too; at audio sequence lengths the forward is
-    where the win is). GQA-aware; kv_mask (B, Lk) optional."""
+    """Differentiable flash attention: fused Pallas forward AND backward
+    (FlashAttention-2 style — the (Lq, Lk) logits never hit HBM in either
+    pass; the forward saves only O + logsumexp). GQA-aware; kv_mask (B, Lk)
+    optional."""
     return flash_attention_pallas(q, k, v, kv_mask=kv_mask, causal=causal,
                                   block_q=block_q, block_k=block_k)
 
 
 def _flash_attention_fwd(q, k, v, kv_mask, causal, block_q, block_k):
-    out = flash_attention_pallas(q, k, v, kv_mask=kv_mask, causal=causal,
-                                 block_q=block_q, block_k=block_k)
-    return out, (q, k, v, kv_mask)
+    out, lse = flash_attention_pallas(
+        q, k, v, kv_mask=kv_mask, causal=causal,
+        block_q=block_q, block_k=block_k, return_lse=True)
+    return out, (q, k, v, kv_mask, out, lse)
 
 
 def _flash_attention_bwd(causal, block_q, block_k, res, g):
-    q, k, v, kv_mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _attention_dense_ref(q_, k_, v_, kv_mask, causal),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, kv_mask, out, lse = res
+    dq, dk, dv = flash_attention_bwd_pallas(
+        q, k, v, kv_mask, out, lse, g, causal=causal,
+        block_q=block_q, block_k=block_k)
     return dq, dk, dv, None
 
 

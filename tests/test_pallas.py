@@ -360,6 +360,53 @@ def test_flash_attention_bf16_causal(rng):
                                atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize(
+    "b,lq,lk,h,kvh,d,causal,with_mask,bq,bk",
+    [
+        (2, 48, 48, 4, 4, 16, False, True, 16, 16),
+        (2, 48, 48, 4, 4, 16, True, True, 16, 16),
+        (1, 37, 53, 8, 2, 8, True, True, 16, 16),   # GQA + uneven tails
+        (2, 64, 64, 4, 2, 32, True, False, 32, 16),
+        (1, 50, 30, 2, 1, 16, False, True, 16, 8),  # Lq > Lk (cross-attn)
+    ])
+def test_flash_attention_backward_kernels(rng, b, lq, lk, h, kvh, d,
+                                          causal, with_mask, bq, bk):
+    """The Pallas dQ/dKV backward kernels reproduce the dense attention
+    VJP (FlashAttention-2 recomputation from saved O + logsumexp)."""
+    from amphion_tpu.ops.pallas_kernels import (
+        _attention_dense_ref, flash_attention_bwd_pallas,
+        flash_attention_pallas)
+
+    q = jnp.asarray(rng.standard_normal((b, lq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, kvh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, kvh, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, lq, h, d)), jnp.float32)
+    mask = None
+    if with_mask:
+        m = (rng.random((b, lk)) > 0.2).astype(np.float32)
+        m[:, :4] = 1.0
+        mask = jnp.asarray(m)
+
+    out, lse = flash_attention_pallas(
+        q, k, v, kv_mask=mask, causal=causal, block_q=bq, block_k=bk,
+        interpret=True, return_lse=True)
+    dq, dk, dv = flash_attention_bwd_pallas(
+        q, k, v, mask, out, lse, g, causal=causal, block_q=bq, block_k=bk,
+        interpret=True)
+    ref, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_dense_ref(q_, k_, v_, mask, causal),
+        q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
+                               atol=3e-4, rtol=1e-3)
+
+
 def test_llama_flash_equivalence_and_grads(rng):
     """LlamaEncoder/LlamaDecoder with use_flash reproduce the dense path
     (forward AND parameter gradients — custom-VJP dense recompute)."""
