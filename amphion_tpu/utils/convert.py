@@ -2515,3 +2515,16 @@ def dualcodec_valle_nar_to_flax(sd: Mapping[str, np.ndarray], *,
         "backbone": backbone,
         "lm_heads": np.stack(heads),
     }
+
+
+# ---------------------------------------------------------------------------
+# DebaTTS T2S — ref models/tts/debatts/t2s_model.py
+# ---------------------------------------------------------------------------
+
+
+def debatts_t2s_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
+    """Reference ``T2SLlama_new`` (`models/tts/debatts/t2s_model.py:26`) →
+    our DebaTTST2S. Same torch layout as the Vevo AR wrapper: ``model.`` =
+    LlamaForCausalLM (embed/layers/norm under ``model.model.*``, head under
+    ``model.lm_head``)."""
+    return vevo_ar_to_flax(sd, num_layers)

@@ -263,31 +263,40 @@ def test_picoaudio_timing_roll_and_model():
 
 
 def test_debatts_assembly():
+    """AR T2S assembly: train loss + opponent-prompted sampled decode."""
     import jax
     import jax.numpy as jnp
 
-    from amphion_tpu.models.tts.debatts import DebaTTS, DebaTTSConfig
-    from amphion_tpu.models.tts.maskgct.maskgct import (
-        MaskGCTS2A, MaskGCTT2S, S2AConfig, T2SConfig,
+    from amphion_tpu.models.tts.debatts import (
+        DebaTTS, DebaTTSConfig, DebaTTST2S, DebaTTST2SConfig,
     )
+    from amphion_tpu.models.tts.maskgct.maskgct import S2AConfig
 
     cfg = DebaTTSConfig(
-        t2s=T2SConfig(hidden=32, num_layers=1, num_heads=4, codebook_size=24,
-                      phone_vocab=16, max_position=128),
+        t2s=DebaTTST2SConfig(phone_vocab=16, target_vocab=24, hidden=32,
+                             intermediate=64, num_layers=1, num_heads=4,
+                             max_position=128),
         s2a=S2AConfig(hidden=32, num_layers=1, num_heads=4, codebook_size=16,
                       num_quantizers=2, semantic_dim=8, max_position=128),
     )
-    t2s = MaskGCTT2S(cfg.t2s)
+    t2s = DebaTTST2S(cfg.t2s)
     rng_ = np.random.default_rng(0)
-    x0 = jnp.asarray(rng_.integers(0, 24, (1, 8)))
-    params = {"t2s": t2s.init(
-        jax.random.key(0), x0, jnp.ones((1, 8)),
-        jnp.asarray(rng_.integers(0, 16, (1, 4))), jnp.ones((1, 4)),
-        jax.random.key(1), method=MaskGCTT2S.compute_loss)["params"]}
-    model = DebaTTS(cfg, params)
-    out = model.synthesize_semantic(
-        jnp.asarray(rng_.integers(0, 24, (1, 6))), x0,
-        jnp.asarray(rng_.integers(0, 16, (1, 4))), 10, jax.random.key(2),
-        n_steps=3,
-    )
-    assert out.shape == (1, 10)
+    p0 = jnp.asarray(rng_.integers(0, 24, (1, 6)))
+    ph = jnp.asarray(rng_.integers(0, 16, (1, 4)))
+    tg = jnp.asarray(rng_.integers(0, 24, (1, 8)))
+    ones = lambda a: jnp.ones(a.shape, jnp.int32)
+    variables = t2s.init(jax.random.key(0), p0, ones(p0), ph, ones(ph),
+                         tg, ones(tg), method=DebaTTST2S.loss)
+    loss, metrics = t2s.apply(variables, p0, ones(p0), ph, ones(ph),
+                              tg, ones(tg), method=DebaTTST2S.loss)
+    assert np.isfinite(float(loss)) and "t2s_acc" in metrics
+    model = DebaTTS(cfg, {"t2s": variables["params"]})
+    toks, lens = model.synthesize_semantic(
+        p0, tg[:, :3], ph, jax.random.key(2), max_new=8, min_new_tokens=2,
+        compute_dtype="float32")
+    assert toks.shape == (1, 8)
+    # untrained model: any unified-vocab id is possible (the reference's
+    # sample_hf doesn't constrain the vocab either) — check range + lens
+    assert (np.asarray(toks) >= 0).all()
+    assert (np.asarray(toks) < cfg.t2s.total_vocab).all()
+    assert 0 <= int(lens[0]) <= 8

@@ -3028,3 +3028,124 @@ class TestSSLEncoderRoundTrip:
                 jnp.asarray(mel.numpy().transpose(0, 2, 1)))
         assert ours.shape == tuple(out.shape)
         np.testing.assert_allclose(np.asarray(ours), out.numpy(), atol=2e-5)
+
+
+class TestDebaTTSRoundTrip:
+    """DebaTTS T2S (`models/tts/debatts/t2s_model.py:26` T2SLlama_new):
+    unified-vocab [prompt0 | phone | target] AR protocol + HF-knob decode."""
+
+    @staticmethod
+    def _load_ref_module():
+        import importlib.util
+        import os
+
+        cwd = os.getcwd()
+        os.chdir(str(REFERENCE))  # the module os.chdir()s relative to repo root
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "ref_debatts_t2s",
+                str(REFERENCE / "models/tts/debatts/t2s_model.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        finally:
+            os.chdir(cwd)
+        return mod
+
+    def _build(self):
+        import torch
+
+        mod = self._load_ref_module()
+        torch.manual_seed(77)
+        ref = mod.T2SLlama_new(
+            phone_vocab_size=16, target_vocab_size=32, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+            pad_token_id=48, bos_target_id=49, eos_target_id=50,
+            bos_phone_id=51, eos_phone_id=52, bos_prompt0_id=53,
+            eos_prompt0_id=54).eval()
+
+        from amphion_tpu.models.tts.debatts import (
+            DebaTTST2S, DebaTTST2SConfig)
+        from amphion_tpu.utils.convert import debatts_t2s_to_flax
+
+        cfg = DebaTTST2SConfig(phone_vocab=16, target_vocab=32, hidden=32,
+                               intermediate=64, num_layers=2, num_heads=4,
+                               max_position=128)
+        assert (cfg.pad_id, cfg.bos_target_id, cfg.eos_target_id,
+                cfg.bos_phone_id, cfg.eos_phone_id, cfg.bos_prompt0_id,
+                cfg.eos_prompt0_id) == (48, 49, 50, 51, 52, 53, 54)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = debatts_t2s_to_flax(sd, num_layers=2)
+        return ref, DebaTTST2S(cfg), params
+
+    def test_forward_loss(self):
+        import jax.numpy as jnp
+        import torch
+
+        from amphion_tpu.models.tts.debatts import DebaTTST2S
+
+        ref, ours, params = self._build()
+        rng = np.random.default_rng(3)
+        b = 2
+        p0 = rng.integers(0, 32, (b, 5))
+        p0_m = np.array([[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]], np.int64)
+        ph = rng.integers(0, 16, (b, 6))
+        ph_m = np.array([[1] * 6, [1, 1, 1, 1, 0, 0]], np.int64)
+        tg = rng.integers(0, 32, (b, 7))
+        tg_m = np.array([[1] * 7, [1, 1, 1, 1, 1, 0, 0]], np.int64)
+        with torch.no_grad():
+            out = ref(
+                torch.tensor(p0), torch.tensor(p0_m), torch.tensor(ph),
+                torch.tensor(ph_m), torch.tensor(tg), torch.tensor(tg_m))
+        loss, metrics = ours.apply(
+            {"params": params}, jnp.asarray(p0), jnp.asarray(p0_m),
+            jnp.asarray(ph), jnp.asarray(ph_m), jnp.asarray(tg),
+            jnp.asarray(tg_m), method=DebaTTST2S.loss)
+        np.testing.assert_allclose(float(loss), float(out.loss), rtol=2e-4)
+
+    def test_greedy_decode_matches_hf_generate(self):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        ref, ours, params = self._build()
+        rng = np.random.default_rng(5)
+        p0 = rng.integers(0, 32, (1, 4))
+        ph = rng.integers(0, 16, (1, 5))
+        pr = rng.integers(0, 32, (1, 3))
+        ones = lambda a: torch.ones_like(torch.tensor(a))
+        # sample_hf's prefix construction (t2s_model.py:323-358)
+        ph_ids, _, _, _ = ref.add_phone_eos_bos_label(
+            torch.tensor(ph), ones(ph), ref.eos_phone_id, ref.bos_phone_id,
+            ref.pad_token_id, label="phone_id")
+        pr_ids, _, _ = ref.add_target_eos_bos_label(
+            torch.tensor(pr), ones(pr), ref.eos_target_id, ref.bos_target_id,
+            ref.pad_token_id)
+        pr_ids = pr_ids[:, :-1]  # continue mode
+        p0_ids, _, _ = ref.add_target_eos_bos_label(
+            torch.tensor(p0), ones(p0), ref.eos_prompt0_id,
+            ref.bos_prompt0_id, ref.pad_token_id)
+        input_ids = torch.cat([p0_ids, ph_ids, pr_ids], dim=-1)
+        with torch.no_grad():
+            gen = ref.model.generate(
+                input_ids, do_sample=False, max_new_tokens=12,
+                pad_token_id=ref.pad_token_id,
+                eos_token_id=ref.eos_target_id, repetition_penalty=3.5,
+                min_new_tokens=5)
+        ref_new = gen[0, input_ids.shape[1]:].numpy()
+        ref_body = ref_new[:np.argmax(ref_new == ref.eos_target_id)] \
+            if (ref_new == ref.eos_target_id).any() else ref_new
+
+        from amphion_tpu.models.tts.debatts import (
+            debatts_prefix_ids, debatts_t2s_generate)
+
+        np.testing.assert_array_equal(
+            np.asarray(debatts_prefix_ids(
+                ours.cfg, jnp.asarray(p0), jnp.asarray(ph),
+                jnp.asarray(pr))), input_ids.numpy())
+        toks, lens = debatts_t2s_generate(
+            ours, params, jnp.asarray(p0), jnp.asarray(ph), jnp.asarray(pr),
+            jax.random.key(0), max_new=12, temperature=0.0,
+            repeat_penalty=3.5, min_new_tokens=5, compute_dtype="float32")
+        n = int(lens[0])
+        assert n == len(ref_body)
+        np.testing.assert_array_equal(np.asarray(toks[0, :n]), ref_body)
