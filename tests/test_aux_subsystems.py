@@ -227,7 +227,9 @@ def test_ssim():
     assert float(ssim(x, y)[0]) < 0.5
 
 
-def test_picoaudio_timing_roll_and_model():
+def test_picoaudio_onset_matrix_and_model():
+    """Reference mechanism: onset matrix → 2 extra UNet input channels,
+    class-embedding context, min-SNR-γ loss, CFG on the context only."""
     import jax
     import jax.numpy as jnp
 
@@ -235,29 +237,38 @@ def test_picoaudio_timing_roll_and_model():
     from amphion_tpu.models.tta.picoaudio import (
         PicoAudio,
         PicoAudioConfig,
-        events_to_timing_roll,
+        events_to_onset_matrix,
         picoaudio_sample,
     )
 
-    roll = events_to_timing_roll([[(0.0, 1.0), (2.0, 3.0)]], 4, 40, 4.0)
-    assert roll.shape == (1, 40, 4)
-    assert roll[0, 5, 0] == 1.0 and roll[0, 25, 1] == 1.0 and roll[0, 35, :].sum() == 0
+    # class 1 active 0-1s, class 3 active 2-3s on a 40-frame/4s grid
+    roll = events_to_onset_matrix([[(1, 0.0, 1.0), (3, 2.0, 3.0)]],
+                                  num_classes=8, frames=40, total_seconds=4.0)
+    assert roll.shape == (1, 8, 40)
+    assert roll[0, 1, 5] == 1.0 and roll[0, 3, 25] == 1.0
+    assert roll[0, :, 35].sum() == 0 and roll[0, 0].sum() == 0
 
     cfg = PicoAudioConfig(
         ldm=AudioLDMConfig(latent_channels=4, base_channels=8,
                            channel_mults=(1, 2), attn_levels=(1,), num_heads=2,
                            text_dim=16, num_train_steps=10),
-        num_event_types=4,
+        onset_classes=8, event_classes=6, snr_gamma=5.0,
     )
     model = PicoAudio(cfg)
-    z0 = jnp.zeros((1, 8, 4, 4))
-    text = jnp.zeros((1, 5, 16))
-    timing = jnp.asarray(roll[:, :8])
+    z0 = jnp.zeros((1, 8, 4, 4))  # NHWC latents (F=8 frames, W=4)
+    onset = jnp.asarray(roll[:, :, :8])  # (B, 8 classes, 8 frames)
+    event_id = jnp.asarray([1])
     params = model.init(
-        jax.random.key(0), z0, text, timing, jax.random.key(1),
+        jax.random.key(0), z0, onset, event_id, jax.random.key(1),
         method=PicoAudio.loss,
     )["params"]
-    out = picoaudio_sample(model, params, text, timing, (1, 8, 4, 4),
+    # onset folds to (B, F, W=4, 2) and concatenates with the latents
+    enc = model.apply({"params": params}, onset, method=PicoAudio.encode_onset)
+    assert enc.shape == (1, 8, 4, 2)
+    loss, m = model.apply({"params": params}, z0, onset, event_id,
+                          jax.random.key(3), method=PicoAudio.loss)
+    assert np.isfinite(float(loss))
+    out = picoaudio_sample(model, params, onset, event_id, (1, 8, 4, 4),
                            jax.random.key(2), num_steps=2)
     assert out.shape == (1, 8, 4, 4)
 
