@@ -54,6 +54,40 @@ def events_to_onset_matrix(
     return roll
 
 
+def decode_onset_str(
+    onset_str: str,
+    class2id: dict[str, int],
+    num_classes: int = 32,
+    frames: int = 256,
+    grid_frames: int = 250,
+    total_seconds: float = 10.0,
+) -> tuple[np.ndarray, str, int]:
+    """Parse the reference's onset-string grammar into (onset matrix,
+    ``event1 and event2 ...`` string, first event's class id).
+
+    Grammar (`controllable_dataset.py:31-50`):
+    ``event1__on1-off1_on2-off2--event2__on1-off1`` — events split on
+    ``--``, event/instances on ``__``, spans on ``_``, seconds on ``-``.
+    Seconds map to frames at ``grid_frames/total_seconds`` (25 fps: a 10 s
+    clip fills 250 of the 256 matrix columns); a span whose offset frame
+    exceeds ``frames-1`` stops that event's remaining spans (ref ``break``).
+    """
+    roll = np.zeros((num_classes, frames), np.float32)
+    events = []
+    for event_onset in onset_str.split("--"):
+        event, instance = event_onset.split("__")
+        events.append(event)
+        for start_end in instance.split("_"):
+            start_s, end_s = start_end.split("-")
+            start = int(float(start_s) * grid_frames / total_seconds)
+            end = int(float(end_s) * grid_frames / total_seconds)
+            if end > frames - 1:
+                break
+            roll[class2id[event], start:end] = 1.0
+    first_id = class2id[onset_str.split("__")[0]]
+    return roll, " and ".join(events), first_id
+
+
 @dataclass(frozen=True)
 class PicoAudioConfig:
     # reference latents are (B, 8, 256, 16); UNet in_channels = 8 + 2 onset

@@ -31,7 +31,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--exp_name", default="exp")
-    parser.add_argument("--text", required=True)
+    parser.add_argument("--text", default="",
+                        help="text prompt (AudioLDM)")
+    parser.add_argument("--onset_str", default="",
+                        help="PicoAudio timestamp control, reference grammar: "
+                             "'event1__on1-off1_on2-off2--event2__on1-off1' "
+                             "(seconds)")
     parser.add_argument("--output_path", required=True)
     parser.add_argument("--vae_ckpt", default="",
                         help="AutoencoderKL checkpoint dir (defaults to "
@@ -55,33 +60,71 @@ def main():
     vtree, _, _ = CheckpointManager(vae_ckpt).restore_raw()
     vae_params = vtree["params"] if "params" in vtree else vtree
 
-    m = cfg.model.get("audioldm", None)
-    model = AudioLDM(AudioLDMConfig(
-        latent_channels=vae.cfg.latent_channels,
-        base_channels=m.get("base_channels", 128) if m else 128,
-        channel_mults=tuple(m.channel_mults) if m else (1, 2, 4),
-        attn_levels=tuple(m.attn_levels) if m else (1, 2),
-        num_heads=m.get("num_heads", 8) if m else 8,
-        text_dim=m.get("text_dim", 768) if m else 768,
-    ))
+    model_type = cfg.get("model_type", "AudioLDM")
     exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
     tree, epoch, step = CheckpointManager(exp_dir / "checkpoint").restore_raw()
     params = tree["params"] if "params" in tree else tree
-    logger.info(f"AudioLDM restored from epoch {epoch} step {step}")
+    logger.info(f"{model_type} restored from epoch {epoch} step {step}")
 
     # latent grid: mel (T, F) downsampled by the VAE's stride stack
     ds = 2 ** (len(vae.cfg.channel_mults) - 1)
     lt = -(-args.duration_frames // ds)
     lf = -(-mel_cfg.n_mel // ds)
-    text_emb = encode_text(
-        [args.text], model.cfg.text_dim,
-        m.get("text_backend", "auto") if m else "auto",
-    )
-    z = audioldm_sample(
-        model, params, text_emb,
-        (1, lt, lf, vae.cfg.latent_channels), jax.random.key(args.seed),
-        num_steps=args.num_steps, guidance_scale=args.guidance_scale,
-    )
+    if model_type == "PicoAudio":
+        assert args.onset_str, "PicoAudio needs --onset_str"
+        from amphion_tpu.models.tta.picoaudio import (
+            PicoAudio,
+            PicoAudioConfig,
+            decode_onset_str,
+            picoaudio_sample,
+        )
+
+        m = cfg.model.get("picoaudio", None)
+        events = list(m.event_list) if m and m.get("event_list") else sorted(
+            {ev.split("__")[0] for ev in args.onset_str.split("--")})
+        class2id = {e: i for i, e in enumerate(events)}
+        total_s = args.duration_frames * p.hop_size / p.sample_rate
+        roll, _, first = decode_onset_str(
+            args.onset_str, class2id, num_classes=2 * lf, frames=lt,
+            grid_frames=lt, total_seconds=total_s)
+        model = PicoAudio(PicoAudioConfig(
+            ldm=AudioLDMConfig(
+                latent_channels=vae.cfg.latent_channels,
+                base_channels=m.get("base_channels", 128) if m else 128,
+                channel_mults=tuple(m.channel_mults) if m else (1, 2, 4),
+                attn_levels=tuple(m.attn_levels) if m else (1, 2),
+                num_heads=m.get("num_heads", 8) if m else 8,
+                text_dim=m.get("text_dim", 768) if m else 768,
+            ),
+            onset_classes=2 * lf,
+            event_classes=m.get("event_classes", max(len(events), 1)) if m
+            else max(len(events), 1),
+        ))
+        z = picoaudio_sample(
+            model, params, jnp.asarray(roll[None]), np.asarray([first]),
+            (1, lt, lf, vae.cfg.latent_channels), jax.random.key(args.seed),
+            num_steps=args.num_steps, guidance_scale=args.guidance_scale,
+        )
+    else:
+        assert args.text, "AudioLDM needs --text"
+        m = cfg.model.get("audioldm", None)
+        model = AudioLDM(AudioLDMConfig(
+            latent_channels=vae.cfg.latent_channels,
+            base_channels=m.get("base_channels", 128) if m else 128,
+            channel_mults=tuple(m.channel_mults) if m else (1, 2, 4),
+            attn_levels=tuple(m.attn_levels) if m else (1, 2),
+            num_heads=m.get("num_heads", 8) if m else 8,
+            text_dim=m.get("text_dim", 768) if m else 768,
+        ))
+        text_emb = encode_text(
+            [args.text], model.cfg.text_dim,
+            m.get("text_backend", "auto") if m else "auto",
+        )
+        z = audioldm_sample(
+            model, params, text_emb,
+            (1, lt, lf, vae.cfg.latent_channels), jax.random.key(args.seed),
+            num_steps=args.num_steps, guidance_scale=args.guidance_scale,
+        )
     decode = jax.jit(lambda prm, z: vae.apply(
         {"params": prm}, z, method=AutoencoderKL.decode))
     img = decode(vae_params, z)  # (1, T, F, 1)

@@ -241,6 +241,16 @@ def test_picoaudio_onset_matrix_and_model():
         picoaudio_sample,
     )
 
+    from amphion_tpu.models.tta.picoaudio import decode_onset_str
+
+    # reference grammar: events on --, spans on _, 25 fps, break past col 255
+    m32, ev, first = decode_onset_str(
+        "dog__1.0-2.0_3.0-11.0--cat__0.0-1.0", {"cat": 0, "dog": 1})
+    assert ev == "dog and cat" and first == 1
+    assert m32.shape == (32, 256)
+    assert m32[1, 25:50].all() and m32[1, 50:].sum() == 0  # 11 s span dropped
+    assert m32[0, :25].all() and m32[0, 25:].sum() == 0
+
     # class 1 active 0-1s, class 3 active 2-3s on a 40-frame/4s grid
     roll = events_to_onset_matrix([[(1, 0.0, 1.0), (3, 2.0, 3.0)]],
                                   num_classes=8, frames=40, total_seconds=4.0)

@@ -882,3 +882,63 @@ def test_dualcodec_tts_trainer_integration(corpus, mode):
     trainer.train_loop()
     assert trainer.loop.step == 2
     assert trainer.ckpt.latest() is not None
+
+
+def test_picoaudio_trainer_and_inference_cli(corpus, monkeypatch):
+    """Stage-1 VAE → PicoAudio (onset-matrix channels + class-emb context,
+    1 step) → timestamp-controlled inference CLI (reference onset grammar)."""
+    root, processed = corpus
+    from bins.tta.train_tta import AutoencoderKLTrainer, PicoAudioTrainer
+    from amphion_tpu.data.metadata import load_metadata, save_metadata
+
+    # annotate the corpus with reference-grammar onset strings
+    meta_path = processed / "ljspeech" / "train.json"
+    utts = load_metadata(meta_path)
+    onsets = ["dog__0.000-0.016", "cat__0.004-0.012_0.020-0.028",
+              "cat__0.000-0.008--dog__0.016-0.028"]
+    for i, u in enumerate(utts):
+        u.extras["onset"] = onsets[i % len(onsets)]
+    save_metadata(meta_path, utts)
+
+    model = {
+        "autoencoderkl": {"base_channels": 4, "channel_mults": [1, 2],
+                          "latent_channels": 2},
+        "picoaudio": {"base_channels": 8, "channel_mults": [1, 2],
+                      "attn_levels": [1], "num_heads": 2, "text_dim": 16,
+                      "event_list": ["cat", "dog"], "snr_gamma": 5.0},
+    }
+    cfg = _base_cfg(root, processed, model_type="AutoencoderKL", model=model)
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["segment_frames"] = 32
+    AutoencoderKLTrainer(_args("vae_pico"), cfg).train_loop()
+
+    cfg2 = _base_cfg(root, processed, model_type="PicoAudio", model=model)
+    cfg2.train["max_steps"] = 1
+    cfg2.train["save_checkpoints_steps"] = 1
+    cfg2.train["segment_frames"] = 32
+    cfg2.train["vae_ckpt"] = str(root / "ckpts" / "vae_pico" / "checkpoint")
+    trainer = PicoAudioTrainer(_args("pico_zs"), cfg2)
+    # onset rows fold into 2 channels over the latent freq width
+    assert trainer.onset_rows == 2 * trainer.latent_w
+    trainer.train_loop()
+    assert trainer.loop.step == 1
+
+    import sys
+
+    cfg_path = root / "pico.json"
+    cfg_path.write_text(json.dumps(cfg2.to_dict()))
+    out = root / "pico.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--exp_name", "pico_zs",
+        "--onset_str", "cat__0.000-0.008--dog__0.016-0.028",
+        "--output_path", str(out),
+        "--num_steps", "2", "--duration_frames", "32",
+    ])
+    from bins.tta.inference import main as tta_main
+
+    tta_main()
+    from amphion_tpu.data.audio_io import load_wav
+
+    wav, sr = load_wav(out)
+    assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
