@@ -287,6 +287,37 @@ def torch_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
     return params
 
 
+def torch_nsf_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
+                              upsample_rates: tuple[int, ...],
+                              resblock_kernel_sizes: tuple[int, ...],
+                              resblock: str = "1",
+                              dilations_per_block: int = 3) -> dict:
+    """Reference NSFHiFiGAN state dict → `NSFHiFiGANGenerator` params.
+
+    Torch layout (ref models/vocoders/gan/generator/nsfhifigan.py:181):
+    the HiFiGAN skeleton (conv_pre/ups/resblocks/conv_post, all
+    weight-normed) plus plain-conv `noise_convs.{i}` and the
+    `m_source.l_linear` harmonic merge."""
+    num_ups = len(upsample_rates)
+    num_kernels = len(resblock_kernel_sizes)
+    params = torch_hifigan_to_flax(
+        sd, num_upsamples=num_ups, num_kernels=num_kernels,
+        resblock=resblock, dilations_per_block=dilations_per_block)
+    block_name = "ResBlock1" if resblock == "1" else "ResBlock2"
+    for i in range(num_ups):
+        for j, ks in enumerate(resblock_kernel_sizes):
+            params[f"res_{i}_{ks}"] = params.pop(
+                f"{block_name}_{i * num_kernels + j}")
+    for i in range(num_ups):
+        params[f"noise_conv_{i}"] = conv1d_to_flax(
+            np.asarray(sd[f"noise_convs.{i}.weight"]),
+            np.asarray(sd[f"noise_convs.{i}.bias"]))
+    params["source"] = {"merge": linear_to_dense(
+        np.asarray(sd["m_source.l_linear.weight"]),
+        np.asarray(sd["m_source.l_linear.bias"]))}
+    return params
+
+
 def torch_bigvgan_to_flax(sd: Mapping[str, np.ndarray], *,
                           num_upsamples: int, num_kernels: int,
                           resblock_kernel_sizes: tuple[int, ...],

@@ -3149,3 +3149,69 @@ class TestDebaTTSRoundTrip:
         n = int(lens[0])
         assert n == len(ref_body)
         np.testing.assert_array_equal(np.asarray(toks[0, :n]), ref_body)
+
+
+class TestNSFHiFiGANRoundTrip:
+    """Full NSFHiFiGAN generator oracle (ref nsfhifigan.py:181) in
+    ``reference_forward`` mode — the reference forward overwrites its
+    source-conv output with x itself (`:268-270`), so checkpoints trained
+    with it double x per scale and never see the excitation; our
+    bug-compat mode must reproduce that bit-for-bit through converted
+    weights (noise_convs/m_source are converted but unused, matching)."""
+
+    def test_reference_forward_parity(self):
+        import jax.numpy as jnp
+
+        from models.vocoders.gan.generator.nsfhifigan import NSFHiFiGAN
+
+        from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig
+        from amphion_tpu.models.vocoders.nsf_hifigan import (
+            NSFHiFiGANConfig,
+            NSFHiFiGANGenerator,
+        )
+        from amphion_tpu.utils.convert import torch_nsf_hifigan_to_flax
+
+        nsf = SimpleNamespace(
+            resblock="1", harmonic_num=3,
+            upsample_rates=[2, 2], upsample_kernel_sizes=[4, 4],
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=[3, 5],
+            resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+        )
+        cfg_t = SimpleNamespace(
+            model=SimpleNamespace(nsfhifigan=nsf),
+            preprocess=SimpleNamespace(n_mel=8, sample_rate=2400),
+        )
+        torch.manual_seed(50)
+        ref = NSFHiFiGAN(cfg_t).eval()
+        torch.manual_seed(51)
+        mel = torch.randn(2, 8, 17)
+        f0 = torch.rand(2, 17) * 200 + 80
+        with torch.no_grad():
+            y_t = ref(mel, f0)
+
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params = torch_nsf_hifigan_to_flax(
+            sd, upsample_rates=(2, 2), resblock_kernel_sizes=(3, 5))
+        ours = NSFHiFiGANGenerator(NSFHiFiGANConfig(
+            base=HiFiGANConfig(
+                resblock="1", upsample_rates=(2, 2),
+                upsample_kernel_sizes=(4, 4), upsample_initial_channel=16,
+                resblock_kernel_sizes=(3, 5),
+                resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)), n_mel=8),
+            sample_rate=2400, num_harmonics=3, reference_forward=True))
+        y_j = ours.apply(
+            {"params": params}, jnp.asarray(mel.numpy().transpose(0, 2, 1)),
+            jnp.asarray(f0.numpy()), None)
+        np.testing.assert_allclose(
+            np.asarray(y_j), y_t.numpy()[:, 0, :], atol=2e-4)
+
+        # the fixed path (excitation actually injected) runs on the same
+        # converted params and differs from the bug-compat output
+        fixed = NSFHiFiGANGenerator(NSFHiFiGANConfig(
+            base=ours.cfg.base, sample_rate=2400, num_harmonics=3))
+        y_fix = fixed.apply(
+            {"params": params}, jnp.asarray(mel.numpy().transpose(0, 2, 1)),
+            jnp.asarray(f0.numpy()), None)
+        assert y_fix.shape == y_j.shape
+        assert float(np.abs(np.asarray(y_fix) - np.asarray(y_j)).max()) > 1e-6
