@@ -287,6 +287,47 @@ def torch_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
     return params
 
 
+def torch_waveglow_to_flax(sd: Mapping[str, np.ndarray], *,
+                           n_flows: int, n_layers: int) -> dict:
+    """Reference WaveGlow state dict → our `WaveGlow` params.
+
+    Torch layout (ref models/vocoders/flow/waveglow/waveglow.py:146):
+    `upsample` (plain ConvTranspose1d), `convinv.{k}.conv` (1x1, no bias),
+    `WN.{k}.{start,cond_layer,in_layers.{i},res_skip_layers.{i}}`
+    (weight-normed) + plain zero-init `end`."""
+    g = lambda name: np.asarray(sd[name])
+
+    def wn(prefix: str) -> dict:
+        return torch_weight_norm_to_flax(
+            g(f"{prefix}.weight_g"), g(f"{prefix}.weight_v"), "conv1d",
+            g(f"{prefix}.bias") if f"{prefix}.bias" in sd else None)
+
+    params: dict = {"upsample": convtranspose1d_to_flax(
+        g("upsample.weight"), g("upsample.bias"))}
+    for k in range(n_flows):
+        # y = x @ w in NLC ⇔ torch conv1d y_o = Σ_i W[o,i] x_i ⇒ w = W.T
+        params[f"inv_{k}"] = {"w": g(f"convinv.{k}.conv.weight")[:, :, 0].T}
+        wp: dict = {}
+        s = wn(f"WN.{k}.start")
+        wp["start"] = s["layer"]
+        wp["WeightNorm_0"] = {"start/kernel/scale": s["scale"]}
+        c = wn(f"WN.{k}.cond_layer")
+        wp["cond"] = c["layer"]
+        wp["WeightNorm_1"] = {"cond/kernel/scale": c["scale"]}
+        for i in range(n_layers):
+            a = wn(f"WN.{k}.in_layers.{i}")
+            wp[f"in_{i}"] = a["layer"]
+            wp[f"WeightNorm_{2 + 2 * i}"] = {f"in_{i}/kernel/scale": a["scale"]}
+            r = wn(f"WN.{k}.res_skip_layers.{i}")
+            wp[f"res_skip_{i}"] = r["layer"]
+            wp[f"WeightNorm_{3 + 2 * i}"] = {
+                f"res_skip_{i}/kernel/scale": r["scale"]}
+        wp["end"] = conv1d_to_flax(g(f"WN.{k}.end.weight"),
+                                   g(f"WN.{k}.end.bias"))
+        params[f"wn_{k}"] = wp
+    return params
+
+
 def torch_nsf_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
                               upsample_rates: tuple[int, ...],
                               resblock_kernel_sizes: tuple[int, ...],

@@ -108,7 +108,8 @@ def test_wavenet_wavernn_loss(rng):
 def test_waveglow_roundtrip(rng):
     from amphion_tpu.models.vocoders.waveglow import WaveGlow, WaveGlowConfig
 
-    cfg = WaveGlowConfig(n_mel=8, hop_size=8, n_group=4, n_flows=2,
+    cfg = WaveGlowConfig(n_mel=8, hop_size=8, upsample_kernel=16, n_group=4,
+                         n_flows=3, n_early_every=2, n_early_size=2,
                          wn_channels=16, wn_layers=2)
     model = WaveGlow(cfg)
     audio = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32) * 0.3)
@@ -116,10 +117,12 @@ def test_waveglow_roundtrip(rng):
     params = model.init(jax.random.key(0), audio, mel, method=WaveGlow.forward)["params"]
     loss = model.apply({"params": params}, audio, mel, method=WaveGlow.loss)
     assert np.isfinite(float(loss))
-    wav = model.apply({"params": params}, mel, jax.random.key(1), method=WaveGlow.infer)
-    assert wav.shape == (1, 64)
-    # invertibility: forward then reverse recovers audio
     z, _ = model.apply({"params": params}, audio, mel, method=WaveGlow.forward)
+    assert z.shape == (1, 16, 4)  # early outputs + final block
+    # learned upsampler length: (N-1)*hop + kernel, grouped
+    wav = model.apply({"params": params}, mel, jax.random.key(1), method=WaveGlow.infer)
+    assert wav.shape == (1, ((8 - 1) * 8 + 16) // 4 * 4)
+    assert np.isfinite(np.asarray(wav)).all()
 
 
 def test_world_synthesis():

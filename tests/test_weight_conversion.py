@@ -3215,3 +3215,83 @@ class TestNSFHiFiGANRoundTrip:
             jnp.asarray(f0.numpy()), None)
         assert y_fix.shape == y_j.shape
         assert float(np.abs(np.asarray(y_fix) - np.asarray(y_j)).max()) > 1e-6
+
+
+class TestWaveGlowRoundTrip:
+    """Full WaveGlow training-forward oracle (ref waveglow.py:146): learned
+    upsampler + mel-major grouping, early-output multi-scale z, invertible
+    1x1 convs, WN couplings ([b | log_s] split). Also checks infer() is the
+    exact inverse of forward()."""
+
+    def test_forward_parity_and_inverse(self):
+        import jax
+        import jax.numpy as jnp
+
+        from models.vocoders.flow.waveglow.waveglow import WaveGlow as RefWG
+
+        from amphion_tpu.models.vocoders.waveglow import (
+            WaveGlow,
+            WaveGlowConfig,
+        )
+        from amphion_tpu.utils.convert import torch_waveglow_to_flax
+
+        voc = SimpleNamespace(
+            INPUT_DIM=8, N_FLOWS=4, N_GROUP=4, N_EARLY_EVERY=2,
+            N_EARLY_SIZE=2, N_LAYERS=2, N_CHANNELS=8, KERNEL_SIZE=3)
+        torch.manual_seed(60)
+        ref = RefWG(SimpleNamespace(VOCODER=voc)).eval()
+        # the reference zero-inits WN end layers (identity couplings);
+        # randomize them so the couplings actually transform
+        for wn_k in ref.WN:
+            wn_k.end.weight.data.normal_(std=0.1)
+            wn_k.end.bias.data.normal_(std=0.1)
+
+        torch.manual_seed(61)
+        frames = 2
+        t = (frames - 1) * 256 + 1024  # upsampled length
+        mel = torch.randn(2, 8, frames)
+        audio = torch.randn(2, t)
+        with torch.no_grad():
+            z_t, log_s_list, log_det_w_list = ref((mel, audio))
+
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params = torch_waveglow_to_flax(sd, n_flows=4, n_layers=2)
+        cfg = WaveGlowConfig(
+            n_mel=8, hop_size=256, upsample_kernel=1024, n_group=4,
+            n_flows=4, n_early_every=2, n_early_size=2, wn_layers=2,
+            wn_channels=8, wn_kernel_size=3)
+        ours = WaveGlow(cfg)
+        z_j, logdet_j = ours.apply(
+            {"params": params}, jnp.asarray(audio.numpy()),
+            jnp.asarray(mel.numpy().transpose(0, 2, 1)),
+            method=WaveGlow.forward)
+        np.testing.assert_allclose(
+            np.asarray(z_j).transpose(0, 2, 1), z_t.numpy(),
+            atol=2e-4)
+
+        # per-sample logdet: ref's log_det_W entries are summed over batch
+        tg = t // 4
+        ld_w = sum(float(x) for x in log_det_w_list) / 2  # per sample
+        ld_s = sum(s.sum(dim=(1, 2)) for s in log_s_list).numpy()
+        np.testing.assert_allclose(
+            np.asarray(logdet_j), ld_w + ld_s, rtol=1e-4)
+        assert ld_w != 0.0
+
+        # forward(infer(rng)) must reproduce infer's own noise draws:
+        # z[:, :, :2] = the early re-injection at k=2 (rngs[2]),
+        # z[:, :, 2:] = the initial remaining-channels draw (rngs[0])
+        wav = ours.apply({"params": params},
+                         jnp.asarray(mel.numpy().transpose(0, 2, 1)),
+                         jax.random.key(0), 1.0, method=WaveGlow.infer)
+        assert np.isfinite(np.asarray(wav)).all()
+        z_rt, _ = ours.apply(
+            {"params": params}, wav[:, :t],
+            jnp.asarray(mel.numpy().transpose(0, 2, 1)),
+            method=WaveGlow.forward)
+        rngs = jax.random.split(jax.random.key(0), 4)
+        n0 = jax.random.normal(rngs[0], (2, t // 4, 2))
+        n2 = jax.random.normal(rngs[2], (2, t // 4, 2))
+        np.testing.assert_allclose(np.asarray(z_rt)[..., 2:], np.asarray(n0),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(z_rt)[..., :2], np.asarray(n2),
+                                   atol=2e-3)
