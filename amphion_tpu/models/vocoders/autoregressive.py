@@ -99,36 +99,164 @@ class WaveNetVocoder(nn.Module):
 
 @dataclass(frozen=True)
 class WaveRNNConfig:
-    n_mel: int = 80
-    hop_size: int = 256
-    rnn_dim: int = 512
-    fc_dim: int = 512
-    classes: int = 256
+    """Reference `wavernn/wavernn.py:98` cfg.VOCODER fields."""
+
+    n_mel: int = 80  # INPUT_DIM
+    upsample_factors: tuple[int, ...] = (4, 8, 8)  # UPSAMPLE_FACTORS
+    rnn_dim: int = 512  # RNN_DIMS
+    fc_dim: int = 512  # FC_DIMS
+    compute_dims: int = 128  # COMPUTE_DIMS
+    res_out_dims: int = 128  # RES_OUT_DIMS (aux = 4 splits of //4)
+    res_blocks: int = 10  # RES_BLOCKS
+    mel_pad: int = 2  # MEL_FRAME_PAD
+    mode: str = "mu_law_quantize"  # | "mol" (ref "mu_law": 30-param MoL)
+    bits: int = 8  # mu_law_quantize classes = 2**bits
+
+    @property
+    def hop_size(self) -> int:
+        h = 1
+        for s in self.upsample_factors:
+            h *= s
+        return h
+
+    @property
+    def n_classes(self) -> int:
+        # ref wavernn.py:105-108 (the `elif` is always-true → 30 = MoL)
+        return 2 ** self.bits if self.mode == "mu_law_quantize" else 30
 
 
-class WaveRNNVocoder(nn.Module):
-    """Single-GRU WaveRNN over mu-law classes (ref `wavernn/wavernn.py`)."""
+class _WaveRNNResBlock(nn.Module):
+    """1x1 conv + BN (x2) residual block (ref `wavernn.py:13-29`)."""
+
+    dims: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        r = x
+        x = nn.Conv(self.dims, (1,), use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn1")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.dims, (1,), use_bias=False, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn2")(x)
+        return x + r
+
+
+class MelResNet(nn.Module):
+    """Valid-conv mel ResNet producing the aux features
+    (ref `wavernn.py:32-52`); eats ``pad`` frames from each side."""
+
+    compute_dims: int
+    res_out_dims: int
+    res_blocks: int
+    pad: int
+
+    @nn.compact
+    def __call__(self, mel, train: bool):
+        # mel (B, N, n_mel) NLC; VALID conv trims 2*pad frames
+        x = nn.Conv(self.compute_dims, (2 * self.pad + 1,), padding="VALID",
+                    use_bias=False, name="conv_in")(mel)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn")(x)
+        x = jax.nn.relu(x)
+        for i in range(self.res_blocks):
+            x = _WaveRNNResBlock(self.compute_dims, name=f"block_{i}")(
+                x, train)
+        return nn.Conv(self.res_out_dims, (1,), name="conv_out")(x)
+
+
+class WaveRNNUpsample(nn.Module):
+    """Stretch+smooth mel upsampler (ref `UpsampleNetwork`,
+    `wavernn.py:68-95`): per-scale nearest-neighbour repeat followed by a
+    1×(2s+1) averaging-init conv shared across mel rows; the MelResNet aux
+    stream is repeated by the total scale. Both are trimmed/aligned to
+    ``(N - 2*pad) * hop`` samples."""
 
     cfg: WaveRNNConfig
 
     @nn.compact
-    def __call__(self, audio_ids, mel):
+    def __call__(self, mel, train: bool):
         c = self.cfg
-        cond = jnp.repeat(mel, c.hop_size, axis=1)[:, : audio_ids.shape[1]]
-        x = nn.Embed(c.classes, 64, name="embed")(audio_ids)
-        inp = jnp.concatenate([x, cond], axis=-1)
-        gru = nn.RNN(nn.GRUCell(c.rnn_dim), name="gru")
-        h = gru(inp)
-        h = jax.nn.relu(nn.Dense(c.fc_dim, name="fc1")(h))
-        return nn.Dense(c.classes, name="fc2")(h)
+        total = c.hop_size
+        aux = MelResNet(c.compute_dims, c.res_out_dims, c.res_blocks,
+                        c.mel_pad, name="resnet")(mel, train)
+        aux = jnp.repeat(aux, total, axis=1)
+        # image (B, n_mel, N, 1): smooth along time only
+        m = mel.transpose(0, 2, 1)[..., None]
+        for i, scale in enumerate(c.upsample_factors):
+            m = jnp.repeat(m, scale, axis=2)
+            m = nn.Conv(
+                1, (1, 2 * scale + 1), padding=((0, 0), (scale, scale)),
+                use_bias=False,
+                kernel_init=nn.initializers.constant(1.0 / (2 * scale + 1)),
+                name=f"up_conv_{i}",
+            )(m)
+        indent = c.mel_pad * total
+        m = m[:, :, indent:-indent, 0].transpose(0, 2, 1)  # (B, T, n_mel)
+        return m, aux
 
-    def loss(self, audio, mel):
-        ids = mu_law_encode(audio)
-        logits = self(ids[:, :-1], mel)
-        targets = ids[:, 1:]
+
+class WaveRNNVocoder(nn.Module):
+    """Dual-GRU WaveRNN (ref `wavernn.py:98-178`): continuous sample
+    input, residual GRUs, MelResNet aux features split four ways and fed
+    to [input, rnn2, fc1, fc2]."""
+
+    cfg: WaveRNNConfig
+
+    @nn.compact
+    def __call__(self, x, mel, train: bool = False):
+        """x (B, T) float samples in [-1, 1]; mel (B, N, n_mel) with
+        T = (N - 2*mel_pad) * hop → (B, T, n_classes) logits/MoL params."""
+        c = self.cfg
+        a = c.res_out_dims // 4
+        mels_up, aux = WaveRNNUpsample(c, name="upsample")(mel, train)
+        t = x.shape[1]
+        mels_up, aux = mels_up[:, :t], aux[:, :t]
+        a1, a2, a3, a4 = (aux[..., :a], aux[..., a:2 * a],
+                          aux[..., 2 * a:3 * a], aux[..., 3 * a:4 * a])
+        h = nn.Dense(c.rnn_dim, name="I")(
+            jnp.concatenate([x[..., None], mels_up, a1], axis=-1))
+        res = h
+        h = nn.RNN(nn.GRUCell(c.rnn_dim, name="rnn1"))(h)
+        h = h + res
+        res = h
+        h = nn.RNN(nn.GRUCell(c.rnn_dim, name="rnn2"))(
+            jnp.concatenate([h, a2], axis=-1))
+        h = h + res
+        h = jax.nn.relu(nn.Dense(c.fc_dim, name="fc1")(
+            jnp.concatenate([h, a3], axis=-1)))
+        h = jax.nn.relu(nn.Dense(c.fc_dim, name="fc2")(
+            jnp.concatenate([h, a4], axis=-1)))
+        return nn.Dense(c.n_classes, name="fc3")(h)
+
+    @nn.compact
+    def condition(self, mel):
+        """Precompute (mels_up, aux) for the sample-by-sample decoder."""
+        return WaveRNNUpsample(self.cfg, name="upsample")(mel, False)
+
+    def loss(self, audio, mel, train: bool = True):
+        """audio (B, T+1) raw samples (T = usable upsampled length); the
+        model sees samples [0, T) and predicts [1, T]."""
+        c = self.cfg
+        if c.mode == "mol":
+            from amphion_tpu.ops.distributions import (
+                discretized_mix_logistic_loss,
+            )
+
+            y_hat = self(audio[:, :-1], mel, train)
+            return discretized_mix_logistic_loss(y_hat, audio[:, 1:])
+        ids = mu_law_encode(audio, 2 ** c.bits - 1)
+        x_in = label_to_float(ids[:, :-1], c.bits)
+        logits = self(x_in, mel, train)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        ll = jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
         return -jnp.mean(ll)
+
+
+def label_to_float(ids: jax.Array, bits: int) -> jax.Array:
+    """Quantized label → [-1, 1] float input (fatchord WaveRNN convention)."""
+    return 2.0 * ids.astype(jnp.float32) / (2 ** bits - 1.0) - 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -220,38 +348,66 @@ def wavenet_generate(cfg: WaveNetConfig, params, mel: jax.Array,
     return run(rng)
 
 
-def wavernn_generate(cfg: WaveRNNConfig, params, mel: jax.Array,
+def wavernn_generate(cfg: WaveRNNConfig, variables, mel: jax.Array,
                      rng: jax.Array, temperature: float = 1.0) -> jax.Array:
-    """AR WaveRNN generation: GRU-cell steps under `lax.scan`
-    (ref `wavernn/wavernn.py` generate)."""
+    """AR WaveRNN generation: dual GRU-cell steps under `lax.scan` reading
+    the same variables as the teacher-forced path (mels/aux precomputed by
+    `WaveRNNVocoder.condition`). Greedy (temperature→0) decode is locked
+    token-exact to the parallel forward by
+    tests/test_ar_vocoder_generate.py."""
     import flax.linen as fnn
 
     c = cfg
-    b, frames, _ = mel.shape
-    t_total = frames * c.hop_size
-    cond_all = jnp.repeat(mel, c.hop_size, axis=1)
+    model = WaveRNNVocoder(c)
+    mels_up, aux = model.apply(variables, mel,
+                               method=WaveRNNVocoder.condition)
+    b, t_total, _ = mels_up.shape
+    a = c.res_out_dims // 4
+    params = variables["params"]
     cell = fnn.GRUCell(c.rnn_dim)
-    # the RNN wrapper shares scope with its cell: params live at GRUCell_0
-    cell_params = params["GRUCell_0"]
+    mol = c.mode != "mu_law_quantize"
+    if mol:
+        from amphion_tpu.ops.distributions import (
+            sample_from_discretized_mix_logistic,
+        )
 
     def body(carry, t):
-        prev, h, r = carry
-        x = jnp.take(params["embed"]["embedding"], prev, axis=0)
-        inp = jnp.concatenate([x, cond_all[:, t]], axis=-1)
-        h, y = cell.apply({"params": cell_params}, h, inp)
-        y = jax.nn.relu(_dense(params["fc1"], y))
-        logits = _dense(params["fc2"], y)
+        prev, h1, h2, r = carry
+        inp = jnp.concatenate(
+            [prev[:, None], mels_up[:, t], aux[:, t, :a]], axis=-1)
+        x = _dense(params["I"], inp)
+        res = x
+        h1, x = cell.apply({"params": params["rnn1"]}, h1, x)
+        x = x + res
+        res = x
+        h2, x = cell.apply(
+            {"params": params["rnn2"]}, h2,
+            jnp.concatenate([x, aux[:, t, a:2 * a]], axis=-1))
+        x = x + res
+        x = jax.nn.relu(_dense(
+            params["fc1"],
+            jnp.concatenate([x, aux[:, t, 2 * a:3 * a]], axis=-1)))
+        x = jax.nn.relu(_dense(
+            params["fc2"],
+            jnp.concatenate([x, aux[:, t, 3 * a:4 * a]], axis=-1)))
+        out = _dense(params["fc3"], x)
         r, sub = jax.random.split(r)
-        nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
-        return (nxt, h, r), mu_law_decode(nxt)
+        if mol:
+            nxt = sample_from_discretized_mix_logistic(sub, out[:, None, :])[:, 0]
+            wav_t = nxt
+        else:
+            ids = jax.random.categorical(sub, out / temperature, axis=-1)
+            nxt = label_to_float(ids, c.bits)
+            wav_t = mu_law_decode(ids, 2 ** c.bits - 1)
+        return (nxt, h1, h2, r), wav_t
 
     h0 = jnp.zeros((b, c.rnn_dim))
-    init_prev = jnp.full((b,), c.classes // 2, jnp.int32)
+    x0 = jnp.zeros((b,))
 
     @jax.jit
     def run(rng):
-        (_, _, _), samples = jax.lax.scan(
-            body, (init_prev, h0, rng), jnp.arange(t_total))
+        _, samples = jax.lax.scan(
+            body, (x0, h0, h0, rng), jnp.arange(t_total))
         return jnp.moveaxis(samples, 0, 1)
 
     return run(rng)

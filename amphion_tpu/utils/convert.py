@@ -287,6 +287,76 @@ def torch_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
     return params
 
 
+def torch_gru_to_flax_cell(w_ih: np.ndarray, w_hh: np.ndarray,
+                           b_ih: np.ndarray, b_hh: np.ndarray) -> dict:
+    """torch nn.GRU layer weights → flax GRUCell params. torch stacks
+    gates [r; z; n]; flax folds the two reset/update biases into the
+    input dense (b_ir+b_hr) and keeps the candidate hidden bias on `hn`
+    (both formulations put b_hn inside the r⊙(...) term)."""
+    w_ir, w_iz, w_in = np.split(np.asarray(w_ih), 3, axis=0)
+    w_hr, w_hz, w_hn = np.split(np.asarray(w_hh), 3, axis=0)
+    b_ir, b_iz, b_in = np.split(np.asarray(b_ih), 3)
+    b_hr, b_hz, b_hn = np.split(np.asarray(b_hh), 3)
+    return {
+        "ir": {"kernel": w_ir.T, "bias": b_ir + b_hr},
+        "iz": {"kernel": w_iz.T, "bias": b_iz + b_hz},
+        "in": {"kernel": w_in.T, "bias": b_in},
+        "hr": {"kernel": w_hr.T},
+        "hz": {"kernel": w_hz.T},
+        "hn": {"kernel": w_hn.T, "bias": b_hn},
+    }
+
+
+def torch_wavernn_to_flax(sd: Mapping[str, np.ndarray], *,
+                          res_blocks: int,
+                          upsample_factors: tuple[int, ...]) -> tuple[dict, dict]:
+    """Reference WaveRNN state dict → (params, batch_stats) for our
+    `WaveRNNVocoder` (ref models/vocoders/autoregressive/wavernn/
+    wavernn.py:98: UpsampleNetwork w/ MelResNet + smoothing conv2ds,
+    I → rnn1/rnn2 (GRU) → fc1/fc2/fc3)."""
+    g = lambda name: np.asarray(sd[name])
+
+    def bn(prefix: str) -> tuple[dict, dict]:
+        return ({"scale": g(f"{prefix}.weight"), "bias": g(f"{prefix}.bias")},
+                {"mean": g(f"{prefix}.running_mean"),
+                 "var": g(f"{prefix}.running_var")})
+
+    rp = "upsample.resnet"
+    resnet: dict = {"conv_in": conv1d_to_flax(g(f"{rp}.conv_in.weight"))}
+    resnet_stats: dict = {}
+    resnet["bn"], resnet_stats["bn"] = bn(f"{rp}.batch_norm")
+    for i in range(res_blocks):
+        blk: dict = {"conv1": conv1d_to_flax(g(f"{rp}.layers.{i}.conv1.weight")),
+                     "conv2": conv1d_to_flax(g(f"{rp}.layers.{i}.conv2.weight"))}
+        stats: dict = {}
+        blk["bn1"], stats["bn1"] = bn(f"{rp}.layers.{i}.batch_norm1")
+        blk["bn2"], stats["bn2"] = bn(f"{rp}.layers.{i}.batch_norm2")
+        resnet[f"block_{i}"] = blk
+        resnet_stats[f"block_{i}"] = stats
+    resnet["conv_out"] = conv1d_to_flax(g(f"{rp}.conv_out.weight"),
+                                        g(f"{rp}.conv_out.bias"))
+    up: dict = {"resnet": resnet}
+    for i in range(len(upsample_factors)):
+        # up_layers alternate [stretch, conv]: convs sit at odd indices
+        w = g(f"upsample.up_layers.{2 * i + 1}.weight")  # (1, 1, 1, k)
+        up[f"up_conv_{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    params: dict = {
+        "upsample": up,
+        "I": linear_to_dense(g("I.weight"), g("I.bias")),
+        "rnn1": torch_gru_to_flax_cell(
+            g("rnn1.weight_ih_l0"), g("rnn1.weight_hh_l0"),
+            g("rnn1.bias_ih_l0"), g("rnn1.bias_hh_l0")),
+        "rnn2": torch_gru_to_flax_cell(
+            g("rnn2.weight_ih_l0"), g("rnn2.weight_hh_l0"),
+            g("rnn2.bias_ih_l0"), g("rnn2.bias_hh_l0")),
+        "fc1": linear_to_dense(g("fc1.weight"), g("fc1.bias")),
+        "fc2": linear_to_dense(g("fc2.weight"), g("fc2.bias")),
+        "fc3": linear_to_dense(g("fc3.weight"), g("fc3.bias")),
+    }
+    batch_stats = {"upsample": {"resnet": resnet_stats}}
+    return params, batch_stats
+
+
 def torch_waveglow_to_flax(sd: Mapping[str, np.ndarray], *,
                            n_flows: int, n_layers: int) -> dict:
     """Reference WaveGlow state dict → our `WaveGlow` params.

@@ -62,19 +62,38 @@ class TestWaveNetGenerate:
 
 class TestWaveRNNGenerate:
     def test_generate_and_consistency(self):
+        from amphion_tpu.models.vocoders.autoregressive import label_to_float
+
         rng = np.random.RandomState(42)
-        cfg = WaveRNNConfig(n_mel=4, hop_size=4, rnn_dim=16, fc_dim=16)
+        cfg = WaveRNNConfig(n_mel=4, upsample_factors=(2, 2), rnn_dim=16,
+                            fc_dim=16, compute_dims=8, res_out_dims=8,
+                            res_blocks=1, mel_pad=1, bits=4)
         model = WaveRNNVocoder(cfg)
-        mel = jnp.asarray(rng.randn(2, 5, 4).astype(np.float32))
-        params = model.init(jax.random.key(0), jnp.zeros((2, 8), jnp.int32),
-                            mel)["params"]
-        audio = wavernn_generate(cfg, params, mel, jax.random.key(1),
+        mel = jnp.asarray(rng.randn(2, 6, 4).astype(np.float32))
+        t = (6 - 2 * cfg.mel_pad) * cfg.hop_size  # usable samples
+        variables = model.init(jax.random.key(0), jnp.zeros((2, t)), mel)
+        audio = wavernn_generate(cfg, variables, mel, jax.random.key(1),
                                  temperature=1e-6)
-        assert audio.shape == (2, 20)
-        ids = mu_law_encode(audio)
-        prefix = jnp.concatenate(
-            [jnp.full((2, 1), cfg.classes // 2, jnp.int32), ids[:, :-1]],
+        assert audio.shape == (2, t)
+        # greedy decode == argmax over the teacher-forced dual-GRU forward
+        # on the generated prefix (x_0 = 0, then label floats)
+        ids = mu_law_encode(audio, 2 ** cfg.bits - 1)
+        x_in = jnp.concatenate(
+            [jnp.zeros((2, 1)), label_to_float(ids[:, :-1], cfg.bits)],
             axis=1)
-        logits = model.apply({"params": params}, prefix, mel)
+        logits = model.apply(variables, x_in, mel)
         np.testing.assert_array_equal(np.asarray(logits.argmax(-1)),
                                       np.asarray(ids))
+
+    def test_generate_mol_head(self):
+        rng = np.random.RandomState(43)
+        cfg = WaveRNNConfig(n_mel=4, upsample_factors=(2, 2), rnn_dim=16,
+                            fc_dim=16, compute_dims=8, res_out_dims=8,
+                            res_blocks=1, mel_pad=1, mode="mol")
+        model = WaveRNNVocoder(cfg)
+        mel = jnp.asarray(rng.randn(1, 6, 4).astype(np.float32))
+        t = (6 - 2) * 4
+        variables = model.init(jax.random.key(0), jnp.zeros((1, t)), mel)
+        audio = wavernn_generate(cfg, variables, mel, jax.random.key(1))
+        assert audio.shape == (1, t)
+        assert np.isfinite(np.asarray(audio)).all()

@@ -100,9 +100,27 @@ def test_wavenet_wavernn_loss(rng):
                                       num_layers=2, dilation_cycle=2))
     p = wn.init(jax.random.key(0), audio, mel, method=WaveNetVocoder.loss)["params"]
     assert np.isfinite(float(wn.apply({"params": p}, audio, mel, method=WaveNetVocoder.loss)))
-    wr = WaveRNNVocoder(WaveRNNConfig(n_mel=8, hop_size=8, rnn_dim=16, fc_dim=16))
-    p2 = wr.init(jax.random.key(0), audio, mel, method=WaveRNNVocoder.loss)["params"]
-    assert np.isfinite(float(wr.apply({"params": p2}, audio, mel, method=WaveRNNVocoder.loss)))
+    wr_cfg = WaveRNNConfig(n_mel=8, upsample_factors=(2, 4), rnn_dim=16,
+                           fc_dim=16, compute_dims=8, res_out_dims=8,
+                           res_blocks=1, mel_pad=1, bits=4)
+    wr = WaveRNNVocoder(wr_cfg)
+    # usable samples = (frames - 2*pad) * hop; loss eats one for shifting
+    wr_audio = jnp.asarray(
+        rng.standard_normal((1, (8 - 2) * 8 + 1)).astype(np.float32) * 0.3)
+    v2 = wr.init(jax.random.key(0), wr_audio, mel, method=WaveRNNVocoder.loss)
+    loss2, _ = wr.apply(v2, wr_audio, mel, method=WaveRNNVocoder.loss,
+                        mutable=["batch_stats"])
+    assert np.isfinite(float(loss2))
+    # MoL head variant
+    wr_mol = WaveRNNVocoder(
+        WaveRNNConfig(n_mel=8, upsample_factors=(2, 4), rnn_dim=16,
+                      fc_dim=16, compute_dims=8, res_out_dims=8,
+                      res_blocks=1, mel_pad=1, mode="mol"))
+    v3 = wr_mol.init(jax.random.key(0), wr_audio, mel,
+                     method=WaveRNNVocoder.loss)
+    loss3, _ = wr_mol.apply(v3, wr_audio, mel, method=WaveRNNVocoder.loss,
+                            mutable=["batch_stats"])
+    assert np.isfinite(float(loss3))
 
 
 def test_waveglow_roundtrip(rng):

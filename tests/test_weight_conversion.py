@@ -3295,3 +3295,60 @@ class TestWaveGlowRoundTrip:
                                    atol=2e-3)
         np.testing.assert_allclose(np.asarray(z_rt)[..., :2], np.asarray(n2),
                                    atol=2e-3)
+
+
+class TestWaveRNNRoundTrip:
+    """Full WaveRNN oracle (ref wavernn/wavernn.py:98): UpsampleNetwork
+    (MelResNet + per-scale stretch/smooth convs, indent trim), dual
+    residual GRUs with 4-way aux splits, fc stack. BN running stats are
+    randomized and run in eval mode on both sides."""
+
+    def test_forward_parity(self):
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(np, "cumproduct"):  # numpy 2 removed the alias
+            np.cumproduct = np.cumprod
+        from models.vocoders.autoregressive.wavernn.wavernn import (
+            WaveRNN as RefWaveRNN,
+        )
+
+        from amphion_tpu.models.vocoders.autoregressive import (
+            WaveRNNConfig,
+            WaveRNNVocoder,
+        )
+        from amphion_tpu.utils.convert import torch_wavernn_to_flax
+
+        voc = SimpleNamespace(
+            INPUT_DIM=6, MEL_FRAME_PAD=1, MODE="mu_law_quantize", BITS=4,
+            RNN_DIMS=8, RES_OUT_DIMS=8, HOP_LENGTH=4, FC_DIMS=8,
+            UPSAMPLE_FACTORS=[2, 2], COMPUTE_DIMS=8, RES_BLOCKS=2)
+        torch.manual_seed(70)
+        ref = RefWaveRNN(SimpleNamespace(VOCODER=voc)).eval()
+        # randomize BN running stats so eval-mode normalization is exercised
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.data.normal_(std=0.3)
+                m.running_var.data.uniform_(0.5, 1.5)
+
+        torch.manual_seed(71)
+        frames = 7
+        t = (frames - 2) * 4  # (N - 2*pad) * hop
+        mel = torch.randn(2, 6, frames)
+        x = torch.rand(2, t) * 2 - 1
+        with torch.no_grad():
+            y_t = ref(x, mel)  # (B, T, 16)
+
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params, stats = torch_wavernn_to_flax(
+            sd, res_blocks=2, upsample_factors=(2, 2))
+        cfg = WaveRNNConfig(
+            n_mel=6, upsample_factors=(2, 2), rnn_dim=8, fc_dim=8,
+            compute_dims=8, res_out_dims=8, res_blocks=2, mel_pad=1,
+            mode="mu_law_quantize", bits=4)
+        ours = WaveRNNVocoder(cfg)
+        y_j = ours.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.numpy()),
+            jnp.asarray(mel.numpy().transpose(0, 2, 1)))
+        np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(), atol=2e-4)
