@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def mu_law_encode(x: jax.Array, mu: int = 255) -> jax.Array:
@@ -29,71 +30,125 @@ def mu_law_decode(ids: jax.Array, mu: int = 255) -> jax.Array:
 
 @dataclass(frozen=True)
 class WaveNetConfig:
-    n_mel: int = 80
-    hop_size: int = 256
+    """Reference `wavenet/wavenet.py:38` cfg.VOCODER fields (r9y9-style
+    WaveNet with local conditioning). Weight-normed reference convs are
+    materialized to plain convs by the converter."""
+
+    n_mel: int = 80  # INPUT_DIM (cin_channels)
+    upsample_scales: tuple[int, ...] = (4, 4, 4, 4)  # UPSAMPLE_SCALES
+    mel_frame_pad: int = 2  # MEL_FRAME_PAD (cin_pad)
+    out_channels: int = 256  # OUT_CHANNELS (classes, or 3*num_mixtures)
+    layers: int = 20  # LAYERS
+    stacks: int = 2  # STACKS (dilation cycles: d = 2**(i % (L//stacks)))
     residual_channels: int = 64
-    num_layers: int = 20
-    dilation_cycle: int = 10
-    classes: int = 256
-    # "mulaw": 256-way categorical over mu-law ids; "mol": discretized
-    # mixture of logistics over raw [-1, 1] samples (ref wavenet.py:42-44,
-    # utils/distribution.py)
-    out_mode: str = "mulaw"
-    num_mixtures: int = 10
+    gate_channels: int = 128
+    skip_out_channels: int = 64
+    kernel_size: int = 3
+    dropout: float = 0.05
+    scalar_input: bool = False  # SCALAR_INPUT: floats in + MoL head
+
+    @property
+    def hop_size(self) -> int:
+        h = 1
+        for s in self.upsample_scales:
+            h *= s
+        return h
 
 
-class WaveNetVocoder(nn.Module):
-    """Causal dilated WaveNet, mel-conditioned; mu-law categorical or
-    mixture-of-logistics output head."""
+class WaveNetUpsample(nn.Module):
+    """ConvInUpsampleNetwork (ref `wavenet/upsample.py:80`): wide-context
+    conv_in over mel, then per-scale nearest stretch + averaging-init
+    smoothing conv, indent-trimmed by ``cin_pad * hop``."""
 
     cfg: WaveNetConfig
 
     @nn.compact
-    def __call__(self, audio_in, mel):
-        """Teacher-forced head params: audio_in (B, T) — mu-law ids
-        ("mulaw") or raw samples in [-1, 1] ("mol") → (B, T, classes) or
-        (B, T, 3*num_mixtures), predicting the NEXT sample."""
+    def __call__(self, mel):
         c = self.cfg
-        if c.out_mode == "mol":
-            x = nn.Dense(c.residual_channels, name="embed_scalar")(
-                audio_in[..., None].astype(jnp.float32))
-        else:
-            x = nn.Embed(c.classes, c.residual_channels, name="embed")(audio_in)
-        cond = jnp.repeat(mel, c.hop_size, axis=1)[:, : x.shape[1]]
-        cond = nn.Conv(2 * c.residual_channels, (1,), name="cond")(cond)
-        skip_total = 0.0
-        for i in range(c.num_layers):
-            dilation = 2 ** (i % c.dilation_cycle)
-            # causal conv: left-pad only
-            y = nn.Conv(2 * c.residual_channels, (2,), kernel_dilation=(dilation,),
-                        padding=[(dilation, 0)], name=f"dil_{i}")(x)
-            y = y + cond
-            a, b = jnp.split(y, 2, axis=-1)
-            y = jnp.tanh(a) * jax.nn.sigmoid(b)
-            y = nn.Conv(2 * c.residual_channels, (1,), name=f"out_{i}")(y)
-            res, skip = jnp.split(y, 2, axis=-1)
-            x = x + res
-            skip_total = skip_total + skip
-        h = jax.nn.relu(skip_total)
-        h = jax.nn.relu(nn.Conv(c.residual_channels, (1,), name="post1")(h))
-        out_dim = (3 * c.num_mixtures if c.out_mode == "mol" else c.classes)
-        return nn.Conv(out_dim, (1,), name="post2")(h)
+        pad = c.mel_frame_pad
+        m = nn.Conv(c.n_mel, (2 * pad + 1,), padding=((pad, pad),),
+                    use_bias=False, name="conv_in")(mel)
+        m = m.transpose(0, 2, 1)[..., None]  # (B, n_mel, N, 1)
+        for j, scale in enumerate(c.upsample_scales):
+            m = jnp.repeat(m, scale, axis=2)
+            m = nn.Conv(
+                1, (1, 2 * scale + 1), padding=((0, 0), (scale, scale)),
+                use_bias=False,
+                kernel_init=nn.initializers.constant(1.0 / (2 * scale + 1)),
+                name=f"up_conv_{j}",
+            )(m)
+        indent = pad * c.hop_size
+        if indent > 0:
+            m = m[:, :, indent:-indent]
+        return m[..., 0].transpose(0, 2, 1)  # (B, T, n_mel)
 
-    def loss(self, audio, mel):
+
+class WaveNetVocoder(nn.Module):
+    """Causal dilated WaveNet with per-layer local conditioning
+    (ref `wavenet.py:121-149` + `modules.py:37`): gated residual blocks
+    ``(x + res)·√½`` with separate skip convs, skip sum scaled ``√(1/L)``,
+    relu→1x1→relu→1x1 head; one-hot mu-law input (or scalar + MoL)."""
+
+    cfg: WaveNetConfig
+
+    @nn.compact
+    def __call__(self, audio_in, mel, train: bool = False):
+        """audio_in (B, T): mu-law ids (one-hot path) or raw samples in
+        [-1, 1] (scalar_input); mel (B, N, n_mel) with
+        T = (N - 2*mel_frame_pad) * hop → (B, T, out_channels)."""
         c = self.cfg
-        if c.out_mode == "mol":
+        cond = WaveNetUpsample(c, name="upsample")(mel)
+        t = audio_in.shape[1]
+        cond = cond[:, :t]
+        if c.scalar_input:
+            x = audio_in[..., None].astype(jnp.float32)
+        else:
+            x = jax.nn.one_hot(audio_in, c.out_channels)
+        x = nn.Conv(c.residual_channels, (1,), name="first_conv")(x)
+        half = c.gate_channels // 2
+        skips = 0.0
+        lps = c.layers // c.stacks
+        for i in range(c.layers):
+            d = 2 ** (i % lps)
+            res = x
+            h = nn.Dropout(c.dropout, deterministic=not train)(x)
+            h = nn.Conv(c.gate_channels, (c.kernel_size,),
+                        kernel_dilation=(d,),
+                        padding=(((c.kernel_size - 1) * d, 0),),
+                        name=f"dil_{i}")(h)
+            cnd = nn.Conv(c.gate_channels, (1,), use_bias=False,
+                          name=f"cond_{i}")(cond)
+            a = jnp.tanh(h[..., :half] + cnd[..., :half])
+            b = jax.nn.sigmoid(h[..., half:] + cnd[..., half:])
+            g = a * b
+            skips = skips + nn.Conv(c.skip_out_channels, (1,),
+                                    name=f"skip_{i}")(g)
+            x = (nn.Conv(c.residual_channels, (1,), name=f"out_{i}")(g)
+                 + res) * float(np.sqrt(0.5))
+        h = skips * float(np.sqrt(1.0 / c.layers))
+        h = jax.nn.relu(h)
+        h = jax.nn.relu(nn.Conv(c.skip_out_channels, (1,), name="post1")(h))
+        return nn.Conv(c.out_channels, (1,), name="post2")(h)
+
+    @nn.compact
+    def condition(self, mel):
+        """Precompute the upsampled conditioning for incremental decode."""
+        return WaveNetUpsample(self.cfg, name="upsample")(mel)
+
+    def loss(self, audio, mel, train: bool = True):
+        """audio (B, T+1) raw samples; model sees [0, T), predicts [1, T]."""
+        c = self.cfg
+        if c.scalar_input:
             from amphion_tpu.ops.distributions import (
                 discretized_mix_logistic_loss,
             )
 
-            y_hat = self(audio[:, :-1], mel)
-            return discretized_mix_logistic_loss(y_hat, audio[:, 1:],
-                                                 num_classes=c.classes)
-        ids = mu_law_encode(audio)
-        logits = self(ids[:, :-1], mel)
-        targets = ids[:, 1:]
+            y_hat = self(audio[:, :-1], mel, train)
+            return discretized_mix_logistic_loss(y_hat, audio[:, 1:])
+        ids = mu_law_encode(audio, c.out_channels - 1)
+        logits = self(ids[:, :-1], mel, train)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        ll = jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
         return -jnp.mean(ll)
 
 
@@ -268,58 +323,67 @@ def _dense(p, x):
     return x @ p["kernel"] + p.get("bias", 0.0)
 
 
-def wavenet_generate(cfg: WaveNetConfig, params, mel: jax.Array,
+def wavenet_generate(cfg: WaveNetConfig, variables, mel: jax.Array,
                      rng: jax.Array, temperature: float = 1.0) -> jax.Array:
-    """AR waveform generation (ref `wavenet.py` incremental forward): one
-    `lax.scan` over samples with per-layer dilation ring buffers (the
-    kernel-2 dilated conv needs only the layer input from `dilation` steps
-    back; buffers init to zero = the causal left padding). Returns
-    (B, frames*hop) float audio in [-1, 1].
+    """AR waveform generation (ref `wavenet.py` incremental_forward): one
+    `lax.scan` over samples with per-layer dilation ring buffers (a
+    kernel-k dilated conv needs the layer input at t - j*d for
+    j = 1..k-1; buffers init to zero = the causal left padding).
+    Per-layer cond 1x1s are precomputed over the whole utterance. Returns
+    (B, (N - 2*mel_frame_pad)*hop) float audio in [-1, 1].
 
     The step math reads the same param tree as the teacher-forced
     `__call__`; `tests/test_ar_vocoder_generate.py` locks the two paths
     together."""
     c = cfg
-    b, frames, _ = mel.shape
-    t_total = frames * c.hop_size
-    cond_all = jnp.repeat(mel, c.hop_size, axis=1)  # (B, T, n_mel)
-    cond_all = _dense({"kernel": params["cond"]["kernel"][0],
-                       "bias": params["cond"]["bias"]}, cond_all)
-    dilations = [2 ** (i % c.dilation_cycle) for i in range(c.num_layers)]
-    bufs0 = [jnp.zeros((b, d, c.residual_channels)) for d in dilations]
+    model = WaveNetVocoder(c)
+    cond_all = model.apply(variables, mel, method=WaveNetVocoder.condition)
+    params = variables["params"]
+    b, t_total, _ = cond_all.shape
+    lps = c.layers // c.stacks
+    dilations = [2 ** (i % lps) for i in range(c.layers)]
+    k = c.kernel_size
+    half = c.gate_channels // 2
+    root2i = float(np.sqrt(0.5))
 
-    def net_step(x, cond_t, bufs):
+    def _c1(p, x):  # 1x1 conv params applied as a dense
+        return x @ p["kernel"][0] + p.get("bias", 0.0)
+
+    # per-layer conditioning, precomputed (B, T, gate)
+    conds = [_c1(params[f"cond_{i}"], cond_all) for i in range(c.layers)]
+    bufs0 = [jnp.zeros((b, (k - 1) * d, c.residual_channels))
+             for d in dilations]
+
+    def net_step(x, t, bufs):
         new_bufs = []
-        skip_total = 0.0
+        skips = 0.0
         for i, d in enumerate(dilations):
+            res = x
             kp = params[f"dil_{i}"]
-            y = (bufs[i][:, 0] @ kp["kernel"][0] + x @ kp["kernel"][1]
-                 + kp["bias"] + cond_t)
-            a_, b_ = jnp.split(y, 2, axis=-1)
-            y = jnp.tanh(a_) * jax.nn.sigmoid(b_)
-            y = _dense({"kernel": params[f"out_{i}"]["kernel"][0],
-                        "bias": params[f"out_{i}"]["bias"]}, y)
-            res, skip = jnp.split(y, 2, axis=-1)
-            new_bufs.append(jnp.concatenate([bufs[i][:, 1:], x[:, None]],
-                                            axis=1))
-            x = x + res
-            skip_total = skip_total + skip
-        h = jax.nn.relu(skip_total)
-        h = jax.nn.relu(_dense({"kernel": params["post1"]["kernel"][0],
-                                "bias": params["post1"]["bias"]}, h))
-        out = _dense({"kernel": params["post2"]["kernel"][0],
-                      "bias": params["post2"]["bias"]}, h)
-        return out, new_bufs
+            # taps: buffer[j*d] holds the input at t - (k-1-j)*d
+            h = x @ kp["kernel"][k - 1] + kp["bias"]
+            for j in range(k - 1):
+                h = h + bufs[i][:, j * d] @ kp["kernel"][j]
+            h = h + conds[i][:, t]
+            g = jnp.tanh(h[..., :half]) * jax.nn.sigmoid(h[..., half:])
+            skips = skips + _c1(params[f"skip_{i}"], g)
+            x = (_c1(params[f"out_{i}"], g) + res) * root2i
+            new_bufs.append(
+                jnp.concatenate([bufs[i][:, 1:], res[:, None]], axis=1))
+        h = jax.nn.relu(skips * float(np.sqrt(1.0 / c.layers)))
+        h = jax.nn.relu(_c1(params["post1"], h))
+        return _c1(params["post2"], h), new_bufs
 
-    mol = c.out_mode == "mol"
+    mol = c.scalar_input
 
     def body(carry, t):
         prev, bufs, r = carry
         if mol:
-            x = _dense(params["embed_scalar"], prev[..., None])
+            x = _c1(params["first_conv"], prev[..., None])
         else:
-            x = jnp.take(params["embed"]["embedding"], prev, axis=0)
-        out, bufs = net_step(x, cond_all[:, t], bufs)
+            x = (jnp.take(params["first_conv"]["kernel"][0], prev, axis=0)
+                 + params["first_conv"]["bias"])
+        out, bufs = net_step(x, t, bufs)
         r, sub = jax.random.split(r)
         if mol:
             from amphion_tpu.ops.distributions import (
@@ -331,13 +395,13 @@ def wavenet_generate(cfg: WaveNetConfig, params, mel: jax.Array,
             sample = nxt
         else:
             nxt = jax.random.categorical(sub, out / temperature, axis=-1)
-            sample = mu_law_decode(nxt)
+            sample = mu_law_decode(nxt, c.out_channels - 1)
         return (nxt, bufs, r), sample
 
     if mol:
         init_prev = jnp.zeros((b,), jnp.float32)
     else:
-        init_prev = jnp.full((b,), c.classes // 2, jnp.int32)
+        init_prev = jnp.full((b,), c.out_channels // 2, jnp.int32)
 
     @jax.jit
     def run(rng):

@@ -287,6 +287,49 @@ def torch_hifigan_to_flax(sd: Mapping[str, np.ndarray], *,
     return params
 
 
+def _wn_materialize(w_g: np.ndarray, w_v: np.ndarray) -> np.ndarray:
+    """Effective torch weight-norm weight g * v / ||v|| (norm over all
+    dims except 0)."""
+    v = np.asarray(w_v, np.float64)
+    n = np.sqrt(np.sum(v ** 2, axis=tuple(range(1, v.ndim)), keepdims=True))
+    return (np.asarray(w_g, np.float64) * v / np.maximum(n, 1e-12)).astype(
+        w_v.dtype)
+
+
+def torch_wavenet_to_flax(sd: Mapping[str, np.ndarray], *,
+                          layers: int,
+                          upsample_scales: tuple[int, ...]) -> dict:
+    """Reference WaveNet state dict → our `WaveNetVocoder` params.
+
+    Torch layout (ref models/vocoders/autoregressive/wavenet/wavenet.py:38):
+    weight-normed `first_conv`, per-layer `conv_layers.{i}.{conv,conv1x1c,
+    conv1x1_out,conv1x1_skip}`, head `last_conv_layers.{1,3}`, and the
+    `upsample_net` (plain conv_in + weight-normed smoothing conv2ds).
+    Weight norms are materialized into plain convs."""
+    g = lambda name: np.asarray(sd[name])
+
+    def wn1d(prefix: str) -> dict:
+        w = _wn_materialize(g(f"{prefix}.weight_g"), g(f"{prefix}.weight_v"))
+        b = g(f"{prefix}.bias") if f"{prefix}.bias" in sd else None
+        return conv1d_to_flax(w, b)
+
+    up: dict = {"conv_in": conv1d_to_flax(g("upsample_net.conv_in.weight"))}
+    for j in range(len(upsample_scales)):
+        p = f"upsample_net.upsample.up_layers.{2 * j + 1}"
+        w = _wn_materialize(g(f"{p}.weight_g"), g(f"{p}.weight_v"))
+        up[f"up_conv_{j}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    params: dict = {"upsample": up, "first_conv": wn1d("first_conv")}
+    for i in range(layers):
+        p = f"conv_layers.{i}"
+        params[f"dil_{i}"] = wn1d(f"{p}.conv")
+        params[f"cond_{i}"] = wn1d(f"{p}.conv1x1c")
+        params[f"out_{i}"] = wn1d(f"{p}.conv1x1_out")
+        params[f"skip_{i}"] = wn1d(f"{p}.conv1x1_skip")
+    params["post1"] = wn1d("last_conv_layers.1")
+    params["post2"] = wn1d("last_conv_layers.3")
+    return params
+
+
 def torch_gru_to_flax_cell(w_ih: np.ndarray, w_hh: np.ndarray,
                            b_ih: np.ndarray, b_hh: np.ndarray) -> dict:
     """torch nn.GRU layer weights → flax GRUCell params. torch stacks

@@ -20,42 +20,48 @@ from amphion_tpu.models.vocoders.autoregressive import (
 
 
 class TestWaveNetGenerate:
-    @pytest.mark.parametrize("out_mode", ["mulaw", "mol"])
-    def test_generate_shapes(self, out_mode):
+    @pytest.mark.parametrize("scalar_input", [False, True])
+    def test_generate_shapes(self, scalar_input):
         rng = np.random.RandomState(40)
-        cfg = WaveNetConfig(n_mel=4, hop_size=4, residual_channels=8,
-                            num_layers=4, dilation_cycle=2,
-                            out_mode=out_mode, num_mixtures=2)
+        cfg = WaveNetConfig(n_mel=4, upsample_scales=(2, 2), mel_frame_pad=1,
+                            out_channels=6 if scalar_input else 16,
+                            residual_channels=8, gate_channels=8,
+                            skip_out_channels=8, layers=4, stacks=2,
+                            scalar_input=scalar_input)
         model = WaveNetVocoder(cfg)
         mel = jnp.asarray(rng.randn(2, 6, 4).astype(np.float32))
-        if out_mode == "mol":
-            a0 = jnp.zeros((2, 8), jnp.float32)
+        t = (6 - 2) * 4
+        if scalar_input:
+            a0 = jnp.zeros((2, t), jnp.float32)
         else:
-            a0 = jnp.zeros((2, 8), jnp.int32)
-        params = model.init(jax.random.key(0), a0, mel)["params"]
-        audio = wavenet_generate(cfg, params, mel, jax.random.key(1))
-        assert audio.shape == (2, 24)
-        assert float(jnp.abs(audio).max()) <= 1.0
+            a0 = jnp.zeros((2, t), jnp.int32)
+        variables = model.init(jax.random.key(0), a0, mel)
+        audio = wavenet_generate(cfg, variables, mel, jax.random.key(1))
+        assert audio.shape == (2, t)
+        assert float(jnp.abs(audio).max()) <= 1.0 + 1e-5
 
     def test_step_matches_teacher_forced(self):
         """Greedy incremental decode == argmax over teacher-forced logits
         on the same prefix (locks buffers/param-tree math to __call__)."""
         rng = np.random.RandomState(41)
-        cfg = WaveNetConfig(n_mel=4, hop_size=2, residual_channels=8,
-                            num_layers=4, dilation_cycle=2)
+        cfg = WaveNetConfig(n_mel=4, upsample_scales=(2,), mel_frame_pad=1,
+                            out_channels=16, residual_channels=8,
+                            gate_channels=8, skip_out_channels=8,
+                            layers=4, stacks=2, kernel_size=3)
         model = WaveNetVocoder(cfg)
         mel = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32))
-        params = model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32),
-                            mel)["params"]
+        t = (8 - 2) * 2
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, t), jnp.int32), mel)
         # deterministic decode: temperature→0 === argmax
-        gen = wavenet_generate(cfg, params, mel, jax.random.key(1),
+        gen = wavenet_generate(cfg, variables, mel, jax.random.key(1),
                                temperature=1e-6)
-        ids = mu_law_encode(gen)  # (1, 16) decoded ids re-encoded exactly
-        # teacher-forced pass over [128, ids[:-1]] must predict ids greedily
+        mu = cfg.out_channels - 1
+        ids = mu_law_encode(gen, mu)  # decoded ids re-encoded exactly
         prefix = jnp.concatenate(
-            [jnp.full((1, 1), cfg.classes // 2, jnp.int32), ids[:, :-1]],
-            axis=1)
-        logits = model.apply({"params": params}, prefix, mel)
+            [jnp.full((1, 1), cfg.out_channels // 2, jnp.int32),
+             ids[:, :-1]], axis=1)
+        logits = model.apply(variables, prefix, mel)
         np.testing.assert_array_equal(np.asarray(logits.argmax(-1)),
                                       np.asarray(ids))
 

@@ -72,17 +72,20 @@ class TestWaveNetMoL:
         )
 
         rng = np.random.RandomState(31)
-        cfg = WaveNetConfig(n_mel=8, hop_size=4, residual_channels=8,
-                            num_layers=4, dilation_cycle=2,
-                            out_mode="mol", num_mixtures=3)
+        cfg = WaveNetConfig(n_mel=8, upsample_scales=(2, 2),
+                            mel_frame_pad=1, out_channels=9,
+                            residual_channels=8, gate_channels=8,
+                            skip_out_channels=8, layers=4, stacks=2,
+                            scalar_input=True)
         model = WaveNetVocoder(cfg)
-        audio = jnp.asarray(np.clip(rng.randn(2, 33) * 0.3, -1, 1)
+        t = (8 - 2) * 4  # (frames - 2*pad) * hop usable samples
+        audio = jnp.asarray(np.clip(rng.randn(2, t + 1) * 0.3, -1, 1)
                             .astype(np.float32))
         mel = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
         params = model.init(jax.random.key(0), audio, mel,
                             method=WaveNetVocoder.loss)["params"]
         out = model.apply({"params": params}, audio[:, :-1], mel)
-        assert out.shape == (2, 32, 9)
-        loss = model.apply({"params": params}, audio, mel,
+        assert out.shape == (2, t, 9)
+        loss = model.apply({"params": params}, audio, mel, False,
                            method=WaveNetVocoder.loss)
         assert np.isfinite(float(loss))

@@ -96,10 +96,16 @@ def test_mulaw_roundtrip():
 def test_wavenet_wavernn_loss(rng):
     audio = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32) * 0.3)
     mel = jnp.asarray(rng.standard_normal((1, 8, 8)).astype(np.float32))
-    wn = WaveNetVocoder(WaveNetConfig(n_mel=8, hop_size=8, residual_channels=8,
-                                      num_layers=2, dilation_cycle=2))
-    p = wn.init(jax.random.key(0), audio, mel, method=WaveNetVocoder.loss)["params"]
-    assert np.isfinite(float(wn.apply({"params": p}, audio, mel, method=WaveNetVocoder.loss)))
+    wn = WaveNetVocoder(WaveNetConfig(
+        n_mel=8, upsample_scales=(2, 4), mel_frame_pad=1, out_channels=16,
+        residual_channels=8, gate_channels=8, skip_out_channels=8,
+        layers=2, stacks=1))
+    wn_audio = jnp.asarray(
+        rng.standard_normal((1, (8 - 2) * 8 + 1)).astype(np.float32) * 0.3)
+    p = wn.init(jax.random.key(0), wn_audio, mel,
+                method=WaveNetVocoder.loss)["params"]
+    assert np.isfinite(float(wn.apply(
+        {"params": p}, wn_audio, mel, False, method=WaveNetVocoder.loss)))
     wr_cfg = WaveRNNConfig(n_mel=8, upsample_factors=(2, 4), rnn_dim=16,
                            fc_dim=16, compute_dims=8, res_out_dims=8,
                            res_blocks=1, mel_pad=1, bits=4)

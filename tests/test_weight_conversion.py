@@ -3352,3 +3352,63 @@ class TestWaveRNNRoundTrip:
             jnp.asarray(x.numpy()),
             jnp.asarray(mel.numpy().transpose(0, 2, 1)))
         np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(), atol=2e-4)
+
+
+class TestWaveNetRoundTrip:
+    """Full WaveNet oracle (ref wavenet/wavenet.py:38): ConvInUpsample
+    (wide-context conv_in + stretch/smooth conv2ds + indent trim),
+    per-layer gated residual blocks with separate cond/skip/out 1x1s and
+    sqrt scalings, relu head. Weight norms materialized by the converter."""
+
+    @pytest.mark.parametrize("scalar_input", [False, True])
+    def test_forward_parity(self, scalar_input):
+        import jax
+        import jax.numpy as jnp
+
+        from models.vocoders.autoregressive.wavenet.wavenet import (
+            WaveNet as RefWaveNet,
+        )
+
+        from amphion_tpu.models.vocoders.autoregressive import (
+            WaveNetConfig,
+            WaveNetVocoder,
+        )
+        from amphion_tpu.utils.convert import torch_wavenet_to_flax
+
+        out_ch = 6 if scalar_input else 16
+        voc = SimpleNamespace(
+            SCALAR_INPUT=scalar_input, OUT_CHANNELS=out_ch, INPUT_DIM=6,
+            RESIDUAL_CHANNELS=8, LAYERS=4, STACKS=2, GATE_CHANNELS=8,
+            KERNEL_SIZE=3, SKIP_OUT_CHANNELS=8, DROPOUT=0.05,
+            UPSAMPLE_SCALES=[2, 2], MEL_FRAME_PAD=1)
+        torch.manual_seed(80)
+        ref = RefWaveNet(SimpleNamespace(VOCODER=voc)).eval()
+
+        torch.manual_seed(81)
+        frames = 7
+        t = (frames - 2) * 4
+        mel = torch.randn(2, 6, frames)
+        if scalar_input:
+            x_t = (torch.rand(2, 1, t) * 2 - 1)
+            x_ids = None
+        else:
+            x_ids = torch.randint(0, out_ch, (2, t))
+            x_t = torch.nn.functional.one_hot(
+                x_ids, out_ch).float().transpose(1, 2)
+        with torch.no_grad():
+            y_t = ref(x_t, mel)  # (B, out_ch, T)
+
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params = torch_wavenet_to_flax(sd, layers=4, upsample_scales=(2, 2))
+        cfg = WaveNetConfig(
+            n_mel=6, upsample_scales=(2, 2), mel_frame_pad=1,
+            out_channels=out_ch, layers=4, stacks=2, residual_channels=8,
+            gate_channels=8, skip_out_channels=8, kernel_size=3,
+            scalar_input=scalar_input)
+        ours = WaveNetVocoder(cfg)
+        x_j = (jnp.asarray(x_t.numpy()[:, 0, :]) if scalar_input
+               else jnp.asarray(x_ids.numpy()))
+        y_j = ours.apply({"params": params}, x_j,
+                         jnp.asarray(mel.numpy().transpose(0, 2, 1)))
+        np.testing.assert_allclose(
+            np.asarray(y_j), y_t.numpy().transpose(0, 2, 1), atol=2e-4)
