@@ -207,56 +207,66 @@ class MultiResolutionDiscriminator(nn.Module):
 
 
 class STFTDiscriminator(nn.Module):
-    """One complex-STFT branch of MS-STFT (ref `msstftd.py:161` — the
-    Encodec-style discriminator over the 2-channel (re, im) spectrogram
-    image with dilated 2-D convs)."""
+    """One complex-STFT branch of MS-STFT (ref `msstftd.py:35` — the
+    EnCodec discriminator over the 2-channel (re, im) spectrogram image
+    with dilated 2-D convs). Matches the reference exactly: center=False
+    window-normalized spectrogram (torchaudio ``normalized=True``), plain
+    first conv + weight-normed rest, LeakyReLU(0.2), torch-split explicit
+    paddings, feature maps exclude the post conv."""
 
     n_fft: int
     hop: int
     win: int
-    channels: int = 32
+    channels: int = 32  # cfg.model.msstftd.filters
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        from amphion_tpu.ops.stft import stft
+        from amphion_tpu.ops.stft import hann_window, stft
 
-        re, im = stft(x, self.n_fft, self.hop, self.win, center=True)
-        # (B, F, N) x2 → (B, N, F, 2)
-        h = jnp.stack([re, im], axis=-1).transpose(0, 2, 1, 3)
+        re, im = stft(x, self.n_fft, self.hop, self.win, center=False)
+        scale = 1.0 / float(np.sqrt(np.sum(hann_window(self.win) ** 2)))
+        # (B, F, N) x2 → (B, N, F, 2) image, channels (re, im)
+        h = jnp.stack([re, im], axis=-1).transpose(0, 2, 1, 3) * scale
         b = h.shape[0]
         fmap = []
-        h = nn.WeightNorm(nn.Conv(self.channels, (3, 9), padding="SAME"))(h)
-        h = nn.leaky_relu(h, LRELU_SLOPE)
+        # first conv is NOT weight-normed (ref msstftd.py:95-102: no norm=)
+        h = nn.Conv(self.channels, (3, 9), padding=((1, 1), (4, 4)),
+                    name="conv_0")(h)
+        h = nn.leaky_relu(h, 0.2)
         fmap.append(h)
-        for d in (1, 2, 4):
+        for i, d in enumerate((1, 2, 4)):
             h = nn.WeightNorm(nn.Conv(
                 self.channels, (3, 9), strides=(1, 2),
-                kernel_dilation=(d, 1), padding="SAME",
+                kernel_dilation=(d, 1), padding=((d, d), (4, 4)),
+                name=f"conv_{i + 1}",
             ))(h)
-            h = nn.leaky_relu(h, LRELU_SLOPE)
+            h = nn.leaky_relu(h, 0.2)
             fmap.append(h)
-        h = nn.WeightNorm(nn.Conv(self.channels, (3, 3), padding="SAME"))(h)
-        h = nn.leaky_relu(h, LRELU_SLOPE)
+        h = nn.WeightNorm(nn.Conv(self.channels, (3, 3),
+                                  padding=((1, 1), (1, 1)), name="conv_4"))(h)
+        h = nn.leaky_relu(h, 0.2)
         fmap.append(h)
-        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding="SAME"))(h)
-        fmap.append(h)
+        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
+                                  name="conv_post"))(h)
         return h.reshape(b, -1), fmap
 
 
 class MultiSTFTDiscriminator(nn.Module):
-    """MS-STFT over several resolutions (ref `msstftd.py`)."""
+    """MS-STFT over several resolutions (ref `msstftd.py:169`; default
+    scales n_fft [1024, 2048, 512] / hop [256, 512, 256])."""
 
     resolutions: tuple[tuple[int, int, int], ...] = (
         (1024, 256, 1024),
         (2048, 512, 2048),
-        (512, 128, 512),
+        (512, 256, 512),
     )
+    channels: int = 32
 
     @nn.compact
     def __call__(self, x: jax.Array):
         logits, fmaps = [], []
         for n_fft, hop, win in self.resolutions:
-            lo, fm = STFTDiscriminator(n_fft, hop, win)(x)
+            lo, fm = STFTDiscriminator(n_fft, hop, win, self.channels)(x)
             logits.append(lo)
             fmaps.append(fm)
         return logits, fmaps

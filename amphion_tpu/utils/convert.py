@@ -1403,6 +1403,24 @@ def torch_mpd_to_flax(sd: Mapping[str, np.ndarray],
     return params
 
 
+def torch_msstftd_to_flax(sd, num_scales: int = 3) -> dict:
+    """Reference MultiScaleSTFTDiscriminator (msstftd.py:169) → our
+    MultiSTFTDiscriminator params. Per branch: plain first conv
+    (`convs.0`, no norm in the reference), weight-normed `convs.{1..4}` +
+    `conv_post` (NormConv2d wraps the conv as `.conv`)."""
+    params: dict = {}
+    for i in range(num_scales):
+        p = f"discriminators.{i}"
+        w, b = _materialize_torch_norm(sd, f"{p}.convs.0.conv")
+        sub: dict = {"conv_0": conv2d_to_flax(w, b)}
+        entries = [(f"conv_{j}", _wn2d(sd, f"{p}.convs.{j}.conv"))
+                   for j in range(1, 5)]
+        entries.append(("conv_post", _wn2d(sd, f"{p}.conv_post.conv")))
+        sub.update(_wn_seq(entries))
+        params[f"STFTDiscriminator_{i}"] = sub
+    return params
+
+
 def torch_msd_to_flax(sd: Mapping[str, np.ndarray],
                       num_scales: int = 3) -> dict:
     """Reference MultiScaleDiscriminator (msd.py:53) → ours. The first

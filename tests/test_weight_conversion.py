@@ -3412,3 +3412,77 @@ class TestWaveNetRoundTrip:
                          jnp.asarray(mel.numpy().transpose(0, 2, 1)))
         np.testing.assert_allclose(
             np.asarray(y_j), y_t.numpy().transpose(0, 2, 1), atol=2e-4)
+
+
+class TestMSSTFTDiscriminatorRoundTrip:
+    """MS-STFT discriminator oracle (ref msstftd.py:169, EnCodec style):
+    window-normalized complex spectrogram image, plain first conv +
+    weight-normed dilated stack, logits + every feature map."""
+
+    def test_forward_parity(self):
+        import sys
+        import types
+
+        import jax.numpy as jnp
+
+        # functional torchaudio.transforms.Spectrogram shim (the global
+        # torchaudio stub has no real ops): center=False, normalized=True
+        # ("window" norm), power=None → complex
+        class _Spec(torch.nn.Module):
+            def __init__(self, n_fft, hop_length, win_length, window_fn,
+                         normalized, center, pad_mode, power):
+                super().__init__()
+                assert power is None and not center and normalized
+                self.n_fft, self.hop, self.win = n_fft, hop_length, win_length
+                self.register_buffer("window", window_fn(win_length))
+
+            def forward(self, x):
+                b, c, t = x.shape
+                z = torch.stft(x.reshape(b * c, t), self.n_fft, self.hop,
+                               self.win, self.window, center=False,
+                               return_complex=True)
+                z = z / self.window.pow(2).sum().sqrt()
+                return z.reshape(b, c, z.shape[-2], z.shape[-1])
+
+        sys.modules["torchaudio.transforms"].Spectrogram = _Spec
+        sys.modules["torchaudio"].transforms = sys.modules[
+            "torchaudio.transforms"]
+
+        from models.vocoders.gan.discriminator.msstftd import (
+            MultiScaleSTFTDiscriminator,
+        )
+
+        from amphion_tpu.models.vocoders.discriminators import (
+            MultiSTFTDiscriminator,
+        )
+        from amphion_tpu.utils.convert import torch_msstftd_to_flax
+
+        cfg = SimpleNamespace(model=SimpleNamespace(
+            msstftd=SimpleNamespace(filters=8)))
+        torch.manual_seed(90)
+        ref = MultiScaleSTFTDiscriminator(
+            cfg, n_ffts=[64, 128], hop_lengths=[16, 32],
+            win_lengths=[64, 128]).eval()
+        torch.manual_seed(91)
+        x = torch.randn(2, 1, 400) * 0.3
+        with torch.no_grad():
+            y_d_rs, _, fmap_rs, _ = ref(x, x)
+
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params = torch_msstftd_to_flax(sd, num_scales=2)
+        ours = MultiSTFTDiscriminator(
+            resolutions=((64, 16, 64), (128, 32, 128)), channels=8)
+        logits, fmaps = ours.apply({"params": params},
+                                   jnp.asarray(x.numpy()[:, 0, :]))
+        for i in range(2):
+            # ref logits (B, 1, T', F') — ours flattened; fmaps are NHWC
+            # vs ref NCHW
+            np.testing.assert_allclose(
+                np.asarray(logits[i]),
+                y_d_rs[i].numpy().transpose(0, 2, 3, 1).reshape(2, -1),
+                atol=2e-4)
+            assert len(fmaps[i]) == len(fmap_rs[i]) == 5
+            for fj, ft in zip(fmaps[i], fmap_rs[i]):
+                np.testing.assert_allclose(
+                    np.asarray(fj), ft.numpy().transpose(0, 2, 3, 1),
+                    atol=2e-4)
