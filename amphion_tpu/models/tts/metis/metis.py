@@ -1,38 +1,68 @@
 """Metis: unified masked-generative foundation model (TTS/VC/TSE/SE/L2S).
 
 Reference: `models/tts/metis/metis.py:172` + `metis_model.py` — masked
-generative pre-training on (SSL-token → acoustic) with per-task conditioning
-adapters and fine-tuning; per-task inference scripts
-`metis_infer_{tts,vc,tse,se,omni}.py`. Reuses the MaskGCT backbones: the
-task defines what conditions the T2S/S2A stages:
+generative pre-training on (SSL-token → acoustic) with task fine-tuning;
+per-task inference scripts `metis_infer_{tts,vc,tse,se,omni}.py`.
 
-- tts: phone condition (= MaskGCT T2S)
-- vc:  source semantic tokens condition directly (identity T2S)
-- se / tse: degraded-audio SSL features as continuous conditioning
-- l2s: lip/visual embedding sequence as continuous conditioning
+`MetisStage1` (ref `metis_model.py:43`) IS a MaskGCT T2S plus one
+fine-tune conditioning pathway: continuous task features (SSL feats of
+the degraded/source audio, visual embeddings, ...) pass through a
+zero-gated `SimpleAdapter` (`metis_model.py:19`: Linear→SiLU→Linear,
+output scaled by a zero-init gate) and are ADDED element-wise to the
+masked token-embedding sequence — the adapter output covers
+[prompt ‖ target] at inference (`reverse_diffusion`,
+`metis_model.py:191`: cond branch adds the full-length adapter output,
+the CFG branch adds the without-prompt slice). Tasks differ only in what
+features are fed:
 
-This module implements the unifying wrapper: a task-conditioned masked
-semantic-token generator + the shared S2A stage.
+- tts: phone condition (= MaskGCT T2S, no adapter)
+- vc / tse: SSL features of [prompt_speech ‖ source] + semantic prompt
+  tokens (`metis.py:410` `speech2semantic_w_prompt`)
+- se: SSL features of the noisy speech, empty prompt (`metis.py:396`)
+- l2s: visual embedding sequence (`video2semantic`)
+
+The S2A stage is the shared MaskGCT semantic→acoustic model.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from amphion_tpu.models.tts.maskgct.maskgct import (
     MaskGCTS2A,
     MaskGCTT2S,
     S2AConfig,
     T2SConfig,
+    _gumbel,
+    _topk_filter_frac,
+    mask_prob_schedule,
     s2a_sample,
     t2s_sample,
 )
 
 TASKS = ("tts", "vc", "se", "tse", "l2s")
+
+
+class SimpleAdapter(nn.Module):
+    """Zero-gated conditioning adapter (ref `metis_model.py:19-40`):
+    Linear(D→4H) → SiLU → Linear(4H→H), scaled by a zero-init gate so
+    fine-tuning starts from the pre-trained behaviour."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.out_dim * 4, name="in_linear")(x)
+        h = nn.silu(h)
+        h = nn.Dense(self.out_dim, name="out_linear")(h)
+        gate = self.param("gate_scale", nn.initializers.zeros, (1,))
+        return h * gate
 
 
 @dataclass(frozen=True)
@@ -48,46 +78,43 @@ class Metis(nn.Module):
     def setup(self):
         self.t2s = MaskGCTT2S(self.cfg.t2s)
         self.s2a = MaskGCTS2A(self.cfg.s2a)
-        self.cond_proj = nn.Dense(self.cfg.t2s.hidden)
-        self.task_embed = nn.Embed(len(TASKS), self.cfg.t2s.hidden)
-
-    def _task_id(self, task: str) -> int:
-        return TASKS.index(task)
+        self.cond_adapter = SimpleAdapter(self.cfg.t2s.hidden)
 
     def t2s_loss(self, task: str, x0, x_mask, rng, phone_id=None,
                  phone_mask=None, cond_feats=None):
-        """Masked CE on semantic tokens with task-specific conditioning.
-
-        For continuous-conditioned tasks the conditioning sequence is
-        injected as a prefix embedding (same mechanism as the phone prefix).
-        """
+        """Masked CE on semantic tokens with task-specific conditioning
+        (ref `metis_model.py:117-161`): clamped mask prob (≥0.2), an
+        unmasked prompt region of random length, adapter output added
+        element-wise. ``cond_feats`` must be time-aligned with ``x0``."""
         if task == "tts":
             assert phone_id is not None
             return self.t2s.compute_loss(x0, x_mask, phone_id, phone_mask, rng)
-        # continuous conditioning path: reuse compute_loss with a pseudo
-        # phone embedding built from projected features + task embedding
-        assert cond_feats is not None
-        b, lc, _ = cond_feats.shape
-        prefix = self.cond_proj(cond_feats) + self.task_embed(
-            jnp.full((b,), self._task_id(task))
-        )[:, None, :]
-        # inline masked objective (mirrors MaskGCTT2S.compute_loss with an
-        # embedding prefix instead of token ids)
+        assert cond_feats is not None and cond_feats.shape[1] == x0.shape[1]
         c = self.cfg.t2s
-        r_t, r_mask = jax.random.split(rng)
+        b, t_len = x0.shape
+        r_t, r_mask, r_prompt, r_drop = jax.random.split(rng, 4)
         t = jnp.clip(jax.random.uniform(r_t, (b,)), 1e-5, 1.0)
-        from amphion_tpu.models.tts.maskgct.maskgct import mask_prob_schedule
-
         mp = jnp.maximum(mask_prob_schedule(t), 0.2)
-        mask = jax.random.bernoulli(r_mask, mp[:, None], x0.shape)
-        mask = mask | (~jnp.any(mask, axis=1))[:, None] & (
-            jnp.arange(x0.shape[1])[None, :] == 0
-        )
-        x_emb = jnp.where(
-            mask[..., None], self.t2s.mask_emb[None, None, :], self.t2s.cond_emb(x0)
-        )
-        prefix_mask = jnp.ones((b, lc))
-        h = self.t2s.estimate(x_emb, t, x_mask, prefix, prefix_mask)
+
+        # prompt region r ~ U[min(T//4, 5), 0.4T), dropped with cfg prob
+        # (ref forward_diffusion, metis_model.py:83-93)
+        use_cond = jax.random.uniform(r_drop, (b,)) > c.cond_drop_prob
+        lo = min(max(t_len // 4, 1), 5)
+        hi = max(int(t_len * 0.4), lo + 1)
+        prompt_len = jnp.where(
+            use_cond, jax.random.randint(r_prompt, (b,), lo, hi), 0)
+        is_prompt = jnp.arange(t_len)[None, :] < prompt_len[:, None]
+        mask = jax.random.bernoulli(r_mask, mp[:, None], x0.shape) & ~is_prompt
+        # all-zero rows get position prompt_len masked (ref :105-108)
+        none_masked = ~jnp.any(mask, axis=1)
+        fix = (jnp.arange(t_len)[None, :]
+               == jnp.minimum(prompt_len, t_len - 1)[:, None])
+        mask = mask | (none_masked[:, None] & fix)
+
+        x_emb = jnp.where(mask[..., None], self.t2s.mask_emb[None, None, :],
+                          self.t2s.cond_emb(x0))
+        x_emb = x_emb + self.cond_adapter(cond_feats)
+        h = self.t2s.estimate(x_emb, t, x_mask)
         logits = self.t2s.to_logit(h)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, x0[..., None], axis=-1)[..., 0]
@@ -97,6 +124,30 @@ class Metis(nn.Module):
 
     def s2a_loss(self, tokens_all, x_mask, semantic_feats, rng):
         return self.s2a.compute_loss(tokens_all, x_mask, semantic_feats, rng)
+
+    def task_sample_step(self, seq, mask, t, prompt_tokens, cond_feats,
+                         cfg_scale, rescale_cfg):
+        """One reverse step for adapter-conditioned tasks (ref
+        `reverse_diffusion`, `metis_model.py:191-310`): the semantic
+        prompt rides as embedded prefix, the adapter output is added over
+        the full sequence on the cond branch and over the target slice on
+        the CFG branch; std-rescaled guidance."""
+        plen = prompt_tokens.shape[1]
+        ftc = self.cond_adapter(cond_feats)  # (B, plen+T, H)
+        tok = jnp.where(mask[..., None], self.t2s.mask_emb[None, None, :],
+                        self.t2s.cond_emb(seq))
+        cur_prompt = self.t2s.cond_emb(prompt_tokens)
+        x_full = jnp.concatenate([cur_prompt, tok], axis=1) + ftc
+        b, t_len = seq.shape
+        full_mask = jnp.ones((b, plen + t_len))
+        emb = self.t2s.estimate(x_full, t, full_mask)[:, plen:]
+        un = self.t2s.estimate(tok + ftc[:, plen:], t,
+                               jnp.ones((b, t_len)))
+        std_pos = jnp.std(emb)
+        g = emb + cfg_scale * (emb - un)
+        g_rescaled = g * std_pos / jnp.maximum(jnp.std(g), 1e-6)
+        g = rescale_cfg * g_rescaled + (1 - rescale_cfg) * g
+        return self.t2s.to_logit(g)
 
 
 def metis_infer_tts(model: Metis, params, prompt_semantic, phone_id, target_len,
@@ -108,48 +159,10 @@ def metis_infer_tts(model: Metis, params, prompt_semantic, phone_id, target_len,
     )
 
 
-def _metis_task_sample_step(model: Metis, params, task_id, seq, mask, t,
-                            cond_feats, cfg_scale, rescale_cfg):
-    """One reverse step for continuous-conditioned tasks (vc/se/tse/l2s):
-    the conditioning prefix is projected features + task embedding instead
-    of phone embeddings; CFG contrasts with the unconditioned branch."""
-
-    def run(prm, seq, mask, t, cond_feats):
-        def fwd(mdl):
-            tok_emb = jnp.where(
-                mask[..., None], mdl.t2s.mask_emb[None, None, :],
-                mdl.t2s.cond_emb(seq),
-            )
-            b = seq.shape[0]
-            prefix = mdl.cond_proj(cond_feats) + mdl.task_embed(
-                jnp.full((b,), task_id)
-            )[:, None, :]
-            prefix_mask = jnp.ones(prefix.shape[:2])
-            x_mask = jnp.ones_like(mask, jnp.float32)
-            emb = mdl.t2s.estimate(tok_emb, t, x_mask, prefix, prefix_mask)
-            un = mdl.t2s.estimate(tok_emb, t, x_mask)
-            std_pos = jnp.std(emb)
-            g = emb + cfg_scale * (emb - un)
-            g_rescaled = g * std_pos / jnp.maximum(jnp.std(g), 1e-6)
-            g = rescale_cfg * g_rescaled + (1 - rescale_cfg) * g
-            return mdl.t2s.to_logit(g)
-
-        return nn.apply(fwd, model)({"params": prm})
-
-    return run(params, seq, mask, t, cond_feats)
-
-
-import functools
-
-import numpy as np
-
-from amphion_tpu.models.tts.maskgct.maskgct import _gumbel, _topk_filter_frac
-
-
 @functools.lru_cache(maxsize=32)
-def _metis_task_sample_jitted(model, task_id, target_len, n_steps, temp,
+def _metis_task_sample_jitted(model, prompt_len, target_len, n_steps, temp,
                               filter_thres, cfg, rescale_cfg, compute_dtype):
-    def core(params, cond_feats, rng):
+    def core(params, prompt_tokens, cond_feats, rng):
         dt = jnp.dtype(compute_dtype)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
@@ -169,9 +182,9 @@ def _metis_task_sample_jitted(model, task_id, target_len, n_steps, temp,
             step_i, t_val, next_num = inp
             rng, r_s, r_c = jax.random.split(rng, 3)
             t = jnp.full((b,), t_val)
-            logits = _metis_task_sample_step(
-                model, params, task_id, seq, mask, t, cond_feats, cfg,
-                rescale_cfg,
+            logits = model.apply(
+                {"params": params}, seq, mask, t, prompt_tokens, cond_feats,
+                cfg, rescale_cfg, method=Metis.task_sample_step,
             ).astype(jnp.float32)
             logits = _topk_filter_frac(logits, filter_thres)
             temp_i = jnp.maximum(temp * t_val, 1e-3)
@@ -199,33 +212,46 @@ def _metis_task_sample_jitted(model, task_id, target_len, n_steps, temp,
 
 
 def metis_infer_task(model: Metis, params, task: str, cond_feats, target_len,
-                     rng, n_steps=25, temp=0.9, filter_thres=0.98, cfg=1.5,
-                     rescale_cfg=0.75, compute_dtype="bfloat16"):
-    """Continuous-conditioned semantic generation for vc/se/tse/l2s
-    (ref `metis_infer_{vc,tse,se}.py`): cond_feats (B, Lc, D) → semantic
-    tokens (B, target_len). Fully jit-compiled mask-predict scan."""
-    task_id = TASKS.index(task)
+                     rng, prompt_tokens=None, n_steps=25, temp=0.9,
+                     filter_thres=0.98, cfg=1.5, rescale_cfg=0.75,
+                     compute_dtype="bfloat16"):
+    """Adapter-conditioned semantic generation for vc/se/tse/l2s
+    (ref `metis_infer_{vc,tse,se}.py` → `reverse_diffusion`):
+    cond_feats (B, Lp+target_len, D) time-aligned features,
+    prompt_tokens (B, Lp) semantic prompt (empty for se/l2s) →
+    semantic tokens (B, target_len). Fully jit-compiled mask-predict."""
+    assert task in TASKS and task != "tts"
+    if prompt_tokens is None:
+        prompt_tokens = jnp.zeros((cond_feats.shape[0], 0), jnp.int32)
+    assert cond_feats.shape[1] == prompt_tokens.shape[1] + target_len
     fn = _metis_task_sample_jitted(
-        model, task_id, target_len, n_steps, temp, filter_thres, cfg,
-        rescale_cfg, compute_dtype,
+        model, int(prompt_tokens.shape[1]), target_len, n_steps, temp,
+        filter_thres, cfg, rescale_cfg, compute_dtype,
     )
-    return fn(params, cond_feats, rng)
+    return fn(params, jnp.asarray(prompt_tokens, jnp.int32), cond_feats, rng)
 
 
-def metis_infer_vc(model, params, src_feats, target_len, rng, **kw):
-    """Voice conversion: source SSL features → semantic tokens."""
-    return metis_infer_task(model, params, "vc", src_feats, target_len, rng, **kw)
+def metis_infer_vc(model, params, src_feats, target_len, rng,
+                   prompt_tokens=None, **kw):
+    """Voice conversion: SSL features of [prompt ‖ source] + the timbre
+    reference's semantic tokens → semantic tokens."""
+    return metis_infer_task(model, params, "vc", src_feats, target_len, rng,
+                            prompt_tokens=prompt_tokens, **kw)
 
 
 def metis_infer_se(model, params, noisy_feats, target_len, rng, **kw):
-    """Speech enhancement: degraded-audio features → clean semantics."""
-    return metis_infer_task(model, params, "se", noisy_feats, target_len, rng, **kw)
-
-
-def metis_infer_tse(model, params, mixture_feats, target_len, rng, **kw):
-    """Target-speaker extraction (enrollment is part of the feature seq)."""
-    return metis_infer_task(model, params, "tse", mixture_feats, target_len,
+    """Speech enhancement: degraded-audio features, no prompt
+    (ref `speech2semantic_wo_prompt`, metis.py:396)."""
+    return metis_infer_task(model, params, "se", noisy_feats, target_len,
                             rng, **kw)
+
+
+def metis_infer_tse(model, params, mixture_feats, target_len, rng,
+                    prompt_tokens=None, **kw):
+    """Target-speaker extraction: features of [enrollment ‖ mixture] with
+    the enrollment's semantic tokens as prompt."""
+    return metis_infer_task(model, params, "tse", mixture_feats, target_len,
+                            rng, prompt_tokens=prompt_tokens, **kw)
 
 
 def metis_infer_l2s(model, params, visual_feats, target_len, rng, **kw):

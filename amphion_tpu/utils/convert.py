@@ -767,6 +767,24 @@ def maskgct_t2s_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     }
 
 
+def metis_stage1_to_flax(sd: Mapping[str, np.ndarray],
+                         num_layers: int) -> dict:
+    """Reference MetisStage1 (metis_model.py:43 = MaskGCT_T2S +
+    SimpleAdapter `cond_adapter`) → our `Metis` params subtree
+    ({"t2s", "cond_adapter"}; the s2a branch loads separately)."""
+    g = lambda name: np.asarray(sd[name])
+    params: dict = {"t2s": maskgct_t2s_to_flax(sd, num_layers=num_layers)}
+    if "cond_adapter.in_linear.weight" in sd:
+        params["cond_adapter"] = {
+            "in_linear": linear_to_dense(g("cond_adapter.in_linear.weight"),
+                                         g("cond_adapter.in_linear.bias")),
+            "out_linear": linear_to_dense(g("cond_adapter.out_linear.weight"),
+                                          g("cond_adapter.out_linear.bias")),
+            "gate_scale": g("cond_adapter.gate_scale"),
+        }
+    return params
+
+
 def maskgct_s2a_to_flax(sd: Mapping[str, np.ndarray], num_layers: int,
                         num_quantizers: int) -> dict:
     """Reference MaskGCT_S2A state dict → `MaskGCTS2A` params.

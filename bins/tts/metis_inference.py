@@ -190,15 +190,29 @@ def main():
             model, params, prompt_sem, jnp.asarray(phones)[None], target_len,
             r1, n_steps=args.n_steps)
     else:
+        prompt_tok = None
         if args.task == "l2s":
             assert args.visual_npy, "--visual_npy required for l2s"
             feats = np.load(args.visual_npy)[None].astype(np.float32)
         else:
             assert args.src_audio, "--src_audio required"
             src, _ = load_wav(args.src_audio, sr=p.sample_rate)
+            # vc/tse carry a semantic prompt (timbre ref / enrollment) and
+            # condition on features of [prompt ‖ source]
+            # (ref metis.py:410 speech2semantic_w_prompt)
+            prompt_wav = None
             if args.task == "tse" and args.enroll_audio:
-                enroll, _ = load_wav(args.enroll_audio, sr=p.sample_rate)
-                src = np.concatenate([enroll, src])
+                prompt_wav, _ = load_wav(args.enroll_audio, sr=p.sample_rate)
+            elif args.task == "vc" and args.prompt_audio:
+                prompt_wav, _ = load_wav(args.prompt_audio, sr=p.sample_rate)
+            if prompt_wav is not None:
+                src = np.concatenate([prompt_wav, src])
+                prompt_tok = sem_codec.apply(
+                    {"params": sem_params},
+                    jnp.asarray(extract_feats(prompt_wav)),
+                    method=RepCodec.encode)
+            else:
+                prompt_tok = None
             # training conditions on the semantic codec's quantized latents
             # (preprocess `semantic_feats`) — replicate that transform here:
             # mel/SSL feats → tokens → quantized latents
@@ -210,10 +224,16 @@ def main():
                 method=RepCodec.decode_tokens)
         assert feats.shape[-1] == sem_dim, (
             f"conditioning dim {feats.shape[-1]} != semantic_dim {sem_dim}")
-        target_len = feats.shape[1]
+        plen = 0
+        if args.task != "l2s" and prompt_tok is not None:
+            plen = min(int(prompt_tok.shape[1]), feats.shape[1] - 1)
+            prompt_tok = prompt_tok[:, :plen]
+        else:
+            prompt_tok = None
+        target_len = feats.shape[1] - plen
         semantic = metis_infer_task(
             model, params, args.task, jnp.asarray(feats), target_len, r1,
-            n_steps=args.n_steps)
+            prompt_tokens=prompt_tok, n_steps=args.n_steps)
 
     # -- stage 2: semantic → acoustic → waveform -----------------------------
     if args.prompt_audio:

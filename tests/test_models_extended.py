@@ -109,7 +109,9 @@ def test_metis_tasks(rng):
     xmask = jnp.ones((2, 10), jnp.float32)
     phones = jnp.asarray(rng.integers(0, 16, (2, 4)))
     pmask = jnp.ones((2, 4), jnp.float32)
-    cond = jnp.asarray(rng.standard_normal((2, 6, 8)).astype(np.float32))
+    # time-aligned adapter conditioning (ref metis_model.py:131-136 adds
+    # the SimpleAdapter output element-wise to the token embeddings)
+    cond = jnp.asarray(rng.standard_normal((2, 10, 8)).astype(np.float32))
     params = model.init(
         jax.random.key(0), "tts", x0, xmask, jax.random.key(1), phones, pmask,
         method=Metis.t2s_loss,
@@ -132,13 +134,23 @@ def test_metis_tasks(rng):
     assert np.isfinite(float(loss_se))
 
     # task-conditioned inference (ref metis_infer_{vc,se,tse}.py): the
-    # mask-predict sampler over the continuous-conditioning prefix
-    from amphion_tpu.models.tts.metis.metis import metis_infer_se
+    # mask-predict sampler with element-wise adapter conditioning
+    from amphion_tpu.models.tts.metis.metis import (
+        metis_infer_se,
+        metis_infer_vc,
+    )
 
     toks = metis_infer_se(model, params_se, cond, target_len=10,
                           rng=jax.random.key(4), n_steps=3)
     assert toks.shape == (2, 10)
     assert (np.asarray(toks) >= 0).all() and (np.asarray(toks) < 24).all()
+    # with a semantic prompt (vc/tse route): cond covers [prompt ‖ target]
+    prompt = jnp.asarray(rng.integers(0, 24, (2, 4)))
+    cond_vc = jnp.asarray(rng.standard_normal((2, 14, 8)).astype(np.float32))
+    toks_vc = metis_infer_vc(model, params_se, cond_vc, target_len=10,
+                             rng=jax.random.key(5), prompt_tokens=prompt,
+                             n_steps=3)
+    assert toks_vc.shape == (2, 10)
 
 
 def test_noro(rng):

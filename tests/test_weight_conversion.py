@@ -3486,3 +3486,78 @@ class TestMSSTFTDiscriminatorRoundTrip:
                 np.testing.assert_allclose(
                     np.asarray(fj), ft.numpy().transpose(0, 2, 3, 1),
                     atol=2e-4)
+
+
+class TestMetisStage1RoundTrip:
+    """MetisStage1 oracle (ref metis_model.py:43): MaskGCT T2S + zero-gated
+    SimpleAdapter conditioning added element-wise over [prompt ‖ target];
+    CFG step parity incl. the without-prompt adapter slice on the
+    unconditional branch and std-rescaled guidance."""
+
+    def test_task_step_parity(self):
+        import jax.numpy as jnp
+
+        from models.tts.metis.metis_model import MetisStage1
+
+        from amphion_tpu.models.tts.maskgct.maskgct import S2AConfig, T2SConfig
+        from amphion_tpu.models.tts.metis.metis import Metis, MetisConfig
+        from amphion_tpu.utils.convert import metis_stage1_to_flax
+
+        torch.manual_seed(95)
+        hidden, heads, layers, vocab, cond_dim = 32, 4, 2, 24, 8
+        ref = MetisStage1(ft_type="vc", ft_cond_dim=cond_dim,
+                          hidden_size=hidden, num_heads=heads,
+                          num_layers=layers, cond_codebook_size=vocab).eval()
+        _shim_old_hf_attention(ref.diff_estimator)
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                if "to_weight" in n:
+                    p.copy_(torch.randn_like(p) * 0.2)
+            # gate starts at zero; randomize so the adapter matters
+            ref.cond_adapter.gate_scale.copy_(torch.tensor([0.7]))
+
+        b, t_len, plen = 2, 6, 3
+        torch.manual_seed(96)
+        seq = torch.randint(0, vocab, (b, t_len))
+        mask = torch.zeros(b, t_len, dtype=torch.bool)
+        mask[:, 2:] = True
+        prompt = torch.randint(0, vocab, (b, plen))
+        finetune_cond = torch.randn(b, plen + t_len, cond_dim)
+        tvec = torch.tensor([0.3, 0.7])
+        cfg, rescale = 1.5, 0.75
+        with torch.no_grad():
+            # mirrors reverse_diffusion's inner step (metis_model.py:280-306)
+            ftc = ref.cond_adapter(finetune_cond)
+            cur = torch.where(mask[..., None], ref.mask_emb.weight[0],
+                              ref.cond_emb(seq))
+            cur_prompt = ref.cond_emb(prompt)
+            xt_input = torch.cat([cur_prompt, cur], dim=1) + ftc
+            embeds = ref.diff_estimator(
+                xt_input, tvec, torch.ones(b, plen + t_len))[:, plen:]
+            mask_embeds = ref.diff_estimator(
+                cur + ftc[:, plen:], tvec, torch.ones(b, t_len))
+            std_pos = embeds.std()
+            g = embeds + cfg * (embeds - mask_embeds)
+            g = rescale * (g * std_pos / g.std()) + (1 - rescale) * g
+            ref_logits = ref.to_logit(g).numpy()
+
+        params = metis_stage1_to_flax(
+            {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+            num_layers=layers)
+        ours = Metis(MetisConfig(
+            t2s=T2SConfig(hidden=hidden, num_layers=layers, num_heads=heads,
+                          codebook_size=vocab, phone_vocab=1024,
+                          max_position=64),
+            s2a=S2AConfig(hidden=hidden, num_layers=1, num_heads=heads,
+                          codebook_size=8, num_quantizers=2, semantic_dim=8,
+                          max_position=64),
+            cond_feature_dim=cond_dim,
+        ))
+        logits = ours.apply(
+            {"params": params}, jnp.asarray(seq.numpy()),
+            jnp.asarray(mask.numpy()), jnp.asarray(tvec.numpy()),
+            jnp.asarray(prompt.numpy()), jnp.asarray(finetune_cond.numpy()),
+            cfg, rescale, method=Metis.task_sample_step)
+        # torch .std() is unbiased (ddof=1) vs jnp.std biased — the rescale
+        # branch differs by ~n/(n-1); tolerance covers it at test size
+        np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=3e-3)
