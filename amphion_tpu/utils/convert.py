@@ -2299,6 +2299,49 @@ def jets_alignment_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
     }
 
 
+def torch_jets_to_flax(sd: Mapping[str, np.ndarray], *,
+                       enc_layers: int, dec_layers: int,
+                       upsample_rates: tuple[int, ...],
+                       resblock_kernel_sizes: tuple[int, ...],
+                       resblock: str = "1",
+                       dilations_per_block: int = 3) -> dict:
+    """Reference Jets generator (models/tts/jets/jets.py:391) → our `Jets`
+    params: legacy FFT encoder/decoder, variance predictors, alignment
+    module, pitch/energy conv embeds, HiFiGAN generator. The reference's
+    unused-at-train mel_linear/postnet and bucketized variance embedding
+    tables are dropped (never used in its forward/inference)."""
+    g = lambda name: np.asarray(sd[name])
+    params: dict = {
+        "phone_embed": {"embedding": g("encoder.src_word_emb.weight")},
+        "alignment_module": jets_alignment_to_flax(
+            {k[len("alignment_module."):]: v for k, v in sd.items()
+             if k.startswith("alignment_module.")}),
+        "duration_predictor": _fs2_variance_predictor(
+            sd, "variance_adaptor.duration_predictor"),
+        "pitch_predictor": _fs2_variance_predictor(
+            sd, "variance_adaptor.pitch_predictor"),
+        "energy_predictor": _fs2_variance_predictor(
+            sd, "variance_adaptor.energy_predictor"),
+        "pitch_embed": conv1d_to_flax(g("pitch_embed.0.weight"),
+                                      g("pitch_embed.0.bias")),
+        "energy_embed": conv1d_to_flax(g("energy_embed.0.weight"),
+                                       g("energy_embed.0.bias")),
+        "decoder": torch_hifigan_to_flax(
+            {k[len("generator."):]: v for k, v in sd.items()
+             if k.startswith("generator.")},
+            num_upsamples=len(upsample_rates),
+            num_kernels=len(resblock_kernel_sizes), resblock=resblock,
+            dilations_per_block=dilations_per_block),
+    }
+    for i in range(enc_layers):
+        params[f"enc_{i}"] = _fs2_fft_block(sd, f"encoder.layer_stack.{i}")
+    for i in range(dec_layers):
+        params[f"dec_{i}"] = _fs2_fft_block(sd, f"decoder.layer_stack.{i}")
+    if "speaker_emb.weight" in sd:
+        params["spk"] = embedding_to_flax(g("speaker_emb.weight"))
+    return params
+
+
 def condition_encoder_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
     """Reference SVC `ConditionEncoder`
     (modules/encoder/condition_encoder.py:147) → our

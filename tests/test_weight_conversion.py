@@ -3561,3 +3561,93 @@ class TestMetisStage1RoundTrip:
         # torch .std() is unbiased (ddof=1) vs jnp.std biased — the rescale
         # branch differs by ~n/(n-1); tolerance covers it at test size
         np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=3e-3)
+
+
+class TestJetsRoundTrip:
+    """Full JETS inference-path oracle (ref jets.py:573-620): legacy FFT
+    encoder → variance predictors → conv p/e embeds added to hs →
+    exp(d)-1 length regulation → legacy FFT decoder → HiFiGAN generator.
+    (The training-only alignment module has its own oracle; the training
+    forward differs from inference only by the raw-scalar ps/es add and
+    random segmenting.)"""
+
+    def test_inference_parity(self, tmp_path):
+        import sys as _sys
+        import types as _types
+
+        import jax.numpy as jnp
+
+        if "unidecode" not in _sys.modules:
+            mod = _types.ModuleType("unidecode")
+            mod.unidecode = lambda s: s
+            _sys.modules["unidecode"] = mod
+        if "inflect" not in _sys.modules:
+            mod = _types.ModuleType("inflect")
+            mod.engine = lambda: SimpleNamespace(
+                number_to_words=lambda *a, **k: "")
+            _sys.modules["inflect"] = mod
+
+        import models.tts.jets.jets as ref_jets_mod
+
+        from amphion_tpu.models.tts.fastspeech2.fs2 import FastSpeech2Config
+        from amphion_tpu.models.tts.jets.jets import Jets, JetsConfig
+        from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig
+        from amphion_tpu.utils.convert import torch_jets_to_flax
+
+        # the reference hardcodes attention_dim=256 (jets.py:421), so the
+        # transformer hidden must be 256; keep everything else tiny
+        hidden = 256
+        cfg = _fs2_ref_cfg(str(tmp_path))
+        # _AttrDict reads go through __getitem__ — update the dict keys
+        cfg.model.transformer.update(
+            encoder_hidden=hidden, decoder_hidden=hidden,
+            encoder_layer=1, decoder_layer=1)
+        cfg.train.segment_size = 8
+        # stub the vendored load_config("egs/vocoder/gan/hifigan/...") with
+        # a tiny HiFiGAN config (the ctor overrides n_mel = attention_dim)
+        hifi = SimpleNamespace(
+            model=SimpleNamespace(hifigan=SimpleNamespace(
+                resblock="2", upsample_rates=[2, 2],
+                upsample_kernel_sizes=[4, 4], upsample_initial_channel=16,
+                resblock_kernel_sizes=[3],
+                resblock_dilation_sizes=[[1, 3]])),
+            preprocess=SimpleNamespace(n_mel=hidden))
+        orig_load = ref_jets_mod.load_config
+        ref_jets_mod.load_config = lambda path: hifi
+        try:
+            torch.manual_seed(100)
+            ref = ref_jets_mod.Jets(cfg).eval()
+        finally:
+            ref_jets_mod.load_config = orig_load
+
+        torch.manual_seed(101)
+        b, n = 1, 6
+        texts = torch.randint(1, 30, (b, n))
+        data = {"spk_id": torch.zeros(b, dtype=torch.long), "texts": texts,
+                "text_len": torch.tensor([n])}
+        with torch.no_grad():
+            wav_t, d_t = ref.inference(data)
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = torch_jets_to_flax(
+            sd, enc_layers=1, dec_layers=1, upsample_rates=(2, 2),
+            resblock_kernel_sizes=(3,), resblock="2",
+            dilations_per_block=2)
+        total = int(d_t.sum())
+        ours = Jets(JetsConfig(
+            fs2=FastSpeech2Config(
+                num_phones=sd["encoder.src_word_emb.weight"].shape[0],
+                hidden=hidden, n_enc_layers=1, n_dec_layers=1, n_heads=2,
+                ffn_hidden=32, kernel_size=9, n_mel=8, max_frames=total,
+                variance_hidden=16),
+            decoder=HiFiGANConfig(
+                resblock="2", upsample_rates=(2, 2),
+                upsample_kernel_sizes=(4, 4), upsample_initial_channel=16,
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+                n_mel=hidden)))
+        wav_j, _ = ours.apply(
+            {"params": params}, jnp.asarray(texts.numpy()), jnp.ones((b, n)),
+            method=Jets.infer)
+        assert wav_j.shape[1] == wav_t.shape[-1]
+        np.testing.assert_allclose(np.asarray(wav_j),
+                                   wav_t.numpy().reshape(b, -1), atol=3e-4)
