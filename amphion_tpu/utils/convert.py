@@ -2299,6 +2299,78 @@ def jets_alignment_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
     }
 
 
+def valle_ref_to_flax(sd: Mapping[str, np.ndarray], *,
+                      num_layers: int, num_quantizers: int = 8) -> dict:
+    """Reference VALLE state dict (models/tts/valle/valle.py:25) → our
+    `ValleRef` params. Packed-QKV encoder layers, learnable positional
+    alphas on the AR branch, adaptive layer norms + per-stage embeddings
+    on the NAR branch; `share_embedding` ties arrive naturally (the tied
+    tensors are identical in the state dict)."""
+    g = lambda name: np.asarray(sd[name])
+
+    def layer(prefix: str, adaptive: bool) -> dict:
+        p: dict = {
+            "in_proj": linear_to_dense(g(f"{prefix}.self_attn.in_proj_weight"),
+                                       g(f"{prefix}.self_attn.in_proj_bias")),
+            "out_proj": linear_to_dense(g(f"{prefix}.self_attn.out_proj.weight"),
+                                        g(f"{prefix}.self_attn.out_proj.bias")),
+            "linear1": linear_to_dense(g(f"{prefix}.linear1.weight"),
+                                       g(f"{prefix}.linear1.bias")),
+            "linear2": linear_to_dense(g(f"{prefix}.linear2.weight"),
+                                       g(f"{prefix}.linear2.bias")),
+        }
+        for n in ("norm1", "norm2"):
+            if adaptive:
+                p[n] = {
+                    "project_layer": linear_to_dense(
+                        g(f"{prefix}.{n}.project_layer.weight"),
+                        g(f"{prefix}.{n}.project_layer.bias")),
+                    "norm": {"scale": g(f"{prefix}.{n}.norm.weight"),
+                             "bias": g(f"{prefix}.{n}.norm.bias")},
+                }
+            else:
+                p[n] = {"scale": g(f"{prefix}.{n}.weight"),
+                        "bias": g(f"{prefix}.{n}.bias")}
+        return p
+
+    params: dict = {
+        "ar_text_embedding": {
+            "embedding": g("ar_text_embedding.word_embeddings.weight")},
+        "ar_audio_embedding": {
+            "embedding": g("ar_audio_embedding.word_embeddings.weight")},
+        "ar_text_position": {"alpha": g("ar_text_position.alpha")},
+        "ar_audio_position": {"alpha": g("ar_audio_position.alpha")},
+        "ar_predict_layer": {"kernel": g("ar_predict_layer.weight").T},
+    }
+    for i in range(num_layers):
+        params[f"ar_layer_{i}"] = layer(f"ar_decoder.layers.{i}", False)
+    if "ar_decoder.norm.weight" in sd:
+        params["ar_final_norm"] = {"scale": g("ar_decoder.norm.weight"),
+                                   "bias": g("ar_decoder.norm.bias")}
+    if num_quantizers > 1:
+        params["nar_text_embedding"] = {
+            "embedding": g("nar_text_embedding.word_embeddings.weight")}
+        for j in range(num_quantizers):
+            params[f"nar_audio_embedding_{j}"] = {"embedding": g(
+                f"nar_audio_embeddings.{j}.word_embeddings.weight")}
+        for i in range(num_layers):
+            params[f"nar_layer_{i}"] = layer(f"nar_decoder.layers.{i}", True)
+        if "nar_decoder.norm.norm.weight" in sd:
+            params["nar_final_norm"] = {
+                "project_layer": linear_to_dense(
+                    g("nar_decoder.norm.project_layer.weight"),
+                    g("nar_decoder.norm.project_layer.bias")),
+                "norm": {"scale": g("nar_decoder.norm.norm.weight"),
+                         "bias": g("nar_decoder.norm.norm.bias")},
+            }
+        for j in range(num_quantizers - 1):
+            params[f"nar_predict_{j}"] = {
+                "kernel": g(f"nar_predict_layers.{j}.weight").T}
+            params[f"nar_stage_emb_{j}"] = g(
+                f"nar_stage_embeddings.{j}.word_embeddings.weight")[0]
+    return params
+
+
 def torch_jets_to_flax(sd: Mapping[str, np.ndarray], *,
                        enc_layers: int, dec_layers: int,
                        upsample_rates: tuple[int, ...],

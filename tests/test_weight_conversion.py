@@ -3651,3 +3651,155 @@ class TestJetsRoundTrip:
         assert wav_j.shape[1] == wav_t.shape[-1]
         np.testing.assert_allclose(np.asarray(wav_j),
                                    wav_t.numpy().reshape(b, -1), atol=3e-4)
+
+
+class TestValleRefRoundTrip:
+    """Checkpoint-compatible VALL-E oracle (ref valle.py:25): AR logits
+    (text-block/causal-audio attention, learnable positional alphas),
+    NAR stage logits (adaptive layer norms + per-stage embeddings,
+    prefix modes 0/1), and full greedy zero-shot decode parity (AR loop +
+    sequential NAR codebooks) through converted weights."""
+
+    def _build_ref(self, prefix_mode=0, q=4):
+        import sys as _sys
+        import types as _types
+
+        if "torchmetrics" not in _sys.modules:
+            tm = _types.ModuleType("torchmetrics")
+            tmc = _types.ModuleType("torchmetrics.classification")
+
+            class _Acc(torch.nn.Module):
+                def __init__(self, *a, **k):
+                    super().__init__()
+
+                def forward(self, *a, **k):
+                    return torch.tensor(0.0)
+
+            tmc.MulticlassAccuracy = _Acc
+            tm.classification = tmc
+            _sys.modules["torchmetrics"] = tm
+            _sys.modules["torchmetrics.classification"] = tmc
+        from models.tts.valle.valle import VALLE
+
+        cfg = SimpleNamespace(
+            decoder_dim=32, nhead=4, nar_scale_factor=1, num_quantizers=q,
+            num_decoder_layers=2, text_token_num=40, audio_token_num=24,
+            prepend_bos=False, add_prenet=False, norm_first=True,
+            prefix_mode=prefix_mode, share_embedding=True)
+        torch.manual_seed(110)
+        return VALLE(cfg).eval(), cfg
+
+    def _ours(self, cfg, sd):
+        from amphion_tpu.models.tts.valle.valle_ref import (
+            ValleRef,
+            ValleRefConfig,
+        )
+        from amphion_tpu.utils.convert import valle_ref_to_flax
+
+        params = valle_ref_to_flax(sd, num_layers=cfg.num_decoder_layers,
+                                   num_quantizers=cfg.num_quantizers)
+        ours = ValleRef(ValleRefConfig(
+            text_token_num=cfg.text_token_num,
+            audio_token_num=cfg.audio_token_num,
+            decoder_dim=cfg.decoder_dim, nhead=cfg.nhead,
+            num_decoder_layers=cfg.num_decoder_layers,
+            num_quantizers=cfg.num_quantizers, norm_first=cfg.norm_first,
+            prefix_mode=cfg.prefix_mode, prepend_bos=cfg.prepend_bos))
+        return ours, params
+
+    def test_ar_and_nar_logits_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.valle.valle_ref import ValleRef
+
+        ref, cfg = self._build_ref(prefix_mode=1)
+        torch.manual_seed(111)
+        b, s, t = 2, 5, 7
+        text = torch.randint(1, 40, (b, s))
+        y = torch.randint(0, 24, (b, t))
+        codes = torch.randint(0, 24, (b, t, cfg.num_quantizers))
+
+        with torch.no_grad():
+            # AR: mirror _forward_ar_decoder (valle.py:330-372), no padding
+            x = ref.ar_text_position(ref.ar_text_embedding(text))
+            y_pos = ref.ar_audio_position(ref.ar_audio_embedding(y))
+            xy_pos = torch.concat([x, y_pos], dim=1)
+            x_attn = torch.nn.functional.pad(
+                torch.zeros((s, s), dtype=torch.bool), (0, t), value=True)
+            y_attn = torch.nn.functional.pad(
+                torch.triu(torch.ones(t, t, dtype=torch.bool), diagonal=1),
+                (s, 0), value=False)
+            mask = torch.concat([x_attn, y_attn], dim=0)
+            attn = torch.zeros_like(mask, dtype=x.dtype).masked_fill(
+                mask, float("-inf"))
+            xy_dec, _ = ref.ar_decoder((xy_pos, None), mask=attn)
+            ar_logits_t = ref.ar_predict_layer(xy_dec[:, s:])
+
+            # NAR stage 2, prefix_mode 1 with prefix_len 3: mirror
+            # _forward_nar_decoder + PromptPreparer mode 1
+            stage, plen = 2, 3
+            xn = ref.nar_text_position(ref.nar_text_embedding(text))
+            y_prompts = ref.nar_audio_embeddings[0](codes[:, :plen, 0])
+            y_emb = ref.nar_audio_embeddings[0](codes[:, plen:, 0])
+            for j in range(1, cfg.num_quantizers):
+                y_prompts = y_prompts + ref.nar_audio_embeddings[j](
+                    codes[:, :plen, j])
+                if j < stage:
+                    y_emb = y_emb + ref.nar_audio_embeddings[j](
+                        codes[:, plen:, j])
+            y_full = torch.concat([y_prompts, y_emb], dim=1)
+            y_posn = ref.nar_audio_position(y_full)
+            xy = torch.concat([xn, y_posn], dim=1)
+            xy_dec_n, _ = ref.nar_decoder(
+                (xy, ref.nar_stage_embeddings[stage - 1].weight))
+            nar_logits_t = ref.nar_predict_layers[stage - 1](xy_dec_n[:, s:])
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        ours, params = self._ours(cfg, sd)
+        ar_logits_j = ours.apply(
+            {"params": params}, jnp.asarray(text.numpy()),
+            jnp.asarray(y.numpy()), jnp.ones((b, s)), jnp.ones((b, t)),
+            method=ValleRef.ar_logits)
+        np.testing.assert_allclose(np.asarray(ar_logits_j),
+                                   ar_logits_t.numpy(), atol=2e-4)
+        nar_logits_j = ours.apply(
+            {"params": params}, jnp.asarray(text.numpy()),
+            jnp.asarray(codes.numpy()), stage, jnp.ones((b, s)),
+            jnp.ones((b, t)), plen, method=ValleRef.nar_logits)
+        np.testing.assert_allclose(np.asarray(nar_logits_j),
+                                   nar_logits_t.numpy(), atol=2e-4)
+
+    def test_greedy_zero_shot_decode_parity(self):
+        import jax.numpy as jnp
+
+        import models.tts.valle.valle as ref_valle_mod
+
+        from amphion_tpu.models.tts.valle.valle_ref import (
+            valle_ref_ar_generate,
+            valle_ref_nar_generate,
+        )
+
+        ref, cfg = self._build_ref(prefix_mode=0)
+        torch.manual_seed(112)
+        text = torch.randint(1, 40, (1, 4))
+        prompts = torch.randint(0, 24, (1, 3, cfg.num_quantizers))
+
+        orig = ref_valle_mod.topk_sampling
+        ref_valle_mod.topk_sampling = (
+            lambda logits, **kw: torch.argmax(logits, -1, keepdim=True))
+        try:
+            with torch.no_grad():
+                codes_t = ref.inference(
+                    text, torch.tensor([4]), prompts, torch.tensor([4]))
+        finally:
+            ref_valle_mod.topk_sampling = orig
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        ours, params = self._ours(cfg, sd)
+        codes0 = valle_ref_ar_generate(
+            ours, params, jnp.asarray(text.numpy()),
+            jnp.asarray(prompts.numpy()[..., 0]))
+        codes_j = valle_ref_nar_generate(
+            ours, params, jnp.asarray(text.numpy()), codes0,
+            jnp.asarray(prompts.numpy()))
+        np.testing.assert_array_equal(np.asarray(codes_j), codes_t.numpy())
