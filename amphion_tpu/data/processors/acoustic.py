@@ -32,6 +32,7 @@ def extract_acoustic_features(
     extract_f0: bool = True,
     extract_energy: bool = True,
     max_tokens: int = 4_000_000,  # samples per device batch
+    pitch_extractor: str = "yin",  # "yin" | "pyin" (ref cfg pitch_extractor)
 ) -> dict:
     """Extract mel (+F0/UV, energy) for every utterance → .npy files.
 
@@ -54,6 +55,10 @@ def extract_acoustic_features(
     mel_max = np.full(mel_cfg.n_mel, -np.inf)
     pitch_stats: dict[str, list] = {}
     f0_cfg = F0Config(sample_rate=mel_cfg.sample_rate, hop_size=hop)
+    if pitch_extractor == "pyin":
+        from amphion_tpu.ops.f0 import PyinConfig, pyin_f0
+
+        pyin_cfg = PyinConfig(base=f0_cfg)
 
     for idxs, bucket in sampler:
         batch = np.zeros((len(idxs), bucket), np.float32)
@@ -61,7 +66,11 @@ def extract_acoustic_features(
             batch[row, : lengths[i]] = audios[i][: lengths[i]]
         mel = np.asarray(mel_spectrogram(jnp.asarray(batch), mel_cfg))
         if extract_f0:
-            f0, voiced = yin_f0(jnp.asarray(batch), f0_cfg)
+            if pitch_extractor == "pyin":
+                f0, vp = pyin_f0(jnp.asarray(batch), pyin_cfg)
+                voiced = f0 > 0
+            else:
+                f0, voiced = yin_f0(jnp.asarray(batch), f0_cfg)
             f0, voiced = np.asarray(f0), np.asarray(voiced)
         if extract_energy:
             energy = np.asarray(energy_from_log_mel(jnp.asarray(mel)))

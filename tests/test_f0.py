@@ -63,3 +63,40 @@ def test_f0_to_coarse_range():
     assert coarse.min() >= 1 and coarse.max() <= 255
     assert coarse[0] == 1  # unvoiced → bin 1
     assert coarse[3] == 255
+
+
+def test_pyin_tracks_sweep_through_noise():
+    """pYIN-style Viterbi tracker (ref get_f0_features_using_pyin,
+    utils/f0.py:73): must stay on a sweep through a noise burst where the
+    per-frame candidates get corrupted, and match YIN accuracy on the
+    clean parts."""
+    from amphion_tpu.ops.f0 import F0Config, PyinConfig, pyin_f0
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    freq = 150 * 2 ** (t / 1.0)  # one-octave sweep
+    phase = 2 * np.pi * np.cumsum(freq) / sr
+    x = 0.5 * np.sin(phase)
+    x[sr // 2:sr // 2 + 600] += 0.6 * np.random.default_rng(0).standard_normal(600)
+    cfg = PyinConfig(base=F0Config(sample_rate=sr, hop_size=160,
+                                   f0_min=60, f0_max=800))
+    f0, vp = pyin_f0(jnp.asarray(x[None]), cfg)
+    f0 = np.asarray(f0[0])
+    gt = freq[np.arange(len(f0)) * 160]
+    v = f0 > 0
+    cents = np.abs(1200 * np.log2(np.maximum(f0[v], 1) / gt[v]))
+    assert float(np.median(cents)) < 15
+    assert v.mean() > 0.8
+    # no octave jumps: consecutive voiced deltas stay under 6 semitones
+    fv = f0[v]
+    jumps = np.abs(12 * np.log2(fv[1:] / fv[:-1]))
+    assert float(jumps.max()) < 6
+
+
+def test_pyin_silence_unvoiced():
+    from amphion_tpu.ops.f0 import F0Config, PyinConfig, pyin_f0
+
+    cfg = PyinConfig(base=F0Config(sample_rate=16000, hop_size=160,
+                                   f0_min=60, f0_max=800))
+    f0, _ = pyin_f0(jnp.zeros((1, 8000)), cfg)
+    assert int((np.asarray(f0) > 0).sum()) == 0
