@@ -369,3 +369,12 @@ def valle_ref_nar_generate(model: ValleRef, params, text, codes0,
         outs.append(pred)
         full = full.at[:, lp:, stage].set(pred)
     return jnp.stack(outs, axis=-1)  # (1, T, Q)
+
+
+def valle_ref_continual(model: ValleRef, params, text, y):
+    """Reference `continual` (valle.py:611-704): audio continuation —
+    keep codebook 0 of the region past the prefix (min(T/2, 225) frames)
+    and regenerate codebooks 1..Q-1 with the prefix as the NAR prompt."""
+    prefix_len = min(int(y.shape[1] * 0.5), 3 * 75)
+    return valle_ref_nar_generate(
+        model, params, text, y[:, prefix_len:, 0], y[:, :prefix_len])

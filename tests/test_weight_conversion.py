@@ -3803,3 +3803,28 @@ class TestValleRefRoundTrip:
             ours, params, jnp.asarray(text.numpy()), codes0,
             jnp.asarray(prompts.numpy()))
         np.testing.assert_array_equal(np.asarray(codes_j), codes_t.numpy())
+
+
+class TestValleRefContinual:
+    """`continual` parity (valle.py:611): prefix = min(T/2, 225), codebook
+    0 of the continuation kept, codebooks 1..7 regenerated by argmax."""
+
+    def test_continual_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.valle.valle_ref import valle_ref_continual
+
+        helper = TestValleRefRoundTrip()
+        ref, cfg = helper._build_ref(prefix_mode=0, q=8)
+        torch.manual_seed(120)
+        text = torch.randint(1, 40, (1, 4))
+        y = torch.randint(0, 24, (1, 10, 8))
+        with torch.no_grad():
+            codes_t = ref.continual(text, torch.tensor([4]), y)
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        ours, params = helper._ours(cfg, sd)
+        codes_j = valle_ref_continual(ours, params,
+                                      jnp.asarray(text.numpy()),
+                                      jnp.asarray(y.numpy()))
+        np.testing.assert_array_equal(np.asarray(codes_j), codes_t.numpy())
