@@ -79,7 +79,9 @@ class VitsSVC(nn.Module):
             * (max_start + 1).astype(jnp.float32)
         ).astype(jnp.int32)
         z_seg = _slice_segments(z, start, v.segment_size)
-        wav_seg = self.decoder(z_seg, g=g)
+        # the reference conditions posterior/flow on the speaker but NOT
+        # the waveform decoder (ref svc vits.py:214-221)
+        wav_seg = self.decoder(z_seg)
         return {
             "wav_segment": wav_seg,
             "segment_start": start,
@@ -95,4 +97,4 @@ class VitsSVC(nn.Module):
         m_p, logs_p = self._prior(features, frame_mask)
         z_p = m_p + jax.random.normal(rng, m_p.shape) * jnp.exp(logs_p) * noise_scale
         z = self.flow(z_p, frame_mask, g=g, reverse=True)
-        return self.decoder(z * frame_mask[..., None], g=g)
+        return self.decoder(z * frame_mask[..., None])

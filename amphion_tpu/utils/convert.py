@@ -905,11 +905,10 @@ def torch_wn_module_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
     return out
 
 
-def torch_vits_text_encoder_to_flax(sd: Mapping[str, np.ndarray],
-                                    prefix: str = "enc_p",
-                                    n_layers: int = 6) -> dict:
-    """Reference VITS TextEncoder (vits.py:28: emb + relative-attention
-    Encoder + proj) → our `models/tts/vits` TextEncoder params."""
+def _vits_rel_encoder_to_flax(sd: Mapping[str, np.ndarray],
+                              enc_prefix: str, n_layers: int) -> dict:
+    """VITS relative-attention Encoder stack (attentions.py Encoder) →
+    our `modules/transformer.TransformerEncoder` params."""
     t = lambda name: np.asarray(sd[name])
 
     def ln(p: str) -> dict:
@@ -917,7 +916,7 @@ def torch_vits_text_encoder_to_flax(sd: Mapping[str, np.ndarray],
 
     enc: dict = {}
     for i in range(n_layers):
-        a = f"{prefix}.encoder.attn_layers.{i}"
+        a = f"{enc_prefix}.attn_layers.{i}"
         enc[f"MultiHeadAttention_{i}"] = {
             "q": _dense_from_conv1x1(sd, f"{a}.conv_q"),
             "k": _dense_from_conv1x1(sd, f"{a}.conv_k"),
@@ -926,20 +925,79 @@ def torch_vits_text_encoder_to_flax(sd: Mapping[str, np.ndarray],
             "rel_k": t(f"{a}.emb_rel_k")[0],
             "rel_v": t(f"{a}.emb_rel_v")[0],
         }
-        f = f"{prefix}.encoder.ffn_layers.{i}"
+        f = f"{enc_prefix}.ffn_layers.{i}"
         enc[f"ConvFFN_{i}"] = {
             "Conv_0": conv1d_to_flax(t(f"{f}.conv_1.weight"),
                                      t(f"{f}.conv_1.bias")),
             "Conv_1": conv1d_to_flax(t(f"{f}.conv_2.weight"),
                                      t(f"{f}.conv_2.bias")),
         }
-        enc[f"LayerNorm_{2 * i}"] = ln(f"{prefix}.encoder.norm_layers_1.{i}")
-        enc[f"LayerNorm_{2 * i + 1}"] = ln(f"{prefix}.encoder.norm_layers_2.{i}")
+        enc[f"LayerNorm_{2 * i}"] = ln(f"{enc_prefix}.norm_layers_1.{i}")
+        enc[f"LayerNorm_{2 * i + 1}"] = ln(f"{enc_prefix}.norm_layers_2.{i}")
+    return enc
+
+
+def torch_vits_text_encoder_to_flax(sd: Mapping[str, np.ndarray],
+                                    prefix: str = "enc_p",
+                                    n_layers: int = 6) -> dict:
+    """Reference VITS TextEncoder (vits.py:28: emb + relative-attention
+    Encoder + proj) → our `models/tts/vits` TextEncoder params."""
+    t = lambda name: np.asarray(sd[name])
     return {
         "emb": {"embedding": t(f"{prefix}.emb.weight")},
-        "encoder": enc,
+        "encoder": _vits_rel_encoder_to_flax(sd, f"{prefix}.encoder",
+                                             n_layers),
         "proj": _dense_from_conv1x1(sd, f"{prefix}.proj"),
     }
+
+
+def vits_svc_to_flax(sd: Mapping[str, np.ndarray], *,
+                     n_layers: int = 6,
+                     posterior_wn_layers: int = 16,
+                     n_flows: int = 4,
+                     flow_wn_layers: int = 4,
+                     num_upsamples: int = 4,
+                     num_kernels: int = 3,
+                     resblock: str = "1",
+                     dilations_per_block: int = 3) -> dict:
+    """Reference VitsSVC SynthesizerTrn (models/svc/vits/vits.py:81) →
+    our `models/svc/vits_svc.VitsSVC` params: ConditionEncoder →
+    ContentEncoder (rel-attn + 1x1 proj; its `f0_emb` is dead code, the
+    condition encoder carries melody) → posterior/flow → GAN-zoo HiFiGAN
+    decoder (weight-normed conv_pre, no speaker cond)."""
+    t = lambda name: np.asarray(sd[name])
+    params: dict = {
+        "condition_encoder": condition_encoder_to_flax(
+            {k[len("condition_encoder."):]: v for k, v in sd.items()
+             if k.startswith("condition_encoder.")}),
+        "content_encoder": _vits_rel_encoder_to_flax(sd, "enc_p.enc_",
+                                                     n_layers),
+        "content_proj": _dense_from_conv1x1(sd, "enc_p.proj"),
+        "posterior": {
+            "pre": conv1d_to_flax(t("enc_q.pre.weight"), t("enc_q.pre.bias")),
+            "enc": torch_wn_module_to_flax(sd, "enc_q.enc",
+                                           posterior_wn_layers),
+            "proj": _dense_from_conv1x1(sd, "enc_q.proj"),
+        },
+        "decoder": torch_hifigan_to_flax(
+            {k[len("dec."):]: v for k, v in sd.items()
+             if k.startswith("dec.")},
+            num_upsamples=num_upsamples, num_kernels=num_kernels,
+            resblock=resblock, dilations_per_block=dilations_per_block),
+    }
+    flow: dict = {}
+    for i in range(n_flows):
+        tp = f"flow.flows.{2 * i}"
+        flow[f"flow_{i}"] = {
+            "pre": conv1d_to_flax(t(f"{tp}.pre.weight"), t(f"{tp}.pre.bias")),
+            "enc": torch_wn_module_to_flax(sd, f"{tp}.enc", flow_wn_layers),
+            "post": conv1d_to_flax(t(f"{tp}.post.weight"),
+                                   t(f"{tp}.post.bias")),
+        }
+    params["flow"] = flow
+    if "emb_g.weight" in sd:
+        params["speaker_embed"] = {"embedding": t("emb_g.weight")}
+    return params
 
 
 def torch_vits_to_flax(sd: Mapping[str, np.ndarray], *,

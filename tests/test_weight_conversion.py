@@ -3828,3 +3828,116 @@ class TestValleRefContinual:
                                       jnp.asarray(text.numpy()),
                                       jnp.asarray(y.numpy()))
         np.testing.assert_array_equal(np.asarray(codes_j), codes_t.numpy())
+
+
+class TestVitsSVCRoundTrip:
+    """Full VitsSVC oracle (ref models/svc/vits/vits.py:81): condition
+    encoder → ContentEncoder prior (rel-attn + 1x1 proj) → flow reverse →
+    GAN-zoo HiFiGAN decoder, deterministic inference (noise 0)."""
+
+    def test_inference_parity(self):
+        import jax
+        import jax.numpy as jnp
+
+        from models.svc.vits.vits import SynthesizerTrn
+
+        from amphion_tpu.models.svc.vits_svc import VitsSVC, VitsSVCConfig
+        from amphion_tpu.models.tts.vits.vits import VITSConfig
+        from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig
+        from amphion_tpu.modules.condition_encoder import (
+            ConditionEncoderConfig,
+        )
+        from amphion_tpu.utils.convert import vits_svc_to_flax
+
+        class _Cfg(SimpleNamespace):
+            def __contains__(self, k):
+                return hasattr(self, k)
+
+        D = 16  # hidden == condition output
+        cond = _Cfg(
+            merge_mode="add",
+            use_whisper=True, whisper_dim=12, content_encoder_dim=D,
+            use_contentvec=False, use_mert=False, use_wenet=False,
+            use_f0=True, use_uv=True,
+            input_melody_dim=1, output_melody_dim=D, n_bins_melody=256,
+            f0_min=50, f0_max=1100,
+            use_energy=True, input_loudness_dim=1, output_loudness_dim=D,
+            n_bins_loudness=256,
+            use_spkid=True, singer_table_size=8, output_singer_dim=D,
+            use_conformer_for_content_features=False,
+        )
+        hifi = SimpleNamespace(
+            resblock="2", upsample_rates=[2, 2], upsample_kernel_sizes=[4, 4],
+            upsample_initial_channel=16, resblock_kernel_sizes=[3],
+            resblock_dilation_sizes=[[1, 3]])
+        vits = SimpleNamespace(
+            inter_channels=8, hidden_channels=D, filter_channels=32,
+            n_heads=2, n_layers=2, kernel_size=3, p_dropout=0.0,
+            n_flow_layer=4, gin_channels=8, n_speakers=8)
+        ref_cfg = SimpleNamespace(
+            model=SimpleNamespace(vits=vits, generator="hifigan",
+                                  generator_config=SimpleNamespace(hifigan=hifi),
+                                  condition_encoder=cond),
+            preprocess=SimpleNamespace(pitch_bin=256, f0_min=50, f0_max=1100,
+                                       n_mel=8),
+        )
+        torch.manual_seed(130)
+        ref = SynthesizerTrn(spec_channels=16, segment_size=4,
+                             cfg=ref_cfg).eval()
+
+        torch.manual_seed(131)
+        rng = np.random.default_rng(131)
+        B, T = 2, 12
+        f0 = rng.uniform(100, 500, (B, T)).astype(np.float32)
+        uv = np.ones((B, T), np.int64)
+        loud = rng.uniform(0, 1.5, (B, T)).astype(np.float32)
+        whisper = rng.standard_normal((B, T, 12)).astype(np.float32)
+        spk = np.array([[2], [5]], np.int64)
+        data = {
+            "frame_pitch": torch.from_numpy(f0),
+            "frame_uv": torch.from_numpy(uv),
+            "frame_energy": torch.from_numpy(loud),
+            "whisper_feat": torch.from_numpy(whisper),
+            "spk_id": torch.from_numpy(spk),
+            "target_len": torch.tensor([T, T]),
+        }
+        with torch.no_grad():
+            # deterministic inference composition (infer with noise 0,
+            # ref vits.py:238-268)
+            g = ref.emb_g(torch.from_numpy(spk)[:, 0][:, None]).transpose(1, 2)
+            x = ref.condition_encoder(data).transpose(1, 2)
+            x_mask = torch.ones(B, 1, T)
+            _, m_p, logs_p, _ = ref.enc_p(x, x_mask, noice_scale=0.0)
+            z = ref.flow(m_p, x_mask, g=g, reverse=True)
+            wav_t = ref.dec(z * x_mask)
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = vits_svc_to_flax(sd, n_layers=2, num_upsamples=2,
+                                  num_kernels=1, resblock="2",
+                                  dilations_per_block=2)
+        ours = VitsSVC(VitsSVCConfig(
+            vits=VITSConfig(
+                spec_channels=16, inter_channels=8, hidden_channels=D,
+                filter_channels=32, n_heads=2, n_layers=2, kernel_size=3,
+                n_speakers=8, gin_channels=8, segment_size=4,
+                decoder=HiFiGANConfig(
+                    resblock="2", upsample_rates=(2, 2),
+                    upsample_kernel_sizes=(4, 4), upsample_initial_channel=16,
+                    resblock_kernel_sizes=(3,),
+                    resblock_dilation_sizes=((1, 3),), n_mel=8)),
+            condition=ConditionEncoderConfig(
+                output_dim=D, merge_mode="add",
+                use_whisper=True, whisper_dim=12,
+                use_f0=True, pitch_bin=256, f0_min=50.0, f0_max=1100.0,
+                use_uv=True, use_loudness=True, loudness_bins=256,
+                use_singer=True, num_singers=8)))
+        feats = {
+            "f0": jnp.asarray(f0), "uv": jnp.asarray(uv),
+            "loudness": jnp.asarray(loud), "whisper": jnp.asarray(whisper),
+            "singer": jnp.asarray(spk[:, 0]),
+        }
+        wav_j = ours.apply(
+            {"params": params}, feats, jnp.ones((B, T)), jax.random.key(0),
+            jnp.asarray(spk[:, 0]), 0.0, method=VitsSVC.infer)
+        np.testing.assert_allclose(np.asarray(wav_j),
+                                   wav_t.numpy()[:, 0, :], atol=3e-4)
