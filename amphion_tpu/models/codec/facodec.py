@@ -84,6 +84,11 @@ class FACodecConfig:
     phone_vocab: int = 5003
     predict_f0_phone: bool = False  # CNNLSTM aux heads (training losses)
     prob_random_mask_residual: float = 0.75
+    # V2 (ref FACodecEncoderV2/DecoderV2, facodec.py:772/848): the prosody
+    # branch quantizes a low-mel prosody feature (first 20 mel bins of a
+    # 16 kHz mel, hop == codec hop) passed through Linear(20, D) + a 4-layer
+    # NS3 transformer, instead of the raw latents. Encoder is unchanged.
+    version: int = 1
 
 
 def _wn_conv(feats, k, name, strides=None, dilation=1, padding="SAME"):
@@ -237,6 +242,11 @@ class FACodecDecoder(nn.Module):
         self.timbre_encoder = NS3TransformerEncoder(
             hidden=d, num_layers=c.timbre_layers, heads=c.timbre_heads,
             filter_size=c.timbre_filter, name="timbre_encoder")
+        if c.version == 2:
+            self.melspec_linear = nn.Dense(d, name="melspec_linear")
+            self.melspec_encoder = NS3TransformerEncoder(
+                hidden=d, num_layers=4, heads=4, filter_size=1024,
+                name="melspec_encoder")
         self.timbre_linear = nn.Dense(
             2 * d, name="timbre_linear",
             bias_init=lambda k, s, dtype=jnp.float32: jnp.concatenate(
@@ -262,10 +272,19 @@ class FACodecDecoder(nn.Module):
 
     # -- reference forward modes --------------------------------------------
 
-    def quantize(self, z):
+    def quantize(self, z, prosody_feature=None):
         """z (B, N, D) latents → (z_q_sum, codes (Qtot, B, N), commit,
-        [prosody, content, detail] quantized bufs, spk_embs)."""
-        zp, ip, lp = self.q_prosody(z)
+        [prosody, content, detail] quantized bufs, spk_embs).
+
+        V2 (`FACodecDecoderV2.quantize`, ref facodec.py:1026-1056): the
+        prosody branch quantizes ``melspec_encoder(melspec_linear(
+        prosody_feature))`` instead of the raw latents."""
+        if self.cfg.version == 2:
+            assert prosody_feature is not None
+            p_in = self.melspec_encoder(self.melspec_linear(prosody_feature))
+            zp, ip, lp = self.q_prosody(p_in)
+        else:
+            zp, ip, lp = self.q_prosody(z)
         # ref quantize(): the content branch re-quantizes the RAW latents,
         # the detail branch quantizes x - (prosody + content).detach()
         zc, ic, lc = self.q_content(z)
@@ -457,3 +476,15 @@ class FACodec(nn.Module):
         _, _, _, _, spk_ref = self.decoder.quantize(z_ref)
         zp, zc, zr = bufs
         return self.decoder.inference(zp + zc + zr, spk_ref)
+
+
+def facodec_prosody_feature(audio: jax.Array) -> jax.Array:
+    """V2 prosody feature (ref `FACodecEncoderV2.get_prosody_feature`,
+    facodec.py:820-822): first 20 bins of a 16 kHz mel (n_fft 1024,
+    hop 200 = the codec hop, win 800, fmax 8000) → (B, N, 20)."""
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+
+    mel = mel_spectrogram(audio, MelConfig(
+        sample_rate=16000, n_fft=1024, win_size=800, hop_size=200,
+        n_mel=80, fmin=0.0, fmax=8000.0))
+    return mel[:, :20, :].transpose(0, 2, 1)

@@ -1388,6 +1388,11 @@ def facodec_decoder_to_flax(sd: Mapping[str, np.ndarray], *,
         sd, "timbre_encoder", timbre_layers)
     params["timbre_linear"] = linear_to_dense(g("timbre_linear.weight"),
                                               g("timbre_linear.bias"))
+    if "melspec_linear.weight" in sd:  # V2 prosody branch (facodec.py:1011)
+        params["melspec_linear"] = linear_to_dense(
+            g("melspec_linear.weight"), g("melspec_linear.bias"))
+        params["melspec_encoder"] = _ns3_transformer_to_flax(
+            sd, "melspec_encoder", 4)
     return params
 
 

@@ -3941,3 +3941,62 @@ class TestVitsSVCRoundTrip:
             jnp.asarray(spk[:, 0]), 0.0, method=VitsSVC.infer)
         np.testing.assert_allclose(np.asarray(wav_j),
                                    wav_t.numpy()[:, 0, :], atol=3e-4)
+
+
+class TestFACodecV2RoundTrip:
+    """FACodecDecoderV2 oracle (ref facodec.py:848): the prosody branch
+    quantizes melspec_encoder(melspec_linear(prosody_feature)) instead of
+    the raw latents; quantize + inference through converted weights."""
+
+    def test_v2_quantize_and_inference_parity(self):
+        import jax.numpy as jnp
+
+        from models.codec.ns3_codec.facodec import FACodecDecoderV2
+
+        from amphion_tpu.models.codec.amphion_codec import CodecConfig
+        from amphion_tpu.models.codec.facodec import (
+            FACodecConfig,
+            FACodecDecoder,
+        )
+        from amphion_tpu.utils.convert import facodec_decoder_to_flax
+
+        torch.manual_seed(140)
+        ref = FACodecDecoderV2(
+            in_channels=256, upsample_initial_channel=64, up_ratios=(5, 2),
+            vq_num_q_c=2, vq_num_q_p=1, vq_num_q_r=3, vq_dim=256,
+            codebook_dim=4, codebook_size_prosody=4, codebook_size_content=4,
+            codebook_size_residual=4).eval()
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = facodec_decoder_to_flax(sd, up_ratios=(5, 2))
+
+        torch.manual_seed(141)
+        z = torch.randn(2, 256, 8) * 0.5
+        pf = torch.randn(2, 20, 8) * 0.5  # (B, 20 mel bins, N)
+        with torch.no_grad():
+            outs_t, qs_t, _, bufs_t, spk_t = ref(
+                z, pf, vq=True, eval_vq=False)
+            # V2 has no separate `inference`; the decode path is identical
+            # to V1 (timbre film + conv stack)
+            style = ref.timbre_linear(spk_t).unsqueeze(2)
+            gamma, beta = style.chunk(2, 1)
+            xin = ref.timbre_norm(outs_t.transpose(1, 2)).transpose(1, 2)
+            audio_t = ref.model(xin * gamma + beta)
+
+        ours = FACodecDecoder(FACodecConfig(
+            codec=CodecConfig(encoder_dim=4, latent_dim=256, decoder_dim=16,
+                              strides=(2, 5)),
+            prosody_layers=1, content_layers=2, detail_layers=3,
+            codebook_size=16, codebook_dim=4, version=2))
+        zj = jnp.asarray(z.transpose(1, 2).numpy())
+        pfj = jnp.asarray(pf.transpose(1, 2).numpy())
+        outs_j, codes_j, _, bufs_j, spk_j = ours.apply(
+            {"params": params}, zj, pfj, method=FACodecDecoder.quantize)
+        np.testing.assert_array_equal(np.asarray(codes_j), qs_t.numpy())
+        np.testing.assert_allclose(
+            np.asarray(outs_j), outs_t.transpose(1, 2).numpy(), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(spk_j), spk_t.numpy(),
+                                   atol=3e-5)
+        audio_j = ours.apply({"params": params}, outs_j, spk_j,
+                             method=FACodecDecoder.inference)
+        np.testing.assert_allclose(
+            np.asarray(audio_j), audio_t[:, 0].numpy(), atol=3e-4)
