@@ -24,9 +24,9 @@ and match:
   ``nar_audio_embeddings[j+2]`` (`valle.py:216-219`) — honoured by the
   converter.
 
-`add_prenet`/prefix modes 2/4 (random-segment prompts) and `continual`
-are not wired; the reference's released recipes use prefix modes 0/1
-without prenets (`config/valle.json:30-34`).
+`add_prenet` is not wired (the reference's released recipes disable it,
+`config/valle.json:30`); prefix modes 2/4 are covered by
+`nar_logits_prompted`, `continual` by `valle_ref_continual`.
 """
 
 from __future__ import annotations
@@ -291,6 +291,39 @@ class ValleRef(nn.Module):
         if self.cfg.norm_first:
             xy = self.nar_final_norm(xy, stage_emb)
         h = xy[:, text.shape[1]:]
+        return self.nar_predict_layers[nar_stage - 1](h)
+
+    def nar_logits_prompted(self, text, codes, prompt_codes, nar_stage: int,
+                            x_mask, y_mask):
+        """Prefix modes 2/4 (ref `prompt_preparer.py:46-68`): a SEPARATE
+        prompt segment (random same-utterance chunk for mode 2, external
+        `PromptedFeatures` for mode 4) is embedded with ALL quantizers and
+        prepended; the target region sums quantizers 0..stage-1. Logits
+        cover the target region only (`valle.py:420`)."""
+        c = self.cfg
+        nar_stage = int(nar_stage)
+        y_prompts = self.nar_audio_embeddings[0](prompt_codes[..., 0])
+        for j in range(1, c.num_quantizers):
+            y_prompts = y_prompts + self.nar_audio_embeddings[j](
+                prompt_codes[..., j])
+        y_emb = self.nar_audio_embeddings[0](codes[..., 0])
+        for j in range(1, nar_stage):
+            y_emb = y_emb + self.nar_audio_embeddings[j](codes[..., j])
+        y_full = jnp.concatenate([y_prompts, y_emb], axis=1)
+        x = self.nar_text_position(self.nar_text_embedding(text))
+        y_pos = self.nar_audio_position(y_full)
+        xy = jnp.concatenate([x, y_pos], axis=1)
+        lp = prompt_codes.shape[1]
+        valid = jnp.concatenate(
+            [x_mask, jnp.ones((x_mask.shape[0], lp)), y_mask], axis=1) > 0
+        bias = jnp.where(valid[:, None, None, :], 0.0,
+                         -jnp.inf).astype(jnp.float32)
+        stage_emb = self.nar_stage_embeddings[nar_stage - 1]
+        for layer in self.nar_layers:
+            xy = layer(xy, bias, stage_emb)
+        if self.cfg.norm_first:
+            xy = self.nar_final_norm(xy, stage_emb)
+        h = xy[:, text.shape[1] + lp:]
         return self.nar_predict_layers[nar_stage - 1](h)
 
     def nar_loss(self, text, codes, nar_stage: int, x_mask, y_mask,

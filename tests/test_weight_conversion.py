@@ -4000,3 +4000,49 @@ class TestFACodecV2RoundTrip:
                              method=FACodecDecoder.inference)
         np.testing.assert_allclose(
             np.asarray(audio_j), audio_t[:, 0].numpy(), atol=3e-4)
+
+
+class TestValleRefPromptedNAR:
+    """NAR prefix modes 2/4 (separate prompt segment, PromptPreparer
+    `_handle_prefix_mode_2_4`): prompt embedded with ALL quantizers,
+    target with 0..stage-1; logits over the target region."""
+
+    def test_prompted_nar_logits_parity(self):
+        import jax.numpy as jnp
+
+        from amphion_tpu.models.tts.valle.valle_ref import ValleRef
+
+        helper = TestValleRefRoundTrip()
+        ref, cfg = helper._build_ref(prefix_mode=4)
+        torch.manual_seed(150)
+        b, s, t, lp, stage = 2, 5, 7, 3, 2
+        text = torch.randint(1, 40, (b, s))
+        codes = torch.randint(0, 24, (b, t, cfg.num_quantizers))
+        prompts = torch.randint(0, 24, (b, lp, cfg.num_quantizers))
+
+        with torch.no_grad():
+            # mirror _forward_nar_decoder + _handle_prefix_mode_2_4
+            xn = ref.nar_text_position(ref.nar_text_embedding(text))
+            y_prompts = ref.nar_audio_embeddings[0](prompts[..., 0])
+            for j in range(1, cfg.num_quantizers):
+                y_prompts = y_prompts + ref.nar_audio_embeddings[j](
+                    prompts[..., j])
+            y_emb = ref.nar_audio_embeddings[0](codes[..., 0])
+            for j in range(1, stage):
+                y_emb = y_emb + ref.nar_audio_embeddings[j](codes[..., j])
+            y_full = torch.concat([y_prompts, y_emb], dim=1)
+            y_pos = ref.nar_audio_position(y_full)
+            xy = torch.concat([xn, y_pos], dim=1)
+            xy_dec, _ = ref.nar_decoder(
+                (xy, ref.nar_stage_embeddings[stage - 1].weight))
+            logits_t = ref.nar_predict_layers[stage - 1](xy_dec[:, s + lp:])
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        ours, params = helper._ours(cfg, sd)
+        logits_j = ours.apply(
+            {"params": params}, jnp.asarray(text.numpy()),
+            jnp.asarray(codes.numpy()), jnp.asarray(prompts.numpy()), stage,
+            jnp.ones((b, s)), jnp.ones((b, t)),
+            method=ValleRef.nar_logits_prompted)
+        np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(),
+                                   atol=2e-4)
