@@ -385,9 +385,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--exp_name", default="exp")
-    parser.add_argument("--text", required=True)
+    parser.add_argument("--text", default="")
     parser.add_argument("--speaker", default="")
-    parser.add_argument("--output_path", required=True)
+    parser.add_argument("--output_path", default="")
+    # batch mode (ref stage 3 `--infer_testing_set`, bins/tts/inference.py:63):
+    # synthesize every utterance of a processed split to --output_dir
+    parser.add_argument("--testing_set", default="",
+                        help="processed split name (e.g. test, golden_test)")
+    parser.add_argument("--output_dir", default="")
     parser.add_argument("--noise_scale", type=float, default=0.667)
     parser.add_argument("--length_scale", type=float, default=1.0)
     parser.add_argument("--max_frames", type=int, default=1000)
@@ -404,6 +409,35 @@ def main():
     args = parser.parse_args()
     cfg = load_config(args.config)
     logger = get_logger("tts_infer")
+    p = cfg.preprocess
+
+    if args.testing_set:
+        import copy
+
+        from amphion_tpu.data.metadata import load_metadata
+
+        assert args.output_dir, "--testing_set needs --output_dir"
+        out_dir = Path(args.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        utts = []
+        for ds in cfg.dataset:
+            utts.extend(load_metadata(
+                Path(p.processed_dir) / ds / f"{args.testing_set}.json"))
+        logger.info(f"batch inference over {len(utts)} utterances "
+                    f"({args.testing_set})")
+        for u in utts:
+            sub = copy.copy(args)
+            sub.testing_set = ""
+            sub.text = u.text or ""
+            sub.speaker = u.speaker or ""
+            sub.output_path = str(out_dir / f"{u.uid}.wav")
+            _run_single(sub, cfg, logger)
+        return
+    assert args.text and args.output_path, "need --text and --output_path"
+    return _run_single(args, cfg, logger)
+
+
+def _run_single(args, cfg, logger):
     p = cfg.preprocess
     dispatch = {
         "VALLE": valle_inference,

@@ -942,3 +942,45 @@ def test_picoaudio_trainer_and_inference_cli(corpus, monkeypatch):
 
     wav, sr = load_wav(out)
     assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
+
+
+def test_batch_testing_set_inference_cli(corpus, monkeypatch):
+    """Batch stage-3 inference (ref --infer_testing_set): synthesize every
+    utterance of a processed split into --output_dir."""
+    import sys
+
+    root, processed = corpus
+    _write_textgrids(processed, phones=("a", "b", "sil"))
+    from amphion_tpu.runtime.tts_trainer import FastSpeech2Trainer
+
+    cfg = _base_cfg(
+        root, processed,
+        model_type="FastSpeech2",
+        model={"fastspeech2": {"hidden": 16, "n_enc_layers": 1,
+                               "n_dec_layers": 1, "n_heads": 2,
+                               "ffn_hidden": 32, "kernel_size": 3}},
+    )
+    cfg.train["max_steps"] = 1
+    cfg.train["save_checkpoints_steps"] = 1
+    cfg.train["max_frames"] = 128
+    FastSpeech2Trainer(_args("fs2_batch"), cfg).train_loop()
+
+    cfg_path = root / "fs2_batch.json"
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+    out_dir = root / "batch_out"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--exp_name", "fs2_batch",
+        "--testing_set", "test", "--output_dir", str(out_dir),
+    ])
+    from bins.tts.inference import main as tts_main
+
+    tts_main()
+    from amphion_tpu.data.metadata import load_metadata
+
+    utts = load_metadata(processed / "ljspeech" / "test.json")
+    wavs = sorted(out_dir.glob("*.wav"))
+    assert len(wavs) == len(utts) > 0
+    from amphion_tpu.data.audio_io import load_wav
+
+    wav, sr = load_wav(wavs[0])
+    assert sr == 8000 and wav.size > 0
