@@ -128,3 +128,33 @@ def test_prefetcher_order():
     pf = Prefetcher(lambda: iter(range(10)), depth=3)
     assert list(pf) == list(range(10))
     assert list(pf) == list(range(10))  # re-iterable
+
+
+def test_audio_features_extractor_facade():
+    """Batched on-the-fly facade (ref `processors/audio_features_extractor.py`
+    `AudioFeaturesExtractor`): mel/F0/energy shapes + masking semantics."""
+    from amphion_tpu.utils.config import JsonHParams
+    from amphion_tpu.data.processors.features import AudioFeaturesExtractor
+
+    cfg = JsonHParams(preprocess={
+        "sample_rate": 8000, "n_fft": 512, "win_size": 320, "hop_size": 80,
+        "n_mel": 20, "fmin": 0, "fmax": 4000,
+    })
+    ex = AudioFeaturesExtractor(cfg)
+    t = np.arange(8000, dtype=np.float32) / 8000
+    wavs = np.stack([
+        0.6 * np.sin(2 * np.pi * 220 * t),
+        0.6 * np.sin(2 * np.pi * 330 * t),
+    ])
+    mel = ex.get_mel_spectrogram(wavs)
+    assert mel.shape == (2, 20, 100)
+    energy = ex.get_energy(wavs, mel_spec=mel)
+    assert energy.shape == (2, 100)
+    assert float(np.asarray(energy).min()) >= 0.0
+
+    f0, uv = ex.get_f0(wavs, wav_lens=[8000, 4000], return_uv=True)
+    assert f0.shape == (2, 100) and uv.shape == (2, 100)
+    voiced0 = np.asarray(f0[0])[np.asarray(uv[0]) > 0]
+    assert abs(np.median(voiced0) - 220.0) < 15.0
+    # frames past wav_lens must be masked out
+    assert np.all(np.asarray(f0[1])[50:] == 0.0)
