@@ -349,17 +349,31 @@ def main() -> None:
     )
 
 
+_SUITE = {
+    "mel": bench_mel,
+    "bigvgan": bench_bigvgan,
+    "maskgct": bench_maskgct_rtf,
+    "valle": bench_valle_rtf,
+    "valle_int8": lambda: bench_valle_rtf("int8"),
+    "valle_int4": lambda: bench_valle_rtf("int4"),
+    "vevo": bench_vevo_rtf,
+    "vevo_int8": lambda: bench_vevo_rtf("int8"),
+    "vevo_int4": lambda: bench_vevo_rtf("int4"),
+    "flash": bench_flash_attention,
+    "ssl": bench_ssl_extract,
+}
+
 if __name__ == "__main__":
+    # `--only a,b,c` runs selected suite benches in a fresh process each
+    # (avoids allocator/autotune cross-talk noted in BENCHMARKS.md);
+    # otherwise the headline vocoder bench runs, plus the whole suite
+    # under `--suite`.
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        for n in names:
+            _SUITE[n]()
+        sys.exit(0)
     main()
     if "--suite" in sys.argv:
-        bench_mel()
-        bench_bigvgan()
-        bench_maskgct_rtf()
-        bench_valle_rtf()
-        bench_valle_rtf("int8")
-        bench_valle_rtf("int4")
-        bench_vevo_rtf()
-        bench_vevo_rtf("int8")
-        bench_vevo_rtf("int4")
-        bench_flash_attention()
-        bench_ssl_extract()
+        for fn in _SUITE.values():
+            fn()
