@@ -125,6 +125,10 @@ class NoroTrainer:
         au = jnp.asarray(np.stack(tgt))
         mel = mel_spectrogram(au, self.mel_cfg).transpose(0, 2, 1)
         f0, _ = yin_f0(au, self.f0_cfg)
+        # per-utterance standardized pitch (ref noro_inference.py /
+        # noro dataset: zero-mean/unit-std — speaker-independent prosody)
+        f0 = (f0 - jnp.mean(f0, axis=1, keepdims=True)) / (
+            jnp.std(f0, axis=1, keepdims=True) + 1e-6)
         rc = mel_spectrogram(jnp.asarray(np.stack(ref_c)), self.mel_cfg).transpose(0, 2, 1)
         rn = mel_spectrogram(jnp.asarray(np.stack(ref_n_audio)), self.mel_cfg).transpose(0, 2, 1)
         return {

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Coco (RepCoco) tokenizer recipe: --stage 1 preprocess | 2 train
+# Coco (RepCoco) tokenizer recipe: --stage 1 preprocess | 2 train | 3 inference
 # Variants via --config: contentstyle (FVQ-16384 @12.5Hz), style (FVQ-512
 # @6.25Hz), content (FVQ-8192) — set model.coco.mode/codebook_size/downsample.
 set -e
@@ -8,9 +8,11 @@ work_dir=$(cd "$exp_dir/../../../" && pwd)
 export WORK_DIR=$work_dir PYTHONPATH=$work_dir
 cd "$work_dir"
 stage=1; exp_name="coco_contentstyle"; config="$exp_dir/exp_config.json"
+extra=()
 while [[ $# -gt 0 ]]; do case $1 in
   --stage) stage="$2"; shift 2;; --exp_name) exp_name="$2"; shift 2;;
-  --config) config="$2"; shift 2;; *) echo "unknown $1"; exit 1;; esac; done
+  --config) config="$2"; shift 2;; *) extra+=("$1"); shift;; esac; done
 [ "$stage" -eq 1 ] && python -m bins.vocoder.preprocess --config "$config"
 [ "$stage" -eq 2 ] && python -m bins.codec.train --config "$config" --exp_name "$exp_name"
+[ "$stage" -eq 3 ] && python -m bins.codec.inference --config "$config" "${extra[@]}"
 exit 0

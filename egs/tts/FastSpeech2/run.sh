@@ -1,5 +1,5 @@
 #!/bin/bash
-# FastSpeech2 recipe: --stage 1 preprocess | 2 train
+# FastSpeech2 recipe: --stage 1 preprocess | 2 train | 3 inference
 # Durations come from MFA TextGrids: export the corpus with
 #   python -c "from amphion_tpu.data.processors.duration import prepare_mfa_corpus; ..."
 # run MFA, then place TextGrids at <processed>/<ds>/textgrids/<uid>.TextGrid
@@ -9,9 +9,11 @@ work_dir=$(cd "$exp_dir/../../../" && pwd)
 export WORK_DIR=$work_dir PYTHONPATH=$work_dir
 cd "$work_dir"
 stage=1; exp_name="fs2"; config="$exp_dir/exp_config.json"
+extra=()
 while [[ $# -gt 0 ]]; do case $1 in
   --stage) stage="$2"; shift 2;; --exp_name) exp_name="$2"; shift 2;;
-  --config) config="$2"; shift 2;; *) echo "unknown $1"; exit 1;; esac; done
+  --config) config="$2"; shift 2;; *) extra+=("$1"); shift;; esac; done
 [ "$stage" -eq 1 ] && python -m bins.tts.preprocess --config "$config"
 [ "$stage" -eq 2 ] && python -m bins.tts.train --config "$config" --exp_name "$exp_name"
+[ "$stage" -eq 3 ] && python -m bins.tts.inference --config "$config" --exp_name "$exp_name" "${extra[@]}"
 exit 0

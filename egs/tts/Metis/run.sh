@@ -8,15 +8,17 @@ export WORK_DIR=$work_dir PYTHONPATH=$work_dir
 cd "$work_dir"
 stage=1; exp_name="metis"; config="$exp_dir/exp_config.json"
 semantic_ckpt=""; codec_ckpt=""
+extra=()
 while [[ $# -gt 0 ]]; do case $1 in
   --stage) stage="$2"; shift 2;; --exp_name) exp_name="$2"; shift 2;;
   --config) config="$2"; shift 2;;
   --semantic_ckpt) semantic_ckpt="$2"; shift 2;;
   --codec_ckpt) codec_ckpt="$2"; shift 2;;
-  *) echo "unknown $1"; exit 1;; esac; done
+  *) extra+=("$1"); shift;; esac; done
 [ "$stage" -eq 1 ] && python -m bins.tts.preprocess --config "$config" \
   --extract_semantic --extract_codes \
   ${semantic_ckpt:+--semantic_ckpt "$semantic_ckpt"} \
   ${codec_ckpt:+--codec_ckpt "$codec_ckpt"}
 [ "$stage" -eq 2 ] && python -m bins.tts.train --config "$config" --exp_name "$exp_name"
+[ "$stage" -eq 3 ] && python -m bins.tts.metis_inference --config "$config" --exp_name "$exp_name" "${extra[@]}"
 exit 0

@@ -984,3 +984,39 @@ def test_batch_testing_set_inference_cli(corpus, monkeypatch):
 
     wav, sr = load_wav(wavs[0])
     assert sr == 8000 and wav.size > 0
+
+
+def test_noro_trainer_and_inference_cli(corpus, monkeypatch):
+    """Noro noise-robust VC: 2 train steps + the zero-shot conversion CLI
+    (ref models/vc/Noro/noro_inference.py surface)."""
+    import sys
+
+    from bins.vc.Noro.train import NoroTrainer
+
+    root, processed = corpus
+    cfg = _base_cfg(
+        root, processed, model_type="VC",
+        model={"hidden": 16, "ref_layers": 1, "ref_heads": 2,
+               "ref_filter": 32, "num_layers": 2},
+    )
+    cfg.train["segment_frames"] = 64
+    cfg.train["ref_frames"] = 16
+    NoroTrainer(_args("noro_t"), cfg).train_loop()
+
+    cfg_path = root / "noro.json"
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+    wavs = root / "LJSpeech-1.1" / "wavs"
+    out = root / "noro_out.wav"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--config", str(cfg_path), "--exp_name", "noro_t",
+        "--source_path", str(wavs / "LJ001-0000.wav"),
+        "--ref_path", str(wavs / "LJ001-0001.wav"),
+        "--output_path", str(out), "--inference_steps", "4",
+    ])
+    from bins.vc.Noro.inference import main as noro_main
+
+    noro_main()
+    from amphion_tpu.data.audio_io import load_wav
+
+    wav, sr = load_wav(out)
+    assert sr == 8000 and wav.size > 0 and np.isfinite(wav).all()
