@@ -349,9 +349,117 @@ def main() -> None:
     )
 
 
+def bench_train_hifigan() -> None:
+    """Full-size HiFiGAN V1 GAN training step (G+MPD/MSD, both optimizers).
+
+    Reports training throughput as x-realtime audio consumed — the TPU
+    answer to the reference's `gan_vocoder_trainer.py` hot loop."""
+    from amphion_tpu.models.vocoders.gan_trainer import (
+        CombinedDiscriminator,
+        GANTrainConfig,
+        create_gan_states,
+        make_gan_train_step,
+    )
+    from amphion_tpu.models.vocoders.hifigan import HiFiGANConfig, HiFiGANGenerator
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+
+    cfg = HiFiGANConfig()
+    mel_cfg = MelConfig()
+    hop = int(np.prod(cfg.upsample_rates))
+    frames, batch = 64, 16  # 16 x 7680-sample segments @24 kHz
+    gen = HiFiGANGenerator(cfg)
+    disc = CombinedDiscriminator(use=("mpd", "msd"))
+    rng = jax.random.key(0)
+    audio = jax.random.normal(rng, (batch, frames * hop), jnp.float32) * 0.2
+    mel = jnp.transpose(mel_spectrogram(audio, mel_cfg), (0, 2, 1))
+    gstate, dstate = create_gan_states(
+        gen, disc, rng, mel[:1], audio[:1], GANTrainConfig())
+    step = make_gan_train_step(mel_cfg)
+    gstate, dstate, m = step(gstate, dstate, {"mel": mel, "audio": audio})
+    _fence(m["g_loss"])
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        gstate, dstate, m = step(gstate, dstate, {"mel": mel, "audio": audio})
+    _fence(m["g_loss"])
+    dt = time.perf_counter() - t0
+    xrt = (batch * frames * hop / mel_cfg.sample_rate) * n_iters / dt
+    _emit("hifigan_train_xrt", xrt, "x realtime audio/sec trained", xrt / 1.0)
+
+
+def bench_train_maskgct() -> None:
+    """MaskGCT joint T2S+S2A masked-generative training step (the flagship
+    trainer's jitted step at the 830M-class config), f32 params + Adam."""
+    from amphion_tpu.models.tts.maskgct.maskgct import (
+        MaskGCTS2A,
+        MaskGCTT2S,
+        S2AConfig,
+        T2SConfig,
+    )
+    import optax
+    from amphion_tpu.runtime.train_state import TrainState
+
+    b, t_sem, t_ph = 8, 500, 128  # 8 x 10 s at 50 Hz semantic
+    t2s = MaskGCTT2S(T2SConfig(remat=True))
+    s2a = MaskGCTS2A(S2AConfig(semantic_dim=1024, remat=True))
+    rng = jax.random.key(0)
+    batch = {
+        "semantic": jnp.zeros((b, t_sem), jnp.int32),
+        "x_mask": jnp.ones((b, t_sem), jnp.float32),
+        "phones": jnp.zeros((b, t_ph), jnp.int32),
+        "phone_mask": jnp.ones((b, t_ph), jnp.float32),
+        "codes": jnp.zeros((b, 12, t_sem), jnp.int32),
+        "semantic_feats": jnp.zeros((b, t_sem, 1024), jnp.float32),
+    }
+    params = {
+        "t2s": t2s.init(rng, batch["semantic"], batch["x_mask"],
+                        batch["phones"], batch["phone_mask"], rng,
+                        method=MaskGCTT2S.compute_loss)["params"],
+        "s2a": s2a.init(rng, batch["codes"], batch["x_mask"],
+                        batch["semantic_feats"], rng,
+                        method=MaskGCTS2A.compute_loss)["params"],
+    }
+    tx = optax.adamw(1e-4)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), rng=rng, apply_fn=None, tx=tx)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, batch):
+        rng, r1, r2 = jax.random.split(state.rng, 3)
+
+        def loss_fn(prm):
+            l1, _ = t2s.apply({"params": prm["t2s"]}, batch["semantic"],
+                              batch["x_mask"], batch["phones"],
+                              batch["phone_mask"], r1,
+                              method=MaskGCTT2S.compute_loss)
+            l2, _ = s2a.apply({"params": prm["s2a"]}, batch["codes"],
+                              batch["x_mask"], batch["semantic_feats"], r2,
+                              method=MaskGCTS2A.compute_loss)
+            return l1 + l2, ()
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads).replace(rng=rng), loss
+
+    state, loss = step_fn(state, batch)
+    _fence(loss)
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, loss = step_fn(state, batch)
+    _fence(loss)
+    dt = time.perf_counter() - t0
+    xrt = (b * t_sem / 50.0) * n_iters / dt  # audio-seconds trained per sec
+    _emit("maskgct_train_xrt", xrt, "x realtime audio/sec trained (T2S+S2A)",
+          xrt / 1.0)
+
+
 _SUITE = {
     "mel": bench_mel,
     "bigvgan": bench_bigvgan,
+    "train_hifigan": bench_train_hifigan,
+    "train_maskgct": bench_train_maskgct,
     "maskgct": bench_maskgct_rtf,
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
