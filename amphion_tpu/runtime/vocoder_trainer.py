@@ -85,6 +85,48 @@ def build_generator(cfg, n_mel: int):
     raise ValueError(f"unknown generator {name!r}")
 
 
+def load_vocoder(vocoder_ckpt, n_mel: int, vocoder_config: str = "",
+                 fallback_cfg=None):
+    """Build + restore a GAN vocoder generator from a checkpoint dir.
+
+    Config resolution order (ADVICE r1: the caller's model config usually has
+    no ``model.generator`` section, so never assume it):
+      1. explicit ``vocoder_config`` path,
+      2. ``exp_config.json`` saved next to the checkpoint dir at train time
+         (checkpoint layout ``<exp>/checkpoint/epoch-*``; we search the ckpt
+         dir and two parents),
+      3. ``fallback_cfg`` if it actually carries ``model.generator``.
+
+    Returns ``(apply_fn, hop)`` where ``apply_fn(mel_nlc) -> audio`` is
+    jitted with the restored params closed over.
+    """
+    from amphion_tpu.utils.config import load_config
+
+    ckpt_dir = Path(vocoder_ckpt)
+    cfg = None
+    if vocoder_config:
+        cfg = load_config(vocoder_config)
+    else:
+        for base in (ckpt_dir, ckpt_dir.parent, ckpt_dir.parent.parent):
+            snap = base / "exp_config.json"
+            if snap.is_file():
+                cfg = load_config(snap)
+                break
+    if cfg is None and fallback_cfg is not None and (
+            "model" in fallback_cfg and "generator" in fallback_cfg.model):
+        cfg = fallback_cfg
+    if cfg is None:
+        raise ValueError(
+            f"cannot resolve the vocoder architecture for {vocoder_ckpt}: "
+            "pass --vocoder_config, or train with a recent version that "
+            "snapshots exp_config.json into the experiment dir")
+    gen, hop = build_generator(cfg, n_mel)
+    tree, _, _ = CheckpointManager(ckpt_dir).restore_raw()
+    params = tree["g"]["params"] if "g" in tree else tree["params"]
+    fn = jax.jit(lambda m: gen.apply({"params": params}, m))
+    return fn, hop
+
+
 class GANVocoderTrainer:
     def __init__(self, args, cfg):
         self.args = args
@@ -164,12 +206,19 @@ class GANVocoderTrainer:
             g, d, m = gan_step(states["g"], states["d"], batch)
             return {"g": g, "d": d}, m
 
-        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+        ckpt_dir = exp_dir / "checkpoint"
         self.ckpt = CheckpointManager(
             ckpt_dir,
             list(t.get("save_checkpoint_stride", [1])),
             list(t.get("keep_last", [-1])),
         )
+        # snapshot the resolved config so inference can rebuild the
+        # generator from the ckpt dir alone (ref saves args.json likewise)
+        from amphion_tpu.utils.config import save_config
+
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        save_config(exp_dir / "exp_config.json", cfg)
         self.loop = TrainLoop(
             LoopConfig(
                 max_epoch=t.get("max_epoch", -1),
@@ -277,11 +326,16 @@ class DiffusionVocoderTrainer:
             )
             return state.apply_gradients(grads).replace(rng=rng), aux
 
-        ckpt_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name / "checkpoint"
+        exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+        ckpt_dir = exp_dir / "checkpoint"
         self.ckpt = CheckpointManager(
             ckpt_dir, list(t.get("save_checkpoint_stride", [1])),
             list(t.get("keep_last", [-1])),
         )
+        from amphion_tpu.utils.config import save_config
+
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        save_config(exp_dir / "exp_config.json", cfg)
         self.loop = TrainLoop(
             LoopConfig(max_epoch=t.get("max_epoch", -1),
                        max_steps=t.get("max_steps", -1),

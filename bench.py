@@ -471,17 +471,29 @@ _SUITE = {
     "ssl": bench_ssl_extract,
 }
 
+def _run_isolated(names) -> int:
+    """Run each named bench in a fresh subprocess (allocator/autotune state
+    from one bench contaminates the next in-process — BENCHMARKS.md)."""
+    import subprocess
+
+    rc = 0
+    for n in names:
+        r = subprocess.run([sys.executable, __file__, "--inproc", n])
+        rc = rc or r.returncode
+    return rc
+
+
 if __name__ == "__main__":
-    # `--only a,b,c` runs selected suite benches in a fresh process each
-    # (avoids allocator/autotune cross-talk noted in BENCHMARKS.md);
-    # otherwise the headline vocoder bench runs, plus the whole suite
-    # under `--suite`.
+    # `--inproc NAME` is the internal per-subprocess entry; `--only a,b,c`
+    # and `--suite` subprocess-isolate every bench so no number depends on
+    # run order. Bare `python bench.py` = the headline vocoder bench.
+    if "--inproc" in sys.argv:
+        _SUITE[sys.argv[sys.argv.index("--inproc") + 1]]()
+        sys.exit(0)
     if "--only" in sys.argv:
         names = sys.argv[sys.argv.index("--only") + 1].split(",")
-        for n in names:
-            _SUITE[n]()
-        sys.exit(0)
-    main()
+        sys.exit(_run_isolated(names))
     if "--suite" in sys.argv:
-        for fn in _SUITE.values():
-            fn()
+        main()
+        sys.exit(_run_isolated(list(_SUITE)))
+    main()

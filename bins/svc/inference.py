@@ -52,6 +52,9 @@ def main():
     parser.add_argument("--num_steps", type=int, default=50)
     parser.add_argument("--vocoder_ckpt", default="",
                         help="GAN vocoder checkpoint (Griffin-Lim if empty)")
+    parser.add_argument("--vocoder_config", default="",
+                        help="vocoder exp config (else exp_config.json "
+                             "next to --vocoder_ckpt)")
     args = parser.parse_args()
     cfg = load_config(args.config)
     logger = get_logger("svc_infer")
@@ -119,13 +122,11 @@ def main():
     )
 
     if args.vocoder_ckpt:
-        from amphion_tpu.runtime.vocoder_trainer import build_generator
+        from amphion_tpu.runtime.vocoder_trainer import load_vocoder
 
-        gen, _ = build_generator(cfg, p.n_mel)
-        vtree, _, _ = CheckpointManager(args.vocoder_ckpt).restore_raw()
-        wav = jax.jit(lambda pp, mm: gen.apply({"params": pp}, mm))(
-            vtree["g"]["params"], out_mel
-        )
+        voc_fn, _ = load_vocoder(args.vocoder_ckpt, p.n_mel,
+                                 args.vocoder_config, fallback_cfg=cfg)
+        wav = voc_fn(out_mel)
     else:
         logger.info("no vocoder checkpoint: Griffin-Lim reconstruction")
         wav = mel_to_audio(out_mel.transpose(0, 2, 1), mel_cfg)

@@ -117,13 +117,12 @@ def _vocode(mel, args, cfg, logger):
     mel_cfg = MelConfig.from_preprocess_cfg(p)
     mel_mf = mel.transpose(0, 2, 1)  # (B, n_mel, N)
     if getattr(args, "vocoder_ckpt", ""):
-        from amphion_tpu.runtime.vocoder_trainer import build_generator
+        from amphion_tpu.runtime.vocoder_trainer import load_vocoder
 
-        gen, _ = build_generator(cfg, p.n_mel)
-        vtree, _, _ = CheckpointManager(args.vocoder_ckpt).restore_raw()
-        return np.asarray(jax.jit(
-            lambda pp, mm: gen.apply({"params": pp}, mm)
-        )(vtree["g"]["params"], mel))
+        voc_fn, _ = load_vocoder(
+            args.vocoder_ckpt, p.n_mel,
+            getattr(args, "vocoder_config", ""), fallback_cfg=cfg)
+        return np.asarray(voc_fn(mel))
     logger.info("no --vocoder_ckpt: Griffin-Lim reconstruction")
     return np.asarray(mel_to_audio(mel_mf, mel_cfg))
 
@@ -403,6 +402,9 @@ def main():
     parser.add_argument("--semantic_ckpt", default="")
     parser.add_argument("--vocoder_ckpt", default="",
                         help="GAN vocoder checkpoint (Griffin-Lim if empty)")
+    parser.add_argument("--vocoder_config", default="",
+                        help="vocoder exp config (else exp_config.json "
+                             "next to --vocoder_ckpt)")
     parser.add_argument("--num_steps", type=int, default=50)
     parser.add_argument("--max_new", type=int, default=512)
     parser.add_argument("--top_k", type=int, default=50)

@@ -21,7 +21,7 @@ import numpy as np
 from amphion_tpu.data.audio_io import load_wav, save_wav
 from amphion_tpu.models.vc.noro import Noro, NoroConfig, noro_convert
 from amphion_tpu.ops.dsp import mel_to_audio
-from amphion_tpu.ops.f0 import F0Config, yin_f0
+from amphion_tpu.ops.f0 import F0Config, interpolate_f0, yin_f0
 from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
 from amphion_tpu.runtime.checkpoint import CheckpointManager
 from amphion_tpu.utils.config import load_config
@@ -54,6 +54,9 @@ def main():
                         help="reverse-SDE steps (ref uses 150-300)")
     parser.add_argument("--vocoder_ckpt", default="",
                         help="GAN vocoder ckpt dir (else Griffin-Lim)")
+    parser.add_argument("--vocoder_config", default="",
+                        help="vocoder exp config (else exp_config.json "
+                             "next to --vocoder_ckpt)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -68,7 +71,9 @@ def main():
     mgr = CheckpointManager(
         Path(args.checkpoint_path) if args.checkpoint_path
         else exp_dir / "checkpoint")
-    tree, epoch, step = mgr.restore_raw(args.checkpoint_path or None)
+    # mgr already points at the right dir; latest() resolves both an
+    # epoch-* dir and a parent checkpoint dir (ADVICE r1)
+    tree, epoch, step = mgr.restore_raw()
     params = tree["params"]
     logger.info(f"restored epoch {epoch} step {step}")
 
@@ -82,8 +87,10 @@ def main():
     content = mel_spectrogram(src_au, mel_cfg).transpose(0, 2, 1)
     ref_mel = mel_spectrogram(ref_au, mel_cfg).transpose(0, 2, 1)
     f0, _ = yin_f0(src_au, f0_cfg)
-    # per-utterance standardization (ref noro_inference.py: zero-mean/unit-std
-    # pitch — speaker-independent prosody)
+    # ref noro_inference.py: interpolate F0 through unvoiced regions BEFORE
+    # per-utterance standardization (zero-mean/unit-std pitch —
+    # speaker-independent prosody without unvoiced-zero spikes)
+    f0, _ = interpolate_f0(f0)
     f0 = (f0 - jnp.mean(f0, axis=1, keepdims=True)) / (
         jnp.std(f0, axis=1, keepdims=True) + 1e-6)
 
@@ -92,12 +99,11 @@ def main():
         num_steps=args.inference_steps)
 
     if args.vocoder_ckpt:
-        from amphion_tpu.runtime.vocoder_trainer import build_generator
+        from amphion_tpu.runtime.vocoder_trainer import load_vocoder
 
-        gen, _ = build_generator(cfg, p.n_mel)
-        vtree, _, _ = CheckpointManager(args.vocoder_ckpt).restore_raw()
-        wav = jax.jit(lambda pp, mm: gen.apply({"params": pp}, mm))(
-            vtree["g"]["params"], out_mel)
+        voc_fn, _ = load_vocoder(args.vocoder_ckpt, p.n_mel,
+                                 args.vocoder_config, fallback_cfg=cfg)
+        wav = voc_fn(out_mel)
     else:
         logger.info("no vocoder checkpoint: Griffin-Lim reconstruction")
         wav = mel_to_audio(out_mel.transpose(0, 2, 1), mel_cfg)

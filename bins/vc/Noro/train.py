@@ -25,7 +25,7 @@ from amphion_tpu.data.dataset import Prefetcher, SegmentAudioDataset
 from amphion_tpu.data.metadata import load_metadata
 from amphion_tpu.data.processors.augment import random_equalizer
 from amphion_tpu.models.vc.noro import Noro, NoroConfig
-from amphion_tpu.ops.f0 import F0Config, yin_f0
+from amphion_tpu.ops.f0 import F0Config, interpolate_f0, yin_f0
 from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
 from amphion_tpu.runtime.checkpoint import CheckpointManager
 from amphion_tpu.runtime.loop import LoopConfig, TrainLoop
@@ -125,8 +125,10 @@ class NoroTrainer:
         au = jnp.asarray(np.stack(tgt))
         mel = mel_spectrogram(au, self.mel_cfg).transpose(0, 2, 1)
         f0, _ = yin_f0(au, self.f0_cfg)
-        # per-utterance standardized pitch (ref noro_inference.py /
-        # noro dataset: zero-mean/unit-std — speaker-independent prosody)
+        # ref noro_trainer.py:287: interpolate F0 through unvoiced regions
+        # BEFORE per-utterance standardization (zero-mean/unit-std —
+        # speaker-independent prosody without unvoiced-zero spikes)
+        f0, _ = interpolate_f0(f0)
         f0 = (f0 - jnp.mean(f0, axis=1, keepdims=True)) / (
             jnp.std(f0, axis=1, keepdims=True) + 1e-6)
         rc = mel_spectrogram(jnp.asarray(np.stack(ref_c)), self.mel_cfg).transpose(0, 2, 1)
