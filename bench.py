@@ -26,9 +26,75 @@ def _fence(x) -> None:
     float(jnp.asarray(x).reshape(-1)[0])
 
 
-def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({"metric": metric, "value": round(value, 4),
-                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}))
+def _emit(metric, value, unit, vs_baseline, extra=None):
+    rec = {"metric": metric, "value": round(value, 4),
+           "unit": unit, "vs_baseline": round(vs_baseline, 3)}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+# ---------------------------------------------------------------------------
+# Roofline accounting (TPU v5e single chip, public spec):
+#   bf16 matmul peak 197 TFLOP/s  ·  HBM bandwidth 819 GB/s
+# Per bench we take the XLA-compiled program's own cost analysis
+# (flops + bytes accessed) and report achieved TFLOP/s, MFU %, achieved
+# HBM GB/s, and the compute-vs-HBM-bound verdict (which side of the
+# roofline the program's arithmetic intensity falls on). "bytes accessed"
+# is XLA's operand-byte count — an upper bound on true HBM traffic when
+# ops fuse, so hbm_util_pct is conservative-high; MFU is exact.
+# ---------------------------------------------------------------------------
+_V5E_PEAK_BF16_FLOPS = 197e12
+_V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _cost_analysis(jitted_fn, *args):
+    """(flops, bytes) for one invocation, via the compiled program's own
+    cost analysis; (0, 0) if the backend doesn't expose it."""
+    try:
+        c = jitted_fn.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _roofline(flops, nbytes, dt_per_iter):
+    """Extra JSON fields for _emit; {} when cost analysis was unavailable."""
+    if flops <= 0 and nbytes <= 0:
+        return {}
+    out = {}
+    if flops > 0:
+        out["gflops_per_iter"] = round(flops / 1e9, 2)
+        out["tflops_per_s"] = round(flops / dt_per_iter / 1e12, 2)
+        out["mfu_pct"] = round(100 * flops / dt_per_iter
+                               / _V5E_PEAK_BF16_FLOPS, 2)
+    if nbytes > 0:
+        out["gbytes_per_iter"] = round(nbytes / 1e9, 3)
+        out["hbm_gbps"] = round(nbytes / dt_per_iter / 1e9, 1)
+        out["hbm_util_pct"] = round(100 * nbytes / dt_per_iter
+                                    / _V5E_HBM_BYTES_PER_S, 1)
+    if flops > 0 and nbytes > 0:
+        out["bound"] = ("compute" if flops / _V5E_PEAK_BF16_FLOPS
+                        >= nbytes / _V5E_HBM_BYTES_PER_S else "hbm")
+    return out
+
+
+def _param_bytes(params) -> int:
+    return sum(int(np.prod(p.shape)) * p.dtype.itemsize
+               for p in jax.tree_util.tree_leaves(params))
+
+
+def _weight_stream(param_bytes_per_pass, n_passes, dt):
+    """Roofline extra for sequential decode loops: every step re-reads the
+    weights from HBM, so weight-bytes/s is the binding resource. Reports
+    achieved weight-streaming bandwidth and % of HBM peak (upper bound on
+    how much faster the loop could go at this dtype)."""
+    gbps = param_bytes_per_pass * n_passes / dt / 1e9
+    return {"weight_stream_gbps": round(gbps, 1),
+            "hbm_util_pct": round(100 * gbps * 1e9 / _V5E_HBM_BYTES_PER_S, 1),
+            "bound": "hbm (weight streaming)"}
 
 
 def bench_mel() -> None:
@@ -49,8 +115,10 @@ def bench_mel() -> None:
     dt = time.perf_counter() - t0
     frames = outs[0].shape[-1] * batch * n_iters
     fps = frames / dt
+    fl, by = _cost_analysis(fn, audio)
     # target: >=200 kHz-eq realtime (1000x RT at 200 fps); report vs 100k f/s
-    _emit("mel_extraction_frames_per_sec", fps, "frames/sec", fps / 1e5)
+    _emit("mel_extraction_frames_per_sec", fps, "frames/sec", fps / 1e5,
+          extra=_roofline(fl, by, dt / n_iters))
 
 
 def bench_bigvgan() -> None:
@@ -82,8 +150,10 @@ def bench_bigvgan() -> None:
         _fence(o)
     dt = time.perf_counter() - t0
     khz = batch * frames * cfg.hop_size * n / dt / 1e3
+    fl, by = _cost_analysis(fn, params, mel)
     _emit("bigvgan_vocoder_khz_audio_per_sec_per_chip", khz,
-          "kHz-audio/sec/chip", khz / (24.0 * 50.0))
+          "kHz-audio/sec/chip", khz / (24.0 * 50.0),
+          extra=_roofline(fl, by, dt / n))
 
 
 def bench_maskgct_rtf() -> None:
@@ -125,7 +195,11 @@ def bench_maskgct_rtf() -> None:
         _fence(run(jax.random.key(3 + i)))
     dt = (time.perf_counter() - t0) / n_iters
     rtf = dt / 10.0  # 10 s of audio
-    _emit("maskgct_zero_shot_rtf", rtf, "RTF (lower better)", 0.1 / max(rtf, 1e-9))
+    # iterative mask-predict: every sampler step re-reads the full weights
+    # (T2S 25 steps ×2 CFG passes + S2A 16+7 steps)
+    pb = _param_bytes(t2s_params) * 50 + _param_bytes(s2a_params) * 23
+    _emit("maskgct_zero_shot_rtf", rtf, "RTF (lower better)",
+          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
 
 
 def bench_valle_rtf(compute_dtype="bfloat16") -> None:
@@ -164,8 +238,13 @@ def bench_valle_rtf(compute_dtype="bfloat16") -> None:
     dt = (time.perf_counter() - t0) / n_iters
     rtf = dt / 10.0
     suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
+    # AR decode re-reads the weights every token (750) + 7 NAR passes;
+    # weight bytes at the decode dtype
+    itemsize = {"float32": 4, "bfloat16": 2, "int8": 1, "int4": 0.5}.get(
+        compute_dtype, 2)
+    pb = _param_bytes(params) / 4 * itemsize
     _emit(f"valle_zero_shot_rtf{suffix}", rtf, "RTF (lower better)",
-          0.1 / max(rtf, 1e-9))
+          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, new + 7, dt))
 
 
 def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
@@ -226,8 +305,13 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
     dt = (time.perf_counter() - t0) / n_iters
     rtf = dt / 10.0
     suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
+    itemsize = {"float32": 4, "bfloat16": 2, "int8": 1, "int4": 0.5}.get(
+        compute_dtype, 2)
+    # AR re-reads weights per token (500); FM 32 ODE steps; Vocos 1 pass
+    pb = (_param_bytes(ar_params) / 4 * itemsize * 500
+          + _param_bytes(fm_params) * 32 + _param_bytes(voc_params))
     _emit(f"vevo_zero_shot_rtf{suffix}", rtf, "RTF (lower better)",
-          0.1 / max(rtf, 1e-9))
+          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
 
 
 def bench_flash_attention() -> None:
@@ -265,9 +349,11 @@ def bench_flash_attention() -> None:
         return (time.perf_counter() - t0) / n
 
     t_dense, t_flash = time_fn(dense), time_fn(flash)
+    # analytic attention flops: 2·(QK^T + PV) = 4·B·H·L²·D (×0.5 causal)
+    fl = 4.0 * b * h * l * l * d * 0.5
     _emit("flash_attention_speedup_vs_dense", t_dense / t_flash,
           f"x (dense {t_dense * 1e3:.2f} ms -> flash {t_flash * 1e3:.2f} ms)",
-          t_dense / t_flash)
+          t_dense / t_flash, extra=_roofline(fl, 0, t_flash))
 
 
 def bench_ssl_extract() -> None:
@@ -301,7 +387,9 @@ def bench_ssl_extract() -> None:
         _fence(fwd(wav, nv))
     dt = (time.perf_counter() - t0) / n_iters
     xrt = b * secs / dt
-    _emit("ssl_extract_xrt", xrt, "x realtime (w2v-bert-2.0-class)", xrt / 1.0)
+    fl, by = _cost_analysis(fwd, wav, nv)
+    _emit("ssl_extract_xrt", xrt, "x realtime (w2v-bert-2.0-class)",
+          xrt / 1.0, extra=_roofline(fl, by, dt))
 
 
 def main() -> None:
@@ -337,16 +425,10 @@ def main() -> None:
     samples_per_iter = batch * frames * cfg.hop_size
     khz_audio_per_sec = samples_per_iter * n_iters / dt / 1e3
     target = 24.0 * 50.0  # 50x real-time at 24 kHz, in kHz-audio/sec
-    print(
-        json.dumps(
-            {
-                "metric": "hifigan_vocoder_khz_audio_per_sec_per_chip",
-                "value": round(khz_audio_per_sec, 1),
-                "unit": "kHz-audio/sec/chip",
-                "vs_baseline": round(khz_audio_per_sec / target, 3),
-            }
-        )
-    )
+    fl, by = _cost_analysis(synthesize, params_bf16, mel)
+    _emit("hifigan_vocoder_khz_audio_per_sec_per_chip", khz_audio_per_sec,
+          "kHz-audio/sec/chip", khz_audio_per_sec / target,
+          extra=_roofline(fl, by, dt / n_iters))
 
 
 def bench_train_hifigan() -> None:
@@ -384,7 +466,9 @@ def bench_train_hifigan() -> None:
     _fence(m["g_loss"])
     dt = time.perf_counter() - t0
     xrt = (batch * frames * hop / mel_cfg.sample_rate) * n_iters / dt
-    _emit("hifigan_train_xrt", xrt, "x realtime audio/sec trained", xrt / 1.0)
+    fl, by = _cost_analysis(step, gstate, dstate, {"mel": mel, "audio": audio})
+    _emit("hifigan_train_xrt", xrt, "x realtime audio/sec trained", xrt / 1.0,
+          extra=_roofline(fl, by, dt / n_iters))
 
 
 def bench_train_maskgct() -> None:
@@ -451,8 +535,9 @@ def bench_train_maskgct() -> None:
     _fence(loss)
     dt = time.perf_counter() - t0
     xrt = (b * t_sem / 50.0) * n_iters / dt  # audio-seconds trained per sec
+    fl, by = _cost_analysis(step_fn, state, batch)
     _emit("maskgct_train_xrt", xrt, "x realtime audio/sec trained (T2S+S2A)",
-          xrt / 1.0)
+          xrt / 1.0, extra=_roofline(fl, by, dt / n_iters))
 
 
 _SUITE = {
