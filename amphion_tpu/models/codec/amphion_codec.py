@@ -31,9 +31,21 @@ class CodecConfig:
     codebook_size: int = 1024
     codebook_dim: int = 8
     quantizer_type: str = "fvq"
+    # Vocos-style decoder (ref codec.py:372 `use_vocos`: ConvNeXt backbone +
+    # ISTFT head instead of the transposed-conv stack — the published
+    # MaskGCT acoustic codec uses this with dim 512 / 30 layers / n_fft 1920
+    # / hop 480, ref models/tts/maskgct/config/maskgct.json)
+    use_vocos_decoder: bool = False
+    vocos_dim: int = 512
+    vocos_intermediate_dim: int = 4096
+    vocos_num_layers: int = 30
+    vocos_n_fft: int = 1920
+    vocos_hop: int = 480
 
     @property
     def hop(self) -> int:
+        if self.use_vocos_decoder:
+            return self.vocos_hop
         h = 1
         for s in self.strides:
             h *= s
@@ -113,7 +125,19 @@ class AmphionCodec(nn.Module):
     def setup(self):
         c = self.cfg
         self.encoder = CodecEncoder(c)
-        self.decoder = CodecDecoder(c)
+        if c.use_vocos_decoder:
+            from amphion_tpu.models.vocoders.vocos import (
+                VocosConfig,
+                VocosGenerator,
+            )
+
+            self.decoder = VocosGenerator(VocosConfig(
+                n_mel=c.latent_dim, dim=c.vocos_dim,
+                intermediate_dim=c.vocos_intermediate_dim,
+                num_layers=c.vocos_num_layers, n_fft=c.vocos_n_fft,
+                hop_size=c.vocos_hop))
+        else:
+            self.decoder = CodecDecoder(c)
         self.quantizer = ResidualVQ(
             num_quantizers=c.num_quantizers,
             codebook_size=c.codebook_size,

@@ -750,6 +750,32 @@ def torch_residual_vq_to_flax(sd: Mapping[str, np.ndarray],
     }
 
 
+def amphion_codec_to_flax(enc_sd: Mapping[str, np.ndarray],
+                          dec_sd: Mapping[str, np.ndarray], *,
+                          strides: tuple[int, ...], num_quantizers: int,
+                          dilations=(1, 3, 9),
+                          use_vocos_decoder: bool = False,
+                          vocos_num_layers: int = 30) -> dict:
+    """Full AmphionCodec params from the reference's two-file acoustic
+    codec checkpoint (ref `maskgct_inference.py:44-52`: encoder in
+    model.safetensors, decoder + quantizer in model_1.safetensors).
+
+    ``use_vocos_decoder``: the published MaskGCT acoustic codec decodes
+    through a Vocos head (ref codec.py:372), keys under ``model.``."""
+    if use_vocos_decoder:
+        decoder = torch_vocos_to_flax(
+            _sub_state_dict(dec_sd, "model."), num_layers=vocos_num_layers)
+    else:
+        decoder = torch_codec_decoder_to_flax(
+            dec_sd, up_ratios=tuple(reversed(strides)), dilations=dilations)
+    return {
+        "encoder": torch_codec_encoder_to_flax(
+            enc_sd, strides=strides, dilations=dilations),
+        "decoder": decoder,
+        "quantizer": torch_residual_vq_to_flax(dec_sd, num_quantizers),
+    }
+
+
 def maskgct_t2s_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     """Reference MaskGCT_T2S state dict → `MaskGCTT2S` params.
 

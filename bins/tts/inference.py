@@ -279,10 +279,32 @@ def build_maskgct_pipeline(args, cfg, logger):
     )
     g2p = G2PModule(p.get("g2p_backend", "char"), p.get("lexicon_path") or None)
 
-    exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
-    tree, epoch, step = CheckpointManager(exp_dir / "checkpoint").restore_raw()
-    params = tree["params"] if "params" in tree else tree
-    logger.info(f"MaskGCT restored from epoch {epoch} step {step}")
+    weights_dir = getattr(args, "weights_dir", "")
+    manifest = {}
+    if weights_dir:
+        # converted-pretrained layout (bins/convert_checkpoint.py --bundle
+        # maskgct); arch still comes from cfg.model sections
+        import json as _json
+
+        manifest = _json.loads(
+            (Path(weights_dir) / "manifest.json").read_text())
+        logger.info(f"loading converted weights: {sorted(manifest)}")
+
+        def _from_manifest(*names):
+            for n in names:
+                if n in manifest:
+                    t, _, _ = CheckpointManager(manifest[n]).restore_raw()
+                    return t["params"] if "params" in t else t
+            raise KeyError(f"none of {names} in {weights_dir}/manifest.json")
+
+        params = {"t2s": _from_manifest("t2s"),
+                  "s2a": _from_manifest("s2a_full", "s2a_1layer", "s2a")}
+    else:
+        exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+        tree, epoch, step = CheckpointManager(
+            exp_dir / "checkpoint").restore_raw()
+        params = tree["params"] if "params" in tree else tree
+        logger.info(f"MaskGCT restored from epoch {epoch} step {step}")
 
     mt = cfg.model.get("t2s", None)
     ms = cfg.model.get("s2a", None)
@@ -309,7 +331,11 @@ def build_maskgct_pipeline(args, cfg, logger):
     from amphion_tpu.models.codec.repcodec import RepCodec
 
     sem_codec = RepCodec(sem_cfg)
-    if args.semantic_ckpt:
+    if "semantic_codec" in manifest:
+        stree, _, _ = CheckpointManager(
+            manifest["semantic_codec"]).restore_raw()
+        sem_params = stree["params"]
+    elif args.semantic_ckpt:
         stree, _, _ = CheckpointManager(args.semantic_ckpt).restore_raw()
         sem_params = (stree.get("g", stree)["params"] if "g" in stree
                       else stree["params"])
@@ -319,7 +345,11 @@ def build_maskgct_pipeline(args, cfg, logger):
             jax.random.key(0), jnp.zeros((1, 8, p.n_mel))
         )["params"]
     ac = AmphionCodec(ac_cfg)
-    if args.codec_ckpt:
+    if "acoustic_codec" in manifest:
+        ctree, _, _ = CheckpointManager(
+            manifest["acoustic_codec"]).restore_raw()
+        ac_params = ctree["params"]
+    elif args.codec_ckpt:
         ctree, _, _ = CheckpointManager(args.codec_ckpt).restore_raw()
         ac_params = (ctree["g"]["params"] if "g" in ctree
                      else ctree["params"])
@@ -400,6 +430,9 @@ def main():
     parser.add_argument("--prompt_text", default="")
     parser.add_argument("--codec_ckpt", default="")
     parser.add_argument("--semantic_ckpt", default="")
+    parser.add_argument("--weights_dir", default="",
+                        help="converted-pretrained bundle dir "
+                             "(bins/convert_checkpoint.py --bundle ...)")
     parser.add_argument("--vocoder_ckpt", default="",
                         help="GAN vocoder checkpoint (Griffin-Lim if empty)")
     parser.add_argument("--vocoder_config", default="",

@@ -71,10 +71,25 @@ def _tokenizer(name, cfg, ckpt, vocab, logger):
 
 
 def build_pipeline(args, cfg, logger) -> tuple[VevoPipeline, bool]:
-    """Assemble the pipeline from trainer checkpoints. Returns
-    (pipeline, has_vocoder)."""
+    """Assemble the pipeline from trainer checkpoints, or from a
+    converted-pretrained bundle when --weights_dir is given
+    (bins/convert_checkpoint.py --bundle vevo; ref pull site
+    vevo_utils.py:46-175). Returns (pipeline, has_vocoder)."""
     p = cfg.preprocess
     mel_cfg = MelConfig.from_preprocess_cfg(p)
+    manifest = {}
+    if getattr(args, "weights_dir", ""):
+        import json as _json
+
+        manifest = _json.loads(
+            (Path(args.weights_dir) / "manifest.json").read_text())
+        logger.info(f"loading converted weights: {sorted(manifest)}")
+        # manifest paths feed the same _restore flow below
+        args.content_ckpt = manifest.get("content_tokenizer",
+                                         args.content_ckpt)
+        args.style_ckpt = manifest.get("content_style_tokenizer",
+                                       args.style_ckpt)
+        args.vocoder_ckpt = manifest.get("vocoder", args.vocoder_ckpt)
     ar_m = cfg.model.get("ar", None)
     fm_m = cfg.model.get("fm", None)
     in_vocab = ar_m.input_vocab if ar_m else 32
@@ -99,9 +114,19 @@ def build_pipeline(args, cfg, logger) -> tuple[VevoPipeline, bool]:
         num_heads=fm_m.num_heads if fm_m else 16,
     ))
     log_dir = Path(cfg.get("log_dir", "ckpts"))
-    ar_params = (_restore(log_dir / args.ar_exp / "checkpoint", logger, "ar")
-                 if args.ar_exp else None)
-    fm_params = _restore(log_dir / args.fm_exp / "checkpoint", logger, "fm")
+    if "ar" in manifest:
+        ar_params = _restore(manifest["ar"], logger, "ar")
+    else:
+        ar_params = (_restore(log_dir / args.ar_exp / "checkpoint", logger,
+                              "ar") if args.ar_exp else None)
+    if "fmt" in manifest:
+        fm_params = _restore(manifest["fmt"], logger, "fm")
+    else:
+        if not args.fm_exp:
+            raise SystemExit("--fm_exp or --weights_dir (with an 'fmt' "
+                             "component) is required")
+        fm_params = _restore(log_dir / args.fm_exp / "checkpoint", logger,
+                             "fm")
 
     voc_m = cfg.model.get("vocos", None)
     vocoder = VocosGenerator(VocosConfig(
@@ -157,8 +182,11 @@ def main():
     parser.add_argument("--output_path", required=True)
     parser.add_argument("--ar_exp", default="",
                         help="AR trainer exp_name (voice/tts)")
-    parser.add_argument("--fm_exp", required=True,
-                        help="FM trainer exp_name")
+    parser.add_argument("--fm_exp", default="",
+                        help="FM trainer exp_name (or --weights_dir)")
+    parser.add_argument("--weights_dir", default="",
+                        help="converted-pretrained bundle dir "
+                             "(bins/convert_checkpoint.py --bundle vevo)")
     parser.add_argument("--content_ckpt", default="")
     parser.add_argument("--style_ckpt", default="")
     parser.add_argument("--vocoder_ckpt", default="",
