@@ -1,19 +1,59 @@
 """Speaker similarity (reference: `evaluation/metrics/similarity/` —
 RawNet3 / Resemblyzer / WavLM cosine similarity).
 
-Wraps a frozen `transformers` speaker-verification checkpoint (WavLM-family)
-on the host; the embedder is injectable so tests and alternative models
-(RawNet3-style) plug in the same way.
+Default path is the NATIVE flax WavLM-SV x-vector embedder
+(`models/speaker_embedder.py`, checkpoint-compatible with
+microsoft/wavlm-base-(plus-)sv via `bins/convert_checkpoint.py --model
+wavlm_sv`); point it at a converted checkpoint dir explicitly or through
+``AMPHION_SPEAKER_CKPT``. A frozen torch `transformers` embedder remains
+available as an explicit opt-in oracle.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 _EMBEDDER_CACHE: dict = {}
 
 
+def native_wavlm_embedder(ckpt_dir: str, cfg=None):
+    """(audio, sr) -> (D,) embedding from a converted WavLM-SV checkpoint,
+    running the native flax model jitted on the accelerator."""
+    key = ("native", ckpt_dir)
+    if key in _EMBEDDER_CACHE:
+        return _EMBEDDER_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    from amphion_tpu.models.speaker_embedder import (
+        WavLMForSpeakerVerification,
+        WavLMSVConfig,
+    )
+    from amphion_tpu.runtime.checkpoint import CheckpointManager
+
+    model = WavLMForSpeakerVerification(cfg or WavLMSVConfig())
+    tree, _, _ = CheckpointManager(ckpt_dir).restore_raw()
+    params = tree["params"] if "params" in tree else tree
+    fwd = jax.jit(lambda au: model.apply({"params": params}, au))
+
+    def embed(audio, sample_rate=16000) -> np.ndarray:
+        audio = np.asarray(audio, np.float32)
+        if sample_rate != 16000:
+            from amphion_tpu.data.audio_io import resample
+
+            audio = resample(audio, sample_rate, 16000)
+        # HF Wav2Vec2FeatureExtractor(do_normalize=True) semantics
+        audio = (audio - audio.mean()) / max(float(audio.std()), 1e-7)
+        return np.asarray(fwd(jnp.asarray(audio)[None]))[0]
+
+    _EMBEDDER_CACHE[key] = embed
+    return embed
+
+
 def wavlm_embedder(model_name: str = "microsoft/wavlm-base-sv"):
+    """Torch oracle embedder (explicit opt-in; needs the HF checkpoint)."""
     if model_name in _EMBEDDER_CACHE:
         return _EMBEDDER_CACHE[model_name]
     import torch
@@ -35,9 +75,22 @@ def wavlm_embedder(model_name: str = "microsoft/wavlm-base-sv"):
     return embed
 
 
+def default_embedder():
+    """Native embedder from ``AMPHION_SPEAKER_CKPT`` (converted WavLM-SV
+    checkpoint dir); raises with guidance if unset."""
+    ckpt = os.environ.get("AMPHION_SPEAKER_CKPT", "")
+    if not ckpt:
+        raise RuntimeError(
+            "speaker similarity needs an embedder: pass embedder=..., set "
+            "AMPHION_SPEAKER_CKPT to a checkpoint converted with "
+            "`bins/convert_checkpoint.py --model wavlm_sv`, or use "
+            "wavlm_embedder() for the torch oracle")
+    return native_wavlm_embedder(ckpt)
+
+
 def speaker_similarity(ref, gen, sample_rate=16000, embedder=None) -> float:
     """Cosine similarity of speaker embeddings (SIM-O style)."""
-    embedder = embedder or wavlm_embedder()
+    embedder = embedder or default_embedder()
     e_r = embedder(ref, sample_rate)
     e_g = embedder(gen, sample_rate)
     return float(

@@ -2743,6 +2743,75 @@ def hf_hubert_to_flax(sd: Mapping[str, np.ndarray], *, num_layers: int,
     return out
 
 
+def hf_wavlm_sv_to_flax(sd: Mapping[str, np.ndarray], *, num_layers: int,
+                        num_feat_layers: int = 7,
+                        feat_extract_norm: str = "group",
+                        num_tdnn: int = 5) -> dict:
+    """HF `WavLMForXVector` state dict → `WavLMForSpeakerVerification`
+    params (microsoft/wavlm-base-(plus-)sv layout: encoder keys under
+    ``wavlm.``, x-vector head at top level)."""
+    w = _sub_state_dict(sd, "wavlm.")
+    fe: dict = {}
+    for i in range(num_feat_layers):
+        p = f"feature_extractor.conv_layers.{i}"
+        b = (np.asarray(w[f"{p}.conv.bias"])
+             if f"{p}.conv.bias" in w else None)
+        fe[f"conv_{i}"] = conv1d_to_flax(np.asarray(w[f"{p}.conv.weight"]), b)
+        if feat_extract_norm == "group" and i == 0:
+            fe["group_norm_scale"] = np.asarray(w[f"{p}.layer_norm.weight"])
+            fe["group_norm_bias"] = np.asarray(w[f"{p}.layer_norm.bias"])
+        elif feat_extract_norm == "layer":
+            fe[f"layer_norm_{i}"] = _ln_(w, f"{p}.layer_norm")
+    pw, pb = _materialize_wn_dim_last(w, "encoder.pos_conv_embed.conv")
+    enc: dict = {
+        "feature_encoder": fe,
+        "fp_layer_norm": _ln_(w, "feature_projection.layer_norm"),
+        "fp_projection": _lin_(w, "feature_projection.projection"),
+        "pos_conv_embed": {"conv": conv1d_to_flax(pw, pb)},
+        "layer_norm": _ln_(w, "encoder.layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}"
+        attn = {
+            "q_proj": _lin_(w, f"{p}.attention.q_proj"),
+            "k_proj": _lin_(w, f"{p}.attention.k_proj"),
+            "v_proj": _lin_(w, f"{p}.attention.v_proj"),
+            "out_proj": _lin_(w, f"{p}.attention.out_proj"),
+            "gru_rel_pos_linear": _lin_(
+                w, f"{p}.attention.gru_rel_pos_linear"),
+            "gru_rel_pos_const": np.asarray(
+                w[f"{p}.attention.gru_rel_pos_const"]),
+        }
+        if i == 0:
+            attn["rel_attn_embed"] = np.asarray(
+                w[f"{p}.attention.rel_attn_embed.weight"])
+        enc[f"layers_{i}"] = {
+            "attention": attn,
+            "layer_norm": _ln_(w, f"{p}.layer_norm"),
+            "intermediate_dense": _lin_(
+                w, f"{p}.feed_forward.intermediate_dense"),
+            "output_dense": _lin_(w, f"{p}.feed_forward.output_dense"),
+            "final_layer_norm": _ln_(w, f"{p}.final_layer_norm"),
+        }
+    out: dict = {"wavlm": enc, "projector": _lin_(sd, "projector"),
+                 "feature_extractor": _lin_(sd, "feature_extractor")}
+    if "layer_weights" in sd:
+        out["layer_weights"] = np.asarray(sd["layer_weights"])
+    for i in range(num_tdnn):
+        # HF stores the TDNN conv as a Linear over (in*k) flattened taps
+        # (modeling_wavlm.py:1525,1541): weight (out, in*k) viewed as
+        # (out, k, in) → flax Conv kernel (k, in, out)
+        kw = np.asarray(sd[f"tdnn.{i}.kernel.weight"])
+        out_dim = kw.shape[0]
+        prev = (np.asarray(sd[f"tdnn.{i - 1}.kernel.weight"]).shape[0]
+                if i > 0 else np.asarray(sd["projector.weight"]).shape[0])
+        k = kw.shape[1] // prev
+        kernel = kw.reshape(out_dim, k, prev).transpose(1, 2, 0)
+        out[f"tdnn_{i}"] = {"kernel": kernel,
+                            "bias": np.asarray(sd[f"tdnn.{i}.kernel.bias"])}
+    return out
+
+
 def hf_w2v_bert_to_flax(sd: Mapping[str, np.ndarray], *,
                         num_layers: int) -> dict:
     """HF `Wav2Vec2BertModel` (position_embeddings_type="relative_key",

@@ -92,6 +92,9 @@ _MODELS = {
                      defaults={"num_layers": 24}, wrap=_wrap_params),
     "hubert": dict(fn=C.hf_hubert_to_flax,
                    defaults={"num_layers": 24}, wrap=_wrap_params),
+    # microsoft/wavlm-base-(plus-)sv: speaker-verification x-vector model
+    "wavlm_sv": dict(fn=C.hf_wavlm_sv_to_flax,
+                     defaults={"num_layers": 12}, wrap=_wrap_params),
     "fairseq_hubert": dict(fn=C.fairseq_hubert_to_flax,
                            defaults={"num_layers": 24}, wrap=_wrap_params),
     "llama": dict(fn=C.hf_llama_to_flax,
