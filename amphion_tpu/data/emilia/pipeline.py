@@ -123,16 +123,30 @@ class EmiliaPipeline:
     max_duration_s: float = 30.0
 
     @classmethod
-    def with_native_stages(cls, **kw) -> "EmiliaPipeline":
-        """All model slots filled with the native signal-processing stages
-        (amphion_tpu.data.emilia.stages) — runnable with zero checkpoints."""
+    def with_native_stages(cls, speaker_ckpt: str = "",
+                           **kw) -> "EmiliaPipeline":
+        """All model slots filled with native stages
+        (amphion_tpu.data.emilia.stages) — runnable with zero checkpoints.
+        With ``speaker_ckpt`` (a WavLM-SV checkpoint converted via
+        `bins/convert_checkpoint.py --model wavlm_sv`) diarization upgrades
+        to spectral clustering over neural speaker embeddings."""
         from amphion_tpu.data.emilia.stages import (dnsmos_proxy,
+                                                    neural_diarizer,
                                                     spectral_diarizer,
                                                     spectral_gate_separator)
 
         sr = kw.get("sample_rate", 24000)
         kw.setdefault("separator", lambda x: spectral_gate_separator(x, sr))
-        kw.setdefault("diarizer", lambda x: spectral_diarizer(x, sr))
+        if speaker_ckpt:
+            from amphion_tpu.evaluation.metrics.similarity import (
+                native_wavlm_embedder,
+            )
+
+            emb = native_wavlm_embedder(speaker_ckpt)
+            kw.setdefault(
+                "diarizer", lambda x: neural_diarizer(x, sr, embedder=emb))
+        else:
+            kw.setdefault("diarizer", lambda x: spectral_diarizer(x, sr))
         kw.setdefault("scorer", dnsmos_proxy)
         kw.setdefault("min_dnsmos", 3.0)
         return cls(**kw)

@@ -167,6 +167,168 @@ def spectral_diarizer(x: np.ndarray, sr: int = 24000,
     return merged
 
 
+def _merge_turns(times, labels, total_s, min_turn_s):
+    """Consecutive same-label windows → [(start, end, 'spkN')] turns."""
+    turns: list[tuple[float, float, str]] = []
+    start, cur = times[0], labels[0]
+    for t, lab in zip(times[1:], labels[1:]):
+        if lab != cur:
+            turns.append((start, t, f"spk{cur}"))
+            start, cur = t, lab
+    turns.append((start, total_s, f"spk{cur}"))
+    merged: list[tuple[float, float, str]] = []
+    for t in turns:
+        if merged and (t[1] - t[0]) < min_turn_s:
+            merged[-1] = (merged[-1][0], t[1], merged[-1][2])
+        else:
+            merged.append(t)
+    return merged
+
+
+def neural_diarizer(x: np.ndarray, sr: int = 24000, *, embedder,
+                    win_s: float = 1.5, hop_s: float = 0.75,
+                    max_speakers: int = 8,
+                    min_turn_s: float = 1.0) -> list[tuple[float, float, str]]:
+    """Speaker turns via spectral clustering over neural speaker embeddings
+    — the pyannote-slot upgrade (ref `preprocessors/Emilia/main.py:131-168`
+    diarization stage). ``embedder``: (audio, sr) -> (D,), e.g.
+    `evaluation.metrics.similarity.native_wavlm_embedder` (WavLM-SV).
+
+    Method (standard speaker-diarization recipe): sliding-window
+    embeddings → cosine affinity → row-thresholded symmetrized affinity →
+    normalized-Laplacian eigengap to choose the speaker count → k-means in
+    the spectral embedding → contiguous-turn merge."""
+    total_s = len(x) / sr
+    win, hop = int(win_s * sr), int(hop_s * sr)
+    if len(x) < 2 * win:
+        return [(0.0, total_s, "spk0")]
+    starts = list(range(0, len(x) - win + 1, hop))
+    embeds = np.stack([np.asarray(embedder(x[s:s + win], sr))
+                       for s in starts])
+    # a window's label describes its CENTER; using centers as turn times
+    # halves the boundary bias vs window starts
+    times = np.asarray(starts) / sr + win_s / 2
+    n = len(embeds)
+    if n < 4:
+        return [(0.0, total_s, "spk0")]
+
+    e = embeds / np.maximum(
+        np.linalg.norm(embeds, axis=1, keepdims=True), 1e-12)
+    aff = np.clip(e @ e.T, -1.0, 1.0)
+    np.fill_diagonal(aff, 1.0)
+    # row-wise refinement: keep each row's strongest 50% similarities
+    thresh = np.percentile(aff, 50, axis=1, keepdims=True)
+    aff = np.where(aff >= thresh, aff, 0.0)
+    aff = np.maximum(aff, aff.T)  # symmetrize
+    d = np.maximum(aff.sum(axis=1), 1e-12)
+    lap = np.eye(n) - aff / np.sqrt(d)[:, None] / np.sqrt(d)[None, :]
+    evals, evecs = np.linalg.eigh(lap)
+    # k = near-zero eigenvalue count (≈ connected components of the
+    # refined affinity graph); a plain eigengap argmax over-splits the
+    # single-speaker case, whose λ1 sits well above this threshold
+    kmax = min(max_speakers, n - 1)
+    k = min(int(np.sum(evals < 0.15)), kmax)
+    if k <= 1:
+        return [(0.0, total_s, "spk0")]
+    spec = evecs[:, :k]
+    spec = spec / np.maximum(np.linalg.norm(spec, axis=1, keepdims=True),
+                             1e-12)
+    rng = np.random.default_rng(0)
+    c = spec[rng.choice(n, k, replace=False)]
+    for _ in range(50):
+        a = ((spec[:, None] - c[None]) ** 2).sum(-1).argmin(1)
+        newc = np.stack([spec[a == j].mean(0) if (a == j).any() else c[j]
+                         for j in range(k)])
+        if np.allclose(newc, c):
+            break
+        c = newc
+    turns = _merge_turns(times, a, total_s, min_turn_s)
+    # stretch the first turn back to 0 (its window covers the clip start)
+    return [(0.0 if i == 0 else s, e_, spk)
+            for i, (s, e_, spk) in enumerate(turns)]
+
+
+def diarization_error_rate(ref_turns, hyp_turns, total_s: float,
+                           step: float = 0.01) -> float:
+    """Frame-based DER with optimal speaker-label mapping (Hungarian on the
+    frame-confusion matrix) — the quality gauge for the diarizer stages."""
+    from scipy.optimize import linear_sum_assignment
+
+    t = np.arange(0.0, total_s, step)
+
+    def label_frames(turns):
+        lab = np.full(len(t), -1)
+        names: dict[str, int] = {}
+        for s, e_, spk in turns:
+            names.setdefault(spk, len(names))
+            lab[(t >= s) & (t < e_)] = names[spk]
+        return lab, len(names)
+
+    ref, n_ref = label_frames(ref_turns)
+    hyp, n_hyp = label_frames(hyp_turns)
+    conf = np.zeros((n_ref, n_hyp))
+    for i in range(n_ref):
+        for j in range(n_hyp):
+            conf[i, j] = np.sum((ref == i) & (hyp == j))
+    ri, ci = linear_sum_assignment(-conf)
+    correct = conf[ri, ci].sum()
+    scored = np.sum(ref >= 0)
+    return float(1.0 - correct / max(scored, 1))
+
+
+def hybrid_vad(
+    x: np.ndarray,
+    sr: int,
+    frame_ms: float = 30.0,
+    threshold_db: float = -40.0,
+    entropy_gate: float = 0.92,
+    min_speech_s: float = 0.3,
+    max_segment_s: float = 30.0,
+    hangover_frames: int = 8,
+) -> list[tuple[float, float]]:
+    """Energy + spectral-entropy hybrid VAD (silero-slot upgrade, ref
+    `preprocessors/Emilia/main.py` VAD stage): a frame is speech when it is
+    BOTH energetic (relative to the clip's 95th-percentile level) and
+    spectrally structured (normalized spectral entropy below the gate —
+    voiced/fricative speech concentrates energy; hiss and room tone are
+    near-flat at ~1.0). Same [(start_s, end_s)] contract as `energy_vad`,
+    robust to broadband noise that energy alone passes."""
+    frame = int(sr * frame_ms / 1000)
+    n = len(x) // frame
+    if n == 0:
+        return []
+    frames = x[: n * frame].reshape(n, frame) * np.hanning(frame)
+    e_db = 20 * np.log10(np.sqrt(np.mean(frames ** 2, axis=1)) + 1e-8)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    p = spec / np.maximum(spec.sum(axis=1, keepdims=True), _EPS)
+    ent = -np.sum(p * np.log(p + _EPS), axis=1) / np.log(spec.shape[1])
+    ref = np.percentile(e_db, 95)
+    active = (e_db > max(ref + threshold_db, -60.0)) & (ent < entropy_gate)
+    segs, start, quiet = [], None, 0
+    for i, a in enumerate(active):
+        if a:
+            if start is None:
+                start = i
+            quiet = 0
+        elif start is not None:
+            quiet += 1
+            if quiet > hangover_frames:
+                segs.append((start, i - quiet))
+                start, quiet = None, 0
+    if start is not None:
+        segs.append((start, n))
+    out = []
+    for s, t in segs:
+        if (t - s) * frame / sr < min_speech_s:
+            continue
+        s_t, e_t = s * frame / sr, t * frame / sr
+        while e_t - s_t > max_segment_s:
+            out.append((s_t, s_t + max_segment_s))
+            s_t += max_segment_s
+        out.append((s_t, e_t))
+    return out
+
+
 def dnsmos_proxy(x: np.ndarray, sr: int = 24000) -> float:
     """[1, 5] overall-quality proxy (ref filters at DNSMOS OVRL >= 3.0)."""
     from amphion_tpu.data.emilia.pipeline import energy_vad, estimate_snr

@@ -26,6 +26,10 @@ def main():
                              "the native signal-processing stages")
     parser.add_argument("--min_dnsmos", type=float, default=3.0,
                         help="quality floor when a scorer runs (ref OVRL>=3)")
+    parser.add_argument("--speaker_ckpt", default="",
+                        help="converted WavLM-SV ckpt dir: diarization "
+                             "upgrades to neural-embedding spectral "
+                             "clustering (with --native_stages)")
     args = parser.parse_args()
     logger = get_logger("emilia")
 
@@ -39,7 +43,10 @@ def main():
 
     builder = (EmiliaPipeline.with_native_stages if args.native_stages
                else EmiliaPipeline)
+    extra = ({"speaker_ckpt": args.speaker_ckpt}
+             if args.native_stages and args.speaker_ckpt else {})
     pipe = builder(
+        **extra,
         sample_rate=args.sample_rate,
         transcriber=transcriber,
         min_snr_db=args.min_snr_db,
