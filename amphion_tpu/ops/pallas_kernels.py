@@ -611,18 +611,22 @@ def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
 
 
 def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
-                            *, block_k, lk, causal, scale, has_mask):
-    """One (batch, head, q-block) tile: online-softmax over K chunks.
+                            *, block_k, lk, nheads, causal, scale, has_mask):
+    """One (batch·head, q-block) tile: online-softmax over K chunks.
 
-    K/V for this (batch, kv-head) are VMEM-resident (audio sequences are
-    ≤ a few thousand tokens — ~1 MB per tensor at D=64); the (Lq, Lk)
-    score matrix is never materialized, so HBM traffic is O(L·D) instead
-    of the O(L²) of the unfused softmax path."""
-    iq = pl.program_id(2)
+    Operands are head-folded (B·H, L, D) views — TPU tiling requires the
+    last two BLOCK dims to be (8k, 128k) or full, which the natural
+    (1, bq, 1, d) blocks of a (B, L, H, D) layout violate. K/V for this
+    (batch, kv-head) are VMEM-resident (audio sequences are ≤ a few
+    thousand tokens — ~1 MB per tensor at D=64); the (Lq, Lk) score matrix
+    is never materialized, so HBM traffic is O(L·D) instead of the O(L²)
+    of the unfused softmax path."""
+    iq = pl.program_id(1)
     bq = q_ref.shape[1]
     d = q_ref.shape[-1]
-    q = q_ref[0, :, 0, :].astype(jnp.float32) * scale  # (bq, D)
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
     row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    ib = pl.program_id(0) // nheads  # mask block is the full (B, Lk)
 
     n_chunks = pl.cdiv(lk, block_k)
     if causal:
@@ -632,8 +636,8 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
 
     def body(j, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (bq, bk)
@@ -643,7 +647,7 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
         if causal:
             ok = jnp.logical_and(ok, col <= row)
         if has_mask:
-            kvm = m_ref[0, pl.ds(j * block_k, block_k)]
+            kvm = m_ref[ib, pl.ds(j * block_k, block_k)]
             ok = jnp.logical_and(ok, (kvm > 0)[None, :])
         s = jnp.where(ok, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -660,9 +664,25 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
     out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
     if lse_ref is not None:
-        lse_ref[0, 0, :] = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30))
+        # lse block is the full (1, 1, Lq_pad) row; write this q-block's
+        # slice along the LAST dim (dynamic middle-dim indexing is not
+        # TPU-lowerable)
+        lse_ref[0, 0, pl.ds(iq * bq, bq)] = (
+            m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-30)))
+
+
+def _fold_heads(x):
+    """(B, L, H, D) → (B·H, L, D)."""
+    b, l, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+
+
+def _unfold_heads(x, b, h):
+    """(B·H, L, D) → (B, L, H, D)."""
+    _, l, d = x.shape
+    return x.reshape(b, h, l, d).transpose(0, 2, 1, 3)
 
 
 def flash_attention_pallas(
@@ -678,12 +698,12 @@ def flash_attention_pallas(
 ) -> jax.Array:
     """Fused multi-head attention with online softmax → (B, Lq, H, D).
 
-    Grid (B, H, Lq/block_q); each tile streams its KV-head's keys/values
-    from VMEM in ``block_k`` chunks carrying running (max, denominator)
-    statistics, so the (Lq, Lk) logits never hit HBM. GQA is free: the
-    K/V BlockSpec index map folds the query head onto its KV head. Causal
-    masking prunes the chunk loop above the diagonal analytically (no
-    wasted MXU work on the upper triangle). f32 statistics regardless of
+    Grid (B·H, Lq/block_q) over head-folded (B·H, L, D) views (TPU block
+    tiling); each tile streams its KV-head's keys/values from VMEM in
+    ``block_k`` chunks carrying running (max, denominator) statistics, so
+    the (Lq, Lk) logits never hit HBM. GQA is free: the K/V index map
+    folds the query head onto its KV head. Causal masking prunes the chunk
+    loop above the diagonal analytically. f32 statistics regardless of
     input dtype (bf16 in → bf16 out, f32 softmax)."""
     interpret = _resolve_interpret(interpret)
     b, lq, h, d = q.shape
@@ -692,54 +712,65 @@ def flash_attention_pallas(
     rep = h // kvh
     block_q = min(block_q, lq)
     block_k = min(block_k, lk)
-    # pad K/V to a block multiple: the kernel chunks with pl.ds, whose
+    # pad to block multiples: the kernel chunks with pl.ds, whose
     # out-of-bounds start CLAMPS (dynamic-slice semantics) and would
     # silently shift the tail chunk; padded cols are masked via `col < lk`
     lk_pad = pl.cdiv(lk, block_k) * block_k
+    lq_pad = pl.cdiv(lq, block_q) * block_q
+    nq = lq_pad // block_q
     if lk_pad != lk:
         padw = ((0, 0), (0, lk_pad - lk), (0, 0), (0, 0))
         k = jnp.pad(k, padw)
         v = jnp.pad(v, padw)
         if kv_mask is not None:
             kv_mask = jnp.pad(kv_mask, ((0, 0), (0, lk_pad - lk)))
-    grid = (b, h, pl.cdiv(lq, block_q))
+    qf = _fold_heads(q if lq_pad == lq
+                     else jnp.pad(q, ((0, 0), (0, lq_pad - lq),
+                                      (0, 0), (0, 0))))
+    kf, vf = _fold_heads(k), _fold_heads(v)
+    grid = (b * h, nq)
     has_mask = kv_mask is not None
     if not has_mask:  # dummy operand keeps the call signature static
         kv_mask = jnp.ones((b, 1), jnp.float32)
     kern = functools.partial(
-        _flash_attention_kernel, block_k=block_k, lk=lk, causal=causal,
-        scale=1.0 / float(np.sqrt(d)), has_mask=has_mask)
-    out_shape = jax.ShapeDtypeStruct((b, lq, h, d), q.dtype)
-    out_spec = pl.BlockSpec((1, block_q, 1, d),
-                            lambda bi, hi, qi: (bi, qi, hi, 0),
+        _flash_attention_kernel, block_k=block_k, lk=lk, nheads=h,
+        causal=causal, scale=1.0 / float(np.sqrt(d)), has_mask=has_mask)
+    out_shape = jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype)
+    out_spec = pl.BlockSpec((1, block_q, d), lambda i, qi: (i, qi, 0),
                             memory_space=pltpu.VMEM)
     if return_lse:
-        out_shape = [out_shape, jax.ShapeDtypeStruct((b, h, lq), jnp.float32)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b * h, 1, lq_pad), jnp.float32)]
+        # full row per program: (1, block_q) tails are not TPU-tileable
         out_spec = [out_spec,
-                    pl.BlockSpec((1, 1, block_q),
-                                 lambda bi, hi, qi: (bi, hi, qi),
+                    pl.BlockSpec((1, 1, lq_pad), lambda i, qi: (i, 0, 0),
                                  memory_space=pltpu.VMEM)]
-    return pl.pallas_call(
+    kv_index = (lambda i, qi, rep=rep, h=h, kvh=kvh:
+                ((i // h) * kvh + (i % h) // rep, 0, 0))
+    res = pl.pallas_call(
         kern,
         out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d),
-                         lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, block_q, d), lambda i, qi: (i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, 1, d),
-                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+            pl.BlockSpec((1, lk_pad, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, 1, d),
-                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+            pl.BlockSpec((1, lk_pad, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_mask.shape[1]),
-                         lambda bi, hi, qi: (bi, 0),
+            # full-array mask block (a (1, Lk) tail is not TPU-tileable);
+            # the kernel picks its batch row from program_id
+            pl.BlockSpec(kv_mask.shape, lambda i, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         interpret=interpret,
-    )(q, k, v, kv_mask.astype(jnp.float32))
+    )(qf, kf, vf, kv_mask.astype(jnp.float32))
+    if return_lse:
+        out = _unfold_heads(res[0], b, h)[:, :lq]
+        lse = res[1][:, 0].reshape(b, h, lq_pad)[:, :, :lq]
+        return out, lse
+    return _unfold_heads(res, b, h)[:, :lq]
 
 
 def _attention_dense_ref(q, k, v, kv_mask, causal):
@@ -764,18 +795,19 @@ def _attention_dense_ref(q, k, v, kv_mask, causal):
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
-                         dl_ref, dq_ref, *, block_k, lk, causal, scale,
-                         has_mask):
-    """dQ for one (batch, head, q-block) tile: recompute P from (Q, K, LSE)
+                         dl_ref, dq_ref, *, block_k, lk, nheads, causal,
+                         scale, has_mask):
+    """dQ for one (batch·head, q-block) tile: recompute P from (Q, K, LSE)
     chunk-by-chunk, dS = P ⊙ (dO·Vᵀ − Δ), dQ += dS·K — the (Lq, Lk) logits
     never exist in HBM in the backward either (FlashAttention-2 eq. 4-5)."""
-    iq = pl.program_id(2)
+    iq = pl.program_id(1)
     bq = q_ref.shape[1]
     d = q_ref.shape[-1]
-    q = q_ref[0, :, 0, :].astype(jnp.float32)
-    do = do_ref[0, :, 0, :].astype(jnp.float32)
-    lse = lse_ref[0, 0, :][:, None]          # (bq, 1)
-    delta = dl_ref[0, 0, :][:, None]         # (bq, 1)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    ib = pl.program_id(0) // nheads
+    lse = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]    # (bq, 1)
+    delta = dl_ref[0, 0, pl.ds(iq * bq, bq)][:, None]   # (bq, 1)
     row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
 
     n_chunks = pl.cdiv(lk, block_k)
@@ -783,8 +815,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
         n_chunks = jnp.minimum(n_chunks, pl.cdiv((iq + 1) * bq, block_k))
 
     def body(j, acc):
-        k = k_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), 0, :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (bq, bk)
@@ -794,7 +826,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
         if causal:
             ok = jnp.logical_and(ok, col <= row)
         if has_mask:
-            kvm = m_ref[0, pl.ds(j * block_k, block_k)]
+            kvm = m_ref[ib, pl.ds(j * block_k, block_k)]
             ok = jnp.logical_and(ok, (kvm > 0)[None, :])
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
@@ -806,40 +838,42 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32)
     acc = jax.lax.fori_loop(
         0, n_chunks, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0, :, 0, :] = (acc * scale).astype(dq_ref.dtype)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dl_ref,
-                          m_ref, dk_ref, dv_ref, *, block_q, lq, lk, causal,
-                          scale, has_mask):
-    """dK/dV for one (batch, q-head, k-block) tile: stream Q/dO chunks,
+                          m_ref, dk_ref, dv_ref, *, block_q, lq, lk,
+                          nheads, causal, scale, has_mask):
+    """dK/dV for one (batch·q-head, k-block) tile: stream Q/dO chunks,
     dV += Pᵀ·dO and dK += dSᵀ·Q (FlashAttention-2 eq. 6-7). Causal pruning
     starts the chunk loop at the diagonal; fully-masked/padded rows drop out
     through the `ok` mask (their P row is 0)."""
-    ik = pl.program_id(2)
+    ik = pl.program_id(1)
     bk = k_ref.shape[1]
     d = k_ref.shape[-1]
-    k = k_ref[0, :, 0, :].astype(jnp.float32)
-    v = v_ref[0, :, 0, :].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
     col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
     okc = col < lk
     if has_mask:
-        okc = jnp.logical_and(okc, (m_ref[0, :] > 0)[None, :])
+        ib = pl.program_id(0) // nheads
+        okc = jnp.logical_and(
+            okc, (m_ref[ib, pl.ds(ik * bk, bk)] > 0)[None, :])
 
-    n_chunks = pl.cdiv(lq, block_q)
-    start = (ik * bk) // block_q if causal else 0
+    bq = block_q
+    n_chunks = pl.cdiv(lq, bq)
+    start = (ik * bk) // bq if causal else 0
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), 0, :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), 0, :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        delta = dl_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        q = q_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * bq, bq)][:, None]
+        delta = dl_ref[0, 0, pl.ds(i * bq, bq)][:, None]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (bq, bk)
-        row = (i * block_q
-               + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+        row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
         ok = jnp.logical_and(okc, row < lq)
         if causal:
             ok = jnp.logical_and(ok, col <= row)
@@ -858,18 +892,19 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dl_ref,
 
     zero = jnp.zeros((bk, d), jnp.float32)
     dk_acc, dv_acc = jax.lax.fori_loop(start, n_chunks, body, (zero, zero))
-    dk_ref[0, :, 0, :] = (dk_acc * scale).astype(dk_ref.dtype)
-    dv_ref[0, :, 0, :] = dv_acc.astype(dv_ref.dtype)
+    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def flash_attention_bwd_pallas(q, k, v, kv_mask, out, lse, g, causal=False,
                                block_q=256, block_k=256, interpret=None):
     """Pallas flash backward → (dq, dk, dv); O(L·D) HBM like the forward.
 
-    Two kernels: dQ over (B, H, Lq-blocks) and dK/dV over (B, H, Lk-blocks)
-    with GQA head-group reduction done outside (dk/dv are produced per
-    query head, then summed over each group of `H/KVH` heads). Δ =
-    rowsum(dO ⊙ O) is a cheap fused XLA reduction, not a kernel."""
+    Two kernels over head-folded (B·H, L, D) views: dQ over (B·H,
+    Lq-blocks) and dK/dV over (B·H, Lk-blocks) with GQA head-group
+    reduction done outside (dk/dv are produced per query head, then summed
+    over each group of `H/KVH` heads). Δ = rowsum(dO ⊙ O) is a cheap fused
+    XLA reduction, not a kernel."""
     interpret = _resolve_interpret(interpret)
     b, lq, h, d = q.shape
     _, lk, kvh, _ = k.shape
@@ -877,6 +912,9 @@ def flash_attention_bwd_pallas(q, k, v, kv_mask, out, lse, g, causal=False,
     block_q = min(block_q, lq)
     block_k = min(block_k, lk)
     scale = 1.0 / float(np.sqrt(d))
+    lk_pad = pl.cdiv(lk, block_k) * block_k
+    lq_pad = pl.cdiv(lq, block_q) * block_q
+    nq = lq_pad // block_q
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1).transpose(0, 2, 1)  # (B, H, Lq)
@@ -884,96 +922,94 @@ def flash_attention_bwd_pallas(q, k, v, kv_mask, out, lse, g, causal=False,
     has_mask = kv_mask is not None
     mask = (kv_mask.astype(jnp.float32) if has_mask
             else jnp.ones((b, 1), jnp.float32))
+    if has_mask and lk_pad != lk:
+        mask = jnp.pad(mask, ((0, 0), (0, lk_pad - lk)))
+
+    def padt(x, lpad):  # time-pad a (B, L, H, D) tensor
+        return (x if x.shape[1] == lpad
+                else jnp.pad(x, ((0, 0), (0, lpad - x.shape[1]),
+                                 (0, 0), (0, 0))))
+
+    qf = _fold_heads(padt(q, lq_pad))
+    gf = _fold_heads(padt(g, lq_pad))
+    kf = _fold_heads(padt(k, lk_pad))
+    vf = _fold_heads(padt(v, lk_pad))
+    # lse/delta → (B·H, 1, Lq_pad) rows (full-row blocks are TPU-tileable)
+    def rows(x):  # (B, H, Lq) → (B·H, 1, Lq_pad)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, lq_pad - x.shape[2])))
+        return x.reshape(b * h, 1, lq_pad)
+
+    lse_r, delta_r = rows(lse), rows(delta)
+    kv_index = (lambda i, ji, rep=rep, h=h, kvh=kvh:
+                ((i // h) * kvh + (i % h) // rep, 0, 0))
 
     # --- dQ: same geometry as the forward (K/V VMEM-resident per head) ---
-    lk_pad = pl.cdiv(lk, block_k) * block_k
-    kp, vp, maskp = k, v, mask
-    if lk_pad != lk:
-        padw = ((0, 0), (0, lk_pad - lk), (0, 0), (0, 0))
-        kp, vp = jnp.pad(k, padw), jnp.pad(v, padw)
-        if has_mask:
-            maskp = jnp.pad(mask, ((0, 0), (0, lk_pad - lk)))
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, lk=lk,
-                          causal=causal, scale=scale, has_mask=has_mask),
-        out_shape=jax.ShapeDtypeStruct((b, lq, h, d), q.dtype),
-        grid=(b, h, pl.cdiv(lq, block_q)),
+                          nheads=h, causal=causal, scale=scale,
+                          has_mask=has_mask),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        grid=(b * h, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d),
-                         lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, block_q, d), lambda i, qi: (i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, 1, d),
-                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+            pl.BlockSpec((1, lk_pad, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, 1, d),
-                         lambda bi, hi, qi, rep=rep: (bi, 0, hi // rep, 0),
+            pl.BlockSpec((1, lk_pad, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, maskp.shape[1]), lambda bi, hi, qi: (bi, 0),
+            pl.BlockSpec(mask.shape, lambda i, qi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1, d),
-                         lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, block_q, d), lambda i, qi: (i, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, lq_pad), lambda i, qi: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi),
+            pl.BlockSpec((1, 1, lq_pad), lambda i, qi: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d),
-                               lambda bi, hi, qi: (bi, qi, hi, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, qi: (i, qi, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, kp, vp, maskp, g, lse, delta)
+    )(qf, kf, vf, mask, gf, lse_r, delta_r)
+    dq = _unfold_heads(dq, b, h)[:, :lq]
 
-    # --- dK/dV: Q/dO/LSE/Δ VMEM-resident per head, chunked with pl.ds —
-    # pad Lq to a block multiple (pl.ds clamps out-of-bounds starts) ---
-    lq_pad = pl.cdiv(lq, block_q) * block_q
-    qp, gp, lsep, deltap = q, g, lse, delta
-    if lq_pad != lq:
-        padw = ((0, 0), (0, lq_pad - lq), (0, 0), (0, 0))
-        qp, gp = jnp.pad(q, padw), jnp.pad(g, padw)
-        lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_pad - lq)))
-        deltap = jnp.pad(delta, ((0, 0), (0, 0), (0, lq_pad - lq)))
+    # --- dK/dV: Q/dO/LSE/Δ VMEM-resident per head, chunked with pl.ds ---
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, lq=lq,
-                          lk=lk, causal=causal, scale=scale,
+                          lk=lk, nheads=h, causal=causal, scale=scale,
                           has_mask=has_mask),
-        out_shape=[jax.ShapeDtypeStruct((b, lk_pad, h, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, lk_pad, h, d), v.dtype)],
-        grid=(b, h, lk_pad // block_k),
+        out_shape=[jax.ShapeDtypeStruct((b * h, lk_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, lk_pad, d), v.dtype)],
+        grid=(b * h, lk_pad // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_k, 1, d),
-                         lambda bi, hi, ki, rep=rep: (bi, ki, hi // rep, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, 1, d),
-                         lambda bi, hi, ki, rep=rep: (bi, ki, hi // rep, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq_pad, 1, d),
-                         lambda bi, hi, ki: (bi, 0, hi, 0),
+            pl.BlockSpec((1, lq_pad, d), lambda i, ki: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq_pad, 1, d),
-                         lambda bi, hi, ki: (bi, 0, hi, 0),
+            pl.BlockSpec((1, lq_pad, d), lambda i, ki: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lq_pad), lambda bi, hi, ki: (bi, hi, 0),
+            pl.BlockSpec((1, 1, lq_pad), lambda i, ki: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lq_pad), lambda bi, hi, ki: (bi, hi, 0),
+            pl.BlockSpec((1, 1, lq_pad), lambda i, ki: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            (pl.BlockSpec((1, block_k), lambda bi, hi, ki: (bi, ki),
-                          memory_space=pltpu.VMEM) if has_mask else
-             pl.BlockSpec((1, 1), lambda bi, hi, ki: (bi, 0),
-                          memory_space=pltpu.VMEM)),
+            pl.BlockSpec(mask.shape, lambda i, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, 1, d),
-                         lambda bi, hi, ki: (bi, ki, hi, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, 1, d),
-                         lambda bi, hi, ki: (bi, ki, hi, 0),
+            pl.BlockSpec((1, block_k, d), lambda i, ki: (i, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         interpret=interpret,
-    )(kp, vp, qp, gp, lsep, deltap, maskp)
-    dk = dk[:, :lk]
-    dv = dv[:, :lk]
+    )(_fold_heads(jnp.repeat(padt(k, lk_pad), rep, axis=2))
+      if rep > 1 else kf,
+      _fold_heads(jnp.repeat(padt(v, lk_pad), rep, axis=2))
+      if rep > 1 else vf,
+      qf, gf, lse_r, delta_r, mask)
+    dk = _unfold_heads(dk, b, h)[:, :lk]
+    dv = _unfold_heads(dv, b, h)[:, :lk]
     if rep > 1:  # query heads are KV-head-major: h = kv * rep + r
         dk = dk.reshape(b, lk, kvh, rep, d).sum(axis=3).astype(k.dtype)
         dv = dv.reshape(b, lk, kvh, rep, d).sum(axis=3).astype(v.dtype)
