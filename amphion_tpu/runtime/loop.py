@@ -32,6 +32,8 @@ class LoopConfig:
     save_checkpoints_steps: int = 0  # step-mode checkpoint cadence
     nan_guard: bool = True
     metrics_path: str = ""  # JSONL per-step metrics tracker (ref: trackers)
+    tensorboard_dir: str = ""  # tfevents scalar tracker (ref: TB trackers,
+    # new_trainer.py:683-692) — native writer, no TB/TF dependency
     profile_steps: tuple = ()  # (start, stop): jax.profiler trace window
 
 
@@ -74,6 +76,11 @@ class TrainLoop:
 
             pathlib.Path(cfg.metrics_path).parent.mkdir(parents=True, exist_ok=True)
             self._metrics_file = open(cfg.metrics_path, "a")
+        self._tb = None
+        if cfg.tensorboard_dir:
+            from amphion_tpu.utils.tbwriter import SummaryWriter
+
+            self._tb = SummaryWriter(cfg.tensorboard_dir)
 
     # -- data parallelism -----------------------------------------------------
 
@@ -169,6 +176,13 @@ class TrainLoop:
                         {"step": self.step, "epoch": self.epoch,
                          "sec_per_step": self._window.average, **metrics}) + "\n")
                     self._metrics_file.flush()
+                if self._tb is not None:
+                    self._tb.add_scalars(
+                        {**{f"train/{k}": v for k, v in metrics.items()},
+                         "perf/sec_per_step": self._window.average},
+                        self.step)
+                    if self.step % self.cfg.log_interval == 0:
+                        self._tb.flush()
                 n_batches += 1
                 for k, v in metrics.items():
                     epoch_metrics[k] = epoch_metrics.get(k, 0.0) + v
@@ -203,6 +217,11 @@ class TrainLoop:
                     f"epoch {self.epoch} valid | "
                     + ", ".join(f"{k}={float(v):.4f}" for k, v in vm.items())
                 )
+                if self._tb is not None:
+                    self._tb.add_scalars(
+                        {f"valid/{k}": float(v) for k, v in vm.items()},
+                        self.step)
+                    self._tb.flush()
             if self.ckpt is not None and not step_mode and self.ckpt.should_save(self.epoch):
                 mean_loss = (
                     epoch_metrics.get(next(iter(epoch_metrics)), 0.0) / max(1, n_batches)
