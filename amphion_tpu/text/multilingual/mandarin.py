@@ -152,16 +152,36 @@ def pinyin_to_ipa(syl: str) -> list[str] | None:
 
 def _char_pinyin(word: str, char_lexicon: dict | None,
                  word_lexicon: dict | None) -> list[str] | None:
-    """Pinyin syllables for one jieba word via lexicons; None if any char OOV."""
+    """Pinyin syllables for one jieba word via lexicons; None if any char OOV.
+
+    Lookup order: whole-word lexicon hit → greedy longest sub-word match
+    against the polyphone lexicon (catches compounds jieba keeps joined,
+    e.g. 中国银行) → per-char defaults."""
     for lex in (word_lexicon, WORD_PINYIN):
         if lex and word in lex:
             return lex[word].split()
-    syls = []
-    for ch in word:
-        py = (char_lexicon or {}).get(ch) or CHAR_PINYIN.get(ch)
+    syls: list[str] = []
+    i = 0
+    n = len(word)
+    while i < n:
+        hit = None
+        for j in range(min(n, i + 4), i + 1, -1):  # longest match first
+            sub = word[i:j]
+            for lex in (word_lexicon, WORD_PINYIN):
+                if lex and sub in lex:
+                    hit = lex[sub].split()
+                    break
+            if hit:
+                break
+        if hit:
+            syls.extend(hit)
+            i = j
+            continue
+        py = (char_lexicon or {}).get(word[i]) or CHAR_PINYIN.get(word[i])
         if py is None:
             return None
         syls.append(py.split()[0])
+        i += 1
     return syls
 
 
