@@ -85,7 +85,7 @@ class DiffusionSVC(nn.Module):
 
 @functools.lru_cache(maxsize=16)
 def _diffusion_svc_sample_jitted(model, shape, sampler, num_steps,
-                                 compute_dtype):
+                                 compute_dtype, return_trajectory=False):
     sched = model.schedule
     dt = jnp.dtype(compute_dtype)
 
@@ -107,8 +107,10 @@ def _diffusion_svc_sample_jitted(model, shape, sampler, num_steps,
                 method=DiffusionSVC.denoise_cond).astype(jnp.float32)
 
         if sampler == "ddpm":
-            return ddpm_sample(eps_fn, sched, shape, rng, num_steps)
-        return ddim_sample(eps_fn, sched, shape, rng, num_steps)
+            return ddpm_sample(eps_fn, sched, shape, rng, num_steps,
+                               return_trajectory=return_trajectory)
+        return ddim_sample(eps_fn, sched, shape, rng, num_steps,
+                           return_trajectory=return_trajectory)
 
     return jax.jit(core)
 
@@ -122,9 +124,12 @@ def diffusion_svc_sample(
     sampler: str = "ddim",
     num_steps: int = 50,
     compute_dtype: str = "bfloat16",
+    return_trajectory: bool = False,
 ):
     """Sample mel given conditioning (ref `diffusion_inference_pipeline.py`).
-    Memoized self-jitting; denoiser in ``compute_dtype`` (bf16 default)."""
+    Memoized self-jitting; denoiser in ``compute_dtype`` (bf16 default).
+    ``return_trajectory``: also return the stacked per-step mels
+    (SingVisio dumps)."""
     return _diffusion_svc_sample_jitted(
-        model, tuple(shape), sampler, num_steps, compute_dtype)(
-        params, features, rng)
+        model, tuple(shape), sampler, num_steps, compute_dtype,
+        return_trajectory)(params, features, rng)

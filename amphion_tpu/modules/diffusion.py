@@ -77,8 +77,11 @@ def ddpm_sample(
     shape: tuple,
     rng: jax.Array,
     num_steps: int | None = None,
+    return_trajectory: bool = False,
 ) -> jax.Array:
-    """Ancestral DDPM sampling (eps-prediction) as one lax.scan."""
+    """Ancestral DDPM sampling (eps-prediction) as one lax.scan.
+    ``return_trajectory`` additionally stacks every intermediate x
+    (SingVisio step dumps)."""
     n = schedule.num_steps
     steps = num_steps or n
     ts = np.linspace(n - 1, 0, steps).round().astype(np.int32)
@@ -99,10 +102,10 @@ def ddpm_sample(
         mean = (x - b_t / jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(a_t)
         noise = jax.random.normal(step_rng, x.shape)
         x = jnp.where(t > 0, mean + jnp.sqrt(b_t) * noise, mean)
-        return (x, rng), None
+        return (x, rng), (x if return_trajectory else None)
 
-    (x, _), _ = jax.lax.scan(body, (x, rng), jnp.asarray(ts))
-    return x
+    (x, _), traj = jax.lax.scan(body, (x, rng), jnp.asarray(ts))
+    return (x, traj) if return_trajectory else x
 
 
 def ddim_sample(
@@ -112,8 +115,10 @@ def ddim_sample(
     rng: jax.Array,
     num_steps: int = 50,
     eta: float = 0.0,
+    return_trajectory: bool = False,
 ) -> jax.Array:
-    """DDIM sampling as one lax.scan over a strided timestep ladder."""
+    """DDIM sampling as one lax.scan over a strided timestep ladder.
+    ``return_trajectory`` additionally stacks every intermediate x."""
     n = schedule.num_steps
     ts = np.linspace(n - 1, 0, num_steps + 1).round().astype(np.int32)
     ab = np.concatenate([schedule.alphas_bar, [1.0]])  # ab[-1] for t=-1 ≈ 1
@@ -134,10 +139,10 @@ def ddim_sample(
         dir_xt = jnp.sqrt(jnp.maximum(1 - ab_p - sigma**2, 0.0)) * eps
         noise = jax.random.normal(step_rng, x.shape)
         x = jnp.sqrt(ab_p) * x0 + dir_xt + sigma * noise
-        return (x, rng), None
+        return (x, rng), (x if return_trajectory else None)
 
-    (x, _), _ = jax.lax.scan(body, (x, rng), pairs)
-    return x
+    (x, _), traj = jax.lax.scan(body, (x, rng), pairs)
+    return (x, traj) if return_trajectory else x
 
 
 # ---------------------------------------------------------------------------

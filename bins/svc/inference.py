@@ -55,6 +55,9 @@ def main():
     parser.add_argument("--vocoder_config", default="",
                         help="vocoder exp config (else exp_config.json "
                              "next to --vocoder_ckpt)")
+    parser.add_argument("--dump_steps_dir", default="",
+                        help="dump per-step diffusion mels for the "
+                             "SingVisio explorer")
     args = parser.parse_args()
     cfg = load_config(args.config)
     logger = get_logger("svc_infer")
@@ -116,10 +119,26 @@ def main():
         "singer": jnp.asarray([sid]),
     }
     n = mel.shape[-1]
-    out_mel = diffusion_svc_sample(
-        model, params, features, (1, n, p.n_mel), jax.random.key(0),
-        "ddim", args.num_steps,
-    )
+    if args.dump_steps_dir:
+        out_mel, traj = diffusion_svc_sample(
+            model, params, features, (1, n, p.n_mel), jax.random.key(0),
+            "ddim", args.num_steps, return_trajectory=True,
+        )
+        from amphion_tpu.visualization.singvisio.server import (
+            dump_diffusion_steps,
+        )
+
+        uid = Path(args.output_path).stem
+        # traj (steps, 1, N, n_mel) → per-step (n_mel, N) artifacts
+        dump_diffusion_steps(
+            [np.asarray(m)[0].T for m in traj], args.dump_steps_dir, uid)
+        logger.info(f"dumped {len(traj)} step mels -> "
+                    f"{args.dump_steps_dir}/{uid}")
+    else:
+        out_mel = diffusion_svc_sample(
+            model, params, features, (1, n, p.n_mel), jax.random.key(0),
+            "ddim", args.num_steps,
+        )
 
     if args.vocoder_ckpt:
         from amphion_tpu.runtime.vocoder_trainer import load_vocoder

@@ -321,3 +321,33 @@ def test_debatts_assembly():
     assert (np.asarray(toks) >= 0).all()
     assert (np.asarray(toks) < cfg.t2s.total_vocab).all()
     assert 0 <= int(lens[0]) <= 8
+
+
+def test_singvisio_png_and_trajectory(tmp_path, rng):
+    """Round-2 explorer upgrades: server-side PNG mel rendering (pure
+    stdlib encoder) + per-step trajectory/cluster API (ref SingVisio
+    webpage, visualization/SingVisio/webpage/index.html)."""
+    import struct
+    import zlib
+
+    from amphion_tpu.visualization.singvisio.server import (
+        dump_diffusion_steps,
+        mel_to_png,
+        step_trajectory,
+    )
+
+    mels = [rng.standard_normal((16, 12)).astype(np.float32) * (1 - i / 7)
+            for i in range(8)]
+    out = dump_diffusion_steps(mels, tmp_path, "utt")
+    png = mel_to_png(mels[0], zoom=2)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (24, 32)
+    # IDAT decompresses to h rows of (1 filter byte + 3*w pixels)
+    idat = png[png.index(b"IDAT") + 4:png.rindex(b"IEND") - 4]
+    assert len(zlib.decompress(idat)) == h * (1 + 3 * w)
+
+    tr = step_trajectory(out)
+    assert tr["dist_to_final"][-1] == 0.0
+    assert all(d >= 0 for d in tr["step_delta"])
+    assert len(tr["cluster"]) == 8
