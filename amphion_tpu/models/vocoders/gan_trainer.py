@@ -97,6 +97,10 @@ class GANTrainConfig:
     decay_steps: int = 1000  # steps per decay application
     mel_loss_weight: float = 45.0
     grad_clip: float | None = None
+    # mixed precision: run G/D forward+backward in this dtype (params and
+    # optimizer state stay f32; the mel-loss STFT and all loss math stay
+    # f32). bf16 needs no loss scaling on TPU. "float32" = off.
+    compute_dtype: str = "float32"
 
 
 def make_optimizer(cfg: GANTrainConfig) -> optax.GradientTransformation:
@@ -135,6 +139,16 @@ def make_gan_train_step(
     (``gen_args``, default just "mel"; NSF adds "f0"). ``use_rng`` threads a
     fresh key into the generator (NSF sine-excitation noise)."""
 
+    dt = jnp.dtype(train_cfg.compute_dtype)
+
+    def _cast(tree):
+        if dt == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if (hasattr(p, "dtype")
+                                       and p.dtype == jnp.float32) else p,
+            tree)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(gstate: TrainState, dstate: TrainState, batch):
         audio = batch["audio"]
@@ -143,29 +157,42 @@ def make_gan_train_step(
         if use_rng:
             rng, sub = jax.random.split(rng)
             extra = (sub,)
-        inputs = tuple(batch[k] for k in gen_args) + extra
+        inputs = _cast(tuple(batch[k] for k in gen_args)) + extra
+        audio_c = _cast(audio)
 
         # --- discriminator update (generator frozen) ---
-        fake = gstate.apply_fn({"params": gstate.params}, *inputs)
+        fake = gstate.apply_fn({"params": _cast(gstate.params)}, *inputs)
         fake = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
-            logits_r, _ = dstate.apply_fn({"params": d_params}, audio)
-            logits_f, _ = dstate.apply_fn({"params": d_params}, fake)
-            loss, _, _ = discriminator_loss(logits_r, logits_f)
+            logits_r, _ = dstate.apply_fn({"params": _cast(d_params)},
+                                          audio_c)
+            logits_f, _ = dstate.apply_fn({"params": _cast(d_params)}, fake)
+            loss, _, _ = discriminator_loss(
+                [l.astype(jnp.float32) for l in logits_r],
+                [l.astype(jnp.float32) for l in logits_f])
             return loss
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dstate.params)
         dstate = dstate.apply_gradients(d_grads)
 
         # --- generator update (discriminator frozen) ---
+        d_params_c = _cast(dstate.params)
+
         def g_loss_fn(g_params):
-            fake_g = gstate.apply_fn({"params": g_params}, *inputs)
-            logits_r, fmaps_r = dstate.apply_fn({"params": dstate.params}, audio)
-            logits_f, fmaps_f = dstate.apply_fn({"params": dstate.params}, fake_g)
-            adv = generator_adv_loss(logits_f)
-            fm = feature_loss(fmaps_r, fmaps_f)
-            ml = mel_loss(audio, fake_g, mel_cfg, train_cfg.mel_loss_weight)
+            fake_g = gstate.apply_fn({"params": _cast(g_params)}, *inputs)
+            logits_r, fmaps_r = dstate.apply_fn({"params": d_params_c},
+                                                audio_c)
+            logits_f, fmaps_f = dstate.apply_fn({"params": d_params_c},
+                                                fake_g)
+            adv = generator_adv_loss(
+                [l.astype(jnp.float32) for l in logits_f])
+            fm = feature_loss(
+                [[f.astype(jnp.float32) for f in fs] for fs in fmaps_r],
+                [[f.astype(jnp.float32) for f in fs] for fs in fmaps_f])
+            # mel-loss STFT in f32 regardless of compute dtype
+            ml = mel_loss(audio, fake_g.astype(jnp.float32), mel_cfg,
+                          train_cfg.mel_loss_weight)
             total = adv + fm + ml
             return total, {"g_adv": adv, "g_fm": fm, "g_mel": ml}
 

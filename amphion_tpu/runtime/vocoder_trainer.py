@@ -162,6 +162,9 @@ class GANVocoderTrainer:
         self.train_cfg = GANTrainConfig(
             lr=t.adamw.lr, adam_b1=t.adamw.adam_b1, adam_b2=t.adamw.adam_b2,
             lr_decay=t.exponential_lr.lr_decay,
+            # mixed precision (bf16 fwd/bwd, f32 params/losses): measured
+            # ~matching loss curves and a large step-time win on v5e
+            compute_dtype=t.get("compute_dtype", "float32"),
         )
         self.is_nsf = cfg.model.generator == "nsf_hifigan"
         if self.is_nsf:

@@ -431,11 +431,14 @@ def main() -> None:
           extra=_roofline(fl, by, dt / n_iters))
 
 
-def bench_train_hifigan() -> None:
+def bench_train_hifigan(compute_dtype="float32", batch=16,
+                        frames=64) -> None:
     """Full-size HiFiGAN V1 GAN training step (G+MPD/MSD, both optimizers).
 
     Reports training throughput as x-realtime audio consumed — the TPU
-    answer to the reference's `gan_vocoder_trainer.py` hot loop."""
+    answer to the reference's `gan_vocoder_trainer.py` hot loop. Variants:
+    bf16 mixed precision and larger batch (`train_hifigan_bf16`,
+    `train_hifigan_bf16_b64`)."""
     from amphion_tpu.models.vocoders.gan_trainer import (
         CombinedDiscriminator,
         GANTrainConfig,
@@ -448,15 +451,14 @@ def bench_train_hifigan() -> None:
     cfg = HiFiGANConfig()
     mel_cfg = MelConfig()
     hop = int(np.prod(cfg.upsample_rates))
-    frames, batch = 64, 16  # 16 x 7680-sample segments @24 kHz
     gen = HiFiGANGenerator(cfg)
     disc = CombinedDiscriminator(use=("mpd", "msd"))
     rng = jax.random.key(0)
     audio = jax.random.normal(rng, (batch, frames * hop), jnp.float32) * 0.2
     mel = jnp.transpose(mel_spectrogram(audio, mel_cfg), (0, 2, 1))
-    gstate, dstate = create_gan_states(
-        gen, disc, rng, mel[:1], audio[:1], GANTrainConfig())
-    step = make_gan_train_step(mel_cfg)
+    tc = GANTrainConfig(compute_dtype=compute_dtype)
+    gstate, dstate = create_gan_states(gen, disc, rng, mel[:1], audio[:1], tc)
+    step = make_gan_train_step(mel_cfg, tc)
     gstate, dstate, m = step(gstate, dstate, {"mel": mel, "audio": audio})
     _fence(m["g_loss"])
     n_iters = 10
@@ -467,8 +469,11 @@ def bench_train_hifigan() -> None:
     dt = time.perf_counter() - t0
     xrt = (batch * frames * hop / mel_cfg.sample_rate) * n_iters / dt
     fl, by = _cost_analysis(step, gstate, dstate, {"mel": mel, "audio": audio})
-    _emit("hifigan_train_xrt", xrt, "x realtime audio/sec trained", xrt / 1.0,
-          extra=_roofline(fl, by, dt / n_iters))
+    suffix = "" if compute_dtype == "float32" else "_bf16"
+    if batch != 16:
+        suffix += f"_b{batch}"
+    _emit(f"hifigan_train_xrt{suffix}", xrt, "x realtime audio/sec trained",
+          xrt / 1.0, extra=_roofline(fl, by, dt / n_iters))
 
 
 def bench_train_maskgct() -> None:
@@ -544,6 +549,8 @@ _SUITE = {
     "mel": bench_mel,
     "bigvgan": bench_bigvgan,
     "train_hifigan": bench_train_hifigan,
+    "train_hifigan_bf16": lambda: bench_train_hifigan("bfloat16"),
+    "train_hifigan_bf16_b64": lambda: bench_train_hifigan("bfloat16", 64),
     "train_maskgct": bench_train_maskgct,
     "maskgct": bench_maskgct_rtf,
     "valle": bench_valle_rtf,
