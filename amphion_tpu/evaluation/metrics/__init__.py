@@ -32,6 +32,7 @@ from amphion_tpu.evaluation.metrics.intelligibility import (
     character_error_rate,
     word_error_rate,
 )
+from amphion_tpu.evaluation.metrics.p862 import pesq_p862
 from amphion_tpu.evaluation.metrics.similarity import speaker_similarity
 
 METRIC_REGISTRY = {
@@ -43,7 +44,8 @@ METRIC_REGISTRY = {
     "energy_pc": energy_pearson_coefficients,
     "mcd": mel_cepstral_distortion,
     "mstft": multi_resolution_stft_distance,
-    "pesq": pesq_proxy,
+    "pesq": pesq_p862,
+    "pesq_proxy": pesq_proxy,
     "si_sdr": si_sdr,
     "si_snr": si_snr,
     "stoi": stoi,

@@ -1,0 +1,358 @@
+"""Native ITU-T P.862 (PESQ) perceptual speech-quality model.
+
+The reference wraps the ITU PESQ C binary through the ``pesq`` package
+(`/root/reference/evaluation/metrics/spectrogram/pesq.py`); neither the
+package nor the ITU sources are available in this environment, so this is
+a from-the-spec reimplementation of the P.862 processing chain:
+
+  1. level alignment to a fixed target power in the speech band,
+  2. envelope-based crude delay + per-utterance fine time alignment,
+  3. the perceptual model — 32 ms Hann power spectra grouped into Bark
+     bands ("pitch power densities"), partial frequency-response
+     compensation applied to the reference, short-term gain compensation
+     applied to the degraded signal, Zwicker-law specific loudness,
+  4. masked symmetric + asymmetric disturbance densities,
+  5. L6-over-split-second / L2-over-time aggregation with low-energy frame
+     emphasis and the raw-score → MOS-LQO logistic map of P.862.1 (nb) /
+     P.862.2 (wb).
+
+Documented deviations from the bit-exact ITU implementation (the parts
+only reproducible by copying the ITU tables/code, which we cannot do):
+
+  * Bark band centres/widths are regenerated from the published Zwicker
+    warping ``z = 13·atan(7.6e-4 f) + 3.5·atan((f/7500)²)`` at the spec
+    band counts (42 nb / 49 wb) instead of the ITU table dump.
+  * The absolute hearing threshold uses Terhardt's published
+    approximation instead of the ITU per-band table.
+  * Bad-interval re-alignment (P.862 §10.2.3) is not performed; utterance
+    delays are single-valued (no mid-utterance splinter search).
+
+Because of these the score is not bit-identical to the ITU binary, but
+the model is a true perceptual PESQ — asymmetric Bark-loudness
+disturbance with time alignment — not an SNR proxy. ``pesq_proxy``
+(fwSSNR) remains available; `bins/calc_metrics.py` dispatches "pesq"
+here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["pesq_p862"]
+
+_TARGET_POWER = 1e7  # P.862 fixed level-alignment target (band power)
+
+
+# ---------------------------------------------------------------------------
+# Bark scale helpers (Zwicker warping, regenerated — see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_bark(f):
+    f = np.asarray(f, np.float64)
+    return 13.0 * np.arctan(7.6e-4 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _bark_to_hz(z):
+    """Numerical inverse of :func:`_hz_to_bark` (monotonic bisection)."""
+    z = np.asarray(z, np.float64)
+    lo = np.zeros_like(z)
+    hi = np.full_like(z, 22000.0)
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        below = _hz_to_bark(mid) < z
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    return 0.5 * (lo + hi)
+
+
+def _abs_threshold_power(f_hz):
+    """Terhardt absolute hearing threshold (dB SPL) → internal power.
+
+    P.862 ships this as a per-band table; we regenerate it from the
+    published formula. The internal scale anchors 0 dB ≈ power 1e4 (the
+    P.862 internal calibration of the 1 kHz threshold region).
+    """
+    f = np.maximum(np.asarray(f_hz, np.float64), 20.0) / 1000.0
+    db = (3.64 * f ** -0.8
+          - 6.5 * np.exp(-0.6 * (f - 3.3) ** 2)
+          + 1e-3 * f ** 4)
+    return 1e4 * 10.0 ** (db / 10.0)
+
+
+class _BarkBands:
+    """Bark filterbank for one sample rate: 42 bands (nb) / 49 bands (wb)."""
+
+    def __init__(self, fs: int, n_fft: int):
+        n_bands = 49 if fs >= 16000 else 42
+        f_max = min(fs / 2.0, 8000.0 if fs >= 16000 else 4000.0)
+        z_lo = _hz_to_bark(50.0)
+        z_hi = _hz_to_bark(f_max)
+        edges_z = np.linspace(z_lo, z_hi, n_bands + 1)
+        edges_hz = _bark_to_hz(edges_z)
+        centres_hz = _bark_to_hz(0.5 * (edges_z[:-1] + edges_z[1:]))
+        freqs = np.fft.rfftfreq(n_fft, 1.0 / fs)
+        # membership matrix (n_bands, n_bins): mean power within the band
+        self.group = np.zeros((n_bands, len(freqs)), np.float64)
+        for i in range(n_bands):
+            sel = (freqs >= edges_hz[i]) & (freqs < edges_hz[i + 1])
+            if not sel.any():
+                sel = np.zeros_like(sel)
+                sel[np.argmin(np.abs(freqs - centres_hz[i]))] = True
+            self.group[i, sel] = 1.0 / sel.sum()
+        self.width_bark = np.diff(edges_z)          # (n_bands,)
+        self.centres_hz = centres_hz
+        self.abs_thresh = _abs_threshold_power(centres_hz)
+        self.n_bands = n_bands
+
+
+# ---------------------------------------------------------------------------
+# Pre-processing: level alignment + time alignment
+# ---------------------------------------------------------------------------
+
+
+def _band_power(x: np.ndarray, fs: int, lo=350.0, hi=3250.0) -> float:
+    """Mean power of x restricted to [lo, hi] Hz (FFT brick-wall)."""
+    n = len(x)
+    spec = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    sel = (freqs >= lo) & (freqs <= hi)
+    return float(np.sum(np.abs(spec[sel]) ** 2) / (n * n) * 2.0) + 1e-20
+
+
+def _level_align(x: np.ndarray, fs: int) -> np.ndarray:
+    """Scale so the MEAN power in the 350-3250 Hz band is the P.862 target
+    (1e7 on the internal scale) — frame spectra then sit well above the
+    absolute hearing threshold, as in the ITU calibration."""
+    return x * np.sqrt(_TARGET_POWER / _band_power(x, fs))
+
+
+def _envelope(x: np.ndarray, fs: int):
+    """Log energy envelope at 4 ms frames."""
+    hop = fs // 250
+    n = len(x) // hop
+    e = np.sum(x[: n * hop].reshape(n, hop) ** 2, axis=1)
+    return np.log10(e + 1e4), hop
+
+
+def _crude_delay(ref: np.ndarray, deg: np.ndarray, fs: int) -> int:
+    """Whole-file delay estimate from envelope cross-correlation (samples,
+    positive = degraded lags the reference)."""
+    er, hop = _envelope(ref, fs)
+    ed, _ = _envelope(deg, fs)
+    er = er - er.mean()
+    ed = ed - ed.mean()
+    n = 1 << int(np.ceil(np.log2(len(er) + len(ed))))
+    c = np.fft.irfft(np.fft.rfft(ed, n) * np.conj(np.fft.rfft(er, n)), n)
+    k = int(np.argmax(c))
+    lag = k if k < len(ed) else k - n
+    return int(lag) * hop
+
+
+def _utterances(ref: np.ndarray, fs: int):
+    """Speech-active [start, end) sample spans on the reference signal."""
+    e, hop = _envelope(ref, fs)
+    thr = e.min() + 0.25 * (e.max() - e.min() + 1e-9)
+    active = e > thr
+    # close gaps < 200 ms, drop utterances < 50 ms
+    min_gap = max(1, int(0.2 * fs / hop))
+    min_len = max(1, int(0.05 * fs / hop))
+    spans = []
+    i = 0
+    n = len(active)
+    while i < n:
+        if not active[i]:
+            i += 1
+            continue
+        j = i
+        while j < n:
+            if active[j]:
+                j += 1
+            else:
+                nxt = j
+                while nxt < n and not active[nxt] and nxt - j < min_gap:
+                    nxt += 1
+                if nxt < n and active[nxt]:
+                    j = nxt
+                else:
+                    break
+        if j - i >= min_len:
+            spans.append((i * hop, j * hop))
+        i = j + 1
+    if not spans:
+        spans = [(0, len(ref))]
+    return spans
+
+
+def _fine_delay(ref_seg: np.ndarray, deg: np.ndarray, start: int, end: int,
+                crude: int, fs: int) -> int:
+    """Per-utterance fine delay: direct cross-correlation of the utterance
+    against the degraded signal in a ±75 ms window around the crude delay."""
+    win = int(0.075 * fs)
+    lo = max(0, start + crude - win)
+    hi = min(len(deg), end + crude + win)
+    if hi - lo < len(ref_seg) // 2 or len(ref_seg) < 32:
+        return crude
+    d = deg[lo:hi]
+    n = 1 << int(np.ceil(np.log2(len(d) + len(ref_seg))))
+    c = np.fft.irfft(np.fft.rfft(d, n) * np.conj(np.fft.rfft(ref_seg, n)), n)
+    c = c[: hi - lo]
+    k = int(np.argmax(np.abs(c)))
+    return (lo + k) - start
+
+
+# ---------------------------------------------------------------------------
+# Perceptual model
+# ---------------------------------------------------------------------------
+
+_SL = 1.866055e-1  # Zwicker loudness scale (P.862 calibration constant class)
+_P0_FACTOR = 0.5
+
+
+def _specific_loudness(pitch_pow: np.ndarray, bands: _BarkBands) -> np.ndarray:
+    """Zwicker-law specific loudness per (frame, band)."""
+    p0 = bands.abs_thresh[None, :]
+    ratio = np.maximum(pitch_pow / (p0 * _P0_FACTOR) * _P0_FACTOR, 0.0)
+    loud = (_SL * (p0 / _P0_FACTOR) ** 0.23
+            * ((_P0_FACTOR + _P0_FACTOR * ratio) ** 0.23 - _P0_FACTOR ** 0.23))
+    return np.where(pitch_pow > p0, loud, 0.0)
+
+
+def _pitch_power(x: np.ndarray, fs: int, n_fft: int, bands: _BarkBands):
+    """Hann power spectra on 50%-overlap frames grouped to Bark bands."""
+    hop = n_fft // 2
+    n_frames = max(0, (len(x) - n_fft) // hop + 1)
+    if n_frames == 0:
+        return np.zeros((0, bands.n_bands))
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    # P.862 internal calibration: scale so a 73 dBov sine lands near 1e7
+    spec = spec * (2.0 / n_fft)
+    return spec @ bands.group.T
+
+
+def _perceptual_mos(ref: np.ndarray, deg: np.ndarray, fs: int,
+                    mode: str) -> float:
+    n_fft = 512 if fs >= 16000 else 256
+    bands = _BarkBands(fs, n_fft)
+    pr = _pitch_power(ref, fs, n_fft, bands)
+    pd = _pitch_power(deg, fs, n_fft, bands)
+    n = min(len(pr), len(pd))
+    if n == 0:
+        return 1.0
+    pr, pd = pr[:n], pd[:n]
+
+    frame_pow_r = pr.sum(axis=1)
+    speech = frame_pow_r > 1e5  # audible-reference frames drive compensation
+    if not speech.any():
+        speech = np.ones(n, bool)
+
+    # partial frequency-response compensation → applied to the REFERENCE
+    num = (pd[speech] + 1000.0).mean(axis=0)
+    den = (pr[speech] + 1000.0).mean(axis=0)
+    corr = np.clip(num / den, 0.01, 100.0) ** 0.999  # partial compensation
+    pr_eq = pr * corr[None, :]
+
+    # short-term gain compensation → applied to the DEGRADED signal
+    g_raw = (pr_eq.sum(axis=1) + 5e4) / (pd.sum(axis=1) + 5e4)
+    g_raw = np.clip(g_raw, 3e-4, 5.0)
+    g = np.empty_like(g_raw)
+    prev = 1.0
+    for i in range(n):  # first-order smoothing (P.862 uses 0.2 update rate)
+        prev = 0.8 * prev + 0.2 * g_raw[i]
+        g[i] = prev
+    pd_eq = pd * g[:, None]
+
+    lr = _specific_loudness(pr_eq, bands)
+    ld = _specific_loudness(pd_eq, bands)
+
+    # masked disturbance
+    d = ld - lr
+    m = 0.25 * np.minimum(ld, lr)
+    d = np.where(d > m, d - m, np.where(d < -m, d + m, 0.0))
+
+    w = bands.width_bark[None, :]
+    # symmetric frame disturbance: width-weighted L2 over bands (no
+    # total-width normalization — the Lp norms ARE the ITU aggregation)
+    d_sym = np.sqrt(np.sum((d * w) ** 2, axis=1))
+    # asymmetric: upweight additive (coding noise) bands, L1 over bands
+    asym = ((pd_eq + 50.0) / (pr_eq + 50.0)) ** 1.2
+    asym = np.where(asym < 3.0, 0.0, np.minimum(asym, 12.0))
+    d_asym = np.sum(np.abs(d) * asym * w, axis=1)
+
+    # low-energy frame emphasis + per-frame cap
+    wf = ((frame_pow_r + 1e5) / 1e7) ** 0.04
+    d_sym = np.minimum(d_sym / wf, 45.0)
+    d_asym = np.minimum(d_asym / wf, 45.0)
+
+    def _agg(dist, p_intra, p_inter):
+        """Lp over 20-frame split-seconds (50% overlap), Lq over time."""
+        step = 10
+        win = 20
+        vals = []
+        for s in range(0, max(1, len(dist) - win + 1), step):
+            seg = dist[s: s + win]
+            vals.append(np.mean(seg ** p_intra) ** (1.0 / p_intra))
+        vals = np.asarray(vals if vals else [0.0])
+        return float(np.mean(vals ** p_inter) ** (1.0 / p_inter))
+
+    dsym = _agg(d_sym, 6.0, 2.0)
+    dasym = _agg(d_asym, 1.0, 2.0)
+
+    raw = 4.5 - 0.1 * dsym - 0.0309 * dasym
+    if mode == "wb":  # P.862.2 logistic map
+        return float(0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
+    # P.862.1 narrowband map
+    return float(0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607)))
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def pesq_p862(ref, gen, sample_rate: int = 24000, mode: str = "wb") -> float:
+    """PESQ MOS-LQO of ``gen`` against ``ref`` (higher is better).
+
+    mode "wb" → P.862.2 wideband at 16 kHz (the reference's default call,
+    `evaluation/metrics/spectrogram/pesq.py:38`); "nb" → P.862.1 narrowband
+    at 8 kHz. Inputs at any rate are resampled internally.
+    """
+    from amphion_tpu.data.audio_io import resample
+
+    fs = 16000 if mode == "wb" else 8000
+    ref = np.asarray(ref, np.float64)
+    gen = np.asarray(gen, np.float64)
+    if sample_rate != fs:
+        ref = np.asarray(resample(ref.astype(np.float32), sample_rate, fs),
+                         np.float64)
+        gen = np.asarray(resample(gen.astype(np.float32), sample_rate, fs),
+                         np.float64)
+    if len(ref) < fs // 4 or len(gen) < fs // 4:
+        return 1.0
+    ref = ref - ref.mean()
+    gen = gen - gen.mean()
+    ref = _level_align(ref, fs)
+    gen = _level_align(gen, fs)
+
+    crude = _crude_delay(ref, gen, fs)
+    # per-utterance alignment: rebuild the degraded signal aligned to ref.
+    # Outside detected utterances the crude alignment applies (zeroing
+    # there would count the reference's own noise floor as disturbance).
+    aligned = np.zeros_like(ref)
+    src0 = max(0, crude)
+    dst0 = max(0, -crude)
+    ncp = min(len(gen) - src0, len(ref) - dst0)
+    if ncp > 0:
+        aligned[dst0: dst0 + ncp] = gen[src0: src0 + ncp]
+    for (s, e) in _utterances(ref, fs):
+        dly = _fine_delay(ref[s:e], gen, s, e, crude, fs)
+        gs, ge = s + dly, e + dly
+        if ge <= 0 or gs >= len(gen):
+            continue
+        src = gen[max(0, gs): min(len(gen), ge)]
+        dst_s = s + (max(0, gs) - gs)
+        aligned[dst_s: dst_s + len(src)] = src
+
+    return _perceptual_mos(ref, aligned, fs, mode)

@@ -27,7 +27,13 @@ def _tone(freq, dur=1.0, amp=0.4):
 
 
 def test_registry_has_16_metrics():
-    assert len(METRIC_REGISTRY) == 16
+    # the reference's 16-metric surface (egs/metrics/README.md:5-31) plus
+    # the documented fwSSNR proxy kept alongside the native P.862 "pesq"
+    assert len(METRIC_REGISTRY) == 17
+    for name in ("fpc", "f0rmse", "v_uv_f1", "energy_rmse", "mcd", "mstft",
+                 "pesq", "stoi", "si_sdr", "si_snr", "fad", "wer", "cer",
+                 "speaker_similarity"):
+        assert name in METRIC_REGISTRY
 
 
 def test_f0_metrics_identity():
@@ -103,3 +109,80 @@ def test_edit_distance_and_wer():
     assert character_error_rate("abc", hyp_text="abd") == pytest.approx(1 / 3)
     # punctuation/case normalization
     assert word_error_rate("Hello, World!", hyp_text="hello world") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Native ITU-T P.862 (PESQ) — property tests (no pesq lib available to
+# oracle against; these pin the published behavioral properties instead)
+# ---------------------------------------------------------------------------
+
+
+def _speech_probe(seed=0, dur=3.0, fs=16000):
+    """Harmonic 150 Hz series with formant emphasis + 4 Hz syllabic AM."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(fs * dur)) / fs
+    x = np.zeros_like(t)
+    for k in range(1, 40):
+        f = 150 * k
+        if f > 7000:
+            break
+        a = 1.0 / k * (1.5 if 500 < f < 900 or 1500 < f < 2200 else 1.0)
+        x += a * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+    x *= 0.55 + 0.45 * np.sin(2 * np.pi * 4 * t)
+    x[: fs // 2] = 0
+    x[-fs // 2:] = 0
+    return (x / np.abs(x).max()).astype(np.float64), fs
+
+
+def _add_noise(x, snr_db, seed=1):
+    rng = np.random.default_rng(seed)
+    n = rng.standard_normal(len(x))
+    n *= np.sqrt((x ** 2).mean() / (n ** 2).mean()) * 10 ** (-snr_db / 20)
+    return x + n
+
+
+def test_p862_perfect_scores():
+    from amphion_tpu.evaluation.metrics.p862 import pesq_p862
+
+    x, fs = _speech_probe()
+    # the P.862.2 / P.862.1 logistic maps of raw 4.5
+    assert abs(pesq_p862(x, x, fs, mode="wb") - 4.644) < 0.01
+    assert abs(pesq_p862(x, x, fs, mode="nb") - 4.549) < 0.01
+
+
+def test_p862_monotonic_with_snr():
+    from amphion_tpu.evaluation.metrics.p862 import pesq_p862
+
+    x, fs = _speech_probe()
+    scores = [pesq_p862(x, _add_noise(x, snr), fs) for snr in (30, 20, 10, 0)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 4.0       # 30 dB SNR is barely audible
+    assert scores[-1] < 3.0      # 0 dB SNR is severely degraded
+
+
+def test_p862_delay_and_gain_invariance():
+    from amphion_tpu.evaluation.metrics.p862 import pesq_p862
+
+    x, fs = _speech_probe()
+    clean = pesq_p862(x, x, fs)
+    delayed = np.concatenate([np.zeros(int(0.03 * fs)), x])[: len(x)]
+    assert clean - pesq_p862(x, delayed, fs) < 0.15  # time alignment works
+    assert abs(clean - pesq_p862(x, 0.3 * x, fs)) < 0.05  # level alignment
+
+
+def test_p862_detects_quantization():
+    from amphion_tpu.evaluation.metrics.p862 import pesq_p862
+
+    x, fs = _speech_probe()
+    q = np.round(x * 8) / 8
+    s = pesq_p862(x, q, fs)
+    assert 1.0 <= s < 4.2  # coarse quantization must cost quality
+
+
+def test_p862_from_24k_input_and_registry():
+    x, fs = _speech_probe()
+    from amphion_tpu.data.audio_io import resample
+
+    x24 = np.asarray(resample(x.astype(np.float32), fs, 24000))
+    s = calc_metric("pesq", x24, x24, 24000)
+    assert s > 4.5
