@@ -46,8 +46,19 @@ class LlamaConfig:
     remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
     # fused flash attention (ops/pallas_kernels.flash_attention_pallas) for
     # the full-sequence (no-KV-cache) path: O(L) memory, logits never hit
-    # HBM; decode/prefill keep the dense path (tiny T, cache-offset math)
-    use_flash: bool = False
+    # HBM; decode/prefill keep the dense path (tiny T, cache-offset math).
+    # "auto" (default) = on for single-chip TPU runs (measured 1.5x vs the
+    # dense path at B=8/L=2048/H=16/D=64, `bench.py --only flash`), off on
+    # CPU (interpreted Pallas) and under multi-device GSPMD (pallas_call
+    # has no partitioning rule — the dense path shards cleanly)
+    use_flash: bool | str = "auto"
+
+    @property
+    def flash_enabled(self) -> bool:
+        if self.use_flash == "auto":
+            return (jax.default_backend() in ("tpu", "axon")
+                    and jax.device_count() == 1)
+        return bool(self.use_flash)
 
     @property
     def head_dim(self) -> int:
@@ -250,7 +261,7 @@ class LlamaAttention(nn.Module):
             k, v = ck, cv
             new_cache = (ck, cv)
 
-        if c.use_flash and cache is None and bias is None:
+        if c.flash_enabled and cache is None and bias is None:
             from amphion_tpu.ops.pallas_kernels import flash_attention
 
             out = flash_attention(q, k, v, kv_mask, causal)
@@ -335,7 +346,7 @@ class LlamaEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, cond=None, mask=None):
         bias = kv_mask = None
-        if self.cfg.use_flash:
+        if self.cfg.flash_enabled:
             kv_mask = mask  # fused kernel consumes the padding mask directly
         elif mask is not None:
             bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
@@ -374,7 +385,7 @@ class LlamaDecoder(nn.Module):
         t = x.shape[1]
         if caches is None:
             bias = kv_mask = None
-            if self.cfg.use_flash:
+            if self.cfg.flash_enabled:
                 kv_mask = mask  # causal handled analytically in the kernel
             else:
                 bias = jnp.where(
@@ -391,7 +402,7 @@ class LlamaDecoder(nn.Module):
             for i in range(self.cfg.num_layers):
                 x = block_cls(self.cfg, name=f"layer_{i}")(
                     x, bias=bias, kv_mask=kv_mask,
-                    causal=self.cfg.use_flash)
+                    causal=self.cfg.flash_enabled)
             return RMSNorm(name="final_norm")(x)
         new_caches = []
         if t > 1:

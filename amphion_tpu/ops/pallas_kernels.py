@@ -624,7 +624,11 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
     iq = pl.program_id(1)
     bq = q_ref.shape[1]
     d = q_ref.shape[-1]
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
+    # MXU dots run in the input dtype (bf16 in → full-rate bf16 MXU with
+    # f32 accumulation via preferred_element_type); only the softmax
+    # statistics are f32. Scale folds into q before the dot.
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(mxu_dtype)  # (bq, D)
     row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
     ib = pl.program_id(0) // nheads  # mask block is the full (B, Lk)
 
@@ -636,8 +640,8 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
 
     def body(j, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(mxu_dtype)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(mxu_dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (bq, bk)
@@ -655,7 +659,7 @@ def _flash_attention_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, lse_ref=None,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(mxu_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l
 
@@ -803,8 +807,11 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
     iq = pl.program_id(1)
     bq = q_ref.shape[1]
     d = q_ref.shape[-1]
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # bf16 inputs stay bf16 into the MXU (f32 accumulation); softmax
+    # statistics and dS stay f32
+    mxu_dtype = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0].astype(mxu_dtype)
+    do = do_ref[0].astype(mxu_dtype)
     ib = pl.program_id(0) // nheads
     lse = lse_ref[0, 0, pl.ds(iq * bq, bq)][:, None]    # (bq, 1)
     delta = dl_ref[0, 0, pl.ds(iq * bq, bq)][:, None]   # (bq, 1)
@@ -815,8 +822,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
         n_chunks = jnp.minimum(n_chunks, pl.cdiv((iq + 1) * bq, block_k))
 
     def body(j, acc):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(mxu_dtype)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(mxu_dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (bq, bk)
@@ -832,7 +839,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, lse_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bq, bk)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(mxu_dtype)
         return acc + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -851,8 +858,9 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dl_ref,
     ik = pl.program_id(1)
     bk = k_ref.shape[1]
     d = k_ref.shape[-1]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    mxu_dtype = k_ref.dtype if k_ref.dtype == jnp.bfloat16 else jnp.float32
+    k = k_ref[0].astype(mxu_dtype)
+    v = v_ref[0].astype(mxu_dtype)
     col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
     okc = col < lk
     if has_mask:
@@ -866,8 +874,8 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dl_ref,
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * bq, bq), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * bq, bq), :].astype(mxu_dtype)
+        do = do_ref[0, pl.ds(i * bq, bq), :].astype(mxu_dtype)
         lse = lse_ref[0, 0, pl.ds(i * bq, bq)][:, None]
         delta = dl_ref[0, 0, pl.ds(i * bq, bq)][:, None]
         s = jax.lax.dot_general(
@@ -879,12 +887,12 @@ def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dl_ref,
             ok = jnp.logical_and(ok, col <= row)
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(mxu_dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bk, d)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bq, bk)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(mxu_dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bk, d)

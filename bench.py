@@ -12,6 +12,7 @@ JSON line each — the reproducible source of BENCHMARKS.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -304,6 +305,24 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
         _fence(run(jax.random.key(3 + i)))
     dt = (time.perf_counter() - t0) / n_iters
     rtf = dt / 10.0
+    if os.environ.get("AMPHION_BENCH_STAGES"):
+        def _stage(fn, *a):
+            _fence(fn(*a))
+            ts = time.perf_counter()
+            for _ in range(3):
+                _fence(fn(*a))
+            return (time.perf_counter() - ts) / 3
+        t_ar = _stage(lambda r: ar_transformer_generate(
+            ar, ar_params, content, r, max_new=500, top_k=40,
+            compute_dtype=compute_dtype)[0], jax.random.key(9))
+        t_fm = _stage(lambda r: fmt_inference(
+            fm, fm_params, tokens_full, prompt_mel, r, num_steps=32,
+            cfg_scale=1.0), jax.random.key(9))
+        t_voc = _stage(voc_fwd, voc_params, mel0)
+        print(json.dumps({"vevo_stages_s": {
+            "ar_500tok": round(t_ar, 4), "fm_32step_cfg": round(t_fm, 4),
+            "vocos": round(t_voc, 4), "total_pipeline": round(dt, 4)}}),
+            flush=True)
     suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
     itemsize = {"float32": 4, "bfloat16": 2, "int8": 1, "int4": 0.5}.get(
         compute_dtype, 2)
@@ -316,7 +335,12 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
 
 def bench_flash_attention() -> None:
     """Fused flash attention vs the dense einsum path at training shape
-    (B=8, L=2048, H=16, D=64, causal+padding mask, forward)."""
+    (B=8, L=2048, H=16, D=64, causal+padding mask, forward).
+
+    The op is looped N times INSIDE one jitted program (`lax.scan` with a
+    data dependency) — per-dispatch timing through the axon tunnel bottoms
+    out at its ~35 ms round-trip floor and makes every sub-35 ms op look
+    identical."""
     from amphion_tpu.ops.pallas_kernels import flash_attention_pallas
 
     b, l, h, d = 8, 2048, 16, 64
@@ -325,8 +349,8 @@ def bench_flash_attention() -> None:
     k = jax.random.normal(r, (b, l, h, d), jnp.bfloat16)
     v = jax.random.normal(r, (b, l, h, d), jnp.bfloat16)
     mask = jnp.ones((b, l), jnp.float32)
+    n_inner = 50
 
-    @jax.jit
     def dense(q, k, v, m):
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
         neg = jnp.finfo(jnp.float32).min
@@ -336,17 +360,27 @@ def bench_flash_attention() -> None:
         p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
-    flash = jax.jit(lambda q, k, v, m: flash_attention_pallas(
-        q, k, v, kv_mask=m, causal=True, interpret=False))
+    def flash(q, k, v, m):
+        return flash_attention_pallas(q, k, v, kv_mask=m, causal=True,
+                                      interpret=False)
+
+    def looped(fn):
+        @jax.jit
+        def run(q, k, v, m):
+            def body(c, _):
+                o = fn(q + c, k, v, m)
+                return (jnp.mean(o.astype(jnp.float32)) * 0).astype(q.dtype), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype), None,
+                                length=n_inner)
+            return c
+        return run
 
     def time_fn(fn):
-        _fence(fn(q, k, v, mask))
-        n = 10
+        run = looped(fn)
+        _fence(run(q, k, v, mask))
         t0 = time.perf_counter()
-        outs = [fn(q, k, v, mask) for _ in range(n)]
-        for o in outs:
-            _fence(o)
-        return (time.perf_counter() - t0) / n
+        _fence(run(q, k, v, mask))
+        return (time.perf_counter() - t0) / n_inner
 
     t_dense, t_flash = time_fn(dense), time_fn(flash)
     # analytic attention flops: 2·(QK^T + PV) = 4·B·H·L²·D (×0.5 causal)
