@@ -239,13 +239,18 @@ def bench_valle_rtf(compute_dtype="bfloat16") -> None:
     dt = (time.perf_counter() - t0) / n_iters
     rtf = dt / 10.0
     suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
-    # AR decode re-reads the weights every token (750) + 7 NAR passes;
-    # weight bytes at the decode dtype
+    # AR decode re-reads only the AR subtree every token (750 steps, at the
+    # decode dtype); the 7 NAR passes re-read only the NAR subtree (f32
+    # apply). Counting the full tree for both would overstate HBM traffic.
     itemsize = {"float32": 4, "bfloat16": 2, "int8": 1, "int4": 0.5}.get(
         compute_dtype, 2)
-    pb = _param_bytes(params) / 4 * itemsize
+    ar_b = _param_bytes({k: v for k, v in params.items()
+                         if k in ("ar", "ar_head")})
+    nar_b = _param_bytes({k: v for k, v in params.items()
+                          if k in ("nar", "nar_head")})
+    pb = ar_b / 4 * itemsize * new + nar_b * 7
     _emit(f"valle_zero_shot_rtf{suffix}", rtf, "RTF (lower better)",
-          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, new + 7, dt))
+          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
 
 
 def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
