@@ -463,8 +463,11 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, k_tiles):
     def _init():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    w = w_ref[...].astype(jnp.float32)
-    o_ref[...] += jnp.dot(x_ref[...].astype(jnp.float32), w,
+    # dequantize to bf16, not f32: the MXU runs bf16 dots at full rate
+    # (f32 at quarter rate) and the convert path moves half the bytes;
+    # accumulation stays f32 via preferred_element_type
+    w = w_ref[...].astype(jnp.bfloat16)
+    o_ref[...] += jnp.dot(x_ref[...].astype(jnp.bfloat16), w,
                           preferred_element_type=jnp.float32)
 
     @pl.when(k == k_tiles - 1)
@@ -551,10 +554,12 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group, sub):
     # per-group scale folds into each sub-dot's partial product
     acc = jnp.zeros_like(o_ref)
     for i in range(sub):
-        w = w_ref[i * group:(i + 1) * group, :].astype(jnp.float32)
+        # bf16 dequant + bf16 dot at full MXU rate (see int8 kernel note);
+        # the per-group scale folds into the f32 partial product
+        w = w_ref[i * group:(i + 1) * group, :].astype(jnp.bfloat16)
         s = s_ref[pl.ds(k * sub + i, 1), :].astype(jnp.float32)
         acc += jnp.dot(
-            x_ref[:, i * group:(i + 1) * group].astype(jnp.float32), w,
+            x_ref[:, i * group:(i + 1) * group].astype(jnp.bfloat16), w,
             preferred_element_type=jnp.float32,
         ) * s
     o_ref[...] += acc

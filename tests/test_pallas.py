@@ -191,10 +191,14 @@ def test_int8_matmul_matches_dequant(rng):
     np.testing.assert_allclose(np.asarray(w_q).astype(np.float32)
                                * np.asarray(scale)[None, :], np.asarray(w),
                                atol=float(np.asarray(scale).max()) * 0.51)
-    ref = x @ (w_q.astype(jnp.float32) * scale[None, :])
+    # kernel contract: bf16 dequant + bf16 dots, f32 accumulation (int8
+    # values are exact in bf16; only x is rounded)
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = xb @ (w_q.astype(jnp.float32) * scale[None, :])
     out = int8_matmul_pallas(x, w_q, scale, block_n=64, block_k=32,
                              interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
 
 
 def test_int8_matmul_full_blocks(rng):
@@ -208,8 +212,10 @@ def test_int8_matmul_full_blocks(rng):
     w_q, scale = quantize_weight_int8(w)
     out = int8_matmul_pallas(x, w_q, scale, block_n=64, block_k=64,
                              interpret=True)
-    ref = x @ (w_q.astype(jnp.float32) * scale[None, :])
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = xb @ (w_q.astype(jnp.float32) * scale[None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
 
 
 def test_int8_llama_decode_close_to_f32(rng):
@@ -265,10 +271,11 @@ def test_int4_matmul_matches_dequant(rng):
     # group-wise int4: |w - deq| <= scale/2 per element
     assert np.max(np.abs(deq - np.asarray(w))
                   / np.repeat(np.asarray(scale), group, 0)) <= 0.51
-    ref = np.asarray(x) @ deq
+    xb = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32))
+    ref = xb @ deq
     out = int4_matmul_pallas(x, w_q, scale, group=group, block_n=64,
                              block_k=64, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-4)
 
 
 def test_int4_matmul_batch1_full_width(rng):
@@ -284,8 +291,9 @@ def test_int4_matmul_batch1_full_width(rng):
     out = int4_matmul_pallas(x, w_p.astype(jnp.int8), scale, group=128,
                              block_n=64, interpret=True)
     deq = np.asarray(w_p, np.float32) * np.repeat(np.asarray(scale), 128, 0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x) @ deq,
-                               atol=1e-3, rtol=1e-5)
+    xb = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), xb @ deq,
+                               atol=2e-3, rtol=1e-4)
 
 
 def _dense_attention(q, k, v, kv_mask=None, causal=False):

@@ -126,6 +126,33 @@ def test_fmt_loss_overfit_and_inference(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_fmt_flow_eval_fused_matches_two_pass(rng):
+    """flow_eval_fused (one batch-2B estimator call per ODE step) must
+    reproduce the reference two-pass CFG math of flow_eval exactly — the
+    uncond row is right-padded under an attention mask, so valid positions
+    see identical attention."""
+    model = FlowMatchingTransformer(FMT_TINY)
+    b, lp, lt = 2, 4, 9
+    xt = jnp.asarray(rng.standard_normal((b, lt, 8)).astype(np.float32))
+    prompt = jnp.asarray(rng.standard_normal((b, lp, 8)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 16, (b, lp + lt)))
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((b, lp + lt, 8)), tokens,
+        jnp.zeros((b, lp + lt)), jnp.ones((b, lp + lt)), jax.random.key(1),
+        method=FlowMatchingTransformer.loss,
+    )["params"]
+    for cfg in (0.0, 1.0):
+        two = model.apply({"params": params}, xt, t, tokens, prompt, cfg,
+                          0.75, method=FlowMatchingTransformer.flow_eval)
+        fused = model.apply(
+            {"params": params}, xt, t, tokens, prompt, cfg, 0.75,
+            method=FlowMatchingTransformer.flow_eval_fused)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_ar_transformer_generate_int4_runs(rng):
     """compute_dtype="int4": group-wise int4 weight-only decode produces
     valid unified-vocab tokens (Pallas kernel in interpret mode on CPU)."""
