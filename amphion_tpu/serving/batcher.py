@@ -1,0 +1,181 @@
+"""Micro-batching request executor for TPU serving.
+
+The reference serves through single-request gradio demos
+(`models/tts/maskgct/gradio_demo.py:412-433`); on TPU the economics are
+different: each dispatched program costs ~50 ms through the runtime tunnel
+and the NAR/AR decode paths are weight-HBM-bound at batch 1, so serving
+throughput scales almost linearly with batch until the MXU saturates
+(BENCHMARKS.md). This module supplies the missing piece: a thread-safe
+queue that coalesces concurrent requests into shape-bucketed batches.
+
+Design:
+- `submit(payload)` returns a `concurrent.futures.Future`; callers block
+  (or don't) on their own result.
+- A single worker thread drains the queue. It takes the oldest request,
+  waits up to ``max_wait_ms`` for more requests in the SAME shape bucket
+  (never mixing buckets — one compiled program per bucket), then calls
+  ``run_batch(bucket, payloads) -> list[results]``.
+- Buckets come from ``bucket_fn(payload)`` — typically quantized
+  (prompt_len, target_len) ladders so the jit cache stays bounded.
+- Exceptions in ``run_batch`` are fanned out to every future in the batch.
+
+This is pure stdlib (threading + futures) — XLA dispatch is already async,
+so one python-side worker keeps the chip busy while HTTP threads block on
+their futures.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class _Pending:
+    payload: Any
+    bucket: Any
+    future: Future
+    t_enqueue: float
+
+
+@dataclass
+class BatcherStats:
+    submitted: int = 0
+    completed: int = 0
+    failed: int = 0
+    batches: int = 0
+    batch_sizes: list = field(default_factory=list)
+    wait_ms: list = field(default_factory=list)
+
+    def snapshot(self) -> dict:
+        sizes = self.batch_sizes[-200:]
+        waits = self.wait_ms[-200:]
+        return {
+            "submitted": self.submitted,
+            "completed": self.completed,
+            "failed": self.failed,
+            "batches": self.batches,
+            "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
+            "max_batch": max(sizes) if sizes else 0,
+            "mean_wait_ms": (sum(waits) / len(waits)) if waits else 0.0,
+        }
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into same-bucket batches.
+
+    Parameters
+    ----------
+    run_batch: (bucket, list[payload]) -> list[result], len-matched.
+    bucket_fn: payload -> hashable bucket key.
+    max_batch: hard batch-size cap (compile-time batch ladder upper end).
+    max_wait_ms: how long the worker holds the first request of a batch
+        open for company. 0 disables coalescing (pure FIFO batch-1).
+    """
+
+    def __init__(self, run_batch: Callable, bucket_fn: Callable,
+                 max_batch: int = 8, max_wait_ms: float = 30.0):
+        self._run_batch = run_batch
+        self._bucket_fn = bucket_fn
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self._queue: collections.deque[_Pending] = collections.deque()
+        self._lock = threading.Lock()
+        self._have_work = threading.Condition(self._lock)
+        self._shutdown = False
+        self.stats = BatcherStats()
+        self._worker = threading.Thread(
+            target=self._loop, name="microbatcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, payload: Any) -> Future:
+        fut: Future = Future()
+        item = _Pending(payload, self._bucket_fn(payload), fut, time.monotonic())
+        with self._have_work:
+            if self._shutdown:
+                raise RuntimeError("MicroBatcher is shut down")
+            self._queue.append(item)
+            self.stats.submitted += 1
+            self._have_work.notify()
+        return fut
+
+    def __call__(self, payload: Any) -> Any:
+        """Blocking convenience: submit and wait."""
+        return self.submit(payload).result()
+
+    def shutdown(self, wait: bool = True):
+        with self._have_work:
+            self._shutdown = True
+            self._have_work.notify_all()
+        if wait:
+            self._worker.join(timeout=30)
+
+    # -- worker side ----------------------------------------------------------
+
+    def _take_batch(self) -> list[_Pending] | None:
+        """Block until work; return one same-bucket batch (FIFO head's
+        bucket, holding the door open max_wait_ms for stragglers)."""
+        with self._have_work:
+            while not self._queue and not self._shutdown:
+                self._have_work.wait(timeout=0.5)
+            if not self._queue:
+                return None  # shutdown
+            head_bucket = self._queue[0].bucket
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+
+        while True:
+            with self._have_work:
+                n_match = sum(1 for p in self._queue if p.bucket == head_bucket)
+                now = time.monotonic()
+                if n_match >= self.max_batch or now >= deadline or self._shutdown:
+                    batch, keep = [], collections.deque()
+                    for p in self._queue:
+                        if p.bucket == head_bucket and len(batch) < self.max_batch:
+                            batch.append(p)
+                        else:
+                            keep.append(p)
+                    self._queue = keep
+                    for p in batch:
+                        self.stats.wait_ms.append((now - p.t_enqueue) * 1e3)
+                    return batch
+                self._have_work.wait(timeout=max(deadline - now, 1e-4))
+
+    def _loop(self):
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            payloads = [p.payload for p in batch]
+            try:
+                results = self._run_batch(batch[0].bucket, payloads)
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(batch)} payloads"
+                    )
+            except Exception as e:  # fan the failure out, keep serving
+                for p in batch:
+                    p.future.set_exception(e)
+                self.stats.failed += len(batch)
+                self.stats.batches += 1
+                self.stats.batch_sizes.append(len(batch))
+                continue
+            for p, r in zip(batch, results):
+                p.future.set_result(r)
+            self.stats.completed += len(batch)
+            self.stats.batches += 1
+            self.stats.batch_sizes.append(len(batch))
+
+
+def bucket_ladder(value: int, step: int, max_value: int) -> int:
+    """Quantize a length to the next rung of a static-shape ladder."""
+    if value > max_value:
+        raise ValueError(f"length {value} exceeds serving max {max_value}")
+    return min(((max(value, 1) + step - 1) // step) * step, max_value)

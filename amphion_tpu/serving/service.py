@@ -1,0 +1,179 @@
+"""Batched zero-shot TTS serving on top of `MaskGCTPipeline`.
+
+Production counterpart of the reference's single-request gradio demo
+(`models/tts/maskgct/gradio_demo.py`): concurrent requests are coalesced
+by `MicroBatcher` into shape-bucketed batches and run through the ragged
+samplers (`models/tts/maskgct/ragged_sampling.py`) — B requests with
+different prompt/target lengths share ONE compiled T2S program, one S2A
+program, and one codec decode.
+
+Length buckets: prompt/phone/target lengths are quantized onto ladders
+(`bucket_ladder`) so the jit cache stays bounded; only same-bucket
+requests batch together. Per-request RNG seeds keep results independent
+of batch composition (asserted in tests/test_ragged_sampling.py).
+
+Known approximation: the batched codec decode runs over the padded code
+grid and slices each waveform to its own length — the decoder conv
+receptive field (~ms) can bleed pad content into the final few
+milliseconds of a shorter sample in the batch. Same story for the float
+(mel-proxy) semantic conditioning path; the token-conditioned reference
+path is positionwise-embedded and exact.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amphion_tpu.models.tts.maskgct.ragged_sampling import (
+    pack_prefix_target,
+    s2a_sample_ragged,
+    t2s_sample_ragged,
+)
+from amphion_tpu.serving.batcher import MicroBatcher, bucket_ladder
+
+
+def _pad_to(arr: np.ndarray, length: int, axis: int = 0) -> np.ndarray:
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, length - arr.shape[axis])
+    return np.pad(arr, pad)
+
+
+@dataclass
+class _CoreRequest:
+    prompt_semantic: np.ndarray  # (Lp,) int
+    prompt_acoustic: np.ndarray  # (Q, Lp) int
+    phone_ids: np.ndarray  # (Lph,) int
+    target_len: int
+    seed: int
+
+
+class MaskGCTService:
+    """Thread-safe batched synthesis around a `MaskGCTPipeline`.
+
+    ``synthesize`` may be called concurrently from many threads (e.g. a
+    ThreadingHTTPServer); calls in the same length bucket share compiled
+    programs and device dispatches.
+    """
+
+    def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 50.0,
+                 len_step: int = 64, max_prompt_len: int = 512,
+                 max_target_len: int = 1024, max_phone_len: int = 512,
+                 t2s_kwargs: dict | None = None, s2a_kwargs: dict | None = None):
+        self.pipeline = pipeline
+        self.len_step = len_step
+        self.max_prompt_len = max_prompt_len
+        self.max_target_len = max_target_len
+        self.max_phone_len = max_phone_len
+        self.t2s_kwargs = dict(t2s_kwargs or {})
+        self.s2a_kwargs = dict(s2a_kwargs or {})
+        self._frontend_lock = threading.Lock()  # g2p symbol table mutation
+        self.batcher = MicroBatcher(
+            self._run_batch, self._bucket_of, max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+        )
+
+    # -- request side ---------------------------------------------------------
+
+    def _bucket_of(self, req: _CoreRequest):
+        return (
+            bucket_ladder(len(req.prompt_semantic), self.len_step,
+                          self.max_prompt_len),
+            bucket_ladder(len(req.phone_ids), self.len_step,
+                          self.max_phone_len),
+            bucket_ladder(req.target_len, self.len_step, self.max_target_len),
+        )
+
+    def synthesize(self, prompt_audio: np.ndarray, prompt_text: str,
+                   target_text: str, target_len: int | None = None,
+                   seed: int = 0) -> np.ndarray:
+        """Blocking single request; batches with concurrent callers."""
+        p = self.pipeline
+        with self._frontend_lock:
+            if p.symbol_table is None:
+                p.symbol_table = p.g2p.build_symbol_table(
+                    [prompt_text, target_text]
+                )
+            phones_prompt = p.g2p.to_ids(prompt_text, p.symbol_table)
+            phones_target = p.g2p.to_ids(target_text, p.symbol_table)
+        phone_ids = np.asarray(phones_prompt + phones_target, np.int32)
+
+        prompt_semantic = np.asarray(p.extract_semantic_code(prompt_audio))[0]
+        prompt_acoustic = np.asarray(
+            jnp.transpose(p.extract_acoustic_code(prompt_audio), (1, 0, 2))
+        )[0]  # (Q, Lp)
+        lp = min(len(prompt_semantic), prompt_acoustic.shape[1],
+                 self.max_prompt_len)
+        prompt_semantic = prompt_semantic[:lp]
+        prompt_acoustic = prompt_acoustic[:, :lp]
+        if target_len is None:
+            ratio = max(len(phones_target), 1) / max(len(phones_prompt), 1)
+            target_len = int(lp * ratio) + 1
+        target_len = min(int(target_len), self.max_target_len)
+
+        req = _CoreRequest(prompt_semantic, prompt_acoustic,
+                           phone_ids[: self.max_phone_len], target_len, seed)
+        return self.batcher(req)
+
+    def stats(self) -> dict:
+        return self.batcher.stats.snapshot()
+
+    # -- batch side -------------------------------------------------------------
+
+    def _run_batch(self, bucket, reqs: list[_CoreRequest]) -> list[np.ndarray]:
+        lp_max, lph_max, t_max = bucket
+        p = self.pipeline
+        b = len(reqs)
+        prompt_sem = np.stack(
+            [_pad_to(r.prompt_semantic, lp_max) for r in reqs]
+        ).astype(np.int32)
+        prompt_ac = np.stack(
+            [_pad_to(r.prompt_acoustic, lp_max, axis=1) for r in reqs]
+        ).astype(np.int32)
+        phones = np.stack(
+            [_pad_to(r.phone_ids, lph_max) for r in reqs]
+        ).astype(np.int32)
+        prompt_len = np.asarray([len(r.prompt_semantic) for r in reqs], np.int32)
+        phone_len = np.asarray([len(r.phone_ids) for r in reqs], np.int32)
+        target_len = np.asarray([r.target_len for r in reqs], np.int32)
+        rngs = jax.vmap(jax.random.key)(
+            jnp.asarray([r.seed for r in reqs], jnp.uint32)
+        )
+        r_t2s = jax.vmap(lambda k: jax.random.fold_in(k, 1))(rngs)
+        r_s2a = jax.vmap(lambda k: jax.random.fold_in(k, 2))(rngs)
+
+        semantic = t2s_sample_ragged(
+            p.t2s, p.params["t2s"], prompt_sem, prompt_len, phones, phone_len,
+            target_len, r_t2s, t_max, **self.t2s_kwargs,
+        )  # (B, t_max)
+
+        token_cond = "cond_emb" in p.params["s2a"]
+        sem_packed = pack_prefix_target(
+            jnp.asarray(prompt_sem), semantic, jnp.asarray(prompt_len)
+        )
+        if not token_cond:
+            # mel-proxy checkpoints condition on continuous codec latents
+            sem_packed = p.semantic_codec.apply(
+                {"params": p.params["semantic_codec"]}, sem_packed,
+                method=type(p.semantic_codec).decode_tokens,
+            )
+        codes = s2a_sample_ragged(
+            p.s2a, p.params["s2a"], sem_packed, prompt_ac, prompt_len,
+            target_len, r_s2a, t_max, **self.s2a_kwargs,
+        )  # (B, Q, t_max)
+
+        # batched codec decode (pipeline.codec_decode slices row 0 — bypass)
+        wav = np.asarray(p.acoustic_codec.apply(
+            {"params": p.params["acoustic_codec"]},
+            jnp.transpose(codes, (1, 0, 2)),
+            method=type(p.acoustic_codec).decode_codes,
+        ))  # (B, T_samples)
+        samples_per_frame = wav.shape[-1] / t_max
+        return [
+            wav[i, : int(round(r.target_len * samples_per_frame))]
+            for i, r in enumerate(reqs)
+        ]

@@ -1,0 +1,180 @@
+"""Production zero-shot TTS serving: concurrent HTTP + micro-batched TPU.
+
+The batching sibling of `bins/demo_server.py` (which is single-threaded,
+one request per device dispatch — the reference's gradio-demo model,
+`models/tts/maskgct/gradio_demo.py`). Here a `ThreadingHTTPServer` accepts
+concurrent requests and `amphion_tpu.serving.MaskGCTService` coalesces
+them into shape-bucketed batches: one compiled T2S/S2A/codec program per
+batch, per-request RNG isolation (results don't depend on who shares the
+batch — tests/test_serving.py).
+
+API (same schema as the demo server, plus stats):
+  GET  /            → HTML page
+  GET  /api/health  → {"status": "ok", "backend": ...}
+  GET  /api/stats   → batching stats (mean/max batch size, wait, counts)
+  POST /api/synthesize
+       {"prompt_wav": <base64 WAV>, "prompt_text": str, "target_text": str,
+        "target_sec": float|null, "seed": int|null}
+       → audio/wav bytes
+
+Backends: ``--backend maskgct`` (batched real pipeline) and
+``--backend sine`` (threads through a MicroBatcher too, so the batching
+plumbing is smoke-testable without checkpoints).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from bins.demo_server import PAGE, _decode_wav_bytes, _encode_wav_bytes
+
+_seed_lock = threading.Lock()
+_seed_counter = [0]
+
+
+def _next_seed() -> int:
+    with _seed_lock:
+        _seed_counter[0] += 1
+        return _seed_counter[0]
+
+
+def _build_sine_service(args):
+    """Checkpoint-free backend that still exercises the MicroBatcher."""
+    from amphion_tpu.serving.batcher import MicroBatcher
+
+    sr = 24000
+
+    def run_batch(bucket, payloads):
+        out = []
+        for (n,) in payloads:
+            t = np.arange(n, dtype=np.float32) / sr
+            out.append(0.3 * np.sin(2 * np.pi * 220.0 * t))
+        return out
+
+    mb = MicroBatcher(run_batch, bucket_fn=lambda p: p[0] // (sr // 2),
+                      max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+
+    def synth(prompt_audio, prompt_text, target_text, target_sec, seed):
+        if target_sec is None:
+            ratio = max(len(target_text), 1) / max(len(prompt_text), 1)
+            target_sec = min(max(len(prompt_audio) / sr * ratio, 0.2), 30.0)
+        return mb((int(target_sec * sr),)), sr
+
+    return synth, mb.stats.snapshot
+
+
+def _build_maskgct_service(args):
+    from amphion_tpu.serving.service import MaskGCTService
+    from amphion_tpu.utils.config import load_config
+    from amphion_tpu.utils.logging import get_logger
+    from bins.tts.inference import build_maskgct_pipeline
+
+    cfg = load_config(args.config)
+    pipe = build_maskgct_pipeline(args, cfg, get_logger("serve"))
+    svc = MaskGCTService(
+        pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        len_step=args.len_step, max_prompt_len=args.max_prompt_len,
+        max_target_len=args.max_target_len, max_phone_len=args.max_phone_len,
+    )
+
+    def synth(prompt_audio, prompt_text, target_text, target_sec, seed):
+        target_len = (None if target_sec is None
+                      else int(target_sec * pipe.semantic_rate))
+        wav = svc.synthesize(prompt_audio, prompt_text, target_text,
+                             target_len=target_len, seed=seed)
+        return wav, pipe.sample_rate
+
+    return synth, svc.stats
+
+
+def make_handler(synth_fn, stats_fn, backend_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/api/health":
+                self._send(200, json.dumps(
+                    {"status": "ok", "backend": backend_name,
+                     "batching": True}).encode(), "application/json")
+            elif self.path == "/api/stats":
+                self._send(200, json.dumps(stats_fn()).encode(),
+                           "application/json")
+            elif self.path in ("/", "/index.html"):
+                self._send(200, PAGE.encode(), "text/html; charset=utf-8")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/api/synthesize":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n))
+                prompt = _decode_wav_bytes(
+                    base64.b64decode(req["prompt_wav"]), 24000)
+                seed = req.get("seed")
+                wav, sr = synth_fn(
+                    prompt, req.get("prompt_text", ""),
+                    req.get("target_text", ""), req.get("target_sec"),
+                    _next_seed() if seed is None else int(seed),
+                )
+                self._send(200, _encode_wav_bytes(wav, sr), "audio/wav")
+            except Exception as e:
+                self._send(500, str(e).encode(), "text/plain")
+
+    return Handler
+
+
+def serve(synth_fn, stats_fn, backend_name="custom", port=7860,
+          host="127.0.0.1") -> ThreadingHTTPServer:
+    return ThreadingHTTPServer(
+        (host, port), make_handler(synth_fn, stats_fn, backend_name)
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--backend", default="maskgct",
+                    choices=["maskgct", "sine"])
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--config", help="experiment config (maskgct backend)")
+    ap.add_argument("--exp_name", default="maskgct")
+    ap.add_argument("--semantic_ckpt", default=None)
+    ap.add_argument("--codec_ckpt", default=None)
+    ap.add_argument("--weights_dir", default=None)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--max_wait_ms", type=float, default=50.0)
+    ap.add_argument("--len_step", type=int, default=64)
+    ap.add_argument("--max_prompt_len", type=int, default=512)
+    ap.add_argument("--max_target_len", type=int, default=1024)
+    ap.add_argument("--max_phone_len", type=int, default=512)
+    args = ap.parse_args()
+
+    build = (_build_sine_service if args.backend == "sine"
+             else _build_maskgct_service)
+    synth, stats = build(args)
+    httpd = serve(synth, stats, args.backend, args.port, args.host)
+    print(f"batched serving on http://{args.host}:{args.port} "
+          f"(backend={args.backend}, max_batch={args.max_batch}, "
+          f"max_wait={args.max_wait_ms}ms)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
