@@ -45,36 +45,16 @@ from amphion_tpu.models.tts.maskgct.maskgct import (
     _topk_filter_frac,
 )
 from amphion_tpu.modules.llama import sinusoidal_step_embedding
+from amphion_tpu.ops.ragged import (
+    masked_std as _masked_std,
+    pack_segments,
+    split_each as _split_each,
+    unpack_target,
+)
 
 # ---------------------------------------------------------------------------
 # pack / unpack index maps
 # ---------------------------------------------------------------------------
-
-
-def pack_segments(segments: list[jax.Array],
-                  lengths: list[jax.Array]) -> jax.Array:
-    """Per-sample compact concatenation of right-padded segments.
-
-    segments[k] (B, Lk_max, ...) right-padded to Lk_max; lengths[k] (B,).
-    Returns (B, ΣLk_max, ...) laid out per sample as
-    ``[seg0_i[:l0_i] | seg1_i[:l1_i] | … | pad]`` — the exact layout (and
-    therefore the exact RoPE positions) a single unpadded run would see.
-    """
-    total = sum(s.shape[1] for s in segments)
-    b = segments[0].shape[0]
-    pos = jnp.arange(total)[None, :]
-    expand = (...,) + (None,) * (segments[0].ndim - 2)
-    out = None
-    offset = jnp.zeros((b, 1), lengths[0].dtype)
-    for seg, ln in zip(segments, lengths):
-        idx = jnp.clip(pos - offset, 0, seg.shape[1] - 1)
-        gathered = jnp.take_along_axis(seg, idx[expand], axis=1)
-        if out is None:
-            out = gathered
-        else:
-            out = jnp.where((pos >= offset)[expand], gathered, out)
-        offset = offset + ln[:, None]
-    return out
 
 
 def pack_prefix_target(prefix: jax.Array, target: jax.Array,
@@ -85,42 +65,9 @@ def pack_prefix_target(prefix: jax.Array, target: jax.Array,
     prefix_len (B,) — returns (B, Lp+T, ...). Positions past
     ``prefix_len_i + valid-target`` hold target padding; callers mask them.
     """
-    lp_max, t_max = prefix.shape[1], target.shape[1]
-    pos = jnp.arange(lp_max + t_max)[None, :]
-    is_p = pos < prefix_len[:, None]
-    p_idx = jnp.clip(pos, 0, lp_max - 1)
-    t_idx = jnp.clip(pos - prefix_len[:, None], 0, t_max - 1)
-    expand = (...,) + (None,) * (prefix.ndim - 2)
-    return jnp.where(
-        is_p[expand],
-        jnp.take_along_axis(prefix, p_idx[expand], axis=1),
-        jnp.take_along_axis(target, t_idx[expand], axis=1),
-    )
-
-
-def unpack_target(full: jax.Array, prefix_len: jax.Array,
-                  t_max: int) -> jax.Array:
-    """Gather the target slice ``full[i, prefix_len_i : prefix_len_i+t_max]``."""
-    pos = jnp.arange(t_max)[None, :]
-    idx = jnp.clip(prefix_len[:, None] + pos, 0, full.shape[1] - 1)
-    expand = (...,) + (None,) * (full.ndim - 2)
-    return jnp.take_along_axis(full, idx[expand], axis=1)
-
-
-def _masked_std(x: jax.Array, valid: jax.Array) -> jax.Array:
-    """Per-sample std over valid (B, T) positions of x (B, T, D) → (B, 1, 1)."""
-    w = valid.astype(jnp.float32)[..., None]
-    xf = x.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(w, axis=(1, 2)) * x.shape[-1], 1.0)
-    mean = jnp.sum(xf * w, axis=(1, 2)) / n
-    var = jnp.sum(jnp.square(xf - mean[:, None, None]) * w, axis=(1, 2)) / n
-    return jnp.sqrt(var)[:, None, None]
-
-
-def _split_each(rngs: jax.Array, n: int):
-    """Split each key in a (B,) key array into n per-sample streams."""
-    parts = jax.vmap(lambda k: jax.random.split(k, n))(rngs)
-    return [parts[:, i] for i in range(n)]
+    b, t_max = target.shape[0], target.shape[1]
+    full_t = jnp.full((b,), t_max, prefix_len.dtype)
+    return pack_segments([prefix, target], [prefix_len, full_t])
 
 
 def _vmapped_gumbel(keys: jax.Array, shape: tuple[int, ...]) -> jax.Array:

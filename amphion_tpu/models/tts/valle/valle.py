@@ -194,10 +194,26 @@ class VALLE(nn.Module):
         h, caches = self.ar(x, caches=caches, cache_index=0)
         return self.ar_head(h[:, -1]), caches
 
-    def ar_step(self, token, caches, cache_index):
+    def ar_prefill_ragged(self, phones, phone_len, prompt_tokens, prompt_len,
+                          caches, kv_valid):
+        """Ragged prefill: per-sample ``[pad | phones_i | prompt_i]`` packed
+        right-aligned so every sample's last real token sits at the same
+        position and decode appends at one shared cache index. Exact for
+        this RoPE backbone (`ops/ragged.py` layout notes)."""
+        from amphion_tpu.ops.ragged import pack_segments_right
+
+        pe = self.phone_embed(phones)
+        te = self.audio_embeds[0](prompt_tokens)
+        x = pack_segments_right([pe, te], [phone_len, prompt_len])
+        h, caches = self.ar(x, caches=caches, cache_index=0,
+                            kv_valid=kv_valid)
+        return self.ar_head(h[:, -1]), caches
+
+    def ar_step(self, token, caches, cache_index, kv_valid=None):
         """One decode step: token (B,) → (logits (B, V+1), caches)."""
         emb = self.audio_embeds[0](token)[:, None, :]
-        h, caches = self.ar(emb, caches=caches, cache_index=cache_index)
+        h, caches = self.ar(emb, caches=caches, cache_index=cache_index,
+                            kv_valid=kv_valid)
         return self.ar_head(h[:, -1]), caches
 
     def make_cache(self, batch: int, total_len: int):
@@ -264,6 +280,30 @@ def ar_generate(model, params, phones, prompt_tokens, rng, max_new=512,
     )
 
 
+def _prep_decode(model, params, compute_dtype):
+    """Cast params for decode; for int8/int4, quantize the AR projections
+    (Pallas streaming matmul) while activations and scales stay bf16/f32."""
+    c = model.cfg
+    if compute_dtype in ("int8", "int4"):
+        import dataclasses
+
+        from amphion_tpu.modules.llama import quantize_llama_params
+
+        model = VALLE(dataclasses.replace(c, decode_quant=compute_dtype))
+        dt = jnp.dtype(jnp.bfloat16)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        # quantize AFTER the bf16 cast so the f32 scales stay f32
+        params = {**params,
+                  "ar": quantize_llama_params(params["ar"], compute_dtype)}
+    else:
+        dt = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
+        )
+    return model, params, dt
+
+
 def _ar_generate_impl(
     model: VALLE,
     params,
@@ -281,27 +321,8 @@ def _ar_generate_impl(
     fixed-size KV cache (jit once per (shapes, max_new) bucket). Returns
     (tokens (B, max_new), lengths (B,)); positions past EOS are zero.
     """
+    model, params, dt = _prep_decode(model, params, compute_dtype)
     c = model.cfg
-    if compute_dtype in ("int8", "int4"):
-        # weight-only quantized AR decoder (Pallas streaming matmul);
-        # activations and everything outside the projections stay bf16
-        import dataclasses
-
-        from amphion_tpu.modules.llama import quantize_llama_params
-
-        model = VALLE(dataclasses.replace(c, decode_quant=compute_dtype))
-        c = model.cfg
-        dt = jnp.dtype(jnp.bfloat16)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
-        # quantize AFTER the bf16 cast so the f32 scales stay f32
-        params = {**params,
-                  "ar": quantize_llama_params(params["ar"], compute_dtype)}
-    else:
-        dt = jnp.dtype(compute_dtype)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
-        )
     b, lp = phones.shape
     lt = prompt_tokens.shape[1]
     total = lp + lt + max_new
@@ -326,3 +347,191 @@ def _ar_generate_impl(
     init = (caches, logits, rng, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool))
     (_, _, _, gen_len, _), toks = jax.lax.scan(body, init, jnp.arange(max_new))
     return jnp.moveaxis(toks, 0, 1), gen_len
+
+
+@functools.lru_cache(maxsize=32)
+def _ar_generate_ragged_jitted(model, max_new, temperature, top_k,
+                               compute_dtype):
+    core = functools.partial(
+        _ar_generate_ragged_impl, model, max_new=max_new,
+        temperature=temperature, top_k=top_k, compute_dtype=compute_dtype,
+    )
+    return jax.jit(core)
+
+
+def ar_generate_ragged(model, params, phones, phone_len, prompt_tokens,
+                       prompt_len, rngs, max_new=512, temperature=1.0,
+                       top_k=50, compute_dtype="bfloat16"):
+    """Ragged batched AR decode: B requests with per-sample phone/prompt
+    lengths share ONE compiled prefill + decode scan (the serving path —
+    `amphion_tpu/serving/`). Inputs are right-padded buffers + (B,) length
+    arrays; ``rngs`` is a (B,) key array, one stream per request, so each
+    result is bit-identical to serving that request alone
+    (tests/test_ragged_ar.py).
+
+    Internally the prompt is packed RIGHT-aligned (`ops/ragged.py`): exact
+    for this RoPE backbone since attention scores depend only on relative
+    positions; the pad prefix is masked out of every attention via
+    ``kv_valid``."""
+    fn = _ar_generate_ragged_jitted(model, max_new, temperature, top_k,
+                                    compute_dtype)
+    return fn(params, jnp.asarray(phones), jnp.asarray(phone_len),
+              jnp.asarray(prompt_tokens), jnp.asarray(prompt_len), rngs)
+
+
+def _ar_generate_ragged_impl(
+    model: VALLE,
+    params,
+    phones: jax.Array,  # (B, Lph_max) right-padded
+    phone_len: jax.Array,  # (B,)
+    prompt_tokens: jax.Array,  # (B, Lt_max) right-padded
+    prompt_len: jax.Array,  # (B,)
+    rngs: jax.Array,  # (B,) key array
+    max_new: int = 512,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    compute_dtype: str = "bfloat16",
+):
+    from amphion_tpu.ops.ragged import right_pack_valid, split_each
+
+    model, params, dt = _prep_decode(model, params, compute_dtype)
+    c = model.cfg
+    b, lp = phones.shape
+    lt = prompt_tokens.shape[1]
+    l0 = lp + lt  # shared prefill length; every sample ends at l0 - 1
+    total = l0 + max_new
+    kv_valid = right_pack_valid([phone_len, prompt_len], l0, total)
+    caches = LlamaDecoder(c.llama(False)).init_cache(b, total, dtype=dt)
+    logits, caches = model.apply(
+        {"params": params}, phones, phone_len, prompt_tokens, prompt_len,
+        caches, kv_valid, method=VALLE.ar_prefill_ragged,
+    )
+
+    def body(carry, i):
+        caches, logits, rngs, gen_len, done = carry
+        rngs, r = split_each(rngs, 2)
+        tok = jax.vmap(
+            lambda k, lg: sample_logits(k, lg, temperature, top_k)
+        )(r, logits.astype(jnp.float32))
+        done_new = done | (tok == c.eos_id)
+        tok_clean = jnp.where(done_new, 0, tok)
+        logits_new, caches_new = model.apply(
+            {"params": params}, tok_clean, caches, l0 + i, kv_valid,
+            method=VALLE.ar_step,
+        )
+        gen_len = jnp.where(done_new, gen_len, i + 1)
+        return (caches_new, logits_new, rngs, gen_len, done_new), tok_clean
+
+    init = (caches, logits, rngs, jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), bool))
+    (_, _, _, gen_len, _), toks = jax.lax.scan(body, init, jnp.arange(max_new))
+    return jnp.moveaxis(toks, 0, 1), gen_len
+
+
+def _nar_generate_ragged(mod: VALLE, phones, phone_len, tokens0, target_len,
+                         prompt_tokens_all, prompt_len):
+    """Ragged `nar_generate`: per-sample phone/prompt/target lengths.
+
+    Everything runs in a per-sample compact layout
+    ``[phones_i | prompt_i | target_i | pad]`` (ops/ragged.py) so RoPE
+    positions match single-request runs; the NAR encoder is trained
+    right-padded with masks, so the tail padding is exact. Greedy per
+    stage (no RNG) — batch invariance needs no per-sample keys here.
+    Returns (B, Q, T_max) target-region codes, zero past each length."""
+    from amphion_tpu.ops.ragged import pack_segments, unpack_target
+
+    c = mod.cfg
+    b, t_max = tokens0.shape
+    tp_max = prompt_tokens_all.shape[2]
+    ttot = tp_max + t_max
+    full_t = jnp.full((b,), t_max, prompt_len.dtype)
+    # pack the audio stream (prompt ++ target) per sample; Q rides as the
+    # trailing feature dim through the gather
+    tgt_all = jnp.zeros((b, c.num_quantizers, t_max), tokens0.dtype)
+    tgt_all = tgt_all.at[:, 0].set(tokens0)
+    all_tokens = jnp.transpose(pack_segments(
+        [jnp.transpose(prompt_tokens_all.astype(tokens0.dtype), (0, 2, 1)),
+         jnp.transpose(tgt_all, (0, 2, 1))],
+        [prompt_len, full_t],
+    ), (0, 2, 1))  # (B, Q, Ttot)
+    pos = jnp.arange(ttot)[None, :]
+    prompt_mask = (pos < prompt_len[:, None]).astype(jnp.float32)
+    token_mask = (pos < (prompt_len + target_len)[:, None]).astype(jnp.float32)
+
+    pe = mod.phone_embed(phones)
+    phone_mask_pos = jnp.arange(phones.shape[1])[None, :] < phone_len[:, None]
+
+    for q in range(1, c.num_quantizers):
+        stage = jnp.full((b,), q, jnp.int32)
+        # embedding sum in packed audio space (same math as nar_forward)
+        acc = mod.audio_embeds[0](all_tokens[:, 0])
+        for j in range(1, c.num_quantizers):
+            contrib = mod.audio_embeds[j](all_tokens[:, j])
+            take = jnp.broadcast_to((stage > j)[:, None], (b, ttot))
+            take = jnp.logical_or(take, prompt_mask > 0)
+            acc = acc + jnp.where(take[..., None], contrib, 0.0)
+        # compact [phones_i | audio_i | pad] — phone padding must not shift
+        # the audio positions
+        x = pack_segments([pe, acc], [phone_len, prompt_len + target_len])
+        xpos = jnp.arange(x.shape[1])[None, :]
+        mask = (
+            xpos < (phone_len + prompt_len + target_len)[:, None]
+        ).astype(jnp.float32)
+        cond = mod.stage_embed(stage - 1)
+        h = mod.nar(x, cond=cond, mask=mask)
+        h_audio = unpack_target(h, phone_len, ttot)
+        logits = mod.nar_head(h_audio)
+        pred = jnp.argmax(logits, axis=-1)
+        pred = jnp.where(prompt_mask > 0, all_tokens[:, q], pred)
+        all_tokens = all_tokens.at[:, q].set(pred)
+
+    target = jnp.transpose(unpack_target(
+        jnp.transpose(all_tokens, (0, 2, 1)), prompt_len, t_max), (0, 2, 1))
+    tvalid = jnp.arange(t_max)[None, None, :] < target_len[:, None, None]
+    return jnp.where(tvalid, target, 0)
+
+
+@functools.lru_cache(maxsize=32)
+def _nar_generate_ragged_jitted(model, compute_dtype):
+    def core(params, phones, phone_len, tokens0, target_len,
+             prompt_tokens_all, prompt_len):
+        dt = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        return model.apply(
+            {"params": params}, phones, phone_len, tokens0, target_len,
+            prompt_tokens_all, prompt_len, method=_nar_generate_ragged,
+        )
+    return jax.jit(core)
+
+
+def nar_generate_ragged(model, params, phones, phone_len, tokens0,
+                        target_len, prompt_tokens_all, prompt_len,
+                        compute_dtype="bfloat16"):
+    """Ragged batched NAR stage (greedy, one compiled program per bucket)."""
+    fn = _nar_generate_ragged_jitted(model, compute_dtype)
+    return fn(params, jnp.asarray(phones), jnp.asarray(phone_len),
+              jnp.asarray(tokens0), jnp.asarray(target_len),
+              jnp.asarray(prompt_tokens_all), jnp.asarray(prompt_len))
+
+
+def valle_generate_ragged(model, params, phones, phone_len,
+                          prompt_tokens_all, prompt_len, rngs, max_new=512,
+                          temperature=1.0, top_k=50,
+                          compute_dtype="bfloat16"):
+    """Full ragged zero-shot decode: AR codebook-0 continuation + NAR fill.
+
+    Serving composition (`amphion_tpu/serving/`): B requests with
+    per-sample phone/prompt lengths → (codes (B, Q, max_new), gen_len (B,)).
+    The acoustic prompt conditions the NAR pass as a prefix
+    (ref `models/tts/valle/valle.py:585-605` NAR inference)."""
+    toks0, gen_len = ar_generate_ragged(
+        model, params, phones, phone_len, prompt_tokens_all[:, 0],
+        prompt_len, rngs, max_new=max_new, temperature=temperature,
+        top_k=top_k, compute_dtype=compute_dtype,
+    )
+    codes = nar_generate_ragged(
+        model, params, phones, phone_len, toks0, gen_len,
+        prompt_tokens_all, prompt_len, compute_dtype=compute_dtype,
+    )
+    return codes, gen_len

@@ -162,12 +162,15 @@ class FlowMatchingTransformer(nn.Module):
     def flow_eval_fused(self, xt, t, cond_tokens, prompt_mel, cfg=1.0,
                         rescale_cfg=0.75):
         """`flow_eval` with the CFG cond/uncond passes fused into ONE
-        batch-2B estimator call (TPU: per-step weight streaming halves and
-        the matmul M dimension doubles; the 32-step ODE makes this 64 → 32
-        kernel sweeps). The uncond row is the target-only region placed at
-        positions 0..Lt-1 and right-padded to the cond row's length with an
-        attention mask — identical math to the reference's second
-        `reverse_diffusion` pass (fmt_model.py:232-279), batched."""
+        batch-2B estimator call. The uncond row is the target-only region
+        placed at positions 0..Lt-1 and right-padded to the cond row's
+        length with an attention mask — identical math to the reference's
+        second `reverse_diffusion` pass (fmt_model.py:232-279), batched.
+
+        NOT the inference default: measured on v5e at B=1/Lp=281/Lt=938 it
+        LOSES to two-pass `flow_eval` (0.627 s vs 0.343 s per 32-step ODE)
+        — the padded uncond row adds ~30% attention+FFN work and the mask
+        forces the bias-add attention path. Kept for parity experiments."""
         b, lt = xt.shape[0], xt.shape[1]
         lp = prompt_mel.shape[1]
         x_cond = jnp.concatenate([prompt_mel, xt], axis=1)  # (B, Lp+Lt)
@@ -211,9 +214,13 @@ def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
         def body(xt, i):
             # midpoint times t = (i + 0.5)/n (ref fmt_model.py:260)
             t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
+            # two-pass CFG, NOT flow_eval_fused: measured on v5e at the
+            # bench shape (B=1, Lp=281, Lt=938, 32 steps) the fused batch-2B
+            # call is SLOWER — 0.627 s vs 0.343 s dense (the uncond row pads
+            # Lt→Lp+Lt and the mask forces a bias-add attention path)
             flow = model.apply(
                 {"params": params}, xt.astype(dt), t, tokens, pm, cfg_scale,
-                rescale_cfg, method=FlowMatchingTransformer.flow_eval_fused)
+                rescale_cfg, method=FlowMatchingTransformer.flow_eval)
             return xt + h * flow, None
 
         xt, _ = jax.lax.scan(body, xt0, jnp.arange(num_steps))

@@ -17,6 +17,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -47,18 +48,42 @@ class LlamaConfig:
     # fused flash attention (ops/pallas_kernels.flash_attention_pallas) for
     # the full-sequence (no-KV-cache) path: O(L) memory, logits never hit
     # HBM; decode/prefill keep the dense path (tiny T, cache-offset math).
-    # "auto" (default) = on for single-chip TPU runs (measured 1.5x vs the
-    # dense path at B=8/L=2048/H=16/D=64, `bench.py --only flash`), off on
-    # CPU (interpreted Pallas) and under multi-device GSPMD (pallas_call
-    # has no partitioning rule — the dense path shards cleanly)
+    # "auto" (default) = on for single-chip TPU runs when the shape is big
+    # enough to fill the kernel grid (see `flash_for`), off on CPU
+    # (interpreted Pallas) and under multi-device GSPMD (pallas_call has no
+    # partitioning rule — the dense path shards cleanly)
     use_flash: bool | str = "auto"
+    # minimum batch·seqlen for "auto" flash: the kernel's grid is
+    # (B·H, L/256) programs, and at small grids the MXU sits idle between
+    # programs while XLA's dense attention pipelines fine. Measured v5e
+    # crossover data (`bench.py --only flash`, _ab_fm.py A/B):
+    # B=8/L=2048 (16384 tok) flash 1.54x FASTER; B=1/L=1219 (1219 tok)
+    # flash 1.47x SLOWER (0.503 s vs 0.343 s on the Vevo FM 32-step stage).
+    flash_min_tokens: int = 4096
 
     @property
     def flash_enabled(self) -> bool:
+        """Platform-level eligibility (shape-blind; see `flash_for`)."""
+        env = os.environ.get("AMPHION_FLASH")
+        if env is not None:  # global override for A/B runs
+            return env != "0"
         if self.use_flash == "auto":
             return (jax.default_backend() in ("tpu", "axon")
                     and jax.device_count() == 1)
         return bool(self.use_flash)
+
+    def flash_for(self, batch: int, seqlen: int) -> bool:
+        """Shape-aware gate used at trace time: under "auto", flash must
+        also clear `flash_min_tokens` (small grids lose to dense — see the
+        field comment). Explicit True/False and the AMPHION_FLASH env
+        override bypass the shape check."""
+        if not self.flash_enabled:
+            return False
+        if os.environ.get("AMPHION_FLASH") is not None:
+            return True
+        if self.use_flash == "auto":
+            return batch * seqlen >= self.flash_min_tokens
+        return True
 
     @property
     def head_dim(self) -> int:
@@ -261,7 +286,7 @@ class LlamaAttention(nn.Module):
             k, v = ck, cv
             new_cache = (ck, cv)
 
-        if c.flash_enabled and cache is None and bias is None:
+        if c.flash_for(b, t) and cache is None and bias is None:
             from amphion_tpu.ops.pallas_kernels import flash_attention
 
             out = flash_attention(q, k, v, kv_mask, causal)
@@ -346,7 +371,7 @@ class LlamaEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, cond=None, mask=None):
         bias = kv_mask = None
-        if self.cfg.flash_enabled:
+        if self.cfg.flash_for(x.shape[0], x.shape[1]):
             kv_mask = mask  # fused kernel consumes the padding mask directly
         elif mask is not None:
             bias = jnp.where(mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
@@ -379,13 +404,22 @@ class LlamaDecoder(nn.Module):
         ]
 
     @nn.compact
-    def __call__(self, x, mask=None, caches=None, cache_index=None):
+    def __call__(self, x, mask=None, caches=None, cache_index=None,
+                 kv_valid=None):
         """Causal forward. With ``caches`` (list per layer) the call appends
-        at ``cache_index`` and returns (hidden, new_caches)."""
+        at ``cache_index`` and returns (hidden, new_caches).
+
+        ``kv_valid`` (B, S) marks which cache slots are real content — the
+        ragged-batch serving path left-pads shorter prompts (exact under
+        RoPE: attention scores depend only on relative distance) and masks
+        the pad slots here. Pad *queries* keep their own slot attendable so
+        no softmax row is fully masked (their outputs are never read, but a
+        NaN there would poison later layers' cached K/V)."""
         t = x.shape[1]
         if caches is None:
             bias = kv_mask = None
-            if self.cfg.flash_enabled:
+            use_flash = self.cfg.flash_for(x.shape[0], t)
+            if use_flash:
                 kv_mask = mask  # causal handled analytically in the kernel
             else:
                 bias = jnp.where(
@@ -401,15 +435,21 @@ class LlamaDecoder(nn.Module):
                          if self.cfg.remat else LlamaBlock)
             for i in range(self.cfg.num_layers):
                 x = block_cls(self.cfg, name=f"layer_{i}")(
-                    x, bias=bias, kv_mask=kv_mask,
-                    causal=self.cfg.flash_enabled)
+                    x, bias=bias, kv_mask=kv_mask, causal=use_flash)
             return RMSNorm(name="final_norm")(x)
         new_caches = []
+        neg = jnp.finfo(jnp.float32).min
         if t > 1:
             # prefill: causal within the new chunk
             q_pos = cache_index + jnp.arange(t)[:, None]
             k_pos = jnp.arange(caches[0][0].shape[1])[None, :]
-            bias = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+            keep = (k_pos <= q_pos)[None, None]
+            if kv_valid is not None:
+                self_slot = (k_pos == q_pos)[None, None]
+                keep = keep & (kv_valid[:, None, None, :] | self_slot)
+            bias = jnp.where(keep, 0.0, neg)
+        elif kv_valid is not None:
+            bias = jnp.where(kv_valid[:, None, None, :], 0.0, neg)
         else:
             bias = None
         for i in range(self.cfg.num_layers):

@@ -177,3 +177,93 @@ class MaskGCTService:
             wav[i, : int(round(r.target_len * samples_per_frame))]
             for i, r in enumerate(reqs)
         ]
+
+
+@dataclass
+class _ValleCoreRequest:
+    phone_ids: np.ndarray  # (Lph,) int
+    prompt_codes: np.ndarray  # (Q, Lp) int
+    seed: int
+
+
+class VALLEService:
+    """Batched zero-shot VALL-E serving (AR + NAR + codec decode).
+
+    AR requests are right-aligned-packed (`ops/ragged.py`: exact under the
+    RoPE backbone) so B mixed-length requests share one prefill + one
+    decode scan; NAR runs compact-packed; decode length comes from each
+    request's own EOS (`gen_len`). Same MicroBatcher mechanics and
+    per-request RNG isolation as `MaskGCTService`.
+    """
+
+    def __init__(self, model, params, tokenizer, g2p, symbol_table,
+                 max_batch: int = 8, max_wait_ms: float = 50.0,
+                 len_step: int = 64, max_phone_len: int = 256,
+                 max_prompt_len: int = 512, max_new: int = 768,
+                 temperature: float = 1.0, top_k: int = 50,
+                 compute_dtype: str = "bfloat16"):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer  # utils.tokenizer.AudioTokenizer
+        self.g2p = g2p
+        self.symbol_table = symbol_table
+        self.len_step = len_step
+        self.max_phone_len = max_phone_len
+        self.max_prompt_len = max_prompt_len
+        self.max_new = max_new
+        self.temperature = temperature
+        self.top_k = top_k
+        self.compute_dtype = compute_dtype
+        self._frontend_lock = threading.Lock()
+        self.batcher = MicroBatcher(
+            self._run_batch, self._bucket_of, max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+        )
+
+    def _bucket_of(self, req: _ValleCoreRequest):
+        return (
+            bucket_ladder(len(req.phone_ids), self.len_step,
+                          self.max_phone_len),
+            bucket_ladder(req.prompt_codes.shape[1], self.len_step,
+                          self.max_prompt_len),
+        )
+
+    def synthesize(self, prompt_audio: np.ndarray, prompt_text: str,
+                   target_text: str, seed: int = 0) -> np.ndarray:
+        with self._frontend_lock:
+            ids = self.g2p.to_ids(prompt_text + " " + target_text,
+                                  self.symbol_table)
+        phone_ids = np.asarray(ids, np.int32)[: self.max_phone_len]
+        codes = self.tokenizer.encode(prompt_audio)[0]  # (Q, Lp)
+        codes = codes[:, : self.max_prompt_len].astype(np.int32)
+        return self.batcher(_ValleCoreRequest(phone_ids, codes, seed))
+
+    def stats(self) -> dict:
+        return self.batcher.stats.snapshot()
+
+    def _run_batch(self, bucket, reqs: list[_ValleCoreRequest]):
+        from amphion_tpu.models.tts.valle.valle import valle_generate_ragged
+
+        lph_max, lp_max = bucket
+        phones = np.stack(
+            [_pad_to(r.phone_ids, lph_max) for r in reqs]).astype(np.int32)
+        prompts = np.stack(
+            [_pad_to(r.prompt_codes, lp_max, axis=1) for r in reqs]
+        ).astype(np.int32)
+        phone_len = np.asarray([len(r.phone_ids) for r in reqs], np.int32)
+        prompt_len = np.asarray(
+            [r.prompt_codes.shape[1] for r in reqs], np.int32)
+        keys = jax.vmap(jax.random.key)(
+            jnp.asarray([r.seed for r in reqs], jnp.uint32))
+
+        codes, gen_len = valle_generate_ragged(
+            self.model, self.params, phones, phone_len, prompts, prompt_len,
+            keys, max_new=self.max_new, temperature=self.temperature,
+            top_k=self.top_k, compute_dtype=self.compute_dtype,
+        )
+        wav = self.tokenizer.decode(np.asarray(codes))  # (B, T_samples)
+        spf = wav.shape[-1] / codes.shape[-1]
+        return [
+            wav[i, : int(round(max(int(gen_len[i]), 1) * spf))]
+            for i in range(len(reqs))
+        ]

@@ -203,6 +203,135 @@ def bench_maskgct_rtf() -> None:
           0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
 
 
+def bench_maskgct_serving(batch_sizes=(1, 4, 8)) -> None:
+    """Batched serving throughput: B concurrent zero-shot requests through
+    the ragged samplers (one compiled program per batch size). The
+    mask-predict decode is weight-HBM-bound at B=1, so per-request RTF
+    should drop ~linearly with B until the MXU saturates — this bench
+    measures that multiplier (amphion_tpu/serving/, reference has no
+    batched serving path)."""
+    from amphion_tpu.models.tts.maskgct.maskgct import (
+        MaskGCTS2A, MaskGCTT2S, S2AConfig, T2SConfig,
+    )
+    from amphion_tpu.models.tts.maskgct.ragged_sampling import (
+        s2a_sample_ragged, t2s_sample_ragged,
+    )
+
+    t2s = MaskGCTT2S(T2SConfig(hidden=1024, num_layers=16, num_heads=16,
+                               codebook_size=8192, phone_vocab=256))
+    s2a = MaskGCTS2A(S2AConfig(hidden=1024, num_layers=16, num_heads=16,
+                               codebook_size=1024, num_quantizers=8,
+                               cond_codebook_size=8192))
+    r = jax.random.key(0)
+    lp, lt, lphone = 150, 500, 64  # 3 s prompt + 10 s target @50 Hz
+    t2s_params = t2s.init(r, jnp.zeros((1, lp), jnp.int32), jnp.ones((1, lp)),
+                          jnp.zeros((1, lphone), jnp.int32),
+                          jnp.ones((1, lphone)), jax.random.key(1),
+                          method=MaskGCTT2S.compute_loss)["params"]
+    s2a_params = s2a.init(r, jnp.zeros((1, 8, lp + lt), jnp.int32),
+                          jnp.ones((1, lp + lt)),
+                          jnp.zeros((1, lp + lt), jnp.int32),
+                          jax.random.key(1),
+                          method=MaskGCTS2A.compute_loss)["params"]
+
+    results = {}
+    for b in batch_sizes:
+        # mixed lengths around the bucket — the realistic serving shape
+        plen = jnp.asarray([lp - (i % 3) * 10 for i in range(b)], jnp.int32)
+        tlen = jnp.asarray([lt - (i % 4) * 25 for i in range(b)], jnp.int32)
+        phlen = jnp.asarray([lphone - (i % 2) * 8 for i in range(b)], jnp.int32)
+        prompt_sem = jnp.zeros((b, lp), jnp.int32)
+        phones = jnp.zeros((b, lphone), jnp.int32)
+        prompt_ac = jnp.zeros((b, 8, lp), jnp.int32)
+        sem_packed = jnp.zeros((b, lp + lt), jnp.int32)
+        keys = jax.vmap(jax.random.key)(jnp.arange(b, dtype=jnp.uint32))
+
+        def run(keys):
+            sem = t2s_sample_ragged(t2s, t2s_params, prompt_sem, plen,
+                                    phones, phlen, tlen, keys, lt,
+                                    n_steps=25, cfg=2.5)
+            codes = s2a_sample_ragged(s2a, s2a_params, sem_packed, prompt_ac,
+                                      plen, tlen, keys, lt,
+                                      first_layer_steps=16)
+            return codes
+
+        _fence(run(keys))  # compile
+        n_iters = 3
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            _fence(run(keys))
+        dt = (time.perf_counter() - t0) / n_iters
+        audio_s = float(jnp.sum(tlen)) / 50.0
+        results[b] = dt / audio_s  # per-request RTF at this batch size
+        print(f"# serving B={b}: {dt:.3f}s/batch, {audio_s:.1f}s audio, "
+              f"per-request RTF {results[b]:.4f}", file=sys.stderr)
+
+    b_max = max(batch_sizes)
+    mult = results[min(batch_sizes)] / max(results[b_max], 1e-9)
+    _emit("maskgct_serving_rtf_b%d" % b_max, results[b_max],
+          "per-request RTF at batch %d (lower better)" % b_max,
+          0.1 / max(results[b_max], 1e-9),
+          extra={"rtf_by_batch": {str(k): round(v, 5) for k, v in
+                                  results.items()},
+                 "throughput_multiplier_vs_b1": round(mult, 2)})
+
+
+def bench_valle_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None:
+    """Batched VALL-E serving: B concurrent zero-shot requests through one
+    ragged AR prefill + decode scan + NAR fill (models/tts/valle/valle.py
+    ar_generate_ragged). The 750-step AR loop is weight-HBM-bound at B=1 —
+    batching amortizes the weight stream across requests."""
+    from amphion_tpu.models.tts.valle.valle import (
+        VALLE, VALLEConfig, valle_generate_ragged,
+    )
+
+    model = VALLE(VALLEConfig(num_phones=256, audio_vocab=1024,
+                              num_quantizers=8, hidden=1024, num_layers=12,
+                              num_heads=16, max_position=4096))
+    r = jax.random.key(0)
+    lphone, lp, new = 64, 225, 750  # 3 s prompt + 10 s target @75 Hz
+    params = model.init(
+        r, jnp.zeros((1, lphone), jnp.int32), jnp.ones((1, lphone)),
+        jnp.zeros((1, 8, lp), jnp.int32), jnp.ones((1, lp)),
+        jax.random.key(1), method=VALLE.train_loss,
+    )["params"]
+
+    results = {}
+    for b in batch_sizes:
+        phones = jnp.zeros((b, lphone), jnp.int32)
+        prompts = jnp.zeros((b, 8, lp), jnp.int32)
+        phlen = jnp.asarray([lphone - (i % 2) * 8 for i in range(b)], jnp.int32)
+        plen = jnp.asarray([lp - (i % 3) * 15 for i in range(b)], jnp.int32)
+        keys = jax.vmap(jax.random.key)(jnp.arange(b, dtype=jnp.uint32))
+
+        def run(keys):
+            return valle_generate_ragged(
+                model, params, phones, phlen, prompts, plen, keys,
+                max_new=new, temperature=1.0, top_k=50,
+                compute_dtype=compute_dtype,
+            )[0]
+
+        _fence(run(keys))
+        n_iters = 3
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            _fence(run(keys))
+        dt = (time.perf_counter() - t0) / n_iters
+        audio_s = b * new / 75.0  # random weights don't EOS — full budget
+        results[b] = dt / audio_s
+        print(f"# valle serving B={b}: {dt:.3f}s/batch, {audio_s:.1f}s audio,"
+              f" per-request RTF {results[b]:.4f}", file=sys.stderr)
+
+    b_max = max(batch_sizes)
+    mult = results[min(batch_sizes)] / max(results[b_max], 1e-9)
+    _emit("valle_serving_rtf_b%d" % b_max, results[b_max],
+          "per-request RTF at batch %d (lower better)" % b_max,
+          0.1 / max(results[b_max], 1e-9),
+          extra={"rtf_by_batch": {str(k): round(v, 5) for k, v in
+                                  results.items()},
+                 "throughput_multiplier_vs_b1": round(mult, 2)})
+
+
 def bench_valle_rtf(compute_dtype="bfloat16") -> None:
     """Full-size VALL-E zero-shot inference RTF (target < 0.1)."""
     from amphion_tpu.models.tts.valle.valle import (
@@ -592,6 +721,8 @@ _SUITE = {
     "train_hifigan_bf16_b64": lambda: bench_train_hifigan("bfloat16", 64),
     "train_maskgct": bench_train_maskgct,
     "maskgct": bench_maskgct_rtf,
+    "serving": bench_maskgct_serving,
+    "serving_valle": bench_valle_serving,
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
     "valle_int4": lambda: bench_valle_rtf("int4"),

@@ -93,6 +93,78 @@ def _build_maskgct_service(args):
     return synth, svc.stats
 
 
+def _build_valle_service(args):
+    """Batched zero-shot VALL-E (assembly mirrors
+    `bins/tts/inference.py:valle_inference`)."""
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from amphion_tpu.models.codec.amphion_codec import AmphionCodec, CodecConfig
+    from amphion_tpu.models.tts.valle.valle import VALLE, VALLEConfig
+    from amphion_tpu.runtime.checkpoint import CheckpointManager
+    from amphion_tpu.serving.service import VALLEService
+    from amphion_tpu.text.g2p import G2PModule
+    from amphion_tpu.text.symbol_table import SymbolTable
+    from amphion_tpu.utils.config import load_config
+    from amphion_tpu.utils.tokenizer import AudioTokenizer
+
+    cfg = load_config(args.config)
+    p = cfg.preprocess
+    symbols = SymbolTable.from_file(
+        Path(p.processed_dir) / cfg.dataset[0] / p.symbols_dict)
+    g2p = G2PModule(p.get("g2p_backend", "char"),
+                    p.get("lexicon_path") or None)
+    mc = cfg.model.get("codec", None)
+    codec_cfg = CodecConfig(
+        sample_rate=p.sample_rate,
+        strides=tuple(mc.strides) if mc else (2, 4, 5, 6),
+        num_quantizers=mc.num_quantizers if mc else 8,
+        codebook_size=mc.codebook_size if mc else 1024,
+        codebook_dim=mc.codebook_dim if mc else 8,
+        encoder_dim=mc.get("encoder_dim", 32) if mc else 32,
+        latent_dim=mc.get("latent_dim", 256) if mc else 256,
+        decoder_dim=mc.get("decoder_dim", 32) if mc else 32,
+    )
+    codec = AmphionCodec(codec_cfg)
+    if args.codec_ckpt:
+        ctree, _, _ = CheckpointManager(args.codec_ckpt).restore_raw()
+        codec_params = ctree["g"]["params"] if "g" in ctree else ctree["params"]
+    else:
+        print("WARNING: no --codec_ckpt, RANDOM codec weights (smoke only)")
+        codec_params = codec.init(
+            jax.random.key(0), jnp.zeros((1, codec_cfg.hop * 4)))["params"]
+    tok = AudioTokenizer(codec, codec_params, p.sample_rate)
+
+    exp_dir = Path(cfg.get("log_dir", "ckpts")) / args.exp_name
+    tree, _, _ = CheckpointManager(exp_dir / "checkpoint").restore_raw()
+    params = tree["params"] if "params" in tree else tree
+    m = cfg.model.get("valle", None)
+    model = VALLE(VALLEConfig(
+        num_phones=max(len(symbols) + 1, 64),
+        audio_vocab=m.audio_vocab if m else 1024,
+        num_quantizers=m.num_quantizers if m else 8,
+        hidden=m.hidden if m else 1024,
+        num_layers=m.num_layers if m else 12,
+        num_heads=m.num_heads if m else 16,
+        max_position=m.get("max_position", 4096) if m else 4096,
+    ))
+    svc = VALLEService(
+        model, params, tok, g2p, symbols, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms, len_step=args.len_step,
+        max_phone_len=args.max_phone_len, max_prompt_len=args.max_prompt_len,
+        max_new=args.max_new,
+    )
+
+    def synth(prompt_audio, prompt_text, target_text, target_sec, seed):
+        wav = svc.synthesize(prompt_audio, prompt_text, target_text,
+                             seed=seed)
+        return wav, p.sample_rate
+
+    return synth, svc.stats
+
+
 def make_handler(synth_fn, stats_fn, backend_name: str):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -150,7 +222,7 @@ def serve(synth_fn, stats_fn, backend_name="custom", port=7860,
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--backend", default="maskgct",
-                    choices=["maskgct", "sine"])
+                    choices=["maskgct", "valle", "sine"])
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--config", help="experiment config (maskgct backend)")
@@ -164,10 +236,13 @@ def main():
     ap.add_argument("--max_prompt_len", type=int, default=512)
     ap.add_argument("--max_target_len", type=int, default=1024)
     ap.add_argument("--max_phone_len", type=int, default=512)
+    ap.add_argument("--max_new", type=int, default=768,
+                    help="AR decode budget (valle backend)")
     args = ap.parse_args()
 
-    build = (_build_sine_service if args.backend == "sine"
-             else _build_maskgct_service)
+    build = {"sine": _build_sine_service,
+             "maskgct": _build_maskgct_service,
+             "valle": _build_valle_service}[args.backend]
     synth, stats = build(args)
     httpd = serve(synth, stats, args.backend, args.port, args.host)
     print(f"batched serving on http://{args.host}:{args.port} "

@@ -233,6 +233,73 @@ def test_service_concurrent_requests_batch_and_stay_deterministic(tiny_service):
     assert snap["completed"] >= 6 and snap["failed"] == 0
 
 
+@pytest.fixture(scope="module")
+def tiny_valle_service():
+    from amphion_tpu.models.codec.amphion_codec import AmphionCodec, CodecConfig
+    from amphion_tpu.models.tts.valle.valle import VALLE, VALLEConfig
+    from amphion_tpu.serving.service import VALLEService
+    from amphion_tpu.text.g2p import G2PModule
+    from amphion_tpu.utils.tokenizer import AudioTokenizer
+
+    cfg = VALLEConfig(num_phones=300, audio_vocab=16, num_quantizers=2,
+                      hidden=32, num_layers=1, num_heads=4, max_position=256)
+    model = VALLE(cfg)
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.key(0),
+        jnp.asarray(rng.integers(1, 20, (1, 5))), jnp.ones((1, 5)),
+        jnp.asarray(rng.integers(0, 16, (1, cfg.num_quantizers, 8))),
+        jnp.ones((1, 8)), jax.random.key(1), method=VALLE.train_loss,
+    )["params"]
+    ac_cfg = CodecConfig(sample_rate=8000, encoder_dim=4, latent_dim=8,
+                         decoder_dim=4, strides=(2, 4), num_quantizers=2,
+                         codebook_size=16, codebook_dim=4)
+    codec = AmphionCodec(ac_cfg)
+    codec_params = codec.init(
+        jax.random.key(0), jnp.zeros((1, ac_cfg.hop * 4)))["params"]
+    tok = AudioTokenizer(codec, codec_params, 8000)
+    g2p = G2PModule("char")
+    table = g2p.build_symbol_table(
+        ["prompt words short text a somewhat longer target text here third"])
+    svc = VALLEService(
+        model, params, tok, g2p, table, max_batch=4, max_wait_ms=60.0,
+        len_step=16, max_phone_len=64, max_prompt_len=32, max_new=8,
+        temperature=1.0, top_k=4, compute_dtype="float32",
+    )
+    yield svc, ac_cfg.hop
+    svc.batcher.shutdown()
+
+
+def test_valle_service_concurrent_batch_invariance(tiny_valle_service):
+    svc, hop = tiny_valle_service
+    rng = np.random.default_rng(2)
+    prompt = (rng.standard_normal(8 * 24) * 0.2).astype(np.float32)
+    reqs = [("short text", 3), ("a longer target text here", 4),
+            ("third", 5)]
+    alone = [svc.synthesize(prompt, "prompt words", txt, seed=seed)
+             for txt, seed in reqs]
+    results = {}
+
+    def client(i, txt, seed):
+        results[i] = svc.synthesize(prompt, "prompt words", txt, seed=seed)
+
+    threads = [threading.Thread(target=client, args=(i, *r))
+               for i, r in enumerate(reqs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(len(reqs)):
+        assert results[i].shape == alone[i].shape
+        np.testing.assert_array_equal(
+            results[i], alone[i],
+            err_msg=f"request {i} changed when batched with others")
+        assert results[i].ndim == 1 and results[i].shape[0] % hop == 0
+        assert np.isfinite(results[i]).all()
+    snap = svc.stats()
+    assert snap["failed"] == 0
+
+
 # ---------------------------------------------------------------------------
 # HTTP server (bins/serve.py, sine backend)
 # ---------------------------------------------------------------------------
