@@ -272,78 +272,99 @@ class MultiSTFTDiscriminator(nn.Module):
         return logits, fmaps
 
 
-@functools.lru_cache(maxsize=8)
-def _pseudo_cqt_filterbank(sample_rate: int, n_fft: int, bins_per_octave: int,
-                           n_bins: int, fmin: float) -> np.ndarray:
-    """Pseudo-CQT mapping: linear STFT bins → log-spaced (CQT) bins.
-
-    Triangular interpolation on a log-frequency grid — the matmul-friendly
-    TPU equivalent of the reference's nnAudio CQT (`mssbcqtd.py:150`)."""
-    freqs = fmin * (2.0 ** (np.arange(n_bins) / bins_per_octave))
-    fftfreqs = np.linspace(0.0, sample_rate / 2.0, 1 + n_fft // 2)
-    fb = np.zeros((n_bins, len(fftfreqs)), np.float32)
-    for k in range(n_bins):
-        lo = freqs[k - 1] if k > 0 else freqs[k] / 2 ** (1 / bins_per_octave)
-        hi = freqs[k + 1] if k < n_bins - 1 else freqs[k] * 2 ** (1 / bins_per_octave)
-        up = (fftfreqs - lo) / max(freqs[k] - lo, 1e-9)
-        down = (hi - fftfreqs) / max(hi - freqs[k], 1e-9)
-        fb[k] = np.maximum(0.0, np.minimum(up, down))
-    norm = fb.sum(axis=1, keepdims=True)
-    return (fb / np.maximum(norm, 1e-9)).astype(np.float32)
-
-
 class SubBandCQTDiscriminator(nn.Module):
-    """One scale of MS-SB-CQT (ref `mssbcqtd.py:150`): pseudo-CQT magnitude
-    split into octave sub-bands, each through a shared conv stack."""
+    """One scale of MS-SB-CQT (ref `mssbcqtd.py:19-147`, DiscriminatorCQT).
+
+    Faithful to the reference: audio is 2× sinc-resampled, transformed by
+    a CQT2010v2-class complex constant-Q transform at ``2·sample_rate``
+    (`amphion_tpu/ops/cqt.py` — native multi-octave rebuild of the nnAudio
+    transform the reference instantiates at `mssbcqtd.py:39-46`), the
+    (real, imag) planes become a 2-channel (time, freq) image, each octave
+    sub-band passes through its own un-normed pre-conv, and the concat runs
+    through the EnCodec-style dilated stack (plain first conv, weight-normed
+    rest, stride 2 on the frequency axis, LeakyReLU(0.1) with feature maps
+    collected after every activation; `conv_post` is excluded from fmaps)."""
 
     sample_rate: int
-    hop: int
+    hop_length: int
+    n_octaves: int = 9
     bins_per_octave: int = 24
-    n_octaves: int = 7
-    fmin: float = 32.7  # C1
+    fmin: float = 32.70  # C1 (nnAudio default)
+    filters: int = 32
+    max_filters: int = 1024
+    filters_scale: int = 1
+    dilations: tuple[int, ...] = (1, 2, 4)
+    in_channels: int = 1
+    out_channels: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        from amphion_tpu.ops.stft import stft_magnitude
+        from amphion_tpu.modules.anti_aliasing import upsample1d
+        from amphion_tpu.ops.cqt import cqt
 
-        n_fft = 1024
-        n_bins = self.bins_per_octave * self.n_octaves
-        mag = stft_magnitude(x, n_fft, self.hop, n_fft, center=True)
-        fb = jnp.asarray(_pseudo_cqt_filterbank(
-            self.sample_rate, n_fft, self.bins_per_octave, n_bins, self.fmin
-        ))
-        cqt = jnp.einsum("kf,bfn->bkn", fb, mag)  # (B, n_bins, N)
-        cqt = jnp.log1p(cqt)
         b = x.shape[0]
-        fmap, logits = [], []
-        # per-octave sub-bands through one shared stack (weight sharing via
-        # folding octaves into the batch dim)
-        sub = cqt.reshape(b, self.n_octaves, self.bins_per_octave, -1)
-        h = sub.reshape(b * self.n_octaves, self.bins_per_octave, -1)
-        h = jnp.transpose(h, (0, 2, 1))[..., None]  # (B*O, N, bins, 1)
-        for i in range(3):
-            stride = (1, 2) if i > 0 else (1, 1)
-            h = nn.WeightNorm(nn.Conv(32, (3, 5), strides=stride,
-                                      padding="SAME"))(h)
+        # ref mssbcqtd.py:111 — torchaudio Resample(fs, 2·fs)
+        x2 = upsample1d(x[..., None], ratio=2)[..., 0]
+        z = cqt(x2, sr=2 * self.sample_rate, hop_length=self.hop_length,
+                fmin=self.fmin, n_bins=self.bins_per_octave * self.n_octaves,
+                bins_per_octave=self.bins_per_octave)  # (B, W, T, 2)
+        # ref:118-123 — channels = (real, imag); layout b c w t → b c t w;
+        # flax NHWC: (B, T, W, 2)
+        h = jnp.transpose(z, (0, 2, 1, 3))
+        # ref:125-137 — per-octave pre-convs (plain, default norm="none"),
+        # outputs concatenated back along the frequency axis, no activation
+        lat = []
+        for i in range(self.n_octaves):
+            sub = h[:, :, i * self.bins_per_octave:(i + 1) * self.bins_per_octave]
+            lat.append(nn.Conv(2 * self.in_channels, (3, 9),
+                               padding=((1, 1), (4, 4)),
+                               name=f"conv_pre_{i}")(sub))
+        h = jnp.concatenate(lat, axis=2)
+        fmap = []
+        # ref:60-68 — convs[0] plain (no weight norm)
+        h = nn.Conv(self.filters, (3, 9), padding=((1, 1), (4, 4)),
+                    name="conv_0")(h)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+        ch = min(self.filters_scale * self.filters, self.max_filters)
+        for i, d in enumerate(self.dilations):
+            ch = min(self.filters_scale ** (i + 1) * self.filters,
+                     self.max_filters)
+            # ref:70-86 — stride (1,2) = stride 2 on freq, dilation on time
+            h = nn.WeightNorm(nn.Conv(
+                ch, (3, 9), strides=(1, 2), kernel_dilation=(d, 1),
+                padding=((d, d), (4, 4)), name=f"conv_{i + 1}"))(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
-            fmap.append(h.reshape(b, -1, *h.shape[2:]))
-        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding="SAME"))(h)
-        fmap.append(h.reshape(b, -1, *h.shape[2:]))
-        logits = h.reshape(b, -1)
-        return logits, fmap
+            fmap.append(h)
+        ch = min(self.filters_scale ** (len(self.dilations) + 1) * self.filters,
+                 self.max_filters)
+        h = nn.WeightNorm(nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                                  name=f"conv_{len(self.dilations) + 1}"))(h)
+        h = nn.leaky_relu(h, LRELU_SLOPE)
+        fmap.append(h)
+        h = nn.WeightNorm(nn.Conv(self.out_channels, (3, 3),
+                                  padding=((1, 1), (1, 1)),
+                                  name="conv_post"))(h)
+        return h.reshape(b, -1), fmap
 
 
 class MultiScaleSubBandCQTDiscriminator(nn.Module):
-    """MS-SB-CQT (ref `mssbcqtd.py`): several hop scales."""
+    """MS-SB-CQT (ref `mssbcqtd.py:150-176`); defaults from the reference
+    `egs/vocoder/gan/exp_config_base.json` mssbcqtd block."""
 
     sample_rate: int = 24000
-    hops: tuple[int, ...] = (120, 240, 480)
+    hops: tuple[int, ...] = (512, 256, 256)
+    n_octaves: tuple[int, ...] = (9, 9, 9)
+    bins_per_octaves: tuple[int, ...] = (24, 36, 48)
 
     @nn.compact
     def __call__(self, x: jax.Array):
         logits, fmaps = [], []
-        for hop in self.hops:
-            lo, fm = SubBandCQTDiscriminator(self.sample_rate, hop)(x)
+        for hop, n_oct, bpo in zip(self.hops, self.n_octaves,
+                                   self.bins_per_octaves):
+            lo, fm = SubBandCQTDiscriminator(
+                self.sample_rate, hop, n_octaves=n_oct,
+                bins_per_octave=bpo)(x)
             logits.append(lo)
             fmaps.append(fm)
         return logits, fmaps

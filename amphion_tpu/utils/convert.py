@@ -1528,6 +1528,29 @@ def torch_msstftd_to_flax(sd, num_scales: int = 3) -> dict:
     return params
 
 
+def torch_mssbcqtd_to_flax(sd, num_scales: int = 3,
+                           n_octaves: tuple[int, ...] = (9, 9, 9)) -> dict:
+    """Reference MultiScaleSubbandCQTDiscriminator (mssbcqtd.py:150) → our
+    MultiScaleSubBandCQTDiscriminator params. Per scale: per-octave plain
+    pre-convs (`conv_pres.{o}`), plain `convs.0`, weight-normed
+    `convs.{1..4}` + `conv_post` (NormConv2d wraps the conv as `.conv`)."""
+    params: dict = {}
+    for i in range(num_scales):
+        p = f"discriminators.{i}"
+        sub: dict = {}
+        for o in range(n_octaves[i]):
+            w, b = _materialize_torch_norm(sd, f"{p}.conv_pres.{o}.conv")
+            sub[f"conv_pre_{o}"] = conv2d_to_flax(w, b)
+        w, b = _materialize_torch_norm(sd, f"{p}.convs.0.conv")
+        sub["conv_0"] = conv2d_to_flax(w, b)
+        entries = [(f"conv_{j}", _wn2d(sd, f"{p}.convs.{j}.conv"))
+                   for j in range(1, 5)]
+        entries.append(("conv_post", _wn2d(sd, f"{p}.conv_post.conv")))
+        sub.update(_wn_seq(entries))
+        params[f"SubBandCQTDiscriminator_{i}"] = sub
+    return params
+
+
 def torch_msd_to_flax(sd: Mapping[str, np.ndarray],
                       num_scales: int = 3) -> dict:
     """Reference MultiScaleDiscriminator (msd.py:53) → ours. The first

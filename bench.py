@@ -20,6 +20,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: axon-tunnel compiles are expensive (minutes
+# for the big models); cache executables across bench processes. Harmless
+# no-op if the backend doesn't support serialization.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("AMPHION_JAX_CACHE",
+                       os.path.join(os.path.dirname(__file__), ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
+
 
 def _fence(x) -> None:
     """Scalar device->host fetch: the reliable execution fence through the

@@ -101,8 +101,8 @@ def test_wavenet_denoiser():
 
 
 def test_msstft_and_mssbcqt_discriminators(rng):
-    """MS-STFT (complex-spectrogram) and MS-SB-CQT (pseudo-CQT sub-band)
-    discriminators (ref msstftd.py / mssbcqtd.py)."""
+    """MS-STFT (complex-spectrogram) and MS-SB-CQT (native multi-octave
+    CQT sub-band) discriminators (ref msstftd.py / mssbcqtd.py)."""
     import jax
 
     from amphion_tpu.models.vocoders.discriminators import (
@@ -117,7 +117,9 @@ def test_msstft_and_mssbcqt_discriminators(rng):
     assert len(logits) == 2 and all(l.shape[0] == 2 for l in logits)
     assert all(np.isfinite(np.asarray(l)).all() for l in logits)
 
-    d2 = MultiScaleSubBandCQTDiscriminator(sample_rate=24000, hops=(120, 240))
+    d2 = MultiScaleSubBandCQTDiscriminator(
+        sample_rate=24000, hops=(512, 256), n_octaves=(9, 9),
+        bins_per_octaves=(24, 36))
     p2 = d2.init(jax.random.key(0), x)["params"]
     logits2, fmaps2 = d2.apply({"params": p2}, x)
     assert len(logits2) == 2 and all(np.isfinite(np.asarray(l)).all()

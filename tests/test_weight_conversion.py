@@ -3488,6 +3488,114 @@ class TestMSSTFTDiscriminatorRoundTrip:
                     atol=2e-4)
 
 
+class TestMSSBCQTDiscriminatorRoundTrip:
+    """MS-SB-CQT discriminator oracle (ref mssbcqtd.py:19-176): per-octave
+    plain pre-convs over the 2-channel (real, imag) CQT image + EnCodec
+    dilated stack with stride 2 on frequency. The nnAudio CQT itself is
+    not installable offline, so BOTH models are fed the identical
+    native-CQT features (the reference's transform slot is injected); the
+    learnable stack and sub-band slicing are then required to match."""
+
+    def test_forward_parity(self):
+        import sys
+        import types
+
+        import jax.numpy as jnp
+
+        # nnAudio stub: construction must succeed; each disc's transform
+        # is replaced with an injector after init
+        nn_audio = types.ModuleType("nnAudio")
+        nn_audio.__path__ = []
+        feats = types.ModuleType("nnAudio.features")
+        feats.__path__ = []
+
+        class _FakeCQT(torch.nn.Module):
+            def __init__(self, **kw):
+                super().__init__()
+                self.inject = None  # set post-init per scale
+
+            def forward(self, x):
+                return self.inject
+
+        feats.cqt = types.SimpleNamespace(CQT2010v2=_FakeCQT)
+        nn_audio.features = feats
+        sys.modules["nnAudio"] = nn_audio
+        sys.modules["nnAudio.features"] = feats
+        sys.modules["torchaudio.transforms"].Resample = (
+            lambda orig_freq, new_freq: torch.nn.Identity())
+        sys.modules["torchaudio"].transforms = sys.modules[
+            "torchaudio.transforms"]
+
+        from models.vocoders.gan.discriminator.mssbcqtd import (
+            MultiScaleSubbandCQTDiscriminator,
+        )
+
+        from amphion_tpu.modules.anti_aliasing import upsample1d
+        from amphion_tpu.ops.cqt import cqt
+        from amphion_tpu.utils.convert import torch_mssbcqtd_to_flax
+
+        sr = 24000
+        hops, n_octs, bpos = (512, 256), (9, 9), (24, 36)
+        cfg = SimpleNamespace(
+            preprocess=SimpleNamespace(sample_rate=sr),
+            model=SimpleNamespace(mssbcqtd=SimpleNamespace(
+                filters=8, max_filters=64, filters_scale=1,
+                dilations=[1, 2, 4], in_channels=1, out_channels=1,
+                hop_lengths=list(hops), n_octaves=list(n_octs),
+                bins_per_octaves=list(bpos))))
+        torch.manual_seed(70)
+        ref = MultiScaleSubbandCQTDiscriminator(cfg).eval()
+
+        torch.manual_seed(71)
+        x = torch.randn(2, 4096) * 0.2
+        x_np = x.numpy()
+        # identical CQT features on both sides: our native transform of the
+        # 2x-resampled audio, injected into the reference's transform slot
+        x2 = upsample1d(jnp.asarray(x_np)[..., None], ratio=2)[..., 0]
+        for disc, hop, n_oct, bpo in zip(ref.discriminators, hops, n_octs,
+                                         bpos):
+            z = np.asarray(cqt(x2, sr=2 * sr, hop_length=hop,
+                               n_bins=bpo * n_oct, bins_per_octave=bpo))
+            disc.cqt_transform.inject = torch.from_numpy(np.array(z))
+        with torch.no_grad():
+            y_d_rs, _, fmap_rs, _ = ref(x, x)
+
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params = torch_mssbcqtd_to_flax(sd, num_scales=2, n_octaves=n_octs)
+
+        # our multi-scale wrapper hard-wires the reference's full-size
+        # filters; build a same-shape stack at the test size
+        import flax.linen as fnn
+
+        class _Small(fnn.Module):
+            @fnn.compact
+            def __call__(self, xx):
+                from amphion_tpu.models.vocoders.discriminators import (
+                    SubBandCQTDiscriminator,
+                )
+                logits, fmaps = [], []
+                for hop, n_oct, bpo in zip(hops, n_octs, bpos):
+                    lo, fm = SubBandCQTDiscriminator(
+                        sr, hop, n_octaves=n_oct, bins_per_octave=bpo,
+                        filters=8, max_filters=64)(xx)
+                    logits.append(lo)
+                    fmaps.append(fm)
+                return logits, fmaps
+
+        logits, fmaps = _Small().apply({"params": params},
+                                       jnp.asarray(x_np))
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(logits[i]),
+                y_d_rs[i].numpy().transpose(0, 2, 3, 1).reshape(2, -1),
+                atol=3e-4)
+            assert len(fmaps[i]) == len(fmap_rs[i]) == 5
+            for fj, ft in zip(fmaps[i], fmap_rs[i]):
+                np.testing.assert_allclose(
+                    np.asarray(fj), ft.numpy().transpose(0, 2, 3, 1),
+                    atol=3e-4)
+
+
 class TestMetisStage1RoundTrip:
     """MetisStage1 oracle (ref metis_model.py:43): MaskGCT T2S + zero-gated
     SimpleAdapter conditioning added element-wise over [prompt ‖ target];
