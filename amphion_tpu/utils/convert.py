@@ -3045,3 +3045,86 @@ def debatts_t2s_to_flax(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     LlamaForCausalLM (embed/layers/norm under ``model.model.*``, head under
     ``model.lm_head``)."""
     return vevo_ar_to_flax(sd, num_layers)
+
+
+# ---------------------------------------------------------------------------
+# RawNet3 speaker embedder — ref evaluation/metrics/similarity/models/
+# ---------------------------------------------------------------------------
+
+
+def _bn_(sd: Mapping[str, np.ndarray], prefix: str) -> tuple[dict, dict]:
+    g = lambda n: np.asarray(sd[n])
+    return ({"scale": g(f"{prefix}.weight"), "bias": g(f"{prefix}.bias")},
+            {"mean": g(f"{prefix}.running_mean"),
+             "var": g(f"{prefix}.running_var")})
+
+
+def _rawnet_block_to_flax(sd: Mapping[str, np.ndarray], prefix: str,
+                          scale: int) -> tuple[dict, dict]:
+    """One reference Bottle2neck (`RawNetBasicBlock.py:58`) →
+    (params, batch_stats) for our `models/rawnet3.Bottle2neck`."""
+    g = lambda n: np.asarray(sd[n])
+    p: dict = {"conv1": conv1d_to_flax(g(f"{prefix}.conv1.weight"),
+                                       g(f"{prefix}.conv1.bias")),
+               "conv3": conv1d_to_flax(g(f"{prefix}.conv3.weight"),
+                                       g(f"{prefix}.conv3.bias"))}
+    s: dict = {}
+    p["bn1"], s["bn1"] = _bn_(sd, f"{prefix}.bn1")
+    p["bn3"], s["bn3"] = _bn_(sd, f"{prefix}.bn3")
+    for i in range(scale - 1):
+        p[f"conv_{i}"] = conv1d_to_flax(g(f"{prefix}.convs.{i}.weight"),
+                                        g(f"{prefix}.convs.{i}.bias"))
+        p[f"bn_{i}"], s[f"bn_{i}"] = _bn_(sd, f"{prefix}.bns.{i}")
+    if f"{prefix}.residual.0.weight" in sd:
+        p["residual"] = conv1d_to_flax(g(f"{prefix}.residual.0.weight"))
+    p["afms"] = {"alpha": g(f"{prefix}.afms.alpha")[:, 0],
+                 "fc": linear_to_dense(g(f"{prefix}.afms.fc.weight"),
+                                       g(f"{prefix}.afms.fc.bias"))}
+    return p, s
+
+
+def torch_rawnet3_to_flax(sd: Mapping[str, np.ndarray], *,
+                          model_scale: int = 8,
+                          out_bn: bool = False) -> tuple[dict, dict]:
+    """Reference RawNet3 (`RawNetModel.py:15`, ckpt
+    `pretrained/rawnet3/model.pt["model"]`) → (params, batch_stats) for
+    `models/rawnet3.RawNet3`. The reference's top-level `bn1` is dead
+    (never called in forward) and is skipped."""
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {
+        "in_scale": g("preprocess.1.weight"),
+        "in_bias": g("preprocess.1.bias"),
+        "sinc": {"low_hz_": g("conv1.filterbank.low_hz_"),
+                 "band_hz_": g("conv1.filterbank.band_hz_")},
+        "layer4": conv1d_to_flax(g("layer4.weight"), g("layer4.bias")),
+        "att_conv1": conv1d_to_flax(g("attention.0.weight"),
+                                    g("attention.0.bias")),
+        "att_conv2": conv1d_to_flax(g("attention.3.weight"),
+                                    g("attention.3.bias")),
+        "fc6": linear_to_dense(g("fc6.weight"), g("fc6.bias")),
+    }
+    stats: dict = {}
+    for name in ("layer1", "layer2", "layer3"):
+        params[name], stats[name] = _rawnet_block_to_flax(
+            sd, name, model_scale)
+    params["att_bn"], stats["att_bn"] = _bn_(sd, "attention.2")
+    params["bn5"], stats["bn5"] = _bn_(sd, "bn5")
+    if out_bn:
+        params["bn6"], stats["bn6"] = _bn_(sd, "bn6")
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# GE2E / Resemblyzer voice encoder
+# ---------------------------------------------------------------------------
+
+
+def torch_ge2e_to_flax(sd: Mapping[str, np.ndarray],
+                       num_layers: int = 3) -> dict:
+    """resemblyzer VoiceEncoder (`nn.LSTM(40, 256, 3)` + `linear`) → our
+    `models/ge2e.GE2EEncoder` params."""
+    params: dict = {f"lstm_{i}": _torch_lstm_layer_to_flax(sd, "lstm", i)
+                    for i in range(num_layers)}
+    params["linear"] = linear_to_dense(np.asarray(sd["linear.weight"]),
+                                       np.asarray(sd["linear.bias"]))
+    return params

@@ -95,6 +95,12 @@ _MODELS = {
     # microsoft/wavlm-base-(plus-)sv: speaker-verification x-vector model
     "wavlm_sv": dict(fn=C.hf_wavlm_sv_to_flax,
                      defaults={"num_layers": 12}, wrap=_wrap_params),
+    # ref evaluation/metrics/similarity: pretrained/rawnet3/model.pt
+    "rawnet3": dict(fn=C.torch_rawnet3_to_flax,
+                    defaults={"model_scale": 8}, wrap=_wrap_params),
+    # resemblyzer VoiceEncoder pretrained.pt (GE2E d-vector)
+    "ge2e": dict(fn=C.torch_ge2e_to_flax,
+                 defaults={"num_layers": 3}, wrap=_wrap_params),
     "fairseq_hubert": dict(fn=C.fairseq_hubert_to_flax,
                            defaults={"num_layers": 24}, wrap=_wrap_params),
     "llama": dict(fn=C.hf_llama_to_flax,
@@ -275,9 +281,12 @@ def convert_one(model: str, input_path: Path, output_dir: Path,
     else:
         sd = _load_state_dict(input_path)
         params = spec["fn"](sd, **kwargs)
-    if isinstance(params, tuple):  # e.g. wavernn returns (params, aux)
+    if isinstance(params, tuple):  # (params, batch_stats): wavernn, rawnet3
+        tree = {**spec["wrap"](params[0]), "batch_stats": params[1]}
         params = params[0]
-    dest = _save_tree(spec["wrap"](params), output_dir)
+    else:
+        tree = spec["wrap"](params)
+    dest = _save_tree(tree, output_dir)
     n = sum(int(np.prod(p.shape))
             for p in __import__("jax").tree_util.tree_leaves(params))
     logger.info(f"{model}: {len(sd)} torch tensors -> {n / 1e6:.1f}M params "
