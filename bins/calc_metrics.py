@@ -6,9 +6,10 @@ dump a JSON report. ALL 16 reference metrics dispatch offline:
 - wer/cer: native flax Whisper (`--whisper_dir` = local HF checkpoint dir).
   Reference text comes from `--transcripts` (TSV `name<TAB>text`), else
   ASR-vs-ASR (the reference wav is transcribed too).
-- speaker_similarity: native WavLM-SV x-vector (`--speaker_ckpt` =
-  checkpoint converted with `bins/convert_checkpoint.py --model wavlm_sv`,
-  or env AMPHION_SPEAKER_CKPT).
+- speaker_similarity: any of the reference's three backends, all native
+  flax — `--speaker_model wavlm_sv|rawnet3|ge2e` with `--speaker_ckpt` =
+  checkpoint converted with `bins/convert_checkpoint.py --model <same>`
+  (or env AMPHION_SPEAKER_CKPT + AMPHION_SPEAKER_MODEL).
 - fad: corpus-level Fréchet distance over `--fad_embedder` embeddings:
   `mel` (native log-mel statistics, no weights) | `speaker` (WavLM-SV
   embeddings via --speaker_ckpt).
@@ -64,8 +65,13 @@ def main():
                         help="TSV name<TAB>text reference transcripts; "
                              "else ASR-vs-ASR")
     parser.add_argument("--speaker_ckpt", default="",
-                        help="converted WavLM-SV ckpt dir for "
+                        help="converted speaker-embedder ckpt dir for "
                              "speaker_similarity / fad=speaker")
+    parser.add_argument("--speaker_model", default="wavlm_sv",
+                        choices=["wavlm_sv", "rawnet3", "ge2e",
+                                 "resemblyzer"],
+                        help="embedder family for --speaker_ckpt (ref "
+                             "similarity zoo: RawNet3/Resemblyzer/WavLM)")
     parser.add_argument("--fad_embedder", default="mel",
                         choices=["mel", "speaker"])
     args = parser.parse_args()
@@ -101,11 +107,11 @@ def main():
     if (any(m in args.metrics for m in _SPEAKER)
             or ("fad" in args.metrics and args.fad_embedder == "speaker")):
         from amphion_tpu.evaluation.metrics.similarity import (
+            _NATIVE_EMBEDDERS,
             default_embedder,
-            native_wavlm_embedder,
         )
 
-        embedder = (native_wavlm_embedder(args.speaker_ckpt)
+        embedder = (_NATIVE_EMBEDDERS[args.speaker_model](args.speaker_ckpt)
                     if args.speaker_ckpt else default_embedder())
 
     results: dict[str, list[float]] = {m: [] for m in args.metrics}
