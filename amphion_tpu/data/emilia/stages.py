@@ -348,3 +348,35 @@ def dnsmos_proxy(x: np.ndarray, sr: int = 24000) -> float:
     score += 1.0 * np.clip(speech_ratio * 1.5, 0, 1)  # mostly speech
     score -= 2.0 * np.clip(clip_ratio * 50, 0, 1)     # clipping penalty
     return float(np.clip(score, 1.0, 5.0))
+
+
+def make_mdx_separator(variables=None, cfg=None, *, ckpt_dir: str = "",
+                       sr: int = 24000, chunks: int = 15,
+                       denoise: bool = True):
+    """Checkpoint-backed UVR-MDX slot filler: returns ``x -> vocals`` for
+    ``EmiliaPipeline(separator=...)`` using the native trainable Conv-TDF
+    network (`amphion_tpu/models/mdx_net.py`), with the reference's
+    44.1 kHz resample + stereo-duplicate + channel-0 protocol
+    (ref preprocessors/Emilia/main.py:95-126)."""
+    from amphion_tpu.data.audio_io import resample
+    from amphion_tpu.models.mdx_net import MDXConfig, MDXSeparator
+
+    cfg = cfg or MDXConfig()
+    if variables is None:
+        if not ckpt_dir:
+            raise ValueError("make_mdx_separator needs variables or "
+                             "ckpt_dir (a trained ConvTDFNet checkpoint)")
+        from amphion_tpu.runtime.checkpoint import CheckpointManager
+
+        tree, _, _ = CheckpointManager(ckpt_dir).restore_raw()
+        variables = {"params": tree["params"],
+                     "batch_stats": tree.get("batch_stats", {})}
+    sep = MDXSeparator(variables, cfg, chunks=chunks, denoise=denoise)
+
+    def separate(x: np.ndarray) -> np.ndarray:
+        mix = resample(np.asarray(x, np.float32), sr, MDXSeparator.SR)
+        vocals, _ = sep.predict(mix)
+        return resample(vocals[:, 0].astype(np.float32),
+                        MDXSeparator.SR, sr)
+
+    return separate

@@ -1,0 +1,319 @@
+"""Native MDX-Net (Conv-TDF) music source separator.
+
+Reference capability: `preprocessors/Emilia/models/separate_fast.py` — the
+Emilia pipeline's source-separation stage runs an ONNX UVR-MDX network
+(`UVR-MDX-NET-Inst_HQ_3.onnx`, config `preprocessors/Emilia/config.json`:
+n_fft 6144, hop 1024, dim_f 3072, dim_t 2^8, denoise double-pass,
+chunks 15 s @44.1 kHz with 1 s margins) inside an exact STFT-packing +
+chunk/margin host protocol (`separate_fast.py:17-293`).
+
+This module provides BOTH halves natively:
+
+- the network, re-implemented **trainable** in flax from the published
+  KUIELab MDX-Net Conv-TDF formulation (TFC conv stacks + time-distributed
+  fully-connected bottleneck over frequency, multiplicative U-Net skips) —
+  the family every UVR-MDX vocal/instrumental checkpoint belongs to;
+- the reference's pre/post-processing bit-for-bit: 4-channel stereo
+  (re, im) STFT packing with the `dim_f` crop (`ConvTDFNet.stft`), the
+  `istft` freq re-pad, the trim/gen_size chunk walk and margin stitch of
+  `Predictor.demix/demix_base/predict`, and the `denoise` trick
+  (mean of f(x) and -f(-x)).
+
+TPU notes: NHWC-like (B, T, F, C) layout so the 2-D convs lower to MXU;
+the TDF frequency bottleneck is an einsum over the F axis (no transposes
+materialized); every window of every chunk is batched into ONE device
+call per segment (the reference runs them one by one); the ONNX session
+is replaced by a jitted flax apply. No pretrained weights can be ingested
+offline (the reference ships ONNX graphs, not state dicts) — the model is
+the trainable native equivalent, wired into the Emilia pipeline's
+pluggable `separator` slot.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amphion_tpu.ops.stft import istft as _istft
+from amphion_tpu.ops.stft import stft as _stft
+
+
+@dataclass(frozen=True)
+class MDXConfig:
+    """Defaults = the Emilia `separate.step1` config (UVR-MDX-NET-Inst_HQ_3:
+    `preprocessors/Emilia/config.json:19-27`)."""
+
+    n_fft: int = 6144
+    hop: int = 1024
+    dim_f: int = 3072
+    dim_t_log2: int = 8
+    num_blocks: int = 11      # reference L; n = L // 2 U-Net levels
+    conv_depth: int = 3       # convs per TFC block (published `l`)
+    growth: int = 32          # channel growth per level (published `g`)
+    kernel: int = 3
+    bottleneck: int = 8       # TDF hidden = dim_f / bottleneck (published bn)
+    dim_c: int = 4            # stereo x (re, im)
+
+    @property
+    def dim_t(self) -> int:
+        return 2 ** self.dim_t_log2
+
+    @property
+    def chunk_size(self) -> int:
+        return self.hop * (self.dim_t - 1)
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+# ---------------------------------------------------------------------------
+# STFT packing (ConvTDFNet.stft / .istft, separate_fast.py:53-106)
+# ---------------------------------------------------------------------------
+
+
+def mdx_stft(wave: jax.Array, cfg: MDXConfig) -> jax.Array:
+    """(B, 2, chunk_size) stereo wave → (B, T, F=dim_f, C=4) packed spec.
+
+    torch semantics: center=True reflect pad, periodic hann(n_fft);
+    channel order [L_re, L_im, R_re, R_im]; freq cropped to dim_f."""
+    b = wave.shape[0]
+    flat = wave.reshape(-1, cfg.chunk_size)
+    re, im = _stft(flat, cfg.n_fft, cfg.hop, cfg.n_fft, center=True)
+    spec = jnp.stack([re, im], axis=1)              # (2B, 2, bins, T)
+    spec = spec.reshape(b, cfg.dim_c, cfg.n_bins, cfg.dim_t)[:, :, :cfg.dim_f]
+    return jnp.transpose(spec, (0, 3, 2, 1))        # (B, T, F, C)
+
+
+def mdx_istft(spec: jax.Array, cfg: MDXConfig) -> jax.Array:
+    """(B, T, F=dim_f, C=4) → (B, 2, chunk_size) stereo wave: zero-pad the
+    cropped bins back to n_bins, inverse STFT per stereo channel."""
+    b = spec.shape[0]
+    x = jnp.transpose(spec, (0, 3, 2, 1))           # (B, 4, F, T)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, cfg.n_bins - cfg.dim_f), (0, 0)))
+    x = x.reshape(b * 2, 2, cfg.n_bins, cfg.dim_t)  # (2B, [re,im], bins, T)
+    wav = _istft(x[:, 0], x[:, 1], cfg.n_fft, cfg.hop, cfg.n_fft,
+                 padding="center")                  # (2B, (T-1)*hop)
+    return wav.reshape(b, 2, cfg.chunk_size)
+
+
+# ---------------------------------------------------------------------------
+# The Conv-TDF network (published KUIELab MDX-Net formulation)
+# ---------------------------------------------------------------------------
+
+
+class _FreqDense(nn.Module):
+    """Dense over the F axis of (B, T, F, C) without materializing
+    transposes: einsum btfc,fg->btgc."""
+
+    in_f: int
+    out_f: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_f, self.out_f))
+        y = jnp.einsum("btfc,fg->btgc", x, kernel)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_f,))
+            y = y + bias[None, None, :, None]
+        return y
+
+
+class ConvTDFBlock(nn.Module):
+    """TFC stack + residual TDF frequency bottleneck: `conv_depth` 3x3
+    convs (GroupNorm(2) + ReLU each) followed by
+    x + ReLU(GN(Dense_F(ReLU(GN(Dense_F(x))))))."""
+
+    channels: int
+    freq: int
+    cfg: MDXConfig
+
+    @nn.compact
+    def __call__(self, x):                          # (B, T, F, C)
+        c = self.cfg
+        for i in range(c.conv_depth):
+            x = nn.Conv(self.channels, (c.kernel, c.kernel), padding="SAME",
+                        name=f"conv_{i}")(x)
+            x = nn.GroupNorm(num_groups=2, name=f"gn_{i}")(x)
+            x = jax.nn.relu(x)
+        hidden = max(self.freq // c.bottleneck, 1)
+        y = _FreqDense(self.freq, hidden, name="tdf_down")(x)
+        y = jax.nn.relu(nn.GroupNorm(num_groups=2, name="tdf_gn0")(y))
+        y = _FreqDense(hidden, self.freq, name="tdf_up")(y)
+        y = jax.nn.relu(nn.GroupNorm(num_groups=2, name="tdf_gn1")(y))
+        return x + y
+
+
+class ConvTDFNet(nn.Module):
+    """U-Net over (T, F) with multiplicative skips (the published MDX-Net
+    decoder multiplies the upsampled path by the encoder activation).
+    Input/output: packed spec (B, T, F=dim_f, C=4)."""
+
+    cfg: MDXConfig = MDXConfig()
+
+    @nn.compact
+    def __call__(self, spec, train: bool = False):
+        c = self.cfg
+        n = c.num_blocks // 2
+        bnorm = lambda name: nn.BatchNorm(use_running_average=not train,
+                                          momentum=0.9, name=name)
+        ch, f = c.growth, c.dim_f
+        x = jax.nn.relu(bnorm("first_bn")(
+            nn.Conv(ch, (1, 1), name="first_conv")(spec)))
+        skips = []
+        for i in range(n):
+            x = ConvTDFBlock(ch, f, c, name=f"ds_block_{i}")(x)
+            skips.append(x)
+            x = nn.Conv(ch + c.growth, (2, 2), strides=(2, 2),
+                        name=f"ds_{i}")(x)
+            x = jax.nn.relu(bnorm(f"ds_bn_{i}")(x))
+            ch += c.growth
+            f //= 2
+        x = ConvTDFBlock(ch, f, c, name="mid_block")(x)
+        for i in range(n):
+            x = nn.ConvTranspose(ch - c.growth, (2, 2), strides=(2, 2),
+                                 name=f"us_{i}")(x)
+            x = jax.nn.relu(bnorm(f"us_bn_{i}")(x))
+            ch -= c.growth
+            f *= 2
+            x = x * skips[n - 1 - i]                 # multiplicative skip
+            x = ConvTDFBlock(ch, f, c, name=f"us_block_{i}")(x)
+        return nn.Conv(c.dim_c, (1, 1), name="final_conv")(x)
+
+
+# ---------------------------------------------------------------------------
+# Host protocol: Predictor.demix / demix_base / predict
+# (separate_fast.py:148-293), with every window batched into one device call
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_separate(model: ConvTDFNet, denoise: bool):
+    def run(variables, waves):                       # (B, 2, chunk)
+        spec = mdx_stft(waves, model.cfg)
+        if denoise:
+            # reference denoise trick: 0.5*(f(x) - f(-x)) batched as 2B
+            both = jnp.concatenate([spec, -spec], axis=0)
+            out = model.apply(variables, both)
+            b = spec.shape[0]
+            pred = 0.5 * (out[:b] - out[b:])
+        else:
+            pred = model.apply(variables, spec)
+        return mdx_istft(pred, model.cfg)
+
+    return jax.jit(run)
+
+
+class MDXSeparator:
+    """The reference `Predictor` with the ONNX session replaced by the
+    native jitted network. `mix` is (2, samples) float32 at 44.1 kHz."""
+
+    SR = 44100
+
+    def __init__(self, variables, cfg: MDXConfig = MDXConfig(), *,
+                 margin: int = 44100, chunks: int = 15,
+                 denoise: bool = True, apply_fn=None):
+        self.cfg = cfg
+        self.margin, self.chunks, self.denoise = margin, chunks, denoise
+        model = ConvTDFNet(cfg)
+        base = apply_fn or _jitted_separate(model, denoise)
+        self._run = (lambda w: base(variables, w)) if apply_fn is None \
+            else apply_fn
+
+    def _demix_segment(self, cmix: np.ndarray) -> np.ndarray:
+        """separate_fast.py:188-247 demix_base body for one segment, all
+        windows in ONE batched device call."""
+        c = self.cfg
+        n_sample = cmix.shape[1]
+        trim = c.n_fft // 2
+        gen_size = c.chunk_size - 2 * trim
+        pad = gen_size - n_sample % gen_size
+        mix_p = np.concatenate(
+            (np.zeros((2, trim), np.float32), cmix.astype(np.float32),
+             np.zeros((2, pad), np.float32),
+             np.zeros((2, trim), np.float32)), 1)
+        starts = range(0, n_sample + pad, gen_size)
+        waves = np.stack([mix_p[:, i:i + c.chunk_size] for i in starts])
+        tar = np.asarray(self._run(jnp.asarray(waves)))  # (B, 2, chunk)
+        tar = tar[:, :, trim:-trim].transpose(1, 0, 2).reshape(2, -1)
+        return tar[:, :-pad]
+
+    def demix(self, mix: np.ndarray) -> np.ndarray:
+        """separate_fast.py:148-186: chunk walk with margins."""
+        samples = mix.shape[-1]
+        margin = self.margin
+        chunk_size = self.chunks * self.SR
+        assert margin != 0, "Margin cannot be zero!"
+        if margin > chunk_size:
+            margin = chunk_size
+        if self.chunks == 0 or samples < chunk_size:
+            chunk_size = samples
+        segments = {}
+        counter = -1
+        for skip in range(0, samples, chunk_size):
+            counter += 1
+            s_margin = 0 if counter == 0 else margin
+            end = min(skip + chunk_size + margin, samples)
+            start = skip - s_margin
+            segments[skip] = mix[:, start:end].copy()
+            if end == samples:
+                break
+        keys = list(segments)
+        pieces = []
+        for i, skip in enumerate(keys):
+            tar = self._demix_segment(segments[skip])
+            start = 0 if i == 0 else margin
+            end = None if (i == len(keys) - 1 or margin == 0) else -margin
+            pieces.append(tar[:, start:end])
+        return np.concatenate(pieces, axis=-1)
+
+    def predict(self, mix: np.ndarray):
+        """separate_fast.py:257-293: returns (mix - target, target) with
+        the reference's pad-to-chunk + tail-cut semantics; target is the
+        network's output source (instrumental for Inst_HQ models), so the
+        first element is the vocals."""
+        if mix.ndim == 1:
+            mix = np.asfortranarray([mix, mix])
+        block = self.chunks * self.SR
+        tail = mix.shape[1] % block
+        if tail != 0:
+            mix = np.pad(mix, ((0, 0), (0, block - tail)))
+        opt = self.demix(mix).T                      # (T_pad, 2)
+        mix_t = mix.T
+        if tail != 0:
+            return (mix_t - opt)[:-(block - tail), :], opt
+        return mix_t - opt, opt
+
+
+def mdx_train_step(model: ConvTDFNet, optimizer):
+    """Jittable (params, batch_stats, opt_state, mix, target) ->
+    (params, batch_stats, opt_state, loss): spec-domain MSE + time-domain
+    L1 on the separated source, the standard MDX training objective shape.
+    mix/target: (B, 2, chunk)."""
+
+    def loss_fn(params, batch_stats, mix, target):
+        spec = mdx_stft(mix, model.cfg)
+        pred, updated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, spec,
+            train=True, mutable=["batch_stats"])
+        tspec = mdx_stft(target, model.cfg)
+        l_spec = jnp.mean((pred - tspec) ** 2)
+        l_wav = jnp.mean(jnp.abs(mdx_istft(pred, model.cfg) - target))
+        return l_spec + l_wav, updated["batch_stats"]
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, mix, target):
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, mix, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, batch_stats, opt_state, loss
+
+    return step
