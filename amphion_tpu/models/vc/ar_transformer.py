@@ -266,9 +266,45 @@ class ARTransformer(nn.Module):
         h, caches = self.decoder(x, caches=caches, cache_index=0)
         return self.lm_head(h[:, -1]), caches, x.shape[1]
 
-    def step(self, token, caches, cache_index):
+    def prefill_ragged(self, input_tokens, input_len, caches, kv_valid,
+                       prompt_output_tokens=None, prompt_output_len=None):
+        """Ragged prefill for batched serving: B requests with per-sample
+        content lengths packed RIGHT-aligned
+        ``[pad | IN_BOS inputs_i IN_EOS | OUT_BOS (prompt outputs_i)]``
+        (`ops/ragged.py` layout notes — exact under this RoPE backbone;
+        pad slots masked via ``kv_valid``). ``input_tokens`` (B, Li_max)
+        right-padded raw content ids + ``input_len`` (B,); the optional
+        output-stream prompt (style prompting, ref vc ar_model.py:240-300)
+        is right-padded ``prompt_output_tokens`` (B, Lo_max) +
+        ``prompt_output_len`` (B,)."""
+        from amphion_tpu.ops.ragged import pack_segments_right
+
+        c = self.cfg
+        b, li = input_tokens.shape
+        pos = jnp.arange(li + 2)[None, :]
+        in_ids = jnp.concatenate([
+            jnp.full((b, 1), c.input_bos_id, jnp.int32),
+            (input_tokens + c.input_shift).astype(jnp.int32),
+            jnp.zeros((b, 1), jnp.int32),
+        ], axis=1)
+        in_ids = jnp.where(pos == input_len[:, None] + 1, c.input_eos_id,
+                           in_ids)
+        out_ids = [jnp.full((b, 1), c.bos_id, jnp.int32)]
+        out_lens = jnp.ones((b,), jnp.int32)
+        if prompt_output_tokens is not None:
+            out_ids.append(prompt_output_tokens.astype(jnp.int32))
+            out_lens = out_lens + prompt_output_len.astype(jnp.int32)
+        ids = pack_segments_right(
+            [in_ids, jnp.concatenate(out_ids, axis=1)],
+            [input_len.astype(jnp.int32) + 2, out_lens])
+        h, caches = self.decoder(self.embed_tokens(ids), caches=caches,
+                                 cache_index=0, kv_valid=kv_valid)
+        return self.lm_head(h[:, -1]), caches, ids.shape[1]
+
+    def step(self, token, caches, cache_index, kv_valid=None):
         emb = self.embed_tokens(token)[:, None, :]
-        h, caches = self.decoder(emb, caches=caches, cache_index=cache_index)
+        h, caches = self.decoder(emb, caches=caches, cache_index=cache_index,
+                                 kv_valid=kv_valid)
         return self.lm_head(h[:, -1]), caches
 
     def make_cache(self, batch, total_len):
@@ -319,25 +355,8 @@ def _ar_transformer_generate_impl(
 ):
     """KV-cache sampled decode (ref `ar_model.py:240` generate), one
     lax.scan over sampled steps, stop at OUT_EOS."""
+    model, params, dt = _quantize_for_decode(model, params, compute_dtype)
     c = model.cfg
-    if compute_dtype in ("int8", "int4"):
-        import dataclasses
-
-        from amphion_tpu.modules.llama import quantize_llama_params
-
-        model = ARTransformer(dataclasses.replace(c, decode_quant=compute_dtype))
-        c = model.cfg
-        dt = jnp.dtype(jnp.bfloat16)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
-        params = {**params,
-                  "decoder": quantize_llama_params(params["decoder"],
-                                                   compute_dtype)}
-    else:
-        dt = jnp.dtype(compute_dtype)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
-        )
     if ref_mel is not None:
         ref_mel = ref_mel.astype(dt)
     b, li = input_tokens.shape
@@ -366,5 +385,128 @@ def _ar_transformer_generate_impl(
         return (caches_new, logits_new, rng, gen_len, done_new), tok_clean
 
     init = (caches, logits, rng, jnp.zeros((b,), jnp.int32), jnp.zeros((b,), bool))
+    (_, _, _, gen_len, _), toks = jax.lax.scan(body, init, jnp.arange(max_new))
+    return jnp.moveaxis(toks, 0, 1), gen_len
+
+
+def _quantize_for_decode(model, params, compute_dtype):
+    """Shared decode-time dtype/quantization prep (bf16 | int8 | int4)."""
+    c = model.cfg
+    if compute_dtype in ("int8", "int4"):
+        import dataclasses
+
+        from amphion_tpu.modules.llama import quantize_llama_params
+
+        model = ARTransformer(dataclasses.replace(c, decode_quant=compute_dtype))
+        dt = jnp.dtype(jnp.bfloat16)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        params = {**params,
+                  "decoder": quantize_llama_params(params["decoder"],
+                                                   compute_dtype)}
+    else:
+        dt = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+    return model, params, dt
+
+
+@functools.lru_cache(maxsize=32)
+def _ar_generate_ragged_jitted(model, max_new, temperature, top_k, top_p,
+                               compute_dtype, has_prompt_out):
+    core = functools.partial(
+        _ar_generate_ragged_impl, model, max_new=max_new,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        compute_dtype=compute_dtype,
+    )
+    if not has_prompt_out:
+        core = functools.partial(core, prompt_output_tokens=None,
+                                 prompt_output_len=None)
+    return jax.jit(core)
+
+
+def ar_transformer_generate_ragged(model, params, input_tokens, input_len,
+                                   rngs, max_new=1024, temperature=1.0,
+                                   top_k=40, top_p=1.0,
+                                   prompt_output_tokens=None,
+                                   prompt_output_len=None,
+                                   compute_dtype="bfloat16"):
+    """Ragged batched Vevo AR decode: B requests with per-sample content
+    (and optional output-prompt) lengths share ONE compiled prefill +
+    decode scan — the serving path (`amphion_tpu/serving/VevoService`).
+    The 780M-class decode is weight-HBM-bound, so batching B requests
+    amortizes the per-token weight stream ~B× (until compute-bound).
+
+    Inputs are right-padded buffers + (B,) length arrays; ``rngs`` is a
+    (B,) key array so each request's sampling stream is independent of the
+    batch composition (tests/test_ragged_vevo.py). Right-aligned packing
+    is exact under RoPE (`ops/ragged.py`); pad slots are masked via
+    ``kv_valid``. Global-timbre and prosody-style streams stay on the
+    fixed-shape path. Returns (tokens (B, max_new), lengths (B,))."""
+    assert not model.cfg.use_global_timbre, \
+        "ragged decode supports the plain VC layout (no global encoder)"
+    fn = _ar_generate_ragged_jitted(
+        model, max_new, temperature, top_k, top_p, compute_dtype,
+        prompt_output_tokens is not None)
+    if prompt_output_tokens is not None:
+        return fn(params, jnp.asarray(input_tokens),
+                  jnp.asarray(input_len), rngs,
+                  prompt_output_tokens=jnp.asarray(prompt_output_tokens),
+                  prompt_output_len=jnp.asarray(prompt_output_len))
+    return fn(params, jnp.asarray(input_tokens), jnp.asarray(input_len),
+              rngs)
+
+
+def _ar_generate_ragged_impl(
+    model: ARTransformer,
+    params,
+    input_tokens: jax.Array,  # (B, Li_max) right-padded content ids
+    input_len: jax.Array,  # (B,)
+    rngs: jax.Array,  # (B,) key array
+    prompt_output_tokens: jax.Array | None = None,  # (B, Lo_max)
+    prompt_output_len: jax.Array | None = None,  # (B,)
+    max_new: int = 1024,
+    temperature: float = 1.0,
+    top_k: int = 40,
+    top_p: float = 1.0,
+    compute_dtype: str = "bfloat16",
+):
+    from amphion_tpu.ops.ragged import right_pack_valid, split_each
+
+    model, params, dt = _quantize_for_decode(model, params, compute_dtype)
+    c = model.cfg
+    b, li = input_tokens.shape
+    lo = 1 if prompt_output_tokens is None else 1 + prompt_output_tokens.shape[1]
+    l0 = li + 2 + lo  # shared prefill length; every sample ends at l0 - 1
+    total = l0 + max_new
+    out_lens = jnp.ones((b,), jnp.int32)
+    if prompt_output_tokens is not None:
+        out_lens = out_lens + prompt_output_len.astype(jnp.int32)
+    kv_valid = right_pack_valid(
+        [input_len.astype(jnp.int32) + 2, out_lens], l0, total)
+    caches = LlamaDecoder(c.llama()).init_cache(b, total, dtype=dt)
+    logits, caches, _ = model.apply(
+        {"params": params}, input_tokens, input_len, caches, kv_valid,
+        prompt_output_tokens, prompt_output_len,
+        method=ARTransformer.prefill_ragged,
+    )
+
+    def body(carry, i):
+        caches, logits, rngs, gen_len, done = carry
+        rngs, r = split_each(rngs, 2)
+        tok = jax.vmap(
+            lambda k, lg: sample_logits(k, lg, temperature, top_k, top_p)
+        )(r, logits.astype(jnp.float32))
+        done_new = done | (tok == c.eos_id)
+        tok_clean = jnp.where(done_new, 0, tok)
+        logits_new, caches_new = model.apply(
+            {"params": params}, tok_clean, caches, l0 + i, kv_valid,
+            method=ARTransformer.step,
+        )
+        gen_len = jnp.where(done_new, gen_len, i + 1)
+        return (caches_new, logits_new, rngs, gen_len, done_new), tok_clean
+
+    init = (caches, logits, rngs, jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), bool))
     (_, _, _, gen_len, _), toks = jax.lax.scan(body, init, jnp.arange(max_new))
     return jnp.moveaxis(toks, 0, 1), gen_len

@@ -197,7 +197,7 @@ class FlowMatchingTransformer(nn.Module):
 
 @functools.lru_cache(maxsize=32)
 def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
-                          rescale_cfg, compute_dtype):
+                          rescale_cfg, compute_dtype, explicit_noise=False):
     n_mel = model.cfg.n_mel
     h = 1.0 / num_steps
     dt = jnp.dtype(compute_dtype)
@@ -209,7 +209,7 @@ def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
         pm = prompt_mel.astype(dt)
-        xt0 = jax.random.normal(rng, (b, lt, n_mel))
+        xt0 = rng if explicit_noise else jax.random.normal(rng, (b, lt, n_mel))
 
         def body(xt, i):
             # midpoint times t = (i + 0.5)/n (ref fmt_model.py:260)
@@ -239,16 +239,128 @@ def fmt_inference(
     cfg_scale: float = 0.0,
     rescale_cfg: float = 0.75,
     compute_dtype: str = "bfloat16",
+    noise: jax.Array | None = None,
 ):
     """Euler ODE from noise to mel with the reference's prompt-prefix + CFG
     std-rescale protocol. Memoized self-jitting (eager loops dispatch
     op-by-op through the TPU tunnel). The estimator runs in
     ``compute_dtype`` (bf16 default — same decode lever as MaskGCT/VALL-E);
-    CFG std-rescale and the Euler state stay f32. Returns generated target
-    mel (B, Lt, n_mel)."""
+    CFG std-rescale and the Euler state stay f32. ``noise`` (B, Lt, n_mel)
+    replaces the internally drawn x_0 (parity tests). Returns generated
+    target mel (B, Lt, n_mel)."""
     b = tokens.shape[0]
     lp = prompt_mel.shape[1]
     lt = tokens.shape[1] * model.cfg.cond_scale_factor - lp
     return _fmt_inference_jitted(
         model, b, lp, lt, num_steps, float(cfg_scale), float(rescale_cfg),
-        compute_dtype)(params, tokens, prompt_mel, rng)
+        compute_dtype, noise is not None)(
+        params, tokens, prompt_mel, rng if noise is None else noise)
+
+
+@functools.lru_cache(maxsize=32)
+def _fmt_inference_ragged_jitted(model, b, lp_tok, lt_tok, num_steps,
+                                 cfg_scale, rescale_cfg, compute_dtype,
+                                 explicit_noise=False):
+    from amphion_tpu.ops.ragged import (
+        masked_std,
+        pack_segments,
+        unpack_target,
+    )
+
+    n_mel = model.cfg.n_mel
+    csf = model.cfg.cond_scale_factor
+    lp, lt = lp_tok * csf, lt_tok * csf
+    h = 1.0 / num_steps
+    dt = jnp.dtype(compute_dtype)
+
+    def cond_of(m, toks):
+        return m._cond(toks)
+
+    def estimate(m, x, t, cond, mask):
+        return m.diff_estimator(x, t, cond, mask=mask)
+
+    def core(params, prompt_tokens, prompt_tok_len, target_tokens,
+             target_tok_len, prompt_mel, rng):
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        pm = prompt_mel.astype(dt)
+        p_len = prompt_tok_len.astype(jnp.int32) * csf  # (B,) prompt frames
+        t_len = target_tok_len.astype(jnp.int32) * csf  # (B,) target frames
+        tok_full = pack_segments(
+            [prompt_tokens.astype(jnp.int32), target_tokens.astype(jnp.int32)],
+            [prompt_tok_len.astype(jnp.int32), target_tok_len.astype(jnp.int32)])
+        cond = model.apply({"params": params}, tok_full,
+                           method=cond_of).astype(dt)
+        pos_full = jnp.arange(lp + lt)[None, :]
+        x_mask = (pos_full < (p_len + t_len)[:, None]).astype(jnp.float32)
+        pos_t = jnp.arange(lt)[None, :]
+        t_valid = pos_t < t_len[:, None]
+        t_mask = t_valid.astype(jnp.float32)
+        if explicit_noise:
+            xt0 = rng * t_mask[..., None]
+        else:
+            xt0 = jax.vmap(
+                lambda k: jax.random.normal(k, (lt, n_mel)))(rng)
+            xt0 = xt0 * t_mask[..., None]
+
+        def body(xt, i):
+            t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
+            x_full = pack_segments([pm, xt.astype(dt)], [p_len, t_len])
+            flow_full = model.apply(
+                {"params": params}, x_full, t, cond, x_mask,
+                method=estimate)
+            flow = unpack_target(flow_full, p_len, lt).astype(jnp.float32)
+            if cfg_scale > 0:
+                un = model.apply(
+                    {"params": params}, xt.astype(dt), t,
+                    jnp.zeros((b, lt, cond.shape[-1]), dt), t_mask,
+                    method=estimate).astype(jnp.float32)
+                # per-sample masked std (the fixed-shape path's jnp.std is
+                # batch-global — correct only at B=1; serving must not
+                # couple requests through the CFG rescale)
+                pos_std = masked_std(flow, t_valid)
+                flow_cfg = flow + cfg_scale * (flow - un)
+                rescaled = flow_cfg * pos_std / jnp.maximum(
+                    masked_std(flow_cfg, t_valid), 1e-12)
+                flow = rescale_cfg * rescaled + (1 - rescale_cfg) * flow_cfg
+            return xt + h * flow * t_mask[..., None], None
+
+        xt, _ = jax.lax.scan(body, xt0, jnp.arange(num_steps))
+        return xt
+
+    return jax.jit(core)
+
+
+def fmt_inference_ragged(
+    model: FlowMatchingTransformer,
+    params,
+    prompt_tokens: jax.Array,  # (B, Lp_tok_max) right-padded
+    prompt_tok_len: jax.Array,  # (B,)
+    target_tokens: jax.Array,  # (B, Lt_tok_max) right-padded
+    target_tok_len: jax.Array,  # (B,)
+    prompt_mel: jax.Array,  # (B, Lp_tok_max*csf, n_mel) right-padded
+    rngs: jax.Array,  # (B,) key array — one noise stream per request
+    num_steps: int = 32,
+    cfg_scale: float = 0.0,
+    rescale_cfg: float = 0.75,
+    compute_dtype: str = "bfloat16",
+    noise: jax.Array | None = None,
+):
+    """Ragged batched `fmt_inference`: B requests with per-sample prompt /
+    target lengths share ONE compiled 32-step ODE (the serving path).
+    Per step the prompt mel and the Euler state are packed left-aligned
+    ``[prompt_i | target_i | pad]`` (`ops/ragged.py` — exact RoPE
+    positions) with pad frames masked out of attention; the CFG std-rescale
+    runs per-sample over valid target frames so results do not depend on
+    batch composition (tests/test_ragged_vevo.py). Returns target mel
+    (B, Lt_tok_max*csf, n_mel), valid through each sample's own
+    ``target_tok_len*csf`` frames."""
+    b, lp_tok = prompt_tokens.shape
+    lt_tok = target_tokens.shape[1]
+    assert prompt_mel.shape[1] == lp_tok * model.cfg.cond_scale_factor
+    fn = _fmt_inference_ragged_jitted(
+        model, b, lp_tok, lt_tok, num_steps, float(cfg_scale),
+        float(rescale_cfg), compute_dtype, noise is not None)
+    return fn(params, jnp.asarray(prompt_tokens), jnp.asarray(prompt_tok_len),
+              jnp.asarray(target_tokens), jnp.asarray(target_tok_len),
+              jnp.asarray(prompt_mel), rngs if noise is None else noise)

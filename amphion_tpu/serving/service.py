@@ -267,3 +267,163 @@ class VALLEService:
             wav[i, : int(round(max(int(gen_len[i]), 1) * spf))]
             for i in range(len(reqs))
         ]
+
+
+@dataclass
+class _VevoCoreRequest:
+    mode: str  # "timbre" (FM only) | "voice" (AR + FM)
+    content: np.ndarray  # (Lc,) AR content ids (voice mode; empty otherwise)
+    prompt_out: np.ndarray  # (Lo,) AR output-stream style prompt (voice mode)
+    target_style: np.ndarray  # (Lt,) target content-style tokens (timbre mode)
+    fm_prompt_tokens: np.ndarray  # (Lp,) timbre ref content-style tokens
+    fm_prompt_mel: np.ndarray  # (Lp*csf, n_mel) timbre ref clean mel
+    seed: int
+
+
+class VevoService:
+    """Batched zero-shot Vevo VC serving (AR + 32-step FM + Vocos).
+
+    The 780M-class AR decode is weight-HBM-bound (BENCHMARKS.md), so
+    serving is where the remaining single-request RTF headroom lives:
+    batching B requests amortizes the per-token weight stream ~B×. Both
+    stages run ragged — per-request lengths in ONE compiled program each
+    (`ar_transformer_generate_ragged`, `fmt_inference_ragged`) with
+    per-request RNG keys, so results are independent of batch composition
+    (tests/test_ragged_vevo.py). Two products map onto the reference's
+    pipeline (ref `models/vc/vevo/vevo_utils.py:403-572`):
+
+    - ``mode="timbre"`` (Vevo-Timbre): source style tokens re-rendered
+      with the reference speaker's timbre — FM + Vocos only.
+    - ``mode="voice"`` (Vevo-Voice): AR re-writes content into the style
+      reference's style first (style-prompted decode), then FM.
+
+    Front-end token/mel extraction happens per request in `synthesize`
+    (serialized — the extractors are single compiled programs); the
+    batcher only runs the ragged device programs.
+    """
+
+    def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 50.0,
+                 len_step: int = 128, max_content_len: int = 1024,
+                 max_prompt_len: int = 512, max_new: int = 1024,
+                 flow_matching_steps: int = 32, cfg_scale: float = 0.0,
+                 temperature: float = 1.0, top_k: int = 40,
+                 compute_dtype: str = "bfloat16"):
+        self.pipe = pipeline
+        self.len_step = len_step
+        self.max_content_len = max_content_len
+        self.max_prompt_len = max_prompt_len
+        self.max_new = max_new
+        self.fm_steps = flow_matching_steps
+        self.cfg_scale = cfg_scale
+        self.temperature = temperature
+        self.top_k = top_k
+        self.compute_dtype = compute_dtype
+        self._frontend_lock = threading.Lock()
+        self._voc_jit = jax.jit(
+            lambda prm, m: pipeline.vocoder.apply({"params": prm}, m))
+        self.batcher = MicroBatcher(
+            self._run_batch, self._bucket_of, max_batch=max_batch,
+            max_wait_ms=max_wait_ms,
+        )
+
+    def _ladder(self, n, cap):
+        return bucket_ladder(max(int(n), 1), self.len_step, cap)
+
+    def _bucket_of(self, req: _VevoCoreRequest):
+        if req.mode == "voice":
+            shape = (self._ladder(len(req.content), self.max_content_len),
+                     self._ladder(len(req.prompt_out), self.max_prompt_len))
+        else:
+            shape = (self._ladder(len(req.target_style), self.max_new),)
+        return (req.mode, shape,
+                self._ladder(len(req.fm_prompt_tokens), self.max_prompt_len))
+
+    def _fm_prompt(self, ref_audio: np.ndarray):
+        """(ref content-style tokens, frame-aligned clean mel) — the FM
+        prompt protocol of `VevoPipeline.fm_stage`."""
+        ptok = self.pipe.style_tokens(ref_audio)[: self.max_prompt_len]
+        mel = np.asarray(self.pipe._mel(ref_audio))[0]
+        csf = self.pipe.fm.cfg.cond_scale_factor
+        n_ptok = max(min(len(ptok), mel.shape[0] // csf), 1)
+        return ptok[:n_ptok].astype(np.int32), mel[: n_ptok * csf]
+
+    def synthesize(self, src_audio: np.ndarray, ref_audio: np.ndarray,
+                   mode: str = "timbre", seed: int = 0) -> np.ndarray:
+        assert mode in ("timbre", "voice")
+        empty = np.zeros((0,), np.int32)
+        with self._frontend_lock:
+            ptok, pmel = self._fm_prompt(ref_audio)
+            if mode == "voice":
+                content = self.pipe.content_tokens(
+                    np.concatenate([np.asarray(ref_audio),
+                                    np.asarray(src_audio)])
+                )[: self.max_content_len].astype(np.int32)
+                prompt_out = self.pipe.style_tokens(
+                    ref_audio)[: self.max_prompt_len].astype(np.int32)
+                target = empty
+            else:
+                content = prompt_out = empty
+                target = self.pipe.style_tokens(
+                    src_audio)[: self.max_new].astype(np.int32)
+        return self.batcher(_VevoCoreRequest(
+            mode, content, prompt_out, target, ptok, pmel, seed))
+
+    def stats(self) -> dict:
+        return self.batcher.stats.snapshot()
+
+    def _run_batch(self, bucket, reqs: list[_VevoCoreRequest]):
+        from amphion_tpu.models.vc.ar_transformer import (
+            ar_transformer_generate_ragged,
+        )
+        from amphion_tpu.models.vc.flow_matching_transformer import (
+            fmt_inference_ragged,
+        )
+
+        mode, shape, lp_tok = bucket
+        b = len(reqs)
+        seeds = jnp.asarray([r.seed for r in reqs], jnp.uint32)
+        keys = jax.vmap(jax.random.key)(seeds)
+
+        if mode == "voice":
+            lc, lo = shape
+            content = np.stack(
+                [_pad_to(r.content, lc) for r in reqs]).astype(np.int32)
+            clen = np.asarray([len(r.content) for r in reqs], np.int32)
+            pout = np.stack(
+                [_pad_to(r.prompt_out, lo) for r in reqs]).astype(np.int32)
+            polen = np.asarray([len(r.prompt_out) for r in reqs], np.int32)
+            toks, gen_len = ar_transformer_generate_ragged(
+                self.pipe.ar, self.pipe.params["ar"], content, clen,
+                jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys),
+                max_new=self.max_new, temperature=self.temperature,
+                top_k=self.top_k, prompt_output_tokens=pout,
+                prompt_output_len=polen, compute_dtype=self.compute_dtype)
+            gen_len = np.maximum(np.asarray(gen_len), 1)
+            lt_tok = self._ladder(gen_len.max(), self.max_new)
+            target = np.asarray(toks)[:, :lt_tok].astype(np.int32)
+            tlen = gen_len.astype(np.int32)
+        else:
+            (lt_tok,) = shape
+            target = np.stack(
+                [_pad_to(r.target_style, lt_tok) for r in reqs]
+            ).astype(np.int32)
+            tlen = np.asarray(
+                [max(len(r.target_style), 1) for r in reqs], np.int32)
+
+        csf = self.pipe.fm.cfg.cond_scale_factor
+        ptoks = np.stack(
+            [_pad_to(r.fm_prompt_tokens, lp_tok) for r in reqs]
+        ).astype(np.int32)
+        plen = np.asarray(
+            [len(r.fm_prompt_tokens) for r in reqs], np.int32)
+        pmel = np.stack(
+            [_pad_to(r.fm_prompt_mel, lp_tok * csf) for r in reqs])
+        mel = fmt_inference_ragged(
+            self.pipe.fm, self.pipe.params["fm"], ptoks, plen, target, tlen,
+            pmel, jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys),
+            num_steps=self.fm_steps, cfg_scale=self.cfg_scale,
+            compute_dtype=self.compute_dtype)
+        wav = np.asarray(self._voc_jit(self.pipe.params["vocoder"], mel))
+        spf = wav.shape[-1] / mel.shape[1]
+        return [wav[i, : int(round(int(tlen[i]) * csf * spf))]
+                for i in range(b)]

@@ -344,6 +344,87 @@ def bench_valle_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None
                  "throughput_multiplier_vs_b1": round(mult, 2)})
 
 
+def bench_vevo_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None:
+    """Batched Vevo VC serving: B concurrent requests through ONE ragged
+    AR prefill + 500-step decode scan, ONE ragged 32-step FM ODE, and one
+    Vocos pass (`amphion_tpu/serving/VevoService` path). The 780M-class AR
+    decode is weight-HBM-bound at B=1 (see vevo_zero_shot_rtf roofline) —
+    batching amortizes the per-token weight stream across requests, which
+    is the single-chip lever left after int4. Same model scales as
+    bench_vevo_rtf (ref `models/svc/vevosing/README.md:24-27`)."""
+    from amphion_tpu.models.vc.ar_transformer import (
+        ARTransformer, ARTransformerConfig, ar_transformer_generate_ragged,
+    )
+    from amphion_tpu.models.vc.flow_matching_transformer import (
+        FlowMatchingTransformer, FMTConfig, fmt_inference_ragged,
+    )
+    from amphion_tpu.models.vocoders.vocos import VocosConfig, VocosGenerator
+
+    r = jax.random.key(0)
+    ar = ARTransformer(ARTransformerConfig(
+        input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
+        num_heads=16, intermediate=6144, max_position=4096))
+    toks0 = jnp.zeros((1, 8), jnp.int32)
+    m0 = jnp.ones((1, 8), jnp.float32)
+    ar_params = ar.init(r, toks0, m0, toks0, m0,
+                        method=ARTransformer.loss)["params"]
+    lc, lp, lt, new = 650, 281, 938, 500
+    fm = FlowMatchingTransformer(FMTConfig(hidden=1024, num_layers=16))
+    mel0 = jnp.zeros((1, 10, 80))
+    fm_params = fm.init(r, mel0, jnp.zeros((1, 10), jnp.int32),
+                        jnp.ones((1, 10)).at[:, 4:].set(0.0),
+                        jnp.ones((1, 10)), jax.random.key(1),
+                        method=FlowMatchingTransformer.loss)["params"]
+    voc = VocosGenerator(VocosConfig(dim=1280, intermediate_dim=4096,
+                                     num_layers=24))
+    voc_params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16),
+        voc.init(r, jnp.zeros((1, 16, 80)))["params"])
+    voc_fwd = jax.jit(
+        lambda prm, m: voc.apply({"params": prm}, m.astype(jnp.bfloat16)))
+
+    results = {}
+    for b in batch_sizes:
+        content = jnp.zeros((b, lc), jnp.int32)
+        clen = jnp.asarray([lc - (i % 3) * 40 for i in range(b)], jnp.int32)
+        ptoks = jnp.zeros((b, lp), jnp.int32)
+        plen = jnp.asarray([lp - (i % 3) * 20 for i in range(b)], jnp.int32)
+        ttoks = jnp.zeros((b, lt), jnp.int32)
+        tlen = jnp.asarray([lt - (i % 4) * 30 for i in range(b)], jnp.int32)
+        pmel = jnp.zeros((b, lp, 80))
+        keys = jax.vmap(jax.random.key)(jnp.arange(b, dtype=jnp.uint32))
+
+        def run(keys):
+            toks, _ = ar_transformer_generate_ragged(
+                ar, ar_params, content, clen, keys, max_new=new, top_k=40,
+                compute_dtype=compute_dtype)
+            del toks  # frame-aligned FM tokens precomputed (as in vevo_rtf)
+            mel = fmt_inference_ragged(
+                fm, fm_params, ptoks, plen, ttoks, tlen, pmel, keys,
+                num_steps=32, cfg_scale=1.0, compute_dtype=compute_dtype)
+            return voc_fwd(voc_params, mel)
+
+        _fence(run(keys))
+        n_iters = 3
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            _fence(run(keys))
+        dt = (time.perf_counter() - t0) / n_iters
+        audio_s = float(jnp.sum(tlen)) / 93.75  # hop-256 @ 24 kHz
+        results[b] = dt / audio_s
+        print(f"# vevo serving B={b}: {dt:.3f}s/batch, {audio_s:.1f}s audio,"
+              f" per-request RTF {results[b]:.4f}", file=sys.stderr)
+
+    b_max = max(batch_sizes)
+    mult = results[min(batch_sizes)] / max(results[b_max], 1e-9)
+    _emit("vevo_serving_rtf_b%d" % b_max, results[b_max],
+          "per-request RTF at batch %d (lower better)" % b_max,
+          0.1 / max(results[b_max], 1e-9),
+          extra={"rtf_by_batch": {str(k): round(v, 5) for k, v in
+                                  results.items()},
+                 "throughput_multiplier_vs_b1": round(mult, 2)})
+
+
 def bench_valle_rtf(compute_dtype="bfloat16") -> None:
     """Full-size VALL-E zero-shot inference RTF (target < 0.1)."""
     from amphion_tpu.models.tts.valle.valle import (
@@ -735,6 +816,7 @@ _SUITE = {
     "maskgct": bench_maskgct_rtf,
     "serving": bench_maskgct_serving,
     "serving_valle": bench_valle_serving,
+    "serving_vevo": bench_vevo_serving,
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
     "valle_int4": lambda: bench_valle_rtf("int4"),

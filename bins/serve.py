@@ -60,7 +60,8 @@ def _build_sine_service(args):
     mb = MicroBatcher(run_batch, bucket_fn=lambda p: p[0] // (sr // 2),
                       max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 
-    def synth(prompt_audio, prompt_text, target_text, target_sec, seed):
+    def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
+              src_audio=None):
         if target_sec is None:
             ratio = max(len(target_text), 1) / max(len(prompt_text), 1)
             target_sec = min(max(len(prompt_audio) / sr * ratio, 0.2), 30.0)
@@ -83,7 +84,8 @@ def _build_maskgct_service(args):
         max_target_len=args.max_target_len, max_phone_len=args.max_phone_len,
     )
 
-    def synth(prompt_audio, prompt_text, target_text, target_sec, seed):
+    def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
+              src_audio=None):
         target_len = (None if target_sec is None
                       else int(target_sec * pipe.semantic_rate))
         wav = svc.synthesize(prompt_audio, prompt_text, target_text,
@@ -157,10 +159,56 @@ def _build_valle_service(args):
         max_new=args.max_new,
     )
 
-    def synth(prompt_audio, prompt_text, target_text, target_sec, seed):
+    def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
+              src_audio=None):
         wav = svc.synthesize(prompt_audio, prompt_text, target_text,
                              seed=seed)
         return wav, p.sample_rate
+
+    return synth, svc.stats
+
+
+def _build_vevo_service(args):
+    """Batched zero-shot Vevo VC (assembly reuses
+    `bins/vc/inference.py:build_pipeline`; ragged AR+FM serving —
+    `amphion_tpu/serving/VevoService`). Requests carry BOTH waveforms:
+    ``src_wav`` (content) and ``prompt_wav`` (timbre/style reference);
+    ``--vevo_mode`` picks the product (timbre = FM only, voice = AR+FM)."""
+    from amphion_tpu.serving.service import VevoService
+    from amphion_tpu.utils.config import load_config
+    from amphion_tpu.utils.logging import get_logger
+    from bins.vc.inference import build_pipeline
+
+    cfg = load_config(args.config)
+    args.content_ckpt = args.content_ckpt or ""
+    args.style_ckpt = args.style_ckpt or ""
+    args.vocoder_ckpt = args.vocoder_ckpt or ""
+    args.hubert = False
+    pipe, has_vocoder = build_pipeline(args, cfg, get_logger("serve"))
+    if not has_vocoder:
+        print("WARNING: no vocoder ckpt, RANDOM Vocos weights (smoke only)")
+        import jax
+        import jax.numpy as jnp
+
+        pipe.params["vocoder"] = pipe.vocoder.init(
+            jax.random.key(0), jnp.zeros((1, 16, cfg.preprocess.n_mel))
+        )["params"]
+    mode = args.vevo_mode
+    if mode == "voice" and pipe.params["ar"] is None:
+        raise SystemExit("--vevo_mode voice needs AR weights "
+                         "(--ar_exp or --weights_dir)")
+    svc = VevoService(
+        pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        len_step=args.len_step, max_prompt_len=args.max_prompt_len,
+        max_new=args.max_new, flow_matching_steps=args.fm_steps,
+    )
+
+    def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
+              src_audio=None):
+        if src_audio is None:
+            raise ValueError("vevo backend needs 'src_wav' in the request")
+        wav = svc.synthesize(src_audio, prompt_audio, mode=mode, seed=seed)
+        return wav, cfg.preprocess.sample_rate
 
     return synth, svc.stats
 
@@ -199,11 +247,15 @@ def make_handler(synth_fn, stats_fn, backend_name: str):
                 req = json.loads(self.rfile.read(n))
                 prompt = _decode_wav_bytes(
                     base64.b64decode(req["prompt_wav"]), 24000)
+                src = (_decode_wav_bytes(
+                    base64.b64decode(req["src_wav"]), 24000)
+                    if "src_wav" in req else None)
                 seed = req.get("seed")
                 wav, sr = synth_fn(
                     prompt, req.get("prompt_text", ""),
                     req.get("target_text", ""), req.get("target_sec"),
                     _next_seed() if seed is None else int(seed),
+                    src_audio=src,
                 )
                 self._send(200, _encode_wav_bytes(wav, sr), "audio/wav")
             except Exception as e:
@@ -222,7 +274,7 @@ def serve(synth_fn, stats_fn, backend_name="custom", port=7860,
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--backend", default="maskgct",
-                    choices=["maskgct", "valle", "sine"])
+                    choices=["maskgct", "valle", "vevo", "sine"])
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--config", help="experiment config (maskgct backend)")
@@ -237,12 +289,24 @@ def main():
     ap.add_argument("--max_target_len", type=int, default=1024)
     ap.add_argument("--max_phone_len", type=int, default=512)
     ap.add_argument("--max_new", type=int, default=768,
-                    help="AR decode budget (valle backend)")
+                    help="AR decode budget (valle/vevo backends)")
+    ap.add_argument("--vevo_mode", default="timbre",
+                    choices=["timbre", "voice"],
+                    help="vevo backend product (ref models/vc/vevo/"
+                         "README.md:16-21): timbre = FM re-render, "
+                         "voice = AR style rewrite + FM")
+    ap.add_argument("--fm_steps", type=int, default=32)
+    ap.add_argument("--ar_exp", default="", help="vevo AR trainer exp_name")
+    ap.add_argument("--fm_exp", default="", help="vevo FM trainer exp_name")
+    ap.add_argument("--content_ckpt", default="")
+    ap.add_argument("--style_ckpt", default="")
+    ap.add_argument("--vocoder_ckpt", default="")
     args = ap.parse_args()
 
     build = {"sine": _build_sine_service,
              "maskgct": _build_maskgct_service,
-             "valle": _build_valle_service}[args.backend]
+             "valle": _build_valle_service,
+             "vevo": _build_vevo_service}[args.backend]
     synth, stats = build(args)
     httpd = serve(synth, stats, args.backend, args.port, args.host)
     print(f"batched serving on http://{args.host}:{args.port} "
