@@ -123,20 +123,40 @@ class EmiliaPipeline:
     max_duration_s: float = 30.0
 
     @classmethod
-    def with_native_stages(cls, speaker_ckpt: str = "",
+    def with_native_stages(cls, speaker_ckpt: str = "", mdx_ckpt: str = "",
+                           dnsmos_ckpt: str = "",
                            **kw) -> "EmiliaPipeline":
         """All model slots filled with native stages
         (amphion_tpu.data.emilia.stages) — runnable with zero checkpoints.
         With ``speaker_ckpt`` (a WavLM-SV checkpoint converted via
         `bins/convert_checkpoint.py --model wavlm_sv`) diarization upgrades
-        to spectral clustering over neural speaker embeddings."""
+        to spectral clustering over neural speaker embeddings. With
+        ``mdx_ckpt`` / ``dnsmos_ckpt`` (flax checkpoint dirs, or .onnx
+        files ingested via `--model mdx_net|dnsmos`) the separation and
+        quality-gate slots upgrade from DSP to the reference's model
+        stages (UVR-MDX Conv-TDF, DNSMOS P.835 CNN)."""
         from amphion_tpu.data.emilia.stages import (dnsmos_proxy,
+                                                    make_mdx_separator,
                                                     neural_diarizer,
                                                     spectral_diarizer,
                                                     spectral_gate_separator)
 
         sr = kw.get("sample_rate", 24000)
-        kw.setdefault("separator", lambda x: spectral_gate_separator(x, sr))
+        if mdx_ckpt:
+            kw.setdefault("separator",
+                          make_mdx_separator(ckpt_dir=mdx_ckpt, sr=sr))
+        else:
+            kw.setdefault("separator",
+                          lambda x: spectral_gate_separator(x, sr))
+        if dnsmos_ckpt:
+            from amphion_tpu.models.dnsmos import make_dnsmos_gate
+
+            if dnsmos_ckpt.endswith(".onnx"):
+                kw.setdefault("scorer",
+                              make_dnsmos_gate(onnx_path=dnsmos_ckpt))
+            else:
+                kw.setdefault("scorer",
+                              make_dnsmos_gate(ckpt_dir=dnsmos_ckpt))
         if speaker_ckpt:
             from amphion_tpu.evaluation.metrics.similarity import (
                 native_wavlm_embedder,

@@ -365,12 +365,19 @@ def make_mdx_separator(variables=None, cfg=None, *, ckpt_dir: str = "",
     if variables is None:
         if not ckpt_dir:
             raise ValueError("make_mdx_separator needs variables or "
-                             "ckpt_dir (a trained ConvTDFNet checkpoint)")
-        from amphion_tpu.runtime.checkpoint import CheckpointManager
+                             "ckpt_dir (a trained ConvTDFNet checkpoint "
+                             "dir, or a UVR-MDX .onnx file)")
+        if str(ckpt_dir).endswith(".onnx"):
+            from amphion_tpu.models.mdx_net import onnx_to_conv_tdf
+            from amphion_tpu.utils.onnx_reader import read_onnx
 
-        tree, _, _ = CheckpointManager(ckpt_dir).restore_raw()
-        variables = {"params": tree["params"],
-                     "batch_stats": tree.get("batch_stats", {})}
+            variables = onnx_to_conv_tdf(read_onnx(ckpt_dir), cfg)
+        else:
+            from amphion_tpu.runtime.checkpoint import CheckpointManager
+
+            tree, _, _ = CheckpointManager(ckpt_dir).restore_raw()
+            variables = {"params": tree["params"],
+                         "batch_stats": tree.get("batch_stats", {})}
     sep = MDXSeparator(variables, cfg, chunks=chunks, denoise=denoise)
 
     def separate(x: np.ndarray) -> np.ndarray:

@@ -57,7 +57,12 @@ class ResidualUnit(nn.Module):
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        # mask (B, T, 1): zero pad positions before the dilated conv so a
+        # ragged batch matches an unpadded decode (the 1x1 conv is
+        # positionwise — no further masking needed inside the unit).
+        if mask is not None:
+            x = x * mask
         y = Snake(self.channels, name="act1")(x)
         y = nn.WeightNorm(nn.Conv(self.channels, (7,), kernel_dilation=(self.dilation,),
                                   padding="SAME"))(y)
@@ -94,12 +99,29 @@ class CodecDecoder(nn.Module):
     cfg: CodecConfig
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, frame_lengths=None):
+        """``frame_lengths`` (B,): length-masked ragged decode — every
+        spatial conv sees zeros beyond the row's valid extent (scaled by
+        the upsample stride as it grows), so ``out[i, :len_i * hop]``
+        equals an unpadded solo decode of row ``i``."""
         c = self.cfg
+
+        def _mask(length, t):
+            if length is None:
+                return None
+            return (jnp.arange(t)[None, :]
+                    < length[:, None]).astype(z.dtype)[:, :, None]
+
+        flen = frame_lengths
+        mask = _mask(flen, z.shape[1])
+        if mask is not None:
+            z = z * mask
         ch = c.decoder_dim * (2 ** len(c.strides))
         h = nn.WeightNorm(nn.Conv(ch, (7,), padding="SAME"))(z)
         for i, s in enumerate(reversed(c.strides)):
             ch = ch // 2
+            if mask is not None:
+                h = h * mask
             h = Snake(h.shape[-1], name=f"up_act_{i}")(h)
             k = 2 * s
             # ref codec.py:147 DecoderBlock: torch padding = ceil(s/2),
@@ -110,8 +132,13 @@ class CodecDecoder(nn.Module):
                                  padding=((k - 1 - (s // 2 + s % 2),
                                            k - 1 - s // 2),))
             )(h)
+            if flen is not None:
+                flen = flen * s
+                mask = _mask(flen, h.shape[1])
             for d in (1, 3, 9):
-                h = ResidualUnit(ch, d, name=f"res_{i}_{d}")(h)
+                h = ResidualUnit(ch, d, name=f"res_{i}_{d}")(h, mask)
+        if mask is not None:
+            h = h * mask
         h = Snake(ch, name="final_act")(h)
         h = nn.WeightNorm(nn.Conv(1, (7,), padding="SAME"))(h)
         return jnp.tanh(h)[..., 0]
@@ -159,7 +186,13 @@ class AmphionCodec(nn.Module):
         _, codes, _ = self.quantizer(z)
         return codes
 
-    def decode_codes(self, codes):
-        """codes (Q, B, N) → waveform."""
+    def decode_codes(self, codes, frame_lengths=None):
+        """codes (Q, B, N) → waveform.
+
+        ``frame_lengths`` (B,) runs a length-masked ragged decode (see
+        `CodecDecoder` / `VocosGenerator`): row ``i``'s first
+        ``frame_lengths[i] * hop`` samples equal an unpadded decode of
+        that row alone — no pad bleed through the conv/iSTFT receptive
+        field when serving mixed-length batches."""
         zq = self.quantizer.decode(codes)
-        return self.decoder(zq)
+        return self.decoder(zq, frame_lengths)

@@ -23,10 +23,12 @@ TPU notes: NHWC-like (B, T, F, C) layout so the 2-D convs lower to MXU;
 the TDF frequency bottleneck is an einsum over the F axis (no transposes
 materialized); every window of every chunk is batched into ONE device
 call per segment (the reference runs them one by one); the ONNX session
-is replaced by a jitted flax apply. No pretrained weights can be ingested
-offline (the reference ships ONNX graphs, not state dicts) — the model is
-the trainable native equivalent, wired into the Emilia pipeline's
-pluggable `separator` slot.
+is replaced by a jitted flax apply. UVR-MDX ONNX graphs can be ingested
+with `onnx_to_conv_tdf` (`utils/onnx_reader.py` parses the initializers;
+`bins/convert_checkpoint.py --model mdx_net` is the CLI) — the graph's
+Conv/ConvTranspose/MatMul/norm nodes are walked in forward order and
+shape-checked onto the flax params. The model is also trainable from
+scratch, wired into the Emilia pipeline's pluggable `separator` slot.
 """
 
 from __future__ import annotations
@@ -317,3 +319,129 @@ def mdx_train_step(model: ConvTDFNet, optimizer):
         return params, batch_stats, opt_state, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# ONNX ingestion (UVR-MDX graphs → flax params)
+# ---------------------------------------------------------------------------
+
+
+def _expected_param_walk(cfg: MDXConfig):
+    """The (path, kind) sequence of ConvTDFNet parameters in FORWARD
+    (graph-topological) order. kind ∈ conv | deconv | dense | norm —
+    matched against same-kind ONNX nodes one by one."""
+
+    def block(name, freq):
+        out = []
+        for i in range(cfg.conv_depth):
+            out.append(((name, f"conv_{i}"), "conv"))
+            out.append(((name, f"gn_{i}"), "norm"))
+        out.append(((name, "tdf_down"), "dense"))
+        out.append(((name, "tdf_gn0"), "norm"))
+        out.append(((name, "tdf_up"), "dense"))
+        out.append(((name, "tdf_gn1"), "norm"))
+        return out
+
+    n = cfg.num_blocks // 2
+    walk = [(("first_conv",), "conv"), (("first_bn",), "norm")]
+    f = cfg.dim_f
+    for i in range(n):
+        walk += block(f"ds_block_{i}", f)
+        walk += [((f"ds_{i}",), "conv"), ((f"ds_bn_{i}",), "norm")]
+        f //= 2
+    walk += block("mid_block", f)
+    for i in range(n):
+        walk += [((f"us_{i}",), "deconv"), ((f"us_bn_{i}",), "norm")]
+        f *= 2
+        walk += block(f"us_block_{i}", f)
+    walk.append((("final_conv",), "conv"))
+    return walk
+
+
+_ONNX_KIND = {
+    "Conv": "conv", "ConvTranspose": "deconv",
+    "Gemm": "dense", "MatMul": "dense",
+    "BatchNormalization": "norm", "GroupNormalization": "norm",
+    "InstanceNormalization": "norm",
+}
+
+
+def onnx_to_conv_tdf(graph, cfg: MDXConfig = MDXConfig()):
+    """Map a UVR-MDX-class ONNX graph onto `ConvTDFNet` variables.
+
+    Walks the graph's weight-bearing nodes in order and zips them against
+    `_expected_param_walk(cfg)`, shape-checking every assignment (a graph
+    that doesn't line up raises instead of silently mis-mapping).
+    Layout transforms: ONNX Conv W (O, I, kH, kW) → flax (kH, kW, I, O);
+    ConvTranspose W (I, O, kH, kW) → flax (kH, kW, O, I)… flax
+    ConvTranspose stores (kH, kW, I, O); Gemm/MatMul → (in_f, out_f)
+    einsum kernel; norms → scale/bias (+ running mean/var for BatchNorm).
+    Returns {"params": ..., "batch_stats": ...}.
+    """
+    model = ConvTDFNet(cfg)
+    probe = jnp.zeros((1, cfg.dim_t, cfg.dim_f, cfg.dim_c))
+    ref = model.init(jax.random.key(0), probe, train=True)
+    ref_params, ref_stats = ref["params"], ref["batch_stats"]
+
+    nodes = [n for n in graph.nodes if n.op_type in _ONNX_KIND
+             and any(i in graph.initializers for i in n.inputs)]
+    walk = _expected_param_walk(cfg)
+    got = [(_ONNX_KIND[n.op_type]) for n in nodes]
+    want = [k for _, k in walk]
+    if got != want:
+        raise ValueError(
+            f"graph node kinds do not match ConvTDFNet({cfg.num_blocks} "
+            f"blocks): got {len(got)} weight nodes {got[:8]}..., "
+            f"expected {len(want)} {want[:8]}...")
+
+    import copy
+
+    params = copy.deepcopy(jax.device_get(ref_params))
+    stats = copy.deepcopy(jax.device_get(ref_stats))
+
+    def _sub(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    def _check(name, arr, refarr):
+        if tuple(arr.shape) != tuple(refarr.shape):
+            raise ValueError(f"{name}: onnx-mapped {arr.shape} vs flax "
+                             f"{refarr.shape}")
+        return np.asarray(arr, np.float32)
+
+    for (path, kind), node in zip(walk, nodes):
+        ws = [graph.initializers[i] for i in node.inputs
+              if i in graph.initializers]
+        name = "/".join(path)
+        if kind == "conv":
+            slot = _sub(params, path)
+            slot["kernel"] = _check(name, np.transpose(ws[0], (2, 3, 1, 0)),
+                                    slot["kernel"])
+            if len(ws) > 1:
+                slot["bias"] = _check(name + ".bias", ws[1], slot["bias"])
+        elif kind == "deconv":
+            slot = _sub(params, path)
+            # ONNX ConvTranspose W: (I, O, kH, kW); flax: (kH, kW, I, O)
+            slot["kernel"] = _check(name, np.transpose(ws[0], (2, 3, 0, 1)),
+                                    slot["kernel"])
+            if len(ws) > 1:
+                slot["bias"] = _check(name + ".bias", ws[1], slot["bias"])
+        elif kind == "dense":
+            slot = _sub(params, path)
+            w = np.asarray(ws[0], np.float32)
+            if node.op_type == "Gemm" and node.attrs.get("transB", 0):
+                w = w.T
+            slot["kernel"] = _check(name, w, slot["kernel"])
+            if len(ws) > 1:
+                slot["bias"] = _check(name + ".bias", ws[1], slot["bias"])
+        else:  # norm
+            slot = _sub(params, path)
+            slot["scale"] = _check(name + ".scale", ws[0], slot["scale"])
+            slot["bias"] = _check(name + ".bias", ws[1], slot["bias"])
+            if node.op_type == "BatchNormalization":
+                st = _sub(stats, path)
+                st["mean"] = _check(name + ".mean", ws[2], st["mean"])
+                st["var"] = _check(name + ".var", ws[3], st["var"])
+    return {"params": jax.tree_util.tree_map(jnp.asarray, params),
+            "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)}

@@ -26,8 +26,10 @@ and masking a single-request run would see:
   regime the reference ever runs — and would couple unrelated requests at
   B>1);
 - every random draw comes from that sample's own key (a (B,) key array),
-  so a batched run is bit-identical to B independent single-request runs
-  — `tests/test_ragged_sampling.py` asserts this.
+  so a batched run's TOKEN streams are bit-identical to B independent
+  single-request runs — `tests/test_ragged_sampling.py` asserts this.
+  (Float outputs downstream of the tokens match to ~1e-6: XLA compiles a
+  separate program per batch size and the reduction order may differ.)
 """
 
 from __future__ import annotations

@@ -366,7 +366,7 @@ def ar_generate_ragged(model, params, phones, phone_len, prompt_tokens,
     lengths share ONE compiled prefill + decode scan (the serving path —
     `amphion_tpu/serving/`). Inputs are right-padded buffers + (B,) length
     arrays; ``rngs`` is a (B,) key array, one stream per request, so each
-    result is bit-identical to serving that request alone
+    result's token stream is bit-identical to serving that request alone
     (tests/test_ragged_ar.py).
 
     Internally the prompt is packed RIGHT-aligned (`ops/ragged.py`): exact

@@ -35,7 +35,12 @@ class ConvNeXtBlock(nn.Module):
     layer_scale: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        # mask (B, T, 1): zero padded positions BEFORE the depthwise conv so
+        # a ragged batch sees the same zero boundary as an unpadded decode
+        # (biases repopulate the pad region each block; see VocosGenerator).
+        if mask is not None:
+            x = x * mask
         y = nn.Conv(self.dim, (7,), padding="SAME", feature_group_count=self.dim)(x)
         y = nn.LayerNorm(epsilon=1e-6)(y)
         y = nn.Dense(self.intermediate_dim)(y)
@@ -51,13 +56,29 @@ class VocosGenerator(nn.Module):
     cfg: VocosConfig
 
     @nn.compact
-    def __call__(self, mel: jax.Array) -> jax.Array:
-        """mel (B, N, n_mel) → waveform (B, N * hop)."""
+    def __call__(self, mel: jax.Array,
+                 frame_lengths: jax.Array | None = None) -> jax.Array:
+        """mel (B, N, n_mel) → waveform (B, N * hop).
+
+        ``frame_lengths`` (B,) makes a padded ragged batch exact: each
+        spatial op (embed conv, depthwise ConvNeXt convs, iSTFT
+        overlap-add + window normalization) sees zeros beyond the row's
+        valid length — the same boundary condition an unpadded solo decode
+        of that row gets from SAME padding — so
+        ``out[i, :frame_lengths[i]*hop]`` matches the solo decode instead
+        of bleeding pad content through the conv/iSTFT receptive field.
+        """
         c = self.cfg
+        mask = None
+        if frame_lengths is not None:
+            mask = (jnp.arange(mel.shape[1])[None, :]
+                    < frame_lengths[:, None]).astype(mel.dtype)[:, :, None]
+            mel = mel * mask
         x = nn.Conv(c.dim, (7,), padding="SAME", name="embed")(mel)
         x = nn.LayerNorm(name="norm_pre")(x)
         for i in range(c.num_layers):
-            x = ConvNeXtBlock(c.dim, c.intermediate_dim, name=f"block_{i}")(x)
+            x = ConvNeXtBlock(c.dim, c.intermediate_dim, name=f"block_{i}")(
+                x, mask)
         x = nn.LayerNorm(name="norm_post")(x)
         f = c.n_fft // 2 + 1
         head = nn.Dense(2 * f, name="head")(x)  # (B, N, 2F)
@@ -72,7 +93,8 @@ class VocosGenerator(nn.Module):
         imag = jnp.transpose(imag, (0, 2, 1))
         n = mel.shape[1]
         return istft(real, imag, c.n_fft, c.hop_size, c.n_fft,
-                     length=n * c.hop_size, padding="same")
+                     length=n * c.hop_size, padding="same",
+                     frame_lengths=frame_lengths)
 
 
 class VocosBackbone(nn.Module):

@@ -148,6 +148,7 @@ def istft(
     win_size: int,
     length: int | None = None,
     padding: str = "center",
+    frame_lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Inverse STFT with overlap-add + window-sum normalization.
 
@@ -156,6 +157,12 @@ def istft(
     the Vocos custom ISTFT that trims ``(win - hop) // 2`` per side
     (reference `models/codec/amphion_codec/vocos.py:84-168`), giving
     exactly ``n_frames * hop`` samples. Input (B, F, N) real/imag.
+
+    ``frame_lengths`` (B,) makes a ragged batch exact: frames beyond each
+    row's length are zeroed AND excluded from that row's window-sum
+    normalization, so row ``i``'s first ``frame_lengths[i] * hop`` samples
+    equal an unpadded ``frame_lengths[i]``-frame decode (otherwise the
+    shared window envelope over-normalizes the tail of shorter rows).
     """
     b, f, n_frames = real.shape
     spec_ri = jnp.concatenate([real, imag], axis=1)  # (B, 2F, N)
@@ -168,13 +175,21 @@ def istft(
     # Overlap-add via dilated transposed conv over an identity kernel:
     # treat each frame as n_fft output channels placed at stride hop.
     frame_idx = jnp.arange(n_frames)[:, None] * hop_size + jnp.arange(n_fft)[None, :]
+    w = _padded_window(win_size, n_fft)
+    if frame_lengths is not None:
+        fmask = (jnp.arange(n_frames)[None, :]
+                 < frame_lengths[:, None]).astype(frames.dtype)  # (B, N)
+        frames = frames * fmask[:, :, None]
+        wtile = (fmask[:, :, None] * (w * w)[None, None, :]).reshape(b, -1)
+        wsq = jnp.zeros((b, total), w.dtype).at[:, frame_idx.reshape(-1)].add(
+            wtile
+        )
+    else:
+        wsq = jnp.zeros((total,), w.dtype).at[frame_idx.reshape(-1)].add(
+            jnp.tile(w * w, n_frames)
+        )
     sig = jnp.zeros((b, total), frames.dtype)
     sig = sig.at[:, frame_idx.reshape(-1)].add(frames.reshape(b, -1))
-    # window-sum normalization
-    w = _padded_window(win_size, n_fft)
-    wsq = jnp.zeros((total,), w.dtype).at[frame_idx.reshape(-1)].add(
-        jnp.tile(w * w, n_frames)
-    )
     sig = sig / jnp.maximum(wsq, 1e-11)
     # center=True trimming: with an explicit length, torch trims only the
     # leading n_fft//2 and cuts to length (the symmetric end-trim would zero

@@ -12,12 +12,14 @@ Length buckets: prompt/phone/target lengths are quantized onto ladders
 requests batch together. Per-request RNG seeds keep results independent
 of batch composition (asserted in tests/test_ragged_sampling.py).
 
-Known approximation: the batched codec decode runs over the padded code
-grid and slices each waveform to its own length — the decoder conv
-receptive field (~ms) can bleed pad content into the final few
-milliseconds of a shorter sample in the batch. Same story for the float
-(mel-proxy) semantic conditioning path; the token-conditioned reference
-path is positionwise-embedded and exact.
+Batched codec decode is length-masked (`decode_codes(..., frame_lengths)`):
+every spatial op in the decoder (convs, iSTFT overlap-add + window
+normalization) sees zeros beyond each row's valid extent — the same
+boundary an unpadded solo decode gets from SAME padding — so shorter rows
+in a bucket get no pad bleed in their tails. Remaining approximation: the
+float (mel-proxy) semantic conditioning path still runs over the padded
+grid; the token-conditioned reference path is positionwise-embedded and
+exact.
 """
 
 from __future__ import annotations
@@ -71,6 +73,11 @@ class MaskGCTService:
         self.max_phone_len = max_phone_len
         self.t2s_kwargs = dict(t2s_kwargs or {})
         self.s2a_kwargs = dict(s2a_kwargs or {})
+        p = pipeline
+        self._decode_jit = jax.jit(
+            lambda prm, codes, fl: p.acoustic_codec.apply(
+                {"params": prm}, codes, fl,
+                method=type(p.acoustic_codec).decode_codes))
         self._frontend_lock = threading.Lock()  # g2p symbol table mutation
         self.batcher = MicroBatcher(
             self._run_batch, self._bucket_of, max_batch=max_batch,
@@ -166,11 +173,12 @@ class MaskGCTService:
             target_len, r_s2a, t_max, **self.s2a_kwargs,
         )  # (B, Q, t_max)
 
-        # batched codec decode (pipeline.codec_decode slices row 0 — bypass)
-        wav = np.asarray(p.acoustic_codec.apply(
-            {"params": p.params["acoustic_codec"]},
+        # batched length-masked codec decode (pipeline.codec_decode slices
+        # row 0 — bypass); frame_lengths kills pad bleed in shorter rows
+        wav = np.asarray(self._decode_jit(
+            p.params["acoustic_codec"],
             jnp.transpose(codes, (1, 0, 2)),
-            method=type(p.acoustic_codec).decode_codes,
+            jnp.asarray(target_len),
         ))  # (B, T_samples)
         samples_per_frame = wav.shape[-1] / t_max
         return [
@@ -261,7 +269,8 @@ class VALLEService:
             keys, max_new=self.max_new, temperature=self.temperature,
             top_k=self.top_k, compute_dtype=self.compute_dtype,
         )
-        wav = self.tokenizer.decode(np.asarray(codes))  # (B, T_samples)
+        lens = np.maximum(np.asarray(gen_len), 1).astype(np.int32)
+        wav = self.tokenizer.decode(np.asarray(codes), lengths=lens)
         spf = wav.shape[-1] / codes.shape[-1]
         return [
             wav[i, : int(round(max(int(gen_len[i]), 1) * spf))]
@@ -320,7 +329,7 @@ class VevoService:
         self.compute_dtype = compute_dtype
         self._frontend_lock = threading.Lock()
         self._voc_jit = jax.jit(
-            lambda prm, m: pipeline.vocoder.apply({"params": prm}, m))
+            lambda prm, m, fl: pipeline.vocoder.apply({"params": prm}, m, fl))
         self.batcher = MicroBatcher(
             self._run_batch, self._bucket_of, max_batch=max_batch,
             max_wait_ms=max_wait_ms,
@@ -338,10 +347,10 @@ class VevoService:
         return (req.mode, shape,
                 self._ladder(len(req.fm_prompt_tokens), self.max_prompt_len))
 
-    def _fm_prompt(self, ref_audio: np.ndarray):
+    def _fm_prompt(self, ref_style_tokens: np.ndarray, ref_audio: np.ndarray):
         """(ref content-style tokens, frame-aligned clean mel) — the FM
         prompt protocol of `VevoPipeline.fm_stage`."""
-        ptok = self.pipe.style_tokens(ref_audio)[: self.max_prompt_len]
+        ptok = ref_style_tokens[: self.max_prompt_len]
         mel = np.asarray(self.pipe._mel(ref_audio))[0]
         csf = self.pipe.fm.cfg.cond_scale_factor
         n_ptok = max(min(len(ptok), mel.shape[0] // csf), 1)
@@ -352,14 +361,27 @@ class VevoService:
         assert mode in ("timbre", "voice")
         empty = np.zeros((0,), np.int32)
         with self._frontend_lock:
-            ptok, pmel = self._fm_prompt(ref_audio)
+            # one style-tokenizer pass over ref_audio serves both the FM
+            # prompt and (voice mode) the AR output-stream prompt
+            ref_style = np.asarray(
+                self.pipe.style_tokens(ref_audio)).astype(np.int32)
+            ptok, pmel = self._fm_prompt(ref_style, ref_audio)
             if mode == "voice":
                 content = self.pipe.content_tokens(
                     np.concatenate([np.asarray(ref_audio),
                                     np.asarray(src_audio)])
-                )[: self.max_content_len].astype(np.int32)
-                prompt_out = self.pipe.style_tokens(
-                    ref_audio)[: self.max_prompt_len].astype(np.int32)
+                ).astype(np.int32)
+                if len(content) > self.max_content_len:
+                    # keep the TAIL (source content being converted); what
+                    # overflows is the reference prefix at the front
+                    import warnings
+
+                    warnings.warn(
+                        f"vevo voice request content ({len(content)} tokens) "
+                        f"exceeds max_content_len={self.max_content_len}; "
+                        "truncating the reference prefix from the front")
+                    content = content[-self.max_content_len:]
+                prompt_out = ref_style[: self.max_prompt_len]
                 target = empty
             else:
                 content = prompt_out = empty
@@ -423,7 +445,9 @@ class VevoService:
             pmel, jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys),
             num_steps=self.fm_steps, cfg_scale=self.cfg_scale,
             compute_dtype=self.compute_dtype)
-        wav = np.asarray(self._voc_jit(self.pipe.params["vocoder"], mel))
+        wav = np.asarray(self._voc_jit(
+            self.pipe.params["vocoder"], mel,
+            jnp.asarray(tlen, jnp.int32) * csf))
         spf = wav.shape[-1] / mel.shape[1]
         return [wav[i, : int(round(int(tlen[i]) * csf * spf))]
                 for i in range(b)]

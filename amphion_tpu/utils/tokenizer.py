@@ -35,6 +35,15 @@ class AudioTokenizer:
         self._decode = jax.jit(
             lambda p, c: self.codec.apply({"params": p}, c, method=decode_fn)
         )
+        # ragged decode (per-row valid frame counts) where supported
+        import inspect
+
+        self._decode_ragged = None
+        if "frame_lengths" in inspect.signature(decode_fn).parameters:
+            self._decode_ragged = jax.jit(
+                lambda p, c, fl: self.codec.apply(
+                    {"params": p}, c, fl, method=decode_fn)
+            )
 
     def encode(self, audio: np.ndarray) -> np.ndarray:
         """(T,) or (B, T) waveform → (B, Q, N) codes."""
@@ -48,8 +57,16 @@ class AudioTokenizer:
             codes = np.transpose(codes, (1, 0, 2))  # (Q, B, N) → (B, Q, N)
         return codes
 
-    def decode(self, codes: np.ndarray) -> np.ndarray:
-        """(B, Q, N) codes → (B, T) waveform."""
+    def decode(self, codes: np.ndarray, lengths: np.ndarray | None = None
+               ) -> np.ndarray:
+        """(B, Q, N) codes → (B, T) waveform.
+
+        ``lengths`` (B,): per-row valid frame counts for a padded batch —
+        length-masked decode (no pad bleed into shorter rows' tails) when
+        the codec supports it, else ignored."""
         c = jnp.asarray(codes)
         arg = jnp.transpose(c, (1, 0, 2)) if c.ndim == 3 else c
+        if lengths is not None and self._decode_ragged is not None:
+            return np.asarray(self._decode_ragged(
+                self.params, arg, jnp.asarray(lengths, jnp.int32)))
         return np.asarray(self._decode(self.params, arg))

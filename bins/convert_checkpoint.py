@@ -178,6 +178,11 @@ _MODELS = {
     "autoencoder_kl": dict(fn=C.autoencoder_kl_to_flax,
                            defaults={"channel_mults": (1, 2, 4)},
                            wrap=_wrap_params),
+    # -- ONNX-shipped reference components (utils/onnx_reader.py) ------------
+    # UVR-MDX separator (ref preprocessors/Emilia/models/separate_fast.py:60)
+    "mdx_net": dict(fn=None, onnx="mdx_net", defaults={}, wrap=_wrap_params),
+    # DNSMOS P.835 quality CNN (ref preprocessors/Emilia/models/dnsmos.py:46)
+    "dnsmos": dict(fn=None, onnx="dnsmos", defaults={}, wrap=_wrap_params),
 }
 
 # Bundles: reference pretrained-snapshot directory layouts → per-component
@@ -271,11 +276,32 @@ def _convert_amphion_codec(path: Path, **kw) -> dict:
     return C.amphion_codec_to_flax(enc, dec, **kw)
 
 
+def _convert_onnx(kind: str, path: Path, **kw):
+    """ONNX-shipped reference components: parse initializers with the
+    native reader and map them onto the flax architectures."""
+    from amphion_tpu.utils.onnx_reader import read_onnx
+
+    graph = read_onnx(path)
+    if kind == "mdx_net":
+        from amphion_tpu.models.mdx_net import MDXConfig, onnx_to_conv_tdf
+
+        variables = onnx_to_conv_tdf(graph, MDXConfig(**kw))
+        return variables["params"], variables["batch_stats"]
+    if kind == "dnsmos":
+        from amphion_tpu.models.dnsmos import DNSMOSConfig, onnx_to_dnsmos
+
+        return onnx_to_dnsmos(graph, DNSMOSConfig(**kw))
+    raise ValueError(kind)
+
+
 def convert_one(model: str, input_path: Path, output_dir: Path,
                 kw: dict | None = None) -> Path:
     spec = _MODELS[model]
     kwargs = {**spec["defaults"], **(kw or {})}
-    if spec.get("raw_path"):
+    if spec.get("onnx"):
+        sd = {}
+        params = _convert_onnx(spec["onnx"], input_path, **kwargs)
+    elif spec.get("raw_path"):
         sd = {}
         params = _convert_amphion_codec(input_path, **kwargs)
     else:

@@ -67,7 +67,7 @@ def _build_sine_service(args):
             target_sec = min(max(len(prompt_audio) / sr * ratio, 0.2), 30.0)
         return mb((int(target_sec * sr),)), sr
 
-    return synth, mb.stats.snapshot
+    return synth, mb.stats.snapshot, sr
 
 
 def _build_maskgct_service(args):
@@ -92,7 +92,7 @@ def _build_maskgct_service(args):
                              target_len=target_len, seed=seed)
         return wav, pipe.sample_rate
 
-    return synth, svc.stats
+    return synth, svc.stats, pipe.sample_rate
 
 
 def _build_valle_service(args):
@@ -165,7 +165,7 @@ def _build_valle_service(args):
                              seed=seed)
         return wav, p.sample_rate
 
-    return synth, svc.stats
+    return synth, svc.stats, p.sample_rate
 
 
 def _build_vevo_service(args):
@@ -210,10 +210,11 @@ def _build_vevo_service(args):
         wav = svc.synthesize(src_audio, prompt_audio, mode=mode, seed=seed)
         return wav, cfg.preprocess.sample_rate
 
-    return synth, svc.stats
+    return synth, svc.stats, cfg.preprocess.sample_rate
 
 
-def make_handler(synth_fn, stats_fn, backend_name: str):
+def make_handler(synth_fn, stats_fn, backend_name: str,
+                 input_sr: int = 24000):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -245,10 +246,12 @@ def make_handler(synth_fn, stats_fn, backend_name: str):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n))
+                # resample inbound audio to the pipeline's configured
+                # rate (NOT a hardcoded 24 kHz)
                 prompt = _decode_wav_bytes(
-                    base64.b64decode(req["prompt_wav"]), 24000)
+                    base64.b64decode(req["prompt_wav"]), input_sr)
                 src = (_decode_wav_bytes(
-                    base64.b64decode(req["src_wav"]), 24000)
+                    base64.b64decode(req["src_wav"]), input_sr)
                     if "src_wav" in req else None)
                 seed = req.get("seed")
                 wav, sr = synth_fn(
@@ -265,9 +268,9 @@ def make_handler(synth_fn, stats_fn, backend_name: str):
 
 
 def serve(synth_fn, stats_fn, backend_name="custom", port=7860,
-          host="127.0.0.1") -> ThreadingHTTPServer:
+          host="127.0.0.1", input_sr: int = 24000) -> ThreadingHTTPServer:
     return ThreadingHTTPServer(
-        (host, port), make_handler(synth_fn, stats_fn, backend_name)
+        (host, port), make_handler(synth_fn, stats_fn, backend_name, input_sr)
     )
 
 
@@ -307,8 +310,9 @@ def main():
              "maskgct": _build_maskgct_service,
              "valle": _build_valle_service,
              "vevo": _build_vevo_service}[args.backend]
-    synth, stats = build(args)
-    httpd = serve(synth, stats, args.backend, args.port, args.host)
+    synth, stats, input_sr = build(args)
+    httpd = serve(synth, stats, args.backend, args.port, args.host,
+                  input_sr=input_sr)
     print(f"batched serving on http://{args.host}:{args.port} "
           f"(backend={args.backend}, max_batch={args.max_batch}, "
           f"max_wait={args.max_wait_ms}ms)")

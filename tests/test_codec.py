@@ -84,3 +84,67 @@ def test_multiscale_mel_loss_zero_for_identical(rng):
     assert float(multiscale_mel_loss(a, a, 8000)) == 0.0
     b = a + 0.05
     assert float(multiscale_mel_loss(a, b, 8000)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Length-masked ragged decode (serving pad-bleed fix)
+# ---------------------------------------------------------------------------
+
+
+def _masked_vs_solo(codec, variables, codes_padded, lengths, hop):
+    """Rows of a length-masked padded decode must equal unpadded solo
+    decodes (the whole point: no pad bleed through the conv/iSTFT
+    receptive field). Tolerance covers program-shape reduction-order
+    drift only."""
+    batched = np.asarray(codec.apply(
+        variables, codes_padded, jnp.asarray(lengths, jnp.int32),
+        method=AmphionCodec.decode_codes))
+    for i, n in enumerate(lengths):
+        solo = np.asarray(codec.apply(
+            variables, codes_padded[:, i:i + 1, :n],
+            method=AmphionCodec.decode_codes))[0]
+        np.testing.assert_allclose(
+            batched[i, : n * hop], solo, rtol=0, atol=1e-5,
+            err_msg=f"row {i} len {n}")
+
+
+def test_decode_codes_length_masked_conv(rng):
+    codec = AmphionCodec(TINY)
+    audio = jnp.asarray(
+        (rng.standard_normal((3, 12 * TINY.hop)) * 0.2).astype(np.float32))
+    variables = codec.init(jax.random.key(0), audio)
+    codes = codec.apply(variables, audio, method=AmphionCodec.encode)
+    _masked_vs_solo(codec, variables, np.asarray(codes), [12, 7, 3], TINY.hop)
+
+
+def test_decode_codes_length_masked_vocos(rng):
+    cfg = CodecConfig(
+        sample_rate=8000, encoder_dim=8, latent_dim=16, decoder_dim=8,
+        strides=(2, 4), num_quantizers=2, codebook_size=64, codebook_dim=4,
+        use_vocos_decoder=True, vocos_dim=16, vocos_intermediate_dim=32,
+        vocos_num_layers=2, vocos_n_fft=32, vocos_hop=8)
+    codec = AmphionCodec(cfg)
+    audio = jnp.asarray(
+        (rng.standard_normal((3, 16 * 8)) * 0.2).astype(np.float32))
+    variables = codec.init(jax.random.key(1), audio)
+    codes = codec.apply(variables, audio, method=AmphionCodec.encode)
+    _masked_vs_solo(codec, variables, np.asarray(codes), [16, 9, 5],
+                    cfg.vocos_hop)
+
+
+def test_decode_codes_unmasked_tail_differs(rng):
+    """Sanity: WITHOUT frame_lengths the shorter row's tail really does
+    bleed pad content (otherwise the masked path is vacuous)."""
+    codec = AmphionCodec(TINY)
+    audio = jnp.asarray(
+        (rng.standard_normal((2, 12 * TINY.hop)) * 0.2).astype(np.float32))
+    variables = codec.init(jax.random.key(0), audio)
+    codes = np.asarray(codec.apply(variables, audio,
+                                   method=AmphionCodec.encode))
+    n = 5
+    plain = np.asarray(codec.apply(
+        variables, codes, method=AmphionCodec.decode_codes))
+    solo = np.asarray(codec.apply(
+        variables, codes[:, :1, :n], method=AmphionCodec.decode_codes))[0]
+    tail = slice((n - 2) * TINY.hop, n * TINY.hop)
+    assert np.abs(plain[0, tail] - solo[tail]).max() > 1e-4

@@ -47,18 +47,24 @@ class _StubSession:
 
 @pytest.fixture(scope="module")
 def ref_separate():
+    # Load by file path: `from models import separate_fast` would resolve
+    # against whichever `models` package an earlier oracle test imported
+    # (the reference ROOT has one too), shadowing Emilia's in full-suite
+    # runs. spec_from_file_location sidesteps sys.path entirely.
+    import importlib.util
+
     stub = types.ModuleType("onnxruntime")
     stub.InferenceSession = _StubSession
     injected = "onnxruntime" not in sys.modules
     if injected:
         sys.modules["onnxruntime"] = stub
-    sys.path.insert(0, str(REFERENCE / "preprocessors" / "Emilia"))
+    path = REFERENCE / "preprocessors" / "Emilia" / "models" / "separate_fast.py"
+    spec = importlib.util.spec_from_file_location("_emilia_separate_fast", path)
+    mod = importlib.util.module_from_spec(spec)
     try:
-        from models import separate_fast
-
-        yield separate_fast
+        spec.loader.exec_module(mod)
+        yield mod
     finally:
-        sys.path.remove(str(REFERENCE / "preprocessors" / "Emilia"))
         if injected:
             sys.modules.pop("onnxruntime", None)
 

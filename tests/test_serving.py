@@ -316,8 +316,8 @@ def test_serve_http_concurrent_sine():
     from bins import serve as serve_mod
 
     args = argparse.Namespace(max_batch=4, max_wait_ms=40.0)
-    synth, stats = serve_mod._build_sine_service(args)
-    httpd = serve_mod.serve(synth, stats, "sine", port=0)
+    synth, stats, input_sr = serve_mod._build_sine_service(args)
+    httpd = serve_mod.serve(synth, stats, "sine", port=0, input_sr=input_sr)
     port = httpd.server_address[1]
     server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     server_thread.start()

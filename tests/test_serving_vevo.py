@@ -1,9 +1,13 @@
 """Batched Vevo VC serving (VevoService): tiny models, CPU.
 
-Asserts the serving contract end-to-end: a request's waveform is
-bit-identical whether served alone or coalesced into a batch with other
-requests (per-request RNG keys + ragged masking), for both the FM-only
-"timbre" product and the AR+FM "voice" product.
+Asserts the serving contract end-to-end, for both the FM-only "timbre"
+product and the AR+FM "voice" product: a request's result is independent
+of batch composition (per-request RNG keys + ragged masking). Integer
+token streams are bit-identical (tests/test_ragged_vevo.py asserts that
+at the sampler level); the float waveform matches to a small tolerance —
+XLA compiles a separate program per batch size, and the FM-ODE/Vocos
+float reduction order legitimately differs between the B=1 and B=3
+programs (measured ≤8e-7 abs; asserted at 1e-5 headroom).
 """
 
 import threading
@@ -111,7 +115,10 @@ def test_vevo_service_batch_invariance(service, mode):
     t0.join()
     for t in threads[1:]:
         t.join()
-    np.testing.assert_array_equal(results[0], solo)
+    # same length + same tokens; waveform to float tolerance (separate
+    # XLA programs per batch size → reduction-order drift, see module doc)
+    assert results[0].shape == solo.shape
+    np.testing.assert_allclose(results[0], solo, rtol=0, atol=1e-5)
     assert all(len(results[i]) > 0 for i in results)
 
 
