@@ -3128,3 +3128,30 @@ def torch_ge2e_to_flax(sd: Mapping[str, np.ndarray],
     params["linear"] = linear_to_dense(np.asarray(sd["linear.weight"]),
                                        np.asarray(sd["linear.bias"]))
     return params
+
+
+# ---------------------------------------------------------------------------
+# VGGish (FAD embedder)
+# ---------------------------------------------------------------------------
+
+
+def torch_vggish_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
+    """torchvggish (harritaylor/torchvggish `pytorch_vggish.pth` /
+    `vggish-10086976.pth`) state dict → our `models/vggish.VGGish` params.
+
+    torch layout: `features.{0,3,6,8,11,13}` convs,
+    `embeddings.{0,2,4}` linears. The fc ordering matches ours without
+    index remapping because torchvggish transposes NCHW→NHWC before
+    flattening (VGG.forward) and our layout is NHWC natively."""
+    g = lambda n: np.asarray(sd[n])
+    conv_idx = [0, 3, 6, 8, 11, 13]
+    params: dict = {}
+    for ci, ti in enumerate(conv_idx):
+        params[f"conv_{ci}"] = conv2d_to_flax(
+            g(f"features.{ti}.weight"), g(f"features.{ti}.bias"))
+    for fi, ti in enumerate([0, 2]):
+        params[f"fc_{fi}"] = linear_to_dense(
+            g(f"embeddings.{ti}.weight"), g(f"embeddings.{ti}.bias"))
+    params["embedding"] = linear_to_dense(
+        g("embeddings.4.weight"), g("embeddings.4.bias"))
+    return params

@@ -11,7 +11,10 @@ dump a JSON report. ALL 16 reference metrics dispatch offline:
   checkpoint converted with `bins/convert_checkpoint.py --model <same>`
   (or env AMPHION_SPEAKER_CKPT + AMPHION_SPEAKER_MODEL).
 - fad: corpus-level Fréchet distance over `--fad_embedder` embeddings:
-  `mel` (native log-mel statistics, no weights) | `speaker` (WavLM-SV
+  `vggish` (native flax VGGish, the reference's embedder — comparable to
+  published FAD numbers; `--vggish_ckpt` = torchvggish .pth or a dir
+  converted with `--model vggish`) | `mel` (native log-mel statistics,
+  no weights — NOT comparable to published FAD) | `speaker` (WavLM-SV
   embeddings via --speaker_ckpt).
 """
 
@@ -73,7 +76,11 @@ def main():
                         help="embedder family for --speaker_ckpt (ref "
                              "similarity zoo: RawNet3/Resemblyzer/WavLM)")
     parser.add_argument("--fad_embedder", default="mel",
-                        choices=["mel", "speaker"])
+                        choices=["mel", "speaker", "vggish"])
+    parser.add_argument("--vggish_ckpt", default="",
+                        help="torchvggish .pth or converted ckpt dir for "
+                             "--fad_embedder vggish (env "
+                             "AMPHION_VGGISH_CKPT)")
     args = parser.parse_args()
     logger = get_logger("metrics")
 
@@ -103,6 +110,14 @@ def main():
         for line in Path(args.transcripts).read_text().splitlines():
             name, _, text = line.partition("\t")
             texts[name] = text
+    vggish_embed = None
+    if "fad" in args.metrics and args.fad_embedder == "vggish":
+        import os
+
+        from amphion_tpu.models.vggish import vggish_fad_embedder
+
+        vggish_embed = vggish_fad_embedder(
+            args.vggish_ckpt or os.environ.get("AMPHION_VGGISH_CKPT", ""))
     embedder = None
     if (any(m in args.metrics for m in _SPEAKER)
             or ("fad" in args.metrics and args.fad_embedder == "speaker")):
@@ -132,7 +147,12 @@ def main():
                 results[m].append(calc_metric(m, r, d, args.fs,
                                               embedder=embedder))
         if "fad" in args.metrics:
-            if args.fad_embedder == "speaker":
+            if args.fad_embedder == "vggish":
+                # (n_patches, 128) per clip — FAD pools ALL patches
+                # across the corpus (published VGGish-FAD protocol)
+                fad_ref.extend(vggish_embed(r, args.fs))
+                fad_gen.extend(vggish_embed(d, args.fs))
+            elif args.fad_embedder == "speaker":
                 fad_ref.append(embedder(r, args.fs))
                 fad_gen.append(embedder(d, args.fs))
             else:

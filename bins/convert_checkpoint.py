@@ -101,6 +101,10 @@ _MODELS = {
     # resemblyzer VoiceEncoder pretrained.pt (GE2E d-vector)
     "ge2e": dict(fn=C.torch_ge2e_to_flax,
                  defaults={"num_layers": 3}, wrap=_wrap_params),
+    # torchvggish pytorch_vggish.pth — FAD embedder
+    # (ref evaluation/metrics/spectrogram/frechet_distance.py:19-27)
+    "vggish": dict(fn=C.torch_vggish_to_flax, defaults={},
+                   wrap=_wrap_params),
     "fairseq_hubert": dict(fn=C.fairseq_hubert_to_flax,
                            defaults={"num_layers": 24}, wrap=_wrap_params),
     "llama": dict(fn=C.hf_llama_to_flax,
