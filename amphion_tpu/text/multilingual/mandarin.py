@@ -151,12 +151,16 @@ def pinyin_to_ipa(syl: str) -> list[str] | None:
 
 
 def _char_pinyin(word: str, char_lexicon: dict | None,
-                 word_lexicon: dict | None) -> list[str] | None:
+                 word_lexicon: dict | None, prev_word: str = "",
+                 next_word: str = "") -> list[str] | None:
     """Pinyin syllables for one jieba word via lexicons; None if any char OOV.
 
     Lookup order: whole-word lexicon hit → greedy longest sub-word match
     against the polyphone lexicon (catches compounds jieba keeps joined,
-    e.g. 中国银行) → per-char defaults."""
+    e.g. 中国银行) → context rules (`polyphone.disambiguate`, the layer
+    the reference fills with a BERT classifier) → per-char defaults."""
+    from amphion_tpu.text.multilingual.polyphone import disambiguate
+
     for lex in (word_lexicon, WORD_PINYIN):
         if lex and word in lex:
             return lex[word].split()
@@ -177,7 +181,9 @@ def _char_pinyin(word: str, char_lexicon: dict | None,
             syls.extend(hit)
             i = j
             continue
-        py = (char_lexicon or {}).get(word[i]) or CHAR_PINYIN.get(word[i])
+        py = (disambiguate(word[i], word, i, prev_word, next_word)
+              or (char_lexicon or {}).get(word[i])
+              or CHAR_PINYIN.get(word[i]))
         if py is None:
             return None
         syls.append(py.split()[0])
@@ -201,9 +207,11 @@ def _tone_sandhi(words: list[list[str]]) -> list[list[str]]:
     return words
 
 
-def chinese_to_ipa(text: str, char_lexicon: dict | None = None,
-                   word_lexicon: dict | None = None) -> str:
-    """hanzi (or tone-digit pinyin) -> '|'-joined IPA, '|_|' between words."""
+def chinese_to_pinyin(text: str, char_lexicon: dict | None = None,
+                      word_lexicon: dict | None = None) -> list[list[str]]:
+    """hanzi (or tone-digit pinyin) -> per-word pinyin syllables
+    (lexical readings, PRE tone-sandhi — the polyphone-accuracy surface;
+    `chinese_to_ipa` applies sandhi + IPA on top)."""
     import jieba
 
     # don't confuse pinyin tone digits (ni3) with numbers to verbalize
@@ -218,22 +226,33 @@ def chinese_to_ipa(text: str, char_lexicon: dict | None = None,
         else:
             raw_words.extend(w for w in jieba.cut(chunk) if w.strip())
 
+    from amphion_tpu.text.multilingual.polyphone import disambiguate
+
     words_pinyin: list[list[str]] = []
-    for w in raw_words:
+    for wi, w in enumerate(raw_words):
+        prev_w = raw_words[wi - 1] if wi > 0 else ""
+        next_w = raw_words[wi + 1] if wi + 1 < len(raw_words) else ""
         if _PINYIN_WORD_RE.match(w):
             words_pinyin.append(_PINYIN_SYL_RE.findall(w))
             continue
-        syls = _char_pinyin(w, char_lexicon, word_lexicon)
+        syls = _char_pinyin(w, char_lexicon, word_lexicon, prev_w, next_w)
         if syls is None:
             # per-char fallback: keep what we know, skip unknown hanzi
             syls = []
-            for ch in w:
-                py = (char_lexicon or {}).get(ch) or CHAR_PINYIN.get(ch)
+            for i, ch in enumerate(w):
+                py = (disambiguate(ch, w, i, prev_w, next_w)
+                      or (char_lexicon or {}).get(ch) or CHAR_PINYIN.get(ch))
                 if py:
                     syls.append(py.split()[0])
         if syls:
             words_pinyin.append(syls)
+    return words_pinyin
 
+
+def chinese_to_ipa(text: str, char_lexicon: dict | None = None,
+                   word_lexicon: dict | None = None) -> str:
+    """hanzi (or tone-digit pinyin) -> '|'-joined IPA, '|_|' between words."""
+    words_pinyin = chinese_to_pinyin(text, char_lexicon, word_lexicon)
     words_pinyin = _tone_sandhi(words_pinyin)
     out = []
     for syls in words_pinyin:
