@@ -94,6 +94,107 @@ def mel_to_png(m: np.ndarray, zoom: int = 3) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def mel_mcd(m1: np.ndarray, m2: np.ndarray, n_coef: int = 13) -> float:
+    """Mel-cepstral distortion (dB) between two (n_mel, T) log-mels:
+    DCT-II cepstra per frame, c1..n_coef, the standard
+    (10/ln10)·sqrt(2·Σ Δc²) averaged over frames — the per-step quality
+    curve of the reference's metric view (SingVisio `function.js` metric
+    panel)."""
+    def cepstra(m):
+        m = np.asarray(m, np.float64)
+        if m.ndim == 3:
+            m = m[0]
+        n = m.shape[0]
+        k = np.arange(n)
+        basis = np.cos(np.pi * (k[:, None] + 0.5) * np.arange(n)[None] / n)
+        return (m.T @ basis)[:, 1: n_coef + 1]  # (T, n_coef), drop c0
+
+    c1, c2 = cepstra(m1), cepstra(m2)
+    t = min(len(c1), len(c2))
+    d = c1[:t] - c2[:t]
+    return float((10.0 / np.log(10.0))
+                 * np.mean(np.sqrt(2.0 * (d * d).sum(axis=1))))
+
+
+def step_metrics(step_dir: str | Path) -> dict:
+    """Per-step MCD to the final step (the denoising quality curve)."""
+    step_dir = Path(step_dir)
+    files = sorted(step_dir.glob("step_*.npy"))
+    final = np.load(files[-1])
+    return {"mcd_to_final": [mel_mcd(np.load(f), final) for f in files]}
+
+
+_F0_CACHE: dict = {}
+
+
+def step_f0(step_dir: str | Path, step: int, sample_rate: int = 24000,
+            hop_size: int = 120) -> list[float]:
+    """F0 contour of one denoising step: mel → pseudo-inverse mel →
+    Griffin-Lim phase recovery → native YIN. Fully checkpoint-free (no
+    vocoder needed), so the pitch view works on any dumped run; the
+    reference's pitch panel runs a vocoder + pyworld instead."""
+    key = (str(step_dir), int(step))
+    if key in _F0_CACHE:
+        return _F0_CACHE[key]
+    import jax.numpy as jnp
+
+    from amphion_tpu.ops.dsp import griffin_lim
+    from amphion_tpu.ops.f0 import F0Config, yin_f0
+    from amphion_tpu.ops.mel import MelConfig, mel_filterbank
+
+    m = np.load(Path(step_dir) / f"step_{int(step):04d}.npy")
+    if m.ndim == 3:
+        m = m[0]
+    n_mel, t = m.shape
+    mc = MelConfig(sample_rate=sample_rate, n_mel=n_mel, hop_size=hop_size)
+    fb = mel_filterbank(mc.sample_rate, mc.n_fft, mc.n_mel, mc.fmin, mc.fmax)
+    # log-mel → linear magnitude via regularized pseudo-inverse
+    pinv = np.linalg.pinv(fb, rcond=1e-4)  # (F, n_mel)
+    mag = np.maximum(pinv @ np.exp(np.asarray(m, np.float64)), 0.0)
+    wav = np.asarray(griffin_lim(
+        jnp.asarray(mag, jnp.float32)[None], mc.n_fft, mc.hop_size,
+        mc.win_size, n_iters=24))[0]
+    fc = F0Config(sample_rate=sample_rate, hop_size=hop_size)
+    n = len(wav) // fc.hop_size * fc.hop_size
+    f0, _ = yin_f0(jnp.asarray(wav[:n])[None], fc)
+    out = [float(v) for v in np.asarray(f0)[0]]
+    _F0_CACHE[key] = out
+    return out
+
+
+def diff_to_png(ma: np.ndarray, mb: np.ndarray, zoom: int = 3) -> bytes:
+    """Signed difference of two mels as a blue-white-red PNG (the
+    reference's step-pair difference view)."""
+    import struct
+    import zlib
+
+    ma, mb = np.asarray(ma, np.float32), np.asarray(mb, np.float32)
+    if ma.ndim == 3:
+        ma = ma[0]
+    if mb.ndim == 3:
+        mb = mb[0]
+    t = min(ma.shape[1], mb.shape[1])
+    d = (ma[:, :t] - mb[:, :t])[::-1]
+    s = max(float(np.abs(d).max()), 1e-9)
+    v = d / s  # [-1, 1]
+    v = np.repeat(np.repeat(v, zoom, axis=0), zoom, axis=1)
+    r = np.clip(1.0 + np.minimum(v, 0.0), 0, 1)  # blue side dims red
+    g = 1.0 - np.abs(v)
+    b = np.clip(1.0 - np.maximum(v, 0.0), 0, 1)
+    img = (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
 def step_trajectory(step_dir: str | Path) -> dict:
     """Per-step diagnostics for the explorer: L2 distance to the final
     step, step-to-step delta, and k-means cluster assignment."""
@@ -123,25 +224,54 @@ img{image-rendering:pixelated;border:1px solid #444;margin:2px}
 input[type=range]{width:640px}
 canvas{background:#1e1e2a;border:1px solid #444}
 .lbl{color:#9a9ab8;font-size:.85em}
+.row{display:flex;gap:10px;align-items:flex-start}
+.col{flex:0 0 auto}
+select{background:#2a2a3a;color:#ddd;border:1px solid #555;padding:3px}
+.overlay{position:relative;display:inline-block}
+.overlay canvas{position:absolute;left:0;top:0;background:transparent;
+ border:none;pointer-events:none}
 </style></head><body><h2>SingVisio — diffusion step explorer</h2>
 <div id=exps></div>
 <div id=controls style="display:none">
+ <p class=lbl>compare with:
+  <select id=bsel><option value="">(none)</option></select>
+  &nbsp; overlays: <label><input type=checkbox id=f0chk> F0 contour
+  (native YIN on the Griffin-Lim-vocoded step)</label></p>
  <p class=lbl>step <span id=stepno>0</span> / <span id=nsteps>0</span>
  (drag; diamonds on the chart are k-means key steps)</p>
  <input type=range id=slider min=0 max=0 value=0>
- <div id=bigwrap><img id=big></div>
+ <div id=bigwrap class=row>
+  <div class=col><p class=lbl id=lblA>A</p>
+   <div class=overlay><img id=big><canvas id=f0A></canvas></div></div>
+  <div class=col id=bwrap style="display:none"><p class=lbl id=lblB>B</p>
+   <div class=overlay><img id=bigB><canvas id=f0B></canvas></div></div>
+  <div class=col id=dwrap style="display:none">
+   <p class=lbl>A − B difference (red = A louder)</p><img id=bigD></div>
+ </div>
  <p class=lbl>key steps (one per mel cluster) — click to jump</p>
  <div id=thumbs></div>
- <p class=lbl>denoising trajectory: distance to final mel (line), colored
- by cluster</p>
- <canvas id=traj width=720 height=140></canvas>
+ <div class=row>
+  <div class=col>
+   <p class=lbl>denoising trajectory: distance to final mel (line),
+   colored by cluster</p>
+   <canvas id=traj width=720 height=140></canvas></div>
+  <div class=col>
+   <p class=lbl>quality vs step: MCD to final (dB) — A solid, B dashed</p>
+   <canvas id=mcd width=520 height=140></canvas></div>
+ </div>
 </div>
 <script>
-let UID=null, NST=0, KEYS=[], TRAJ=null;
+let UID=null,UIDB=null,NST=0,KEYS=[],TRAJ=null,MCD=null,MCDB=null;
 fetch('/api/experiments').then(r=>r.json()).then(exps=>{
- const d=document.getElementById('exps');
+ const d=document.getElementById('exps'),bs=document.getElementById('bsel');
  exps.forEach(e=>{const b=document.createElement('button');b.textContent=e;
-  b.onclick=()=>load(e,b);d.appendChild(b);});});
+  b.onclick=()=>load(e,b);d.appendChild(b);
+  const o=document.createElement('option');o.value=e;o.textContent=e;
+  bs.appendChild(o);});
+ bs.onchange=()=>{UIDB=bs.value||null;MCDB=null;
+  if(UIDB)fetch('/api/metrics?uid='+UIDB).then(r=>r.json())
+    .then(m=>{MCDB=m.mcd_to_final;drawMcd();});
+  refresh();};});
 function load(uid,btn){UID=uid;
  document.querySelectorAll('#exps button').forEach(b=>b.classList.remove('active'));
  if(btn)btn.classList.add('active');
@@ -150,16 +280,43 @@ function load(uid,btn){UID=uid;
   document.getElementById('controls').style.display='block';
   document.getElementById('nsteps').textContent=NST-1;
   const s=document.getElementById('slider');s.max=NST-1;s.value=NST-1;
-  s.oninput=()=>show(+s.value);
+  s.oninput=()=>refresh();
   const t=document.getElementById('thumbs');t.innerHTML='';
   KEYS.forEach(k=>{const im=document.createElement('img');
    im.src='/api/mel.png?uid='+uid+'&step='+k;im.className='thumb';
-   im.title='step '+k;im.onclick=()=>{s.value=k;show(k);};t.appendChild(im);});
+   im.title='step '+k;im.onclick=()=>{s.value=k;refresh();};t.appendChild(im);});
   fetch('/api/trajectory?uid='+uid).then(r=>r.json()).then(tr=>{TRAJ=tr;drawTraj();});
-  show(NST-1);});}
-function show(step){document.getElementById('stepno').textContent=step;
- document.getElementById('big').src='/api/mel.png?uid='+UID+'&step='+step;
- drawTraj(step);}
+  fetch('/api/metrics?uid='+uid).then(r=>r.json()).then(m=>{MCD=m.mcd_to_final;drawMcd();});
+  refresh();});}
+document.getElementById('f0chk').onchange=()=>refresh();
+function refresh(){const step=+document.getElementById('slider').value;
+ document.getElementById('stepno').textContent=step;
+ document.getElementById('lblA').textContent='A: '+UID+' @ '+step;
+ const big=document.getElementById('big');
+ big.src='/api/mel.png?uid='+UID+'&step='+step;
+ const showB=!!UIDB;
+ document.getElementById('bwrap').style.display=showB?'block':'none';
+ document.getElementById('dwrap').style.display=showB?'block':'none';
+ if(showB){document.getElementById('lblB').textContent='B: '+UIDB+' @ '+step;
+  document.getElementById('bigB').src='/api/mel.png?uid='+UIDB+'&step='+step;
+  document.getElementById('bigD').src='/api/diff.png?uid_a='+UID+
+   '&uid_b='+UIDB+'&step_a='+step+'&step_b='+step;}
+ drawTraj(step);drawMcd(step);
+ const want=document.getElementById('f0chk').checked;
+ drawF0('f0A',want?UID:null,step,big);
+ drawF0('f0B',(want&&showB)?UIDB:null,step,document.getElementById('bigB'));}
+function drawF0(cid,uid,step,img){const c=document.getElementById(cid),
+ ctx=c.getContext('2d');
+ if(!uid){c.width=0;c.height=0;return;}
+ fetch('/api/f0?uid='+uid+'&step='+step).then(r=>r.json()).then(d=>{
+  const f0=d.f0,W=img.width||f0.length,H=img.height||240;
+  c.width=W;c.height=H;ctx.clearRect(0,0,W,H);
+  const hi=Math.max(...f0,1);ctx.strokeStyle='#00e5ff';ctx.lineWidth=2;
+  ctx.beginPath();let pen=false;
+  f0.forEach((v,i)=>{const x=W*i/f0.length,y=H-4-(H-8)*v/hi;
+   if(v>0){if(pen)ctx.lineTo(x,y);else ctx.moveTo(x,y);pen=true;}
+   else pen=false;});
+  ctx.stroke();});}
 const PAL=['#ff6b6b','#ffd93d','#6bcb77','#4d96ff','#c780fa','#f08a5d'];
 function drawTraj(cur){if(!TRAJ)return;
  const c=document.getElementById('traj'),ctx=c.getContext('2d');
@@ -174,6 +331,21 @@ function drawTraj(cur){if(!TRAJ)return;
   ctx.lineTo(X(k),Y(d[k])+5);ctx.lineTo(X(k)-4,Y(d[k]));ctx.fill();});
  if(cur!=null){ctx.strokeStyle='#8888ff';ctx.beginPath();
   ctx.moveTo(X(cur),8);ctx.lineTo(X(cur),c.height-8);ctx.stroke();}}
+function drawMcd(cur){if(!MCD)return;
+ const c=document.getElementById('mcd'),ctx=c.getContext('2d');
+ ctx.clearRect(0,0,c.width,c.height);
+ const all=MCDB?MCD.concat(MCDB):MCD,hi=Math.max(...all)||1;
+ const X=(i,n)=>10+(c.width-20)*i/Math.max(n-1,1),
+       Y=v=>c.height-12-(c.height-24)*v/hi;
+ ctx.strokeStyle='#6bcb77';ctx.setLineDash([]);ctx.beginPath();
+ MCD.forEach((v,i)=>{i?ctx.lineTo(X(i,MCD.length),Y(v))
+   :ctx.moveTo(X(0,MCD.length),Y(v));});ctx.stroke();
+ if(MCDB){ctx.strokeStyle='#ffd93d';ctx.setLineDash([5,4]);ctx.beginPath();
+  MCDB.forEach((v,i)=>{i?ctx.lineTo(X(i,MCDB.length),Y(v))
+    :ctx.moveTo(X(0,MCDB.length),Y(v));});ctx.stroke();ctx.setLineDash([]);}
+ if(cur!=null){ctx.strokeStyle='#8888ff';ctx.beginPath();
+  ctx.moveTo(X(cur,MCD.length),8);ctx.lineTo(X(cur,MCD.length),c.height-8);
+  ctx.stroke();}}
 </script></body></html>"""
 
 
@@ -229,6 +401,24 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
         elif url.path == "/api/trajectory":
             self._json(step_trajectory(self.root / q["uid"]))
+        elif url.path == "/api/metrics":
+            self._json(step_metrics(self.root / q["uid"]))
+        elif url.path == "/api/f0":
+            self._json({"f0": step_f0(
+                self.root / q["uid"], int(q["step"]),
+                sample_rate=int(q.get("sr", 24000)),
+                hop_size=int(q.get("hop", 120)))})
+        elif url.path == "/api/diff.png":
+            ma = np.load(self.root / q["uid_a"]
+                         / f"step_{int(q['step_a']):04d}.npy")
+            mb = np.load(self.root / q["uid_b"]
+                         / f"step_{int(q['step_b']):04d}.npy")
+            body = diff_to_png(ma, mb)
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._json({"error": "not found"}, 404)
 

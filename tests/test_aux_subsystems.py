@@ -351,3 +351,61 @@ def test_singvisio_png_and_trajectory(tmp_path, rng):
     assert tr["dist_to_final"][-1] == 0.0
     assert all(d >= 0 for d in tr["step_delta"])
     assert len(tr["cluster"]) == 8
+
+
+def test_singvisio_comparative_views(tmp_path, rng):
+    """Round-3 comparative views (ref SingVisio webpage function.js):
+    per-step MCD-to-final metric curve, A/B step-pair difference PNG,
+    and the checkpoint-free F0 contour (mel → Griffin-Lim → native YIN)."""
+    import struct
+
+    from amphion_tpu.visualization.singvisio.server import (
+        diff_to_png,
+        dump_diffusion_steps,
+        mel_mcd,
+        step_f0,
+        step_metrics,
+    )
+
+    # synthetic denoising run: steps converge to a harmonic "final" mel
+    final = rng.standard_normal((80, 24)).astype(np.float32)
+    mels = [final + rng.standard_normal(final.shape).astype(np.float32)
+            * (1 - i / 5) for i in range(5)] + [final]
+    out = dump_diffusion_steps(mels, tmp_path, "uttA")
+
+    m = step_metrics(out)
+    curve = m["mcd_to_final"]
+    assert len(curve) == 6 and curve[-1] == 0.0
+    assert curve[0] > curve[-2] >= 0.0  # noisier steps are farther
+    assert mel_mcd(mels[0], mels[0]) == 0.0
+
+    png = diff_to_png(mels[0], final, zoom=1)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (24, 80)
+    # identical mels → pure white diff image
+    png_same = diff_to_png(final, final, zoom=1)
+    import zlib
+
+    idat = png_same[png_same.index(b"IDAT") + 4:
+                    png_same.rindex(b"IEND") - 4]
+    rows = zlib.decompress(idat)
+    px = np.frombuffer(rows, np.uint8).reshape(80, 1 + 3 * 24)[:, 1:]
+    assert (px == 255).all()
+
+    # F0 view: a mel with a 220 Hz harmonic stack must yield ~220 Hz
+    sr, hop, n_mel = 24000, 120, 80
+    t = np.arange(sr) / sr
+    wav = sum(np.sin(2 * np.pi * 220 * k * t) / k for k in range(1, 8))
+    import jax.numpy as jnp
+
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+
+    mc = MelConfig(sample_rate=sr, n_mel=n_mel, hop_size=hop)
+    mel = np.asarray(mel_spectrogram(
+        jnp.asarray(wav, jnp.float32)[None], mc))[0]
+    dump_diffusion_steps([mel], tmp_path, "uttF0")
+    f0 = np.asarray(step_f0(tmp_path / "uttF0", 0, sr, hop))
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    assert abs(np.median(voiced) - 220) < 12, np.median(voiced)
