@@ -187,17 +187,25 @@ def _merge_turns(times, labels, total_s, min_turn_s):
 
 def neural_diarizer(x: np.ndarray, sr: int = 24000, *, embedder,
                     win_s: float = 1.5, hop_s: float = 0.75,
-                    max_speakers: int = 8,
-                    min_turn_s: float = 1.0) -> list[tuple[float, float, str]]:
+                    max_speakers: int = 8, min_turn_s: float = 1.0,
+                    n_speakers: int | None = None,
+                    ) -> list[tuple[float, float, str]]:
     """Speaker turns via spectral clustering over neural speaker embeddings
     — the pyannote-slot upgrade (ref `preprocessors/Emilia/main.py:131-168`
     diarization stage). ``embedder``: (audio, sr) -> (D,), e.g.
     `evaluation.metrics.similarity.native_wavlm_embedder` (WavLM-SV).
 
     Method (standard speaker-diarization recipe): sliding-window
-    embeddings → cosine affinity → row-thresholded symmetrized affinity →
-    normalized-Laplacian eigengap to choose the speaker count → k-means in
-    the spectral embedding → contiguous-turn merge."""
+    embeddings → single-speaker guard on the raw cosine affinity →
+    MEAN-CENTERED embeddings (removes the shared channel/noise-floor
+    component, which otherwise dominates the affinity under background
+    noise) → cosine affinity → row-thresholded symmetrized affinity →
+    normalized-Laplacian near-zero-eigenvalue count for the speaker
+    count → k-means in the spectral embedding → contiguous-turn merge.
+
+    ``n_speakers`` pins the cluster count (oracle-count mode — the
+    convention of many published DER benchmarks); auto mode can split a
+    noisy single-speaker clip that defeats the raw-affinity guard."""
     total_s = len(x) / sr
     win, hop = int(win_s * sr), int(hop_s * sr)
     if len(x) < 2 * win:
@@ -212,22 +220,33 @@ def neural_diarizer(x: np.ndarray, sr: int = 24000, *, embedder,
     if n < 4:
         return [(0.0, total_s, "spk0")]
 
-    e = embeds / np.maximum(
+    raw = embeds / np.maximum(
         np.linalg.norm(embeds, axis=1, keepdims=True), 1e-12)
+    raw_aff = np.clip(raw @ raw.T, -1.0, 1.0)
+    if n_speakers is None and float(raw_aff.min()) > 0.9:
+        # every window pair is near-identical → one speaker (centering
+        # would amplify residual noise into fake clusters)
+        return [(0.0, total_s, "spk0")]
+
+    centered = embeds - embeds.mean(axis=0)
+    e = centered / np.maximum(
+        np.linalg.norm(centered, axis=1, keepdims=True), 1e-12)
     aff = np.clip(e @ e.T, -1.0, 1.0)
     np.fill_diagonal(aff, 1.0)
-    # row-wise refinement: keep each row's strongest 50% similarities
-    thresh = np.percentile(aff, 50, axis=1, keepdims=True)
+    # row-wise refinement: keep each row's strongest 25% similarities
+    thresh = np.percentile(aff, 75, axis=1, keepdims=True)
     aff = np.where(aff >= thresh, aff, 0.0)
     aff = np.maximum(aff, aff.T)  # symmetrize
     d = np.maximum(aff.sum(axis=1), 1e-12)
     lap = np.eye(n) - aff / np.sqrt(d)[:, None] / np.sqrt(d)[None, :]
     evals, evecs = np.linalg.eigh(lap)
-    # k = near-zero eigenvalue count (≈ connected components of the
-    # refined affinity graph); a plain eigengap argmax over-splits the
-    # single-speaker case, whose λ1 sits well above this threshold
     kmax = min(max_speakers, n - 1)
-    k = min(int(np.sum(evals < 0.15)), kmax)
+    if n_speakers is not None:
+        k = min(int(n_speakers), kmax)
+    else:
+        # near-zero eigenvalue count ≈ connected components of the
+        # refined affinity graph
+        k = min(int(np.sum(evals < 0.15)), kmax)
     if k <= 1:
         return [(0.0, total_s, "spk0")]
     spec = evecs[:, :k]
