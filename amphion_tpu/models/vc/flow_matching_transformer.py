@@ -50,6 +50,12 @@ class FMTConfig:
     cond_scale_factor: int = 1
 
     remat: bool = False  # rematerialize backbone blocks (memory lever)
+    # "none" | "int8" | "int4": inference-time weight-only quantization of
+    # the estimator's projection kernels — the 32-step ODE re-reads every
+    # weight per step, so the loop is weight-HBM-bound like AR decode and
+    # int8 halves the dominant traffic again over bf16. Set via
+    # fmt_inference(compute_dtype="int8"|"int4").
+    decode_quant: str = "none"
 
     def llama(self) -> LlamaConfig:
         return LlamaConfig(
@@ -57,6 +63,7 @@ class FMTConfig:
             num_heads=self.num_heads, adaptive=True,
             intermediate_size=self.hidden * 4,
             max_position=self.max_position, remat=self.remat,
+            decode_quant=self.decode_quant,
         )
 
 
@@ -195,19 +202,47 @@ class FlowMatchingTransformer(nn.Module):
         return rescale_cfg * rescaled + (1 - rescale_cfg) * flow_cfg
 
 
+def _fmt_quant_prep(model, compute_dtype):
+    """(model', dt, quant) for the ODE loop: int8/int4 rebuild the
+    estimator with quantized projections (QDense via decode_quant) and
+    run activations bf16 — the same weight-streaming lever as AR decode
+    (`ar_transformer._quantize_for_decode`); prompt-region KV canNOT be
+    cached across ODE steps instead: the adaLN modulation depends on the
+    flow time t, so prompt K/V legitimately change every step."""
+    if compute_dtype in ("int8", "int4"):
+        import dataclasses
+
+        model = FlowMatchingTransformer(
+            dataclasses.replace(model.cfg, decode_quant=compute_dtype))
+        return model, jnp.dtype(jnp.bfloat16), compute_dtype
+    return model, jnp.dtype(compute_dtype), None
+
+
+def _fmt_cast_params(params, dt, quant):
+    from amphion_tpu.modules.llama import quantize_llama_params
+
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+    if quant:
+        params = {**params,
+                  "diff_estimator": quantize_llama_params(
+                      params["diff_estimator"], quant)}
+    return params
+
+
 @functools.lru_cache(maxsize=32)
 def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
                           rescale_cfg, compute_dtype, explicit_noise=False):
     n_mel = model.cfg.n_mel
     h = 1.0 / num_steps
-    dt = jnp.dtype(compute_dtype)
+    model, dt, quant = _fmt_quant_prep(model, compute_dtype)
 
     def core(params, tokens, prompt_mel, rng):
         # the 32-step ODE re-reads the estimator weights every step — bf16
-        # weights halve that HBM traffic and double MXU rate; integration
-        # state and CFG math stay f32 (flow_eval upcasts)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        # weights halve that HBM traffic and double MXU rate (int8/int4
+        # halve/quarter it again); integration state and CFG math stay
+        # f32 (flow_eval upcasts)
+        params = _fmt_cast_params(params, dt, quant)
         pm = prompt_mel.astype(dt)
         xt0 = rng if explicit_noise else jax.random.normal(rng, (b, lt, n_mel))
 
@@ -271,7 +306,7 @@ def _fmt_inference_ragged_jitted(model, b, lp_tok, lt_tok, num_steps,
     csf = model.cfg.cond_scale_factor
     lp, lt = lp_tok * csf, lt_tok * csf
     h = 1.0 / num_steps
-    dt = jnp.dtype(compute_dtype)
+    model, dt, quant = _fmt_quant_prep(model, compute_dtype)
 
     def cond_of(m, toks):
         return m._cond(toks)
@@ -281,8 +316,7 @@ def _fmt_inference_ragged_jitted(model, b, lp_tok, lt_tok, num_steps,
 
     def core(params, prompt_tokens, prompt_tok_len, target_tokens,
              target_tok_len, prompt_mel, rng):
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+        params = _fmt_cast_params(params, dt, quant)
         pm = prompt_mel.astype(dt)
         p_len = prompt_tok_len.astype(jnp.int32) * csf  # (B,) prompt frames
         t_len = target_tok_len.astype(jnp.int32) * csf  # (B,) target frames

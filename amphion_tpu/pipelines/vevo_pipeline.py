@@ -99,7 +99,8 @@ class VevoPipeline:
 
     def fm_stage(self, style_tokens: np.ndarray, prompt_audio: np.ndarray,
                  rng, flow_matching_steps: int = 32,
-                 prompt_tokens: np.ndarray | None = None) -> jax.Array:
+                 prompt_tokens: np.ndarray | None = None,
+                 compute_dtype: str = "bfloat16") -> jax.Array:
         prompt_mel = self._mel(prompt_audio)  # (1, Np, n_mel)
         csf = self.fm.cfg.cond_scale_factor
         # prompt token region carries the timbre reference's OWN
@@ -120,11 +121,15 @@ class VevoPipeline:
         # returns only the generated target region (ref reverse_diffusion)
         return fmt_inference(
             self.fm, self.params["fm"], tok, prompt_mel, rng,
-            num_steps=flow_matching_steps,
+            num_steps=flow_matching_steps, compute_dtype=compute_dtype,
         )
 
     def vocode(self, mel: jax.Array) -> np.ndarray:
-        wav = self.vocoder.apply({"params": self.params["vocoder"]}, mel)
+        # jitted (unjitted module.apply dispatches op-by-op on TPU)
+        if not hasattr(self, "_vocode_jit"):
+            object.__setattr__(self, "_vocode_jit", jax.jit(
+                lambda p, m: self.vocoder.apply({"params": p}, m)))
+        wav = self._vocode_jit(self.params["vocoder"], mel)
         return np.asarray(wav)[0]
 
     # -- products ------------------------------------------------------------
