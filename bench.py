@@ -175,6 +175,7 @@ def bench_maskgct_rtf() -> None:
         MaskGCTS2A, MaskGCTT2S, S2AConfig, T2SConfig, s2a_sample, t2s_sample,
     )
 
+    batch_sizes = batch_sizes or _serving_batches()
     t2s = MaskGCTT2S(T2SConfig(hidden=1024, num_layers=16, num_heads=16,
                                codebook_size=8192, phone_vocab=256))
     s2a = MaskGCTS2A(S2AConfig(hidden=1024, num_layers=16, num_heads=16,
@@ -215,7 +216,16 @@ def bench_maskgct_rtf() -> None:
           0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
 
 
-def bench_maskgct_serving(batch_sizes=(1, 4, 8)) -> None:
+
+
+def _serving_batches(default=(1, 4, 8)):
+    """Batch ladder for serving sweeps; AMPHION_BENCH_BATCHES="1,8,16,32"
+    extends it (each size is its own compiled program — minutes of compile
+    through the tunnel, so the big ladder is opt-in)."""
+    env = os.environ.get("AMPHION_BENCH_BATCHES", "")
+    return tuple(int(x) for x in env.split(",") if x) or default
+
+def bench_maskgct_serving(batch_sizes=None) -> None:
     """Batched serving throughput: B concurrent zero-shot requests through
     the ragged samplers (one compiled program per batch size). The
     mask-predict decode is weight-HBM-bound at B=1, so per-request RTF
@@ -229,6 +239,7 @@ def bench_maskgct_serving(batch_sizes=(1, 4, 8)) -> None:
         s2a_sample_ragged, t2s_sample_ragged,
     )
 
+    batch_sizes = batch_sizes or _serving_batches()
     t2s = MaskGCTT2S(T2SConfig(hidden=1024, num_layers=16, num_heads=16,
                                codebook_size=8192, phone_vocab=256))
     s2a = MaskGCTS2A(S2AConfig(hidden=1024, num_layers=16, num_heads=16,
@@ -246,7 +257,7 @@ def bench_maskgct_serving(batch_sizes=(1, 4, 8)) -> None:
                           jax.random.key(1),
                           method=MaskGCTS2A.compute_loss)["params"]
 
-    results = {}
+    results, dt_by = {}, {}
     for b in batch_sizes:
         # mixed lengths around the bucket — the realistic serving shape
         plen = jnp.asarray([lp - (i % 3) * 10 for i in range(b)], jnp.int32)
@@ -273,6 +284,7 @@ def bench_maskgct_serving(batch_sizes=(1, 4, 8)) -> None:
         for i in range(n_iters):
             _fence(run(keys))
         dt = (time.perf_counter() - t0) / n_iters
+        dt_by[b] = dt
         audio_s = float(jnp.sum(tlen)) / 50.0
         results[b] = dt / audio_s  # per-request RTF at this batch size
         print(f"# serving B={b}: {dt:.3f}s/batch, {audio_s:.1f}s audio, "
@@ -285,10 +297,15 @@ def bench_maskgct_serving(batch_sizes=(1, 4, 8)) -> None:
           0.1 / max(results[b_max], 1e-9),
           extra={"rtf_by_batch": {str(k): round(v, 5) for k, v in
                                   results.items()},
+                 "requests_per_s_by_batch": {
+                     str(k): round(k / max(dt_by[k], 1e-9), 2)
+                     for k in results},
+                 "batch_latency_s_by_batch": {
+                     str(k): round(dt_by[k], 3) for k in results},
                  "throughput_multiplier_vs_b1": round(mult, 2)})
 
 
-def bench_valle_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None:
+def bench_valle_serving(batch_sizes=None, compute_dtype="bfloat16") -> None:
     """Batched VALL-E serving: B concurrent zero-shot requests through one
     ragged AR prefill + decode scan + NAR fill (models/tts/valle/valle.py
     ar_generate_ragged). The 750-step AR loop is weight-HBM-bound at B=1 —
@@ -297,6 +314,7 @@ def bench_valle_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None
         VALLE, VALLEConfig, valle_generate_ragged,
     )
 
+    batch_sizes = batch_sizes or _serving_batches()
     model = VALLE(VALLEConfig(num_phones=256, audio_vocab=1024,
                               num_quantizers=8, hidden=1024, num_layers=12,
                               num_heads=16, max_position=4096))
@@ -308,7 +326,7 @@ def bench_valle_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None
         jax.random.key(1), method=VALLE.train_loss,
     )["params"]
 
-    results = {}
+    results, dt_by = {}, {}
     for b in batch_sizes:
         phones = jnp.zeros((b, lphone), jnp.int32)
         prompts = jnp.zeros((b, 8, lp), jnp.int32)
@@ -329,6 +347,7 @@ def bench_valle_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None
         for i in range(n_iters):
             _fence(run(keys))
         dt = (time.perf_counter() - t0) / n_iters
+        dt_by[b] = dt
         audio_s = b * new / 75.0  # random weights don't EOS — full budget
         results[b] = dt / audio_s
         print(f"# valle serving B={b}: {dt:.3f}s/batch, {audio_s:.1f}s audio,"
@@ -341,10 +360,15 @@ def bench_valle_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None
           0.1 / max(results[b_max], 1e-9),
           extra={"rtf_by_batch": {str(k): round(v, 5) for k, v in
                                   results.items()},
+                 "requests_per_s_by_batch": {
+                     str(k): round(k / max(dt_by[k], 1e-9), 2)
+                     for k in results},
+                 "batch_latency_s_by_batch": {
+                     str(k): round(dt_by[k], 3) for k in results},
                  "throughput_multiplier_vs_b1": round(mult, 2)})
 
 
-def bench_vevo_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None:
+def bench_vevo_serving(batch_sizes=None, compute_dtype="bfloat16") -> None:
     """Batched Vevo VC serving: B concurrent requests through ONE ragged
     AR prefill + 500-step decode scan, ONE ragged 32-step FM ODE, and one
     Vocos pass (`amphion_tpu/serving/VevoService` path). The 780M-class AR
@@ -383,7 +407,8 @@ def bench_vevo_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None:
     voc_fwd = jax.jit(
         lambda prm, m: voc.apply({"params": prm}, m.astype(jnp.bfloat16)))
 
-    results = {}
+    batch_sizes = batch_sizes or _serving_batches()
+    results, dt_by = {}, {}
     for b in batch_sizes:
         content = jnp.zeros((b, lc), jnp.int32)
         clen = jnp.asarray([lc - (i % 3) * 40 for i in range(b)], jnp.int32)
@@ -410,6 +435,7 @@ def bench_vevo_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None:
         for i in range(n_iters):
             _fence(run(keys))
         dt = (time.perf_counter() - t0) / n_iters
+        dt_by[b] = dt
         audio_s = float(jnp.sum(tlen)) / 93.75  # hop-256 @ 24 kHz
         results[b] = dt / audio_s
         print(f"# vevo serving B={b}: {dt:.3f}s/batch, {audio_s:.1f}s audio,"
@@ -422,6 +448,11 @@ def bench_vevo_serving(batch_sizes=(1, 4, 8), compute_dtype="bfloat16") -> None:
           0.1 / max(results[b_max], 1e-9),
           extra={"rtf_by_batch": {str(k): round(v, 5) for k, v in
                                   results.items()},
+                 "requests_per_s_by_batch": {
+                     str(k): round(k / max(dt_by[k], 1e-9), 2)
+                     for k in results},
+                 "batch_latency_s_by_batch": {
+                     str(k): round(dt_by[k], 3) for k in results},
                  "throughput_multiplier_vs_b1": round(mult, 2)})
 
 
@@ -431,6 +462,7 @@ def bench_valle_rtf(compute_dtype="bfloat16") -> None:
         VALLE, VALLEConfig, ar_generate,
     )
 
+    batch_sizes = batch_sizes or _serving_batches()
     model = VALLE(VALLEConfig(num_phones=256, audio_vocab=1024,
                               num_quantizers=8, hidden=1024, num_layers=12,
                               num_heads=16, max_position=4096))
