@@ -118,9 +118,10 @@ def sine_synth(prompt_audio, prompt_text, target_text, target_sec, rng_seed=0):
     return 0.3 * np.sin(2 * np.pi * 220.0 * t), sr
 
 
-def make_handler(synth_fn, backend_name: str):
+def make_handler(synth_fn, backend_name: str, input_sr: int = 24000):
     """``synth_fn(prompt_audio_f32, prompt_text, target_text, target_sec)
-    -> (wav_f32, sr)``; prompt audio arrives resampled to 24 kHz."""
+    -> (wav_f32, sr)``; prompt audio arrives resampled to ``input_sr``
+    (the pipeline's configured rate)."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -151,7 +152,7 @@ def make_handler(synth_fn, backend_name: str):
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n))
                 prompt = _decode_wav_bytes(
-                    base64.b64decode(req["prompt_wav"]), 24000)
+                    base64.b64decode(req["prompt_wav"]), input_sr)
                 wav, sr = synth_fn(
                     prompt,
                     req.get("prompt_text", ""),
@@ -166,8 +167,9 @@ def make_handler(synth_fn, backend_name: str):
 
 
 def serve(synth_fn, backend_name: str = "custom", port: int = 7860,
-          host: str = "127.0.0.1") -> HTTPServer:
-    httpd = HTTPServer((host, port), make_handler(synth_fn, backend_name))
+          host: str = "127.0.0.1", input_sr: int = 24000) -> HTTPServer:
+    httpd = HTTPServer((host, port),
+                       make_handler(synth_fn, backend_name, input_sr))
     return httpd
 
 
@@ -180,6 +182,7 @@ def _build_maskgct_synth(args):
 
     cfg = load_config(args.config)
     pipe = build_maskgct_pipeline(args, cfg, get_logger("demo"))
+    _build_maskgct_synth.sample_rate = pipe.sample_rate
     seed = [0]
 
     def synth(prompt_audio, prompt_text, target_text, target_sec):
@@ -205,9 +208,13 @@ def main():
     ap.add_argument("--codec_ckpt", default=None)
     args = ap.parse_args()
 
-    synth = (sine_synth if args.backend == "sine"
-             else _build_maskgct_synth(args))
-    httpd = serve(synth, args.backend, args.port, args.host)
+    if args.backend == "sine":
+        synth, input_sr = sine_synth, 24000
+    else:
+        synth = _build_maskgct_synth(args)
+        input_sr = _build_maskgct_synth.sample_rate
+    httpd = serve(synth, args.backend, args.port, args.host,
+                  input_sr=input_sr)
     print(f"demo server on http://{args.host}:{args.port} "
           f"(backend={args.backend})")
     httpd.serve_forever()
