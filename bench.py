@@ -547,6 +547,12 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
         lambda prm, m: voc.apply({"params": prm}, m.astype(jnp.bfloat16)))
     tokens_full = jnp.zeros((1, lp + lt), jnp.int32)
     prompt_mel = jnp.zeros((1, lp, 80))
+    # FM dtype is independent of the AR dtype: the 32-step CFG ODE is
+    # COMPUTE-bound at B=1 (~54 TFLOP over ~0.33 s ≈ 75%+ MFU), so
+    # quantizing it buys ~nothing — bf16 stays the recommended FM config
+    # while the weight-bound AR stage drops to int8/int4. Override with
+    # AMPHION_FM_DTYPE=int8|int4 to A/B that claim.
+    fm_dtype = os.environ.get("AMPHION_FM_DTYPE", "bfloat16")
 
     def run(rng):
         toks, _ = ar_transformer_generate(ar, ar_params, content, rng,
@@ -554,7 +560,8 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
                                           compute_dtype=compute_dtype)
         del toks  # frame-aligned tokens for FM are precomputed below
         mel = fmt_inference(fm, fm_params, tokens_full, prompt_mel, rng,
-                            num_steps=32, cfg_scale=1.0)
+                            num_steps=32, cfg_scale=1.0,
+                            compute_dtype=fm_dtype)
         return voc_fwd(voc_params, mel)
 
     _fence(run(jax.random.key(2)))
@@ -576,7 +583,7 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
             compute_dtype=compute_dtype)[0], jax.random.key(9))
         t_fm = _stage(lambda r: fmt_inference(
             fm, fm_params, tokens_full, prompt_mel, r, num_steps=32,
-            cfg_scale=1.0), jax.random.key(9))
+            cfg_scale=1.0, compute_dtype=fm_dtype), jax.random.key(9))
         t_voc = _stage(voc_fwd, voc_params, mel0)
         print(json.dumps({"vevo_stages_s": {
             "ar_500tok": round(t_ar, 4), "fm_32step_cfg": round(t_fm, 4),
