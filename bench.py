@@ -175,7 +175,6 @@ def bench_maskgct_rtf() -> None:
         MaskGCTS2A, MaskGCTT2S, S2AConfig, T2SConfig, s2a_sample, t2s_sample,
     )
 
-    batch_sizes = batch_sizes or _serving_batches()
     t2s = MaskGCTT2S(T2SConfig(hidden=1024, num_layers=16, num_heads=16,
                                codebook_size=8192, phone_vocab=256))
     s2a = MaskGCTS2A(S2AConfig(hidden=1024, num_layers=16, num_heads=16,
@@ -462,7 +461,6 @@ def bench_valle_rtf(compute_dtype="bfloat16") -> None:
         VALLE, VALLEConfig, ar_generate,
     )
 
-    batch_sizes = batch_sizes or _serving_batches()
     model = VALLE(VALLEConfig(num_phones=256, audio_vocab=1024,
                               num_quantizers=8, hidden=1024, num_layers=12,
                               num_heads=16, max_position=4096))
