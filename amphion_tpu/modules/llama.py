@@ -43,6 +43,14 @@ class LlamaConfig:
     # HBM-bound decode loop reads int8 bytes per step. Use
     # `quantize_llama_params` to transform a trained f32 tree.
     decode_quant: str = "none"
+    # fuse q/k/v into ONE quantized matmul and gate/up into another when
+    # decode_quant is active (4 Pallas dispatches per layer instead of 7):
+    # the decode scan runs ~140 tiny kernels per token otherwise, and the
+    # per-kernel pipeline setup is a real fraction of the weight-stream
+    # floor at B=1. quantize_llama_params(..., fuse=True) produces the
+    # matching fused param tree (concat along N — per-column scales make
+    # the fusion exact).
+    fused_quant_proj: bool = True
     dtype: str = "float32"
     remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
     # fused flash attention (ops/pallas_kernels.flash_attention_pallas) for
@@ -212,11 +220,17 @@ def _proj(cfg: LlamaConfig, features: int, name: str):
     return nn.Dense(features, use_bias=False, name=name)
 
 
-def quantize_llama_params(params, quant: str = "int8"):
+def quantize_llama_params(params, quant: str = "int8", fuse: bool = True):
     """f32 decoder param tree → quantized-decode tree: every projection
     kernel (q/k/v/o, gate/up/down) becomes {kernel_q, scale}; other leaves
     pass through. Pair with `LlamaConfig(decode_quant=quant)` —
-    ``"int8"`` (per-channel) or ``"int4"`` (group-wise sub-channel)."""
+    ``"int8"`` (per-channel) or ``"int4"`` (group-wise sub-channel).
+
+    ``fuse`` (default, matching `fused_quant_proj`): q/k/v concatenate
+    into one ``qkv_proj`` and gate/up into one ``gateup_proj`` along the
+    OUTPUT axis before quantization — exact (scales are per output
+    column / per column-group), and the decode scan runs 4 streaming
+    kernels per layer instead of 7."""
     from amphion_tpu.ops.pallas_kernels import (
         quantize_weight_int4,
         quantize_weight_int8,
@@ -230,13 +244,35 @@ def quantize_llama_params(params, quant: str = "int8"):
             return quantize_weight_int4(w, group=int4_group(w.shape[0]))
         return quantize_weight_int8(w)
 
+    def is_proj(v):
+        return (isinstance(v, dict) and "kernel" in v
+                and getattr(v["kernel"], "ndim", 0) == 2)
+
+    def qdict(w):
+        w_q, scale = quantize(jnp.asarray(w))
+        return {"kernel_q": w_q, "scale": scale}
+
     def walk(tree):
         out = {}
+        fused_away: set = set()
+        if fuse:
+            if all(n in tree and is_proj(tree[n])
+                   for n in ("q_proj", "k_proj", "v_proj")):
+                out["qkv_proj"] = qdict(jnp.concatenate(
+                    [jnp.asarray(tree[n]["kernel"])
+                     for n in ("q_proj", "k_proj", "v_proj")], axis=1))
+                fused_away |= {"q_proj", "k_proj", "v_proj"}
+            if all(n in tree and is_proj(tree[n])
+                   for n in ("gate_proj", "up_proj")):
+                out["gateup_proj"] = qdict(jnp.concatenate(
+                    [jnp.asarray(tree[n]["kernel"])
+                     for n in ("gate_proj", "up_proj")], axis=1))
+                fused_away |= {"gate_proj", "up_proj"}
         for k, v in tree.items():
-            if (k in proj_names and isinstance(v, dict)
-                    and "kernel" in v and getattr(v["kernel"], "ndim", 0) == 2):
-                w_q, scale = quantize(jnp.asarray(v["kernel"]))
-                out[k] = {"kernel_q": w_q, "scale": scale}
+            if k in fused_away:
+                continue
+            if k in proj_names and is_proj(v):
+                out[k] = qdict(v["kernel"])
             elif isinstance(v, dict):
                 out[k] = walk(v)
             else:
@@ -259,9 +295,15 @@ class LlamaAttention(nn.Module):
         of an additive bias."""
         c = self.cfg
         b, t, _ = x.shape
-        q = _proj(c, c.num_heads * c.head_dim, "q_proj")(x)
-        k = _proj(c, c.kv_heads * c.head_dim, "k_proj")(x)
-        v = _proj(c, c.kv_heads * c.head_dim, "v_proj")(x)
+        nq = c.num_heads * c.head_dim
+        nkv = c.kv_heads * c.head_dim
+        if c.decode_quant != "none" and c.fused_quant_proj:
+            qkv = _proj(c, nq + 2 * nkv, "qkv_proj")(x)
+            q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
+        else:
+            q = _proj(c, nq, "q_proj")(x)
+            k = _proj(c, nkv, "k_proj")(x)
+            v = _proj(c, nkv, "v_proj")(x)
         q = q.reshape(b, t, c.num_heads, c.head_dim)
         k = k.reshape(b, t, c.kv_heads, c.head_dim)
         v = v.reshape(b, t, c.kv_heads, c.head_dim)
@@ -328,8 +370,12 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = _proj(c, c.ffn_dim, "gate_proj")(x)
-        up = _proj(c, c.ffn_dim, "up_proj")(x)
+        if c.decode_quant != "none" and c.fused_quant_proj:
+            gu = _proj(c, 2 * c.ffn_dim, "gateup_proj")(x)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        else:
+            gate = _proj(c, c.ffn_dim, "gate_proj")(x)
+            up = _proj(c, c.ffn_dim, "up_proj")(x)
         return _proj(c, c.hidden_size, "down_proj")(nn.silu(gate) * up)
 
 
