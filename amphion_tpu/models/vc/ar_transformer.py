@@ -56,8 +56,12 @@ class ARTransformerConfig:
     timbre_heads: int = 4
     timbre_layers: int = 4
     # decode-time weight-only quantization ("none" | "int8") — see
-    # ar_transformer_generate(compute_dtype="int8")
+    # ar_transformer_generate(compute_dtype="int8"); kv_quant adds the
+    # int8 KV cache (enabled automatically by _quantize_for_decode: at
+    # L~1150 the per-token cache re-read rivals the quantized weight
+    # stream)
     decode_quant: str = "none"
+    kv_quant: bool = False
     remat: bool = False  # rematerialize decoder blocks (memory lever)
 
     # -- unified token space (ref vc ar_model.py:58-62; svc ar_model.py
@@ -104,7 +108,7 @@ class ARTransformerConfig:
             hidden_size=self.hidden, num_layers=self.num_layers,
             num_heads=self.num_heads, intermediate_size=self.intermediate,
             max_position=self.max_position, remat=self.remat,
-            decode_quant=self.decode_quant,
+            decode_quant=self.decode_quant, kv_quant=self.kv_quant,
         )
 
 
@@ -397,7 +401,8 @@ def _quantize_for_decode(model, params, compute_dtype):
 
         from amphion_tpu.modules.llama import quantize_llama_params
 
-        model = ARTransformer(dataclasses.replace(c, decode_quant=compute_dtype))
+        model = ARTransformer(dataclasses.replace(
+            c, decode_quant=compute_dtype, kv_quant=True))
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)

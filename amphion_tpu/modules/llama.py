@@ -51,6 +51,12 @@ class LlamaConfig:
     # matching fused param tree (concat along N — per-column scales make
     # the fusion exact).
     fused_quant_proj: bool = True
+    # int8 KV cache (per-position-per-head symmetric scales): at decode
+    # the cache re-read per token rivals the quantized weight stream
+    # (e.g. 0.28 GB/token bf16 vs 0.39 GB int4 weights on the Vevo AR at
+    # L~1150) — int8 halves it. Enabled by _quantize_for_decode alongside
+    # weight quantization; exact-shape opt-in (init_cache changes).
+    kv_quant: bool = False
     dtype: str = "float32"
     remat: bool = False  # rematerialize blocks (trade FLOPs for memory)
     # fused flash attention (ops/pallas_kernels.flash_attention_pallas) for
@@ -321,7 +327,32 @@ class LlamaAttention(nn.Module):
         k = apply_rotary(k, cos, sin)
 
         new_cache = None
-        if cache is not None:
+        if cache is not None and len(cache) == 4:
+            # int8 KV cache: quantize the incoming K/V per (pos, head)
+            # with a symmetric amax/127 scale, append, and dequantize the
+            # WHOLE cache on read (the read is the bandwidth hot path;
+            # dequant is elementwise VPU work on streamed data, the same
+            # trade the int8 weight matmul makes). Garbage beyond
+            # cache_index is masked out of the scores / zero-weighted.
+            ck, cv, ks, vs = cache
+            at = (0, cache_index, 0, 0)
+
+            def q8(x):  # (B, T, H, D) → int8, (B, T, H) scale
+                s = jnp.max(jnp.abs(x), axis=-1) / 127.0
+                s = jnp.maximum(s, 1e-8)
+                return (jnp.round(x / s[..., None]).astype(jnp.int8),
+                        s.astype(jnp.float32))
+
+            kq, ksc = q8(k.astype(jnp.float32))
+            vq, vsc = q8(v.astype(jnp.float32))
+            ck = jax.lax.dynamic_update_slice(ck, kq, at)
+            cv = jax.lax.dynamic_update_slice(cv, vq, at)
+            ks = jax.lax.dynamic_update_slice(ks, ksc, at[:3])
+            vs = jax.lax.dynamic_update_slice(vs, vsc, at[:3])
+            k = (ck.astype(x.dtype) * ks[..., None].astype(x.dtype))
+            v = (cv.astype(x.dtype) * vs[..., None].astype(x.dtype))
+            new_cache = (ck, cv, ks, vs)
+        elif cache is not None:
             ck, cv = cache  # (B, S, Hkv, D)
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
@@ -441,6 +472,22 @@ class LlamaDecoder(nn.Module):
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
         c = self.cfg
+        if c.kv_quant:
+            # int8 KV cache + per-(position, head) scales: the decode loop
+            # re-reads the whole cache every token, so cache bytes rival
+            # the (already-quantized) weight stream at long contexts —
+            # int8 halves that traffic (see LlamaAttention write/read).
+            return [
+                (
+                    jnp.zeros((batch, max_len, c.kv_heads, c.head_dim),
+                              jnp.int8),
+                    jnp.zeros((batch, max_len, c.kv_heads, c.head_dim),
+                              jnp.int8),
+                    jnp.zeros((batch, max_len, c.kv_heads), jnp.float32),
+                    jnp.zeros((batch, max_len, c.kv_heads), jnp.float32),
+                )
+                for _ in range(c.num_layers)
+            ]
         return [
             (
                 jnp.zeros((batch, max_len, c.kv_heads, c.head_dim), dtype),
