@@ -57,9 +57,9 @@ class ARTransformerConfig:
     timbre_layers: int = 4
     # decode-time weight-only quantization ("none" | "int8") — see
     # ar_transformer_generate(compute_dtype="int8"); kv_quant adds the
-    # int8 KV cache (enabled automatically by _quantize_for_decode: at
-    # L~1150 the per-token cache re-read rivals the quantized weight
-    # stream)
+    # int8 KV cache — OPT-IN and off by default: the cache re-read rivals
+    # the weight stream on paper, but measured on v5e the unfused dequant
+    # costs more than the byte saving (see _quantize_for_decode)
     decode_quant: str = "none"
     kv_quant: bool = False
     remat: bool = False  # rematerialize decoder blocks (memory lever)
@@ -401,8 +401,13 @@ def _quantize_for_decode(model, params, compute_dtype):
 
         from amphion_tpu.modules.llama import quantize_llama_params
 
+        # kv_quant stays OFF: measured on v5e (BENCHMARKS.md r3) the int8
+        # KV cache made int4 decode SLOWER (0.85 vs 0.78 s/500 tok) — XLA
+        # materializes the dequantized cache every step rather than fusing
+        # the dequant into the attention reads; a Pallas decode-attention
+        # kernel would be needed to cash the bandwidth win.
         model = ARTransformer(dataclasses.replace(
-            c, decode_quant=compute_dtype, kv_quant=True))
+            c, decode_quant=compute_dtype))
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
