@@ -349,9 +349,38 @@ class LlamaAttention(nn.Module):
             cv = jax.lax.dynamic_update_slice(cv, vq, at)
             ks = jax.lax.dynamic_update_slice(ks, ksc, at[:3])
             vs = jax.lax.dynamic_update_slice(vs, vsc, at[:3])
+            new_cache = (ck, cv, ks, vs)
+            if c.kv_heads == c.num_heads and bias is None:
+                # keep the cache int8 all the way to the dots: the
+                # per-(position, head) scales factor OUT of the head-dim
+                # contraction exactly, so apply them to the scores /
+                # probabilities instead of the cache — the int8→bf16
+                # convert then sits inside the einsum operand (fusable)
+                # rather than materializing a scaled dense copy per step.
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q,
+                                    ck.astype(x.dtype))
+                scores = scores * jnp.transpose(
+                    ks.astype(x.dtype), (0, 2, 1))[:, :, None, :]
+                scores = scores / np.sqrt(c.head_dim)
+                neg = jnp.finfo(scores.dtype).min
+                s_len = ck.shape[1]
+                pos_k = jnp.arange(s_len)[None, None, None, :]
+                scores = jnp.where(pos_k <= (cache_index + t - 1), scores,
+                                   neg)
+                if kv_mask is not None:
+                    scores = jnp.where(kv_mask[:, None, None, :] > 0,
+                                       scores, neg)
+                probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                       axis=-1).astype(x.dtype)
+                probs = probs * jnp.transpose(
+                    vs.astype(x.dtype), (0, 2, 1))[:, :, None, :]
+                out = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                                 cv.astype(x.dtype))
+                out = out.reshape(b, t, c.num_heads * c.head_dim)
+                out = _proj(c, c.hidden_size, "o_proj")(out)
+                return out, new_cache
             k = (ck.astype(x.dtype) * ks[..., None].astype(x.dtype))
             v = (cv.astype(x.dtype) * vs[..., None].astype(x.dtype))
-            new_cache = (ck, cv, ks, vs)
         elif cache is not None:
             ck, cv = cache  # (B, S, Hkv, D)
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
