@@ -401,13 +401,16 @@ def _quantize_for_decode(model, params, compute_dtype):
 
         from amphion_tpu.modules.llama import quantize_llama_params
 
-        # kv_quant stays OFF: measured on v5e (BENCHMARKS.md r3) the int8
-        # KV cache made int4 decode SLOWER (0.85 vs 0.78 s/500 tok) — XLA
-        # materializes the dequantized cache every step rather than fusing
-        # the dequant into the attention reads; a Pallas decode-attention
-        # kernel would be needed to cash the bandwidth win.
+        # kv_quant default OFF: the first formulation measured SLOWER on
+        # v5e (0.85 vs 0.78 s/500 tok — XLA materialized a dequantized
+        # cache copy per step). The scale-after-dot formulation keeps the
+        # cache int8 through the einsums; enable with AMPHION_KV_QUANT=1
+        # (A/B knob; flipped to default if re-measurement wins).
+        import os as _os
+
         model = ARTransformer(dataclasses.replace(
-            c, decode_quant=compute_dtype))
+            c, decode_quant=compute_dtype,
+            kv_quant=bool(_os.environ.get("AMPHION_KV_QUANT"))))
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
