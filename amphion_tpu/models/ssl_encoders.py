@@ -389,3 +389,49 @@ class WhisperEncoder(nn.Module):
             f = _gelu(f)
             h = res + nn.Dense(c.hidden, name=f"layers_{i}_fc2")(f)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(h)
+
+
+def w2vbert_apply_scanned(model: "W2VBertEncoder", params, feats, mask=None,
+                          tap: int = 17):
+    """`W2VBertEncoder` forward with `lax.scan` over the layer stack.
+
+    Identical math and the SAME (HF-layout, `layers_{i}`) param tree as
+    the unrolled `model.apply` — but the compiled program contains ONE
+    layer body instead of `num_layers` inlined copies (~24× smaller HLO).
+    The 600M-class 24-layer program is otherwise large enough to kill
+    slow remote-compile transports (the axon tunnel drops the connection
+    after ~30 min — bench_ssl_extract's original failure mode), and
+    scan-over-layers is the TPU-idiomatic shape for deep uniform stacks
+    anyway. Returns hidden state ``tap`` (HF indexing: 0 = embedding
+    output, i = output of layer i), or the last hidden if ``tap`` is
+    None/num_layers.
+    """
+    import jax
+
+    c = model.cfg
+    h = nn.LayerNorm(epsilon=c.layer_norm_eps).apply(
+        {"params": params["fp_layer_norm"]}, feats)
+    h = nn.Dense(c.hidden).apply({"params": params["fp_projection"]}, h)
+    if mask is not None:
+        h = h * mask[..., None]
+    layer = _W2VBertLayer(c)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[params[f"layers_{i}"] for i in range(c.num_layers)])
+
+    tap_i = c.num_layers if tap is None else int(tap)
+    if tap_i == 0:
+        return h
+
+    def body(carry, lp):
+        out = layer.apply({"params": lp}, carry, mask)
+        return out, None
+
+    if tap_i == c.num_layers:
+        out, _ = jax.lax.scan(body, h, stacked)
+        return out
+    # run `tap_i` layers scanned, discard the rest (they don't affect the
+    # tapped state)
+    first = jax.tree_util.tree_map(lambda p: p[:tap_i], stacked)
+    out, _ = jax.lax.scan(body, h, first)
+    return out

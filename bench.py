@@ -657,7 +657,9 @@ def bench_flash_attention() -> None:
 def bench_ssl_extract() -> None:
     """w2v-bert-2.0-class (1024/24 conformer) fused front-end + encoder
     extraction throughput (x realtime, 16 kHz input)."""
-    from amphion_tpu.models.ssl_encoders import W2VBertConfig, W2VBertEncoder
+    from amphion_tpu.models.ssl_encoders import (
+        W2VBertConfig, W2VBertEncoder, w2vbert_apply_scanned,
+    )
     from amphion_tpu.ops.ssl_frontend import num_fbank_frames, seamless_fbank
 
     cfg = W2VBertConfig()
@@ -675,8 +677,11 @@ def bench_ssl_extract() -> None:
             nf = (num_fbank_frames(n) + 1) // 2
             mask = (jnp.arange(feats.shape[1])[None, :]
                     < nf[:, None]).astype(feats.dtype)
-            _, hidden = model.apply({"params": params}, feats, mask)
-        return hidden[17]
+            # scan-over-layers: ONE compiled layer body — the unrolled
+            # 24-layer HLO was big enough that the tunnel's remote
+            # compile dropped the connection (3 attempts across rounds)
+            return w2vbert_apply_scanned(model, params, feats, mask,
+                                         tap=17)
 
     _fence(fwd(wav, nv))
     n_iters = 5

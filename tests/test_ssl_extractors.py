@@ -255,3 +255,33 @@ class TestFairseqContentVec:
         ours = extract(wav, 16000)
         assert ours.shape == tuple(ref.shape)
         np.testing.assert_allclose(ours, ref.numpy(), atol=5e-4)
+
+
+def test_w2vbert_scanned_apply_matches_unrolled():
+    """scan-over-layers forward == the unrolled stack (same HF-layout
+    params), at every tap — the compile-size lever for the 24-layer
+    extraction program (bench.py ssl)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amphion_tpu.models.ssl_encoders import (
+        W2VBertConfig,
+        W2VBertEncoder,
+        w2vbert_apply_scanned,
+    )
+
+    cfg = W2VBertConfig(hidden=32, num_layers=4, num_heads=2,
+                        ffn_hidden=64, conv_kernel=5)
+    m = W2VBertEncoder(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((2, 12, cfg.input_dim)).astype(np.float32))
+    mask = jnp.concatenate([jnp.ones((2, 9)), jnp.zeros((2, 3))], axis=1)
+    params = m.init(jax.random.key(0), feats, mask)["params"]
+    _, hidden = m.apply({"params": params}, feats, mask)
+    for tap in (0, 1, 3, 4, None):
+        got = w2vbert_apply_scanned(m, params, feats, mask, tap=tap)
+        want = hidden[cfg.num_layers if tap is None else tap]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, err_msg=str(tap))
