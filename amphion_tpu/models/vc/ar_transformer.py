@@ -401,16 +401,17 @@ def _quantize_for_decode(model, params, compute_dtype):
 
         from amphion_tpu.modules.llama import quantize_llama_params
 
-        # kv_quant default OFF: the first formulation measured SLOWER on
-        # v5e (0.85 vs 0.78 s/500 tok — XLA materialized a dequantized
-        # cache copy per step). The scale-after-dot formulation keeps the
-        # cache int8 through the einsums; enable with AMPHION_KV_QUANT=1
-        # (A/B knob; flipped to default if re-measurement wins).
+        # int8 KV cache ON by default for quantized decode: the
+        # scale-after-dot formulation (scales applied to scores/probs,
+        # int8→bf16 convert fused inside the einsum operands) measured
+        # 0.733 vs 0.746 s/500 tok on the Vevo AR. The first, dequantize-
+        # the-cache formulation measured SLOWER (0.85 s) — see
+        # BENCHMARKS.md. AMPHION_KV_QUANT=0 disables for A/B.
         import os as _os
 
         model = ARTransformer(dataclasses.replace(
             c, decode_quant=compute_dtype,
-            kv_quant=bool(_os.environ.get("AMPHION_KV_QUANT"))))
+            kv_quant=_os.environ.get("AMPHION_KV_QUANT", "1") != "0"))
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
