@@ -350,6 +350,24 @@ class LlamaAttention(nn.Module):
             ks = jax.lax.dynamic_update_slice(ks, ksc, at[:3])
             vs = jax.lax.dynamic_update_slice(vs, vsc, at[:3])
             new_cache = (ck, cv, ks, vs)
+            if (c.kv_heads == c.num_heads and bias is None and t == 1
+                    and kv_mask is None):
+                # fully-fused single-step decode attention: scores,
+                # masked softmax and the weighted V-sum in ONE Pallas
+                # program per (batch, head), cache stays int8 into VMEM
+                # (ops/pallas_kernels.decode_attention_int8)
+                from amphion_tpu.ops.pallas_kernels import (
+                    decode_attention_int8,
+                )
+
+                o = decode_attention_int8(
+                    q[:, 0].astype(jnp.float32), ck, cv, ks, vs,
+                    valid_len=(cache_index + 1)
+                    * jnp.ones((b,), jnp.int32))
+                out = o.astype(x.dtype).reshape(b, 1,
+                                                c.num_heads * c.head_dim)
+                out = _proj(c, c.hidden_size, "o_proj")(out)
+                return out, new_cache
             if c.kv_heads == c.num_heads and bias is None:
                 # keep the cache int8 all the way to the dots: the
                 # per-(position, head) scales factor OUT of the head-dim
