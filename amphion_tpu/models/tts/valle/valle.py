@@ -38,8 +38,11 @@ class VALLEConfig:
     max_position: int = 4096
     remat: bool = False  # rematerialize decoder blocks (memory lever)
     # decode-time weight-only quantization of the AR decoder projections
-    # ("none" | "int8"); use ar_generate(compute_dtype="int8")
+    # ("none" | "int8"); use ar_generate(compute_dtype="int8").
+    # kv_quant: int8 KV cache + fused Pallas decode attention (see
+    # modules/llama.py) — enabled with quantized decode.
     decode_quant: str = "none"
+    kv_quant: bool = False
     # NAR acoustic-prompt prefix mode (ref `valle.py:121`,
     # `utils/prompt_preparer.py`): 0 = no prefix; 1 = a random prefix of the
     # utterance conditions the NAR pass with ALL codebook embeddings and is
@@ -62,6 +65,7 @@ class VALLEConfig:
             adaptive=adaptive,
             remat=self.remat,
             decode_quant="none" if adaptive else self.decode_quant,
+            kv_quant=False if adaptive else self.kv_quant,
         )
 
 
@@ -289,7 +293,11 @@ def _prep_decode(model, params, compute_dtype):
 
         from amphion_tpu.modules.llama import quantize_llama_params
 
-        model = VALLE(dataclasses.replace(c, decode_quant=compute_dtype))
+        import os as _os
+
+        model = VALLE(dataclasses.replace(
+            c, decode_quant=compute_dtype,
+            kv_quant=_os.environ.get("AMPHION_KV_QUANT", "1") != "0"))
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
