@@ -334,10 +334,11 @@ class LlamaAttention(nn.Module):
             # dequant is elementwise VPU work on streamed data, the same
             # trade the int8 weight matmul makes). Garbage beyond
             # cache_index is masked out of the scores / zero-weighted.
-            ck, cv, ks, vs = cache
-            at = (0, cache_index, 0, 0)
+            ck, cv, ks, vs = cache  # head-major: (B, H, S, D) / (B, H, S)
+            at = (0, 0, cache_index, 0)
 
-            def q8(x):  # (B, T, H, D) → int8, (B, T, H) scale
+            def q8(x):  # (B, T, H, D) → (B, H, T, D) int8, (B, H, T) scale
+                x = jnp.swapaxes(x, 1, 2)
                 s = jnp.max(jnp.abs(x), axis=-1) / 127.0
                 s = jnp.maximum(s, 1e-8)
                 return (jnp.round(x / s[..., None]).astype(jnp.int8),
@@ -375,13 +376,12 @@ class LlamaAttention(nn.Module):
                 # probabilities instead of the cache — the int8→bf16
                 # convert then sits inside the einsum operand (fusable)
                 # rather than materializing a scaled dense copy per step.
-                scores = jnp.einsum("bqhd,bkhd->bhqk", q,
+                scores = jnp.einsum("bqhd,bhkd->bhqk", q,
                                     ck.astype(x.dtype))
-                scores = scores * jnp.transpose(
-                    ks.astype(x.dtype), (0, 2, 1))[:, :, None, :]
+                scores = scores * ks.astype(x.dtype)[:, :, None, :]
                 scores = scores / np.sqrt(c.head_dim)
                 neg = jnp.finfo(scores.dtype).min
-                s_len = ck.shape[1]
+                s_len = ck.shape[2]
                 pos_k = jnp.arange(s_len)[None, None, None, :]
                 scores = jnp.where(pos_k <= (cache_index + t - 1), scores,
                                    neg)
@@ -390,15 +390,16 @@ class LlamaAttention(nn.Module):
                                        scores, neg)
                 probs = jax.nn.softmax(scores.astype(jnp.float32),
                                        axis=-1).astype(x.dtype)
-                probs = probs * jnp.transpose(
-                    vs.astype(x.dtype), (0, 2, 1))[:, :, None, :]
-                out = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                probs = probs * vs.astype(x.dtype)[:, :, None, :]
+                out = jnp.einsum("bhqk,bhkd->bqhd", probs,
                                  cv.astype(x.dtype))
                 out = out.reshape(b, t, c.num_heads * c.head_dim)
                 out = _proj(c, c.hidden_size, "o_proj")(out)
                 return out, new_cache
-            k = (ck.astype(x.dtype) * ks[..., None].astype(x.dtype))
-            v = (cv.astype(x.dtype) * vs[..., None].astype(x.dtype))
+            k = jnp.swapaxes(
+                ck.astype(x.dtype) * ks[..., None].astype(x.dtype), 1, 2)
+            v = jnp.swapaxes(
+                cv.astype(x.dtype) * vs[..., None].astype(x.dtype), 1, 2)
         elif cache is not None:
             ck, cv = cache  # (B, S, Hkv, D)
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
@@ -524,14 +525,16 @@ class LlamaDecoder(nn.Module):
             # re-reads the whole cache every token, so cache bytes rival
             # the (already-quantized) weight stream at long contexts —
             # int8 halves that traffic (see LlamaAttention write/read).
+            # HEAD-MAJOR layout (B, H, S, D): the fused decode-attention
+            # kernel grids over (B·H) rows without a transposed copy.
             return [
                 (
-                    jnp.zeros((batch, max_len, c.kv_heads, c.head_dim),
+                    jnp.zeros((batch, c.kv_heads, max_len, c.head_dim),
                               jnp.int8),
-                    jnp.zeros((batch, max_len, c.kv_heads, c.head_dim),
+                    jnp.zeros((batch, c.kv_heads, max_len, c.head_dim),
                               jnp.int8),
-                    jnp.zeros((batch, max_len, c.kv_heads), jnp.float32),
-                    jnp.zeros((batch, max_len, c.kv_heads), jnp.float32),
+                    jnp.zeros((batch, c.kv_heads, max_len), jnp.float32),
+                    jnp.zeros((batch, c.kv_heads, max_len), jnp.float32),
                 )
                 for _ in range(c.num_layers)
             ]
@@ -580,21 +583,28 @@ class LlamaDecoder(nn.Module):
         new_caches = []
         neg = jnp.finfo(jnp.float32).min
         if t > 1:
-            # prefill: causal within the new chunk
+            # prefill: causal within the new chunk (quantized caches are
+            # head-major (B, H, S, D); dense are (B, S, H, D))
+            s_len = caches[0][0].shape[2 if len(caches[0]) == 4 else 1]
             q_pos = cache_index + jnp.arange(t)[:, None]
-            k_pos = jnp.arange(caches[0][0].shape[1])[None, :]
+            k_pos = jnp.arange(s_len)[None, :]
             keep = (k_pos <= q_pos)[None, None]
             if kv_valid is not None:
                 self_slot = (k_pos == q_pos)[None, None]
                 keep = keep & (kv_valid[:, None, None, :] | self_slot)
             bias = jnp.where(keep, 0.0, neg)
         elif kv_valid is not None:
-            bias = jnp.where(kv_valid[:, None, None, :], 0.0, neg)
+            # single-token step: pass the validity as a MASK, not a bias —
+            # equivalent math, and it keeps the quantized-cache fast paths
+            # (bias forces the dense dequantizing tail)
+            bias = None
         else:
             bias = None
+        step_mask = kv_valid if (t == 1 and kv_valid is not None) else None
         for i in range(self.cfg.num_layers):
             x, cch = LlamaBlock(self.cfg, name=f"layer_{i}")(
-                x, bias=bias, cache=caches[i], cache_index=cache_index
+                x, bias=bias, cache=caches[i], cache_index=cache_index,
+                kv_mask=step_mask,
             )
             new_caches.append(cch)
         return RMSNorm(name="final_norm")(x), new_caches

@@ -1065,21 +1065,21 @@ flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 def _decode_attn_int8_kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                              o_ref, *, scale):
-    # per program (one (b, h)): q_ref (1,1,D); k/v_ref (1,S,1,D) int8;
-    # ks/vs_ref (1,S,1) f32; len_ref (1,1) SMEM
+    # per program (one flattened (b, h)): q_ref (1,1,D); k/v_ref (1,S,D)
+    # int8; ks/vs_ref (1,S,1) f32; len_ref (BH,1) SMEM (full array)
     q = q_ref[0].astype(jnp.float32)                       # (1, D)
-    k = k_ref[0, :, 0, :].astype(jnp.float32)              # (S, D)
+    k = k_ref[0].astype(jnp.float32)                       # (S, D)
     s = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # (S, 1)
-    s = s * ks_ref[0][:, :1] * scale                       # ks (S, 1)
+    s = s * ks_ref[0] * scale                              # ks (S, 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    s = jnp.where(pos < len_ref[0, 0], s, -jnp.inf)
+    s = jnp.where(pos < len_ref[pl.program_id(0), 0], s, -jnp.inf)
     m = jnp.max(s, axis=0, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=0, keepdims=True)              # (S, 1)
-    pv = p * vs_ref[0][:, :1]                              # (S, 1)
-    v = v_ref[0, :, 0, :].astype(jnp.float32)              # (S, D)
+    pv = p * vs_ref[0]                                     # (S, 1)
+    v = v_ref[0].astype(jnp.float32)                       # (S, D)
     o = jax.lax.dot_general(
         pv, v, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # (1, D)
@@ -1090,43 +1090,50 @@ def decode_attention_int8(q, ck, cv, ks, vs, valid_len,
                           interpret: bool | None = None):
     """Single-step decode attention over an int8 KV cache, fully fused.
 
-    One Pallas program per (batch, head): the whole cache row streams
-    through VMEM once (S x D int8 ~ 150 KB at S=1200/D=128); scores,
-    masked softmax and the weighted V-sum never touch HBM — the XLA
-    path runs several separate small ops per layer per step, whose
-    fixed costs dominate the B=1 decode loop.
+    One Pallas program per (batch, head): the cache row streams through
+    VMEM once (S x D int8 ~ 150 KB at S=1200/D=128); scores, masked
+    softmax and the weighted V-sum never touch HBM — the XLA path runs
+    several separate small ops per layer per step, whose fixed costs
+    dominate the B=1 decode loop.
 
-    q (B, H, D) [rotary applied, unscaled]; ck/cv (B, S, H, D) int8;
-    ks/vs (B, S, H) f32 per-(position, head) scales;
-    valid_len (B,) int32 — attend to cache positions < valid_len.
-    Returns (B, H, D) f32. D should be lane-friendly (128-multiple) for
-    layout efficiency; any D compiles.
+    Layout is HEAD-MAJOR (the kv_quant cache layout, so no transposed
+    copy is materialized per step): q (B, H, D) [rotary applied,
+    unscaled]; ck/cv (B, H, S, D) int8; ks/vs (B, H, S) f32
+    per-(position, head) scales; valid_len (B,) int32 — attend to cache
+    positions < valid_len. Returns (B, H, D) f32.
     """
     interpret = _resolve_interpret(interpret)
     b, h, d = q.shape
-    s_len = ck.shape[1]
+    s_len = ck.shape[2]
     scale = 1.0 / float(np.sqrt(d))
-    lens = jnp.broadcast_to(valid_len.astype(jnp.int32)[:, None], (b, h))
+    bh = b * h
+    qf = q.reshape(bh, 1, d)
+    ckf = ck.reshape(bh, s_len, d)
+    cvf = cv.reshape(bh, s_len, d)
+    ksf = ks.reshape(bh, s_len, 1)
+    vsf = vs.reshape(bh, s_len, 1)
+    lens = jnp.broadcast_to(valid_len.astype(jnp.int32)[:, None],
+                            (b, h)).reshape(bh, 1)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_decode_attn_int8_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
-        grid=(b, h),
+        out_shape=jax.ShapeDtypeStruct((bh, 1, d), jnp.float32),
+        grid=(bh,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lens, whole array
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_len, 1, d), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, s_len, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_len, 1, d), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, s_len, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_len, 1), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, s_len, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_len, 1), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, s_len, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lens, q, ck, cv, ks, vs)
+    )(lens, qf, ckf, cvf, ksf, vsf)
+    return out.reshape(b, h, d)

@@ -514,13 +514,14 @@ def test_ar_kv_quant_generate_runs(rng):
 
 def test_decode_attention_int8_kernel(rng):
     """Fused single-step decode attention == dense reference over an
-    int8 cache with per-(position, head) scales + length masking."""
+    int8 cache (head-major layout) with per-(position, head) scales +
+    length masking."""
     from amphion_tpu.ops.pallas_kernels import decode_attention_int8
 
     B, S, H, D = 2, 24, 3, 16
     q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float32))
-    kf = rng.standard_normal((B, S, H, D)).astype(np.float32)
-    vf = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    kf = rng.standard_normal((B, H, S, D)).astype(np.float32)
+    vf = rng.standard_normal((B, H, S, D)).astype(np.float32)
     ks = (np.abs(kf).max(-1) / 127.0 + 1e-8).astype(np.float32)
     vs = (np.abs(vf).max(-1) / 127.0 + 1e-8).astype(np.float32)
     ck = np.round(kf / ks[..., None]).astype(np.int8)
@@ -533,9 +534,9 @@ def test_decode_attention_int8_kernel(rng):
     vd = cv.astype(np.float32) * vs[..., None]
     for b in range(B):
         for h in range(H):
-            s = kd[b, :, h] @ np.asarray(q)[b, h] / np.sqrt(D)
+            s = kd[b, h] @ np.asarray(q)[b, h] / np.sqrt(D)
             s[np.arange(S) >= int(valid[b])] = -np.inf
             p = np.exp(s - s.max())
             p /= p.sum()
-            np.testing.assert_allclose(out[b, h], p @ vd[b, :, h],
+            np.testing.assert_allclose(out[b, h], p @ vd[b, h],
                                        atol=2e-5)
