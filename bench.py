@@ -670,27 +670,28 @@ def bench_ssl_extract() -> None:
     feats0 = seamless_fbank(wav[:1], num_valid_samples=nv[:1])
     params = model.init(jax.random.key(0), feats0)["params"]
 
+    # params MUST be an argument, not a closure: closed-over params bake
+    # 2.3 GB of constants into the HLO, and uploading that through the
+    # tunnel's remote compile broke the transport after ~30 min — the
+    # real reason this bench failed 4 times across rounds.
     @jax.jit
-    def fwd(w, n):
+    def fwd(p, w, n):
         with jax.default_matmul_precision("float32"):
             feats = seamless_fbank(w, num_valid_samples=n)
             nf = (num_fbank_frames(n) + 1) // 2
             mask = (jnp.arange(feats.shape[1])[None, :]
                     < nf[:, None]).astype(feats.dtype)
-            # scan-over-layers: ONE compiled layer body — the unrolled
-            # 24-layer HLO was big enough that the tunnel's remote
-            # compile dropped the connection (3 attempts across rounds)
-            return w2vbert_apply_scanned(model, params, feats, mask,
-                                         tap=17)
+            # scan-over-layers: ONE compiled layer body (~24x smaller HLO)
+            return w2vbert_apply_scanned(model, p, feats, mask, tap=17)
 
-    _fence(fwd(wav, nv))
+    _fence(fwd(params, wav, nv))
     n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        _fence(fwd(wav, nv))
+        _fence(fwd(params, wav, nv))
     dt = (time.perf_counter() - t0) / n_iters
     xrt = b * secs / dt
-    fl, by = _cost_analysis(fwd, wav, nv)
+    fl, by = _cost_analysis(fwd, params, wav, nv)
     _emit("ssl_extract_xrt", xrt, "x realtime (w2v-bert-2.0-class)",
           xrt / 1.0, extra=_roofline(fl, by, dt))
 
