@@ -351,12 +351,19 @@ class LlamaAttention(nn.Module):
             ks = jax.lax.dynamic_update_slice(ks, ksc, at[:3])
             vs = jax.lax.dynamic_update_slice(vs, vsc, at[:3])
             new_cache = (ck, cv, ks, vs)
+            import os as _os
+
             if (c.kv_heads == c.num_heads and bias is None and t == 1
-                    and kv_mask is None):
+                    and kv_mask is None
+                    and _os.environ.get("AMPHION_FUSED_DECODE_ATTN")):
                 # fully-fused single-step decode attention: scores,
                 # masked softmax and the weighted V-sum in ONE Pallas
                 # program per (batch, head), cache stays int8 into VMEM
-                # (ops/pallas_kernels.decode_attention_int8)
+                # (ops/pallas_kernels.decode_attention_int8).
+                # OFF by default: measured SLOWER than the scale-after-dot
+                # einsum path on v5e (0.849 vs 0.733 s/500 tok on the Vevo
+                # AR — at B=1/H=16 the 16-program grid under-fills the
+                # chip and per-program fixed costs beat XLA's fusion).
                 from amphion_tpu.ops.pallas_kernels import (
                     decode_attention_int8,
                 )
