@@ -442,7 +442,8 @@ def bench_vevo_serving(batch_sizes=None, compute_dtype="bfloat16") -> None:
 
     b_max = max(batch_sizes)
     mult = results[min(batch_sizes)] / max(results[b_max], 1e-9)
-    _emit("vevo_serving_rtf_b%d" % b_max, results[b_max],
+    sfx = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
+    _emit("vevo_serving_rtf%s_b%d" % (sfx, b_max), results[b_max],
           "per-request RTF at batch %d (lower better)" % b_max,
           0.1 / max(results[b_max], 1e-9),
           extra={"rtf_by_batch": {str(k): round(v, 5) for k, v in
@@ -860,6 +861,7 @@ _SUITE = {
     "serving": bench_maskgct_serving,
     "serving_valle": bench_valle_serving,
     "serving_vevo": bench_vevo_serving,
+    "serving_vevo_int4": lambda: bench_vevo_serving(compute_dtype="int4"),
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
     "valle_int4": lambda: bench_valle_rtf("int4"),
