@@ -457,7 +457,7 @@ def quantize_weight_int8(w: jax.Array):
 
 
 def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, k_tiles):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
@@ -491,21 +491,27 @@ def int8_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     assert k2 == k_dim and scale.shape == (n,)
     block_n = min(block_n, n)
     block_k = min(block_k, k_dim)
-    grid = (pl.cdiv(n, block_n), pl.cdiv(k_dim, block_k))
-    kern = functools.partial(_int8_matmul_kernel, k_tiles=grid[1])
+    # tile the row dim too: decode calls have B≈1, but batched ragged
+    # PREFILL routes (B·T, K) through the same kernel — an untiled row
+    # dim put a (5224, 4608) f32 output block on the VMEM stack (41 MB
+    # > the 16 MB limit; measured OOM on v5e at serving batch 8)
+    block_b = min(512, b)
+    grid = (pl.cdiv(b, block_b), pl.cdiv(n, block_n),
+            pl.cdiv(k_dim, block_k))
+    kern = functools.partial(_int8_matmul_kernel, k_tiles=grid[2])
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, block_k), lambda i, j: (0, j),
+            pl.BlockSpec((block_b, block_k), lambda r, i, j: (r, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i),
+            pl.BlockSpec((block_k, block_n), lambda r, i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, i),
+            pl.BlockSpec((1, block_n), lambda r, i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((block_b, block_n), lambda r, i, j: (r, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, w_q, scale[None, :])
@@ -543,7 +549,7 @@ def quantize_weight_int4(w: jax.Array, group: int = 128):
 
 
 def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group, sub):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
@@ -590,21 +596,22 @@ def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     while k_dim % block_k:
         block_k -= group
     sub = block_k // group
-    grid = (pl.cdiv(n, block_n), k_dim // block_k)
+    block_b = min(512, b)  # see int8 kernel: batched prefill VMEM OOM
+    grid = (pl.cdiv(b, block_b), pl.cdiv(n, block_n), k_dim // block_k)
     kern = functools.partial(_int4_matmul_kernel, group=group, sub=sub)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, block_k), lambda i, j: (0, j),
+            pl.BlockSpec((block_b, block_k), lambda r, i, j: (r, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i),
+            pl.BlockSpec((block_k, block_n), lambda r, i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_dim // group, block_n), lambda i, j: (0, i),
+            pl.BlockSpec((k_dim // group, block_n), lambda r, i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((block_b, block_n), lambda r, i, j: (r, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, w_q, scale)
