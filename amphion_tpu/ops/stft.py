@@ -182,10 +182,11 @@ def istft(
         # Scatter-free overlap-add (every vocoder geometry here divides):
         # each frame splits into K = n_fft/hop chunks of hop samples; chunk
         # k of frame i lands at output chunk i+k, so the OLA is K shifted
-        # DENSE adds over (B, N, hop) slabs. Static slicing instead of a
-        # duplicate-index scatter — faster on TPU, and the scatter form
-        # produced a 0.66-abs istft roundtrip error through the axon
-        # backend (duplicate-index scatter-add suspected; CPU was exact).
+        # DENSE adds over (B, N, hop) slabs — static slicing instead of a
+        # duplicate-index scatter, which TPUs execute far less efficiently.
+        # (Both forms are numerically verified on-chip; an earlier suspicion
+        # that axon miscomputed the scatter traced to a test-script
+        # center-pairing bug, not the backend.)
         k_chunks = n_fft // hop_size
         ch = frames.reshape(b, n_frames, k_chunks, hop_size)
         sig = jnp.zeros((b, n_frames + k_chunks - 1, hop_size), frames.dtype)
