@@ -166,7 +166,10 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 class QDense(nn.Module):
-    """Weight-only-int8 Dense (no bias): params kernel_q (K, N) int8 +
+    """Weight-only-int8 Dense (no bias) — single-device decode paths only
+    (pallas_call has no GSPMD partitioning rule; multi-device TP decode
+    stays on the bf16 dense path, as in __graft_entry__). Params:
+    kernel_q (K, N) int8 +
     scale (N,) f32, applied via the Pallas streaming matmul."""
 
     features: int
