@@ -105,6 +105,14 @@ class FlowMatchingTransformer(nn.Module):
         self.diff_estimator = DiffLlamaMel(c.llama(), c.n_mel)
 
     def _cond(self, tokens):
+        if self.cfg.use_cond_code:
+            # defensive clip: the AR stage samples the reference's FULL
+            # unified vocab (protocol parity — ar_model.py generate), so
+            # an untrained/misbehaving model can emit ids outside the
+            # style codebook; flax Embed out-of-range lookups FILL NaN
+            # under jit, which poisons the whole ODE. Clipping is a no-op
+            # for legal inputs.
+            tokens = jnp.clip(tokens, 0, self.cfg.token_vocab - 1)
         cond = self.cond_emb(tokens)
         if self.cfg.cond_scale_factor != 1:
             cond = jnp.repeat(cond, self.cfg.cond_scale_factor, axis=1)

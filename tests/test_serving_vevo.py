@@ -125,3 +125,23 @@ def test_vevo_service_batch_invariance(service, mode):
 def test_vevo_service_stats(service):
     snap = service.stats()
     assert snap["completed"] >= 2
+
+
+def test_vevo_service_int8_config(service):
+    """The production quantized config (compute_dtype="int8" → int8
+    weight streaming + int8 KV cache on the AR, bf16 FM) serves
+    end-to-end through the same pipeline/batcher plumbing."""
+    from amphion_tpu.serving.service import VevoService
+
+    svc = VevoService(service.pipe, max_batch=2, max_wait_ms=20.0,
+                      len_step=32, max_content_len=256, max_prompt_len=128,
+                      max_new=32, flow_matching_steps=2, cfg_scale=1.0,
+                      compute_dtype="int8")
+    try:
+        for mode in ("timbre", "voice"):
+            wav = svc.synthesize(_audio(21), _audio(22, 2400), mode=mode,
+                                 seed=5)
+            assert wav.ndim == 1 and len(wav) > 0
+            assert np.isfinite(wav).all()
+    finally:
+        svc.batcher.shutdown()
