@@ -156,7 +156,7 @@ def _build_valle_service(args):
         model, params, tok, g2p, symbols, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, len_step=args.len_step,
         max_phone_len=args.max_phone_len, max_prompt_len=args.max_prompt_len,
-        max_new=args.max_new,
+        max_new=args.max_new, compute_dtype=args.compute_dtype,
     )
 
     def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
@@ -201,6 +201,7 @@ def _build_vevo_service(args):
         pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         len_step=args.len_step, max_prompt_len=args.max_prompt_len,
         max_new=args.max_new, flow_matching_steps=args.fm_steps,
+        compute_dtype=args.compute_dtype,
     )
 
     def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
@@ -299,6 +300,13 @@ def main():
                          "README.md:16-21): timbre = FM re-render, "
                          "voice = AR style rewrite + FM")
     ap.add_argument("--fm_steps", type=int, default=32)
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "int8", "int4"],
+                    help="AR-decode dtype (valle/vevo backends). Measured "
+                         "guidance (BENCHMARKS.md): int4/int8 win "
+                         "single-stream latency; bf16 wins batched "
+                         "serving (the weight stream amortizes and "
+                         "dequant work scales with batch)")
     ap.add_argument("--ar_exp", default="", help="vevo AR trainer exp_name")
     ap.add_argument("--fm_exp", default="", help="vevo FM trainer exp_name")
     ap.add_argument("--content_ckpt", default="")
