@@ -44,7 +44,8 @@ METRIC_REGISTRY = {
     "energy_pc": energy_pearson_coefficients,
     "mcd": mel_cepstral_distortion,
     "mstft": multi_resolution_stft_distance,
-    "pesq": pesq_p862,
+    "pesq": pesq_p862,       # native P.862; one-time calibration warning
+    "pesq_native": pesq_p862,  # explicit alias: native recalibrated impl
     "pesq_proxy": pesq_proxy,
     "si_sdr": si_sdr,
     "si_snr": si_snr,

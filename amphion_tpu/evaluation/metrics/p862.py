@@ -364,6 +364,8 @@ def _perceptual_mos(ref: np.ndarray, deg: np.ndarray, fs: int,
 # Public entry
 # ---------------------------------------------------------------------------
 
+_WARNED = False
+
 
 def pesq_p862(ref, gen, sample_rate: int = 24000, mode: str = "wb") -> float:
     """PESQ MOS-LQO of ``gen`` against ``ref`` (higher is better).
@@ -371,7 +373,24 @@ def pesq_p862(ref, gen, sample_rate: int = 24000, mode: str = "wb") -> float:
     mode "wb" → P.862.2 wideband at 16 kHz (the reference's default call,
     `evaluation/metrics/spectrogram/pesq.py:38`); "nb" → P.862.1 narrowband
     at 8 kHz. Inputs at any rate are resampled internally.
+
+    Calibration caveat (surfaced as a one-time warning): this is a native
+    re-implementation anchored on 11 published operating points; it can
+    read up to ~+1.0 MOS high on modulated-noise (MNRU-like) degradations
+    vs the ITU binary. See tests/test_p862_calibration.py for the
+    documented deviations.
     """
+    global _WARNED
+    if not _WARNED:
+        _WARNED = True
+        import warnings
+
+        warnings.warn(
+            "pesq_p862 is a native P.862 re-implementation (registry key "
+            "'pesq'); it tracks the ITU binary on AWGN/µ-law anchors but "
+            "can read up to ~+1.0 MOS high on modulated-noise (MNRU-like) "
+            "degradations — do not compare against published ITU-binary "
+            "numbers for those without re-anchoring.", stacklevel=2)
     from amphion_tpu.data.audio_io import resample
 
     fs = 16000 if mode == "wb" else 8000

@@ -229,7 +229,43 @@ def _proj(cfg: LlamaConfig, features: int, name: str):
     return nn.Dense(features, use_bias=False, name=name)
 
 
-def quantize_llama_params(params, quant: str = "int8", fuse: bool = True):
+def validate_quantized_tree(params, cfg) -> None:
+    """Raise a clear error when a quantized param tree's fused/unfused
+    layout disagrees with ``cfg.fused_quant_proj`` (the mismatch otherwise
+    surfaces as an opaque flax missing-param 'qkv_proj' at apply time).
+    No-op for unquantized configs/trees."""
+    if cfg.decode_quant == "none":
+        return
+    found_fused = found_unfused = False
+
+    def walk(tree):
+        nonlocal found_fused, found_unfused
+        if not isinstance(tree, dict):
+            return
+        if "qkv_proj" in tree or "gateup_proj" in tree:
+            found_fused = True
+        if "q_proj" in tree and isinstance(tree["q_proj"], dict) \
+                and "kernel_q" in tree["q_proj"]:
+            found_unfused = True
+        for v in tree.values():
+            walk(v)
+
+    walk(params)
+    if cfg.fused_quant_proj and found_unfused and not found_fused:
+        raise ValueError(
+            "quantized param tree is UNFUSED (separate q/k/v projections) "
+            "but cfg.fused_quant_proj=True expects fused qkv_proj/"
+            "gateup_proj — re-quantize with quantize_llama_params(..., "
+            "fuse=True) or set LlamaConfig(fused_quant_proj=False)")
+    if not cfg.fused_quant_proj and found_fused:
+        raise ValueError(
+            "quantized param tree is FUSED (qkv_proj/gateup_proj) but "
+            "cfg.fused_quant_proj=False expects separate q/k/v — "
+            "re-quantize with fuse=False or set fused_quant_proj=True")
+
+
+def quantize_llama_params(params, quant: str = "int8", fuse: bool = True,
+                          cfg=None):
     """f32 decoder param tree → quantized-decode tree: every projection
     kernel (q/k/v/o, gate/up/down) becomes {kernel_q, scale}; other leaves
     pass through. Pair with `LlamaConfig(decode_quant=quant)` —
@@ -239,7 +275,13 @@ def quantize_llama_params(params, quant: str = "int8", fuse: bool = True):
     into one ``qkv_proj`` and gate/up into one ``gateup_proj`` along the
     OUTPUT axis before quantization — exact (scales are per output
     column / per column-group), and the decode scan runs 4 streaming
-    kernels per layer instead of 7."""
+    kernels per layer instead of 7.
+
+    Pass ``cfg`` (a LlamaConfig) to derive ``fuse`` from
+    ``cfg.fused_quant_proj`` — guarantees the tree layout matches the
+    config that will apply it (see ``validate_quantized_tree``)."""
+    if cfg is not None:
+        fuse = cfg.fused_quant_proj
     from amphion_tpu.ops.pallas_kernels import (
         quantize_weight_int4,
         quantize_weight_int8,
@@ -393,8 +435,12 @@ class LlamaAttention(nn.Module):
                 neg = jnp.finfo(scores.dtype).min
                 s_len = ck.shape[2]
                 pos_k = jnp.arange(s_len)[None, None, None, :]
-                scores = jnp.where(pos_k <= (cache_index + t - 1), scores,
-                                   neg)
+                # per-query causal bound: query i (absolute position
+                # cache_index+i) may attend keys <= its own position —
+                # correct for chunked multi-token decode (t>1), reduces
+                # to the old cache_index+t-1 bound at t==1.
+                pos_q = (cache_index + jnp.arange(t))[None, None, :, None]
+                scores = jnp.where(pos_k <= pos_q, scores, neg)
                 if kv_mask is not None:
                     scores = jnp.where(kv_mask[:, None, None, :] > 0,
                                        scores, neg)

@@ -157,8 +157,9 @@ def _char_pinyin(word: str, char_lexicon: dict | None,
 
     Lookup order: whole-word lexicon hit → greedy longest sub-word match
     against the polyphone lexicon (catches compounds jieba keeps joined,
-    e.g. 中国银行) → context rules (`polyphone.disambiguate`, the layer
-    the reference fills with a BERT classifier) → per-char defaults."""
+    e.g. 中国银行) → caller char lexicon (user override) → context rules
+    (`polyphone.disambiguate`, the layer the reference fills with a BERT
+    classifier) → per-char defaults."""
     from amphion_tpu.text.multilingual.polyphone import disambiguate
 
     for lex in (word_lexicon, WORD_PINYIN):
@@ -181,8 +182,10 @@ def _char_pinyin(word: str, char_lexicon: dict | None,
             syls.extend(hit)
             i = j
             continue
-        py = (disambiguate(word[i], word, i, prev_word, next_word)
-              or (char_lexicon or {}).get(word[i])
+        # caller-supplied char lexicon FIRST (user override wins), then
+        # the context rules, then built-in defaults (advisor r3).
+        py = ((char_lexicon or {}).get(word[i])
+              or disambiguate(word[i], word, i, prev_word, next_word)
               or CHAR_PINYIN.get(word[i]))
         if py is None:
             return None

@@ -29,7 +29,8 @@ def _tone(freq, dur=1.0, amp=0.4):
 def test_registry_has_16_metrics():
     # the reference's 16-metric surface (egs/metrics/README.md:5-31) plus
     # the documented fwSSNR proxy kept alongside the native P.862 "pesq"
-    assert len(METRIC_REGISTRY) == 17
+    # and the explicit "pesq_native" alias (advisor r3 #4)
+    assert len(METRIC_REGISTRY) == 18
     for name in ("fpc", "f0rmse", "v_uv_f1", "energy_rmse", "mcd", "mstft",
                  "pesq", "stoi", "si_sdr", "si_snr", "fad", "wer", "cer",
                  "speaker_similarity"):
