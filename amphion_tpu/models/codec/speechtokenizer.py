@@ -41,6 +41,10 @@ class SpeechTokenizerConfig:
     dilation_base: int = 2
     residual_kernel_size: int = 3
     activation: str = "ELU"  # or "Snake"
+    # EnCodec-24k streaming variant (ref utils/tokenizer.py:29 —
+    # encodec_model_24khz has use_causal_conv=True): convs pad entirely
+    # left, transposed convs trim entirely right (trim_right_ratio=1.0)
+    causal: bool = False
 
     @property
     def hop(self) -> int:
@@ -62,20 +66,33 @@ class _SnakeAct(nn.Module):
         return _act(x, "Snake", alpha)
 
 
-def _pad_same(x, k, stride, dilation=1):
-    """EnCodec non-causal padding (conv.py:70-120): pad_total =
-    (k-1)*d - (s-1), left = ceil, right = floor + extra to the ideal
-    length; reflect mode."""
+def _pad_same(x, k, stride, dilation=1, causal=False):
+    """EnCodec padding (conv.py:70-120): pad_total = (k-1)*d - (s-1).
+    Non-causal: left = ceil, right = floor + extra to the ideal frame
+    count. Causal: ALL pad_total left, extra right. Reflect mode."""
     length = x.shape[1]
-    pad_total = (k - 1) * dilation - (stride - 1)
-    n_frames = (length - k + pad_total) / stride + 1
-    ideal = (math.ceil(n_frames) - 1) * stride + (k - pad_total)
+    eff_k = (k - 1) * dilation + 1
+    pad_total = eff_k - stride
+    n_frames = (length - eff_k + pad_total) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + (eff_k - pad_total)
     extra = max(ideal - length, 0)
-    right = pad_total // 2
-    left = pad_total - right
-    # reflect needs pad < length; fall back to edge-replicate for tiny inputs
-    mode = "reflect" if max(left, right + extra) < length else "edge"
-    return jnp.pad(x, ((0, 0), (left, right + extra), (0, 0)), mode=mode)
+    if causal:
+        left, right = pad_total, 0
+    else:
+        right = pad_total // 2
+        left = pad_total - right
+    right += extra
+    # torch-exact reflect (encodec conv.py pad1d / HF _pad1d): when the
+    # input is too short to reflect, zero-extend right by (max_pad-L+1)
+    # first, reflect THROUGH the zeros, then drop the extension — this
+    # also makes length-masked ragged decode equal the solo decode.
+    max_pad = max(left, right)
+    if length > max_pad:
+        return jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+    ext = max_pad - length + 1
+    y = jnp.pad(jnp.pad(x, ((0, 0), (0, ext), (0, 0))),
+                ((0, 0), (left, right), (0, 0)), mode="reflect")
+    return y[:, : y.shape[1] - ext]
 
 
 def _wn_conv(feats, k, name, strides=1, dilation=1):
@@ -86,11 +103,13 @@ def _wn_conv(feats, k, name, strides=1, dilation=1):
 
 class SEANetConvTr(nn.Module):
     """Weight-normed ConvTranspose with EnCodec trimming (conv.py:286-330:
-    unpad pad_total//2 right, rest left)."""
+    non-causal unpads pad_total//2 right + rest left; causal unpads ALL
+    pad_total right — trim_right_ratio=1.0)."""
 
     channels: int
     kernel: int
     stride: int
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -99,8 +118,11 @@ class SEANetConvTr(nn.Module):
             padding=((self.kernel - 1, self.kernel - 1),), name="convtr"))(x)
         # flax full-padding output = (T-1)*s + k; trim to torch unpadded
         pad_total = self.kernel - self.stride
-        right = pad_total // 2
-        left = pad_total - right
+        if self.causal:
+            left, right = 0, pad_total
+        else:
+            right = pad_total // 2
+            left = pad_total - right
         return y[:, left: y.shape[1] - right]
 
 
@@ -111,6 +133,7 @@ class SEANetResnetBlock(nn.Module):
     dim: int
     dilation: int
     activation: str = "ELU"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +143,7 @@ class SEANetResnetBlock(nn.Module):
             y = _SnakeAct(self.dim, name="act_0")(y)
         else:
             y = nn.elu(y)
-        y = _pad_same(y, 3, 1, self.dilation)
+        y = _pad_same(y, 3, 1, self.dilation, self.causal)
         y = _wn_conv(hidden, 3, "conv_0", dilation=self.dilation)(y)
         if self.activation == "Snake":
             y = _SnakeAct(hidden, name="act_1")(y)
@@ -166,20 +189,20 @@ class SEANetEncoder(nn.Module):
         nf = c.codec.encoder_dim
         if x.ndim == 2:
             x = x[..., None]
-        h = _wn_conv(nf, 7, "conv_in")(_pad_same(x, 7, 1))
+        h = _wn_conv(nf, 7, "conv_in")(_pad_same(x, 7, 1, causal=c.causal))
         mult = 1
         ratios = tuple(reversed(c.codec.strides))
         for i, r in enumerate(ratios):
             for j in range(c.n_residual_layers):
                 h = SEANetResnetBlock(
-                    mult * nf, c.dilation_base**j, c.activation,
+                    mult * nf, c.dilation_base**j, c.activation, c.causal,
                     name=f"block_{i}_{j}")(h)
             if c.activation == "Snake":
                 h = _SnakeAct(mult * nf, name=f"down_act_{i}")(h)
             else:
                 h = nn.elu(h)
             h = _wn_conv(mult * nf * 2, 2 * r, f"down_{i}", strides=r)(
-                _pad_same(h, 2 * r, r))
+                _pad_same(h, 2 * r, r, causal=c.causal))
             mult *= 2
         h = SLSTM(mult * nf, c.lstm_layers, c.bidirectional, name="lstm")(h)
         if c.bidirectional:
@@ -188,7 +211,8 @@ class SEANetEncoder(nn.Module):
             h = _SnakeAct(mult * nf, name="final_act")(h)
         else:
             h = nn.elu(h)
-        return _wn_conv(c.codec.latent_dim, 7, "conv_out")(_pad_same(h, 7, 1))
+        return _wn_conv(c.codec.latent_dim, 7, "conv_out")(
+            _pad_same(h, 7, 1, causal=c.causal))
 
 
 class SEANetDecoder(nn.Module):
@@ -200,24 +224,26 @@ class SEANetDecoder(nn.Module):
         c = self.cfg
         nf = c.codec.encoder_dim
         mult = 2 ** len(c.codec.strides)
-        h = _wn_conv(mult * nf, 7, "conv_in")(_pad_same(z, 7, 1))
+        h = _wn_conv(mult * nf, 7, "conv_in")(
+            _pad_same(z, 7, 1, causal=c.causal))
         h = SLSTM(mult * nf, c.lstm_layers, False, name="lstm")(h)
         for i, r in enumerate(c.codec.strides):
             if c.activation == "Snake":
                 h = _SnakeAct(mult * nf, name=f"up_act_{i}")(h)
             else:
                 h = nn.elu(h)
-            h = SEANetConvTr(mult * nf // 2, 2 * r, r, name=f"up_{i}")(h)
+            h = SEANetConvTr(mult * nf // 2, 2 * r, r, c.causal,
+                             name=f"up_{i}")(h)
             for j in range(c.n_residual_layers):
                 h = SEANetResnetBlock(
                     mult * nf // 2, c.dilation_base**j, c.activation,
-                    name=f"block_{i}_{j}")(h)
+                    c.causal, name=f"block_{i}_{j}")(h)
             mult //= 2
         if c.activation == "Snake":
             h = _SnakeAct(nf, name="final_act")(h)
         else:
             h = nn.elu(h)
-        h = _wn_conv(1, 7, "conv_out")(_pad_same(h, 7, 1))
+        h = _wn_conv(1, 7, "conv_out")(_pad_same(h, 7, 1, causal=c.causal))
         return h[..., 0]
 
 

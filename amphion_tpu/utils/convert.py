@@ -897,6 +897,12 @@ def _plain_or_wn(sd: Mapping[str, np.ndarray], prefix: str, kind: str) -> dict:
         return torch_weight_norm_to_flax(
             np.asarray(sd[f"{prefix}.weight_g"]),
             np.asarray(sd[f"{prefix}.weight_v"]), kind, b)
+    if f"{prefix}.parametrizations.weight.original0" in sd:
+        # torch >= 2.1 parametrized weight_norm (original0=g, original1=v)
+        return torch_weight_norm_to_flax(
+            np.asarray(sd[f"{prefix}.parametrizations.weight.original0"]),
+            np.asarray(sd[f"{prefix}.parametrizations.weight.original1"]),
+            kind, b)
     w = np.asarray(sd[f"{prefix}.weight"])
     g_fab = np.sqrt(np.sum(w.astype(np.float64) ** 2,
                            axis=tuple(range(1, w.ndim)), keepdims=True))
@@ -2271,6 +2277,92 @@ def speechtokenizer_to_flax(sd: Mapping[str, np.ndarray], *,
             np.asarray(sd["transform.weight"]),
             np.asarray(sd["transform.bias"]))
     return params
+
+
+def hf_encodec_to_flax(sd: Mapping[str, np.ndarray], *,
+                       ratios: tuple[int, ...] = (8, 5, 4, 2),
+                       n_residual_layers: int = 1,
+                       lstm_layers: int = 2,
+                       n_q: int = 8) -> dict:
+    """facebook/encodec_24khz (transformers `EncodecModel` state-dict
+    names — the weight-compatible port of the `encodec` pip package the
+    reference loads, `/root/reference/utils/tokenizer.py:29`) → our
+    `models/codec/encodec.EncodecModel` params.
+
+    Layer indices follow the HF module list: encoder
+    [conv, (res, elu, down)×4, lstm, elu, conv], decoder
+    [conv, lstm, (elu, convtr, res)×4, elu, conv]. Handles both legacy
+    ``weight_g/v`` and torch>=2.1 ``parametrizations`` weight-norm names
+    (`_plain_or_wn`)."""
+    n = len(ratios)
+
+    def conv(p):
+        return _plain_or_wn(sd, f"{p}.conv", "conv1d")
+
+    def resblock(p):
+        c0 = _plain_or_wn(sd, f"{p}.block.1.conv", "conv1d")
+        c1 = _plain_or_wn(sd, f"{p}.block.3.conv", "conv1d")
+        sc = _plain_or_wn(sd, f"{p}.shortcut.conv", "conv1d")
+        return {
+            "conv_0": c0["layer"],
+            "WeightNorm_0": {"conv_0/kernel/scale": c0["scale"]},
+            "conv_1": c1["layer"],
+            "WeightNorm_1": {"conv_1/kernel/scale": c1["scale"]},
+            "shortcut": sc["layer"],
+            "WeightNorm_2": {"shortcut/kernel/scale": sc["scale"]},
+        }
+
+    enc: dict = {}
+    wn_i = 0
+
+    def put(d, fname, c):
+        nonlocal wn_i
+        d[fname] = c["layer"]
+        d[f"WeightNorm_{wn_i}"] = {f"{fname}/kernel/scale": c["scale"]}
+        wn_i += 1
+
+    idx = 0
+    put(enc, "conv_in", conv(f"encoder.layers.{idx}"))
+    idx += 1
+    for i in range(n):
+        for j in range(n_residual_layers):
+            enc[f"block_{i}_{j}"] = resblock(f"encoder.layers.{idx}")
+            idx += 1
+        idx += 1  # ELU
+        put(enc, f"down_{i}", conv(f"encoder.layers.{idx}"))
+        idx += 1
+    enc["lstm"] = _slstm_to_flax(sd, f"encoder.layers.{idx}", lstm_layers,
+                                 False)
+    idx += 2  # lstm, ELU
+    put(enc, "conv_out", conv(f"encoder.layers.{idx}"))
+
+    dec: dict = {}
+    wn_i = 0
+    idx = 0
+    put(dec, "conv_in", conv(f"decoder.layers.{idx}"))
+    idx += 1
+    dec["lstm"] = _slstm_to_flax(sd, f"decoder.layers.{idx}", lstm_layers,
+                                 False)
+    idx += 1
+    for i in range(n):
+        idx += 1  # ELU
+        up = _plain_or_wn(sd, f"decoder.layers.{idx}.conv",
+                          "convtranspose1d")
+        dec[f"up_{i}"] = {
+            "convtr": up["layer"],
+            "WeightNorm_0": {"convtr/kernel/scale": up["scale"]},
+        }
+        idx += 1
+        for j in range(n_residual_layers):
+            dec[f"block_{i}_{j}"] = resblock(f"decoder.layers.{idx}")
+            idx += 1
+    idx += 1  # ELU
+    put(dec, "conv_out", conv(f"decoder.layers.{idx}"))
+
+    q = {f"codebook_{i}": np.asarray(sd[f"quantizer.layers.{i}"
+                                        f".codebook.embed"])
+         for i in range(n_q)}
+    return {"encoder": enc, "decoder": dec, "quantizer": q}
 
 
 def coco_to_flax(sd: Mapping[str, np.ndarray], *, mode: str = "contentstyle",

@@ -3,6 +3,10 @@ wrapper feeding VALL-E).
 
 Uniform encode/decode over any of the framework's codecs — the VALL-E /
 codec-LM trainers consume this interface instead of a specific model.
+For the reference's exact token space use
+`models.codec.encodec.EncodecModel` with weights ingested via
+`bins/convert_checkpoint.py --model encodec` (token-exactness oracle:
+tests/test_encodec.py).
 """
 
 from __future__ import annotations

@@ -142,6 +142,11 @@ _MODELS = {
     "speechtokenizer": dict(fn=C.speechtokenizer_to_flax,
                             defaults={"strides": (2, 4, 5, 8)},
                             wrap=_wrap_params),
+    # facebook/encodec_24khz (transformers EncodecModel state-dict names)
+    # — the reference VALL-E's tokenizer (utils/tokenizer.py:18)
+    "encodec": dict(fn=C.hf_encodec_to_flax,
+                    defaults={"ratios": (8, 5, 4, 2), "n_q": 8},
+                    wrap=_wrap_params),
     "dualcodec": dict(fn=C.dualcodec_to_flax,
                       defaults={"strides": (2, 4, 5, 8), "n_codebooks": 8,
                                 "convnext_layers": 12}, wrap=_wrap_params),
