@@ -323,9 +323,30 @@ def hash_text_embed(texts: list[str], dim: int = 768, max_len: int = 32):
     return jnp.asarray(out)
 
 
-def encode_text(texts: list[str], dim: int = 768, backend: str = "auto"):
-    """Text → (B, L, dim) conditioning. Tries the frozen T5 encoder (as the
-    reference does); falls back to hashed embeddings offline."""
+def encode_text(texts: list[str], dim: int = 768, backend: str = "auto",
+                t5=None, token_ids=None, token_mask=None):
+    """Text → (B, L, dim) conditioning.
+
+    backend "t5_native": the on-device flax T5 encoder
+    (`modules/t5.T5Encoder`, weights via `--model t5_encoder` ingestion)
+    — pass ``t5=(module, params)`` and pre-tokenized ``token_ids``
+    [+ ``token_mask``]; no torch in the inference path. "t5" / "auto":
+    the frozen host torch encoder (reference behavior,
+    `audioldm_trainer.py:42`); "auto" falls back to hashed embeddings
+    offline."""
+    if backend == "t5_native" or (backend == "auto" and t5 is not None):
+        if t5 is None or token_ids is None:
+            raise ValueError(
+                "t5_native backend needs t5=(module, params) and token_ids")
+        module, params = t5
+        import jax
+
+        ids = jnp.asarray(token_ids)
+        mask = None if token_mask is None else jnp.asarray(
+            token_mask, jnp.int32)
+        return jax.jit(
+            lambda p, i, m: module.apply({"params": p}, i, m)
+        )(params, ids, mask)
     if backend in ("auto", "t5"):
         try:
             return encode_text_t5(texts)
@@ -341,8 +362,11 @@ def encode_text_t5(texts: list[str], model_name: str = "t5-base", device="cpu",
     import torch
     from transformers import AutoTokenizer, T5EncoderModel
 
-    tok = AutoTokenizer.from_pretrained(model_name)
-    enc = T5EncoderModel.from_pretrained(model_name).eval().to(device)
+    # local_files_only: cache hit or fail fast — a zero-egress
+    # environment otherwise hangs on the hub fetch
+    tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
+    enc = T5EncoderModel.from_pretrained(
+        model_name, local_files_only=True).eval().to(device)
     batch = tok(texts, return_tensors="pt", padding="max_length",
                 truncation=True, max_length=max_len)
     with torch.no_grad():

@@ -3247,3 +3247,49 @@ def torch_vggish_to_flax(sd: Mapping[str, np.ndarray]) -> dict:
     params["embedding"] = linear_to_dense(
         g("embeddings.4.weight"), g("embeddings.4.bias"))
     return params
+
+
+def hf_t5_encoder_to_flax(sd: Mapping[str, np.ndarray],
+                          num_layers: int = 12,
+                          gated: bool = False) -> dict:
+    """HF `T5EncoderModel` state dict (t5-base / t5-v1.1 naming) → our
+    `modules/t5.T5Encoder` params. The reference loads this frozen on the
+    host (`models/tta/ldm/audioldm_trainer.py:42`); we run it on-device."""
+    g = lambda n: np.asarray(sd[n])
+    params: dict = {
+        "embed_tokens": embedding_to_flax(g("shared.weight")
+                                          if "shared.weight" in sd
+                                          else g("encoder.embed_tokens.weight")),
+        "relative_attention_bias": g(
+            "encoder.block.0.layer.0.SelfAttention"
+            ".relative_attention_bias.weight"),
+        "final_layer_norm": {"weight": g("encoder.final_layer_norm.weight")},
+    }
+    for i in range(num_layers):
+        p = f"encoder.block.{i}"
+        blk: dict = {
+            "ln_attn": {"weight": g(f"{p}.layer.0.layer_norm.weight")},
+            "attn": {
+                n: linear_to_dense(g(f"{p}.layer.0.SelfAttention.{n}.weight"))
+                for n in ("q", "k", "v", "o")
+            },
+            "ln_ffn": {"weight": g(f"{p}.layer.1.layer_norm.weight")},
+        }
+        if gated:
+            blk["ffn"] = {
+                "wi_0": linear_to_dense(
+                    g(f"{p}.layer.1.DenseReluDense.wi_0.weight")),
+                "wi_1": linear_to_dense(
+                    g(f"{p}.layer.1.DenseReluDense.wi_1.weight")),
+                "wo": linear_to_dense(
+                    g(f"{p}.layer.1.DenseReluDense.wo.weight")),
+            }
+        else:
+            blk["ffn"] = {
+                "wi": linear_to_dense(
+                    g(f"{p}.layer.1.DenseReluDense.wi.weight")),
+                "wo": linear_to_dense(
+                    g(f"{p}.layer.1.DenseReluDense.wo.weight")),
+            }
+        params[f"block_{i}"] = blk
+    return params

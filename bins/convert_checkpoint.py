@@ -147,6 +147,11 @@ _MODELS = {
     "encodec": dict(fn=C.hf_encodec_to_flax,
                     defaults={"ratios": (8, 5, 4, 2), "n_q": 8},
                     wrap=_wrap_params),
+    # t5-base encoder (HF T5EncoderModel) — the frozen TTA text
+    # conditioner (ref models/tta/ldm/audioldm_trainer.py:42); pass
+    # --kw gated=True for t5-v1.1 checkpoints
+    "t5_encoder": dict(fn=C.hf_t5_encoder_to_flax,
+                       defaults={"num_layers": 12}, wrap=_wrap_params),
     "dualcodec": dict(fn=C.dualcodec_to_flax,
                       defaults={"strides": (2, 4, 5, 8), "n_codebooks": 8,
                                 "convnext_layers": 12}, wrap=_wrap_params),

@@ -38,6 +38,10 @@ def main():
                              "'event1__on1-off1_on2-off2--event2__on1-off1' "
                              "(seconds)")
     parser.add_argument("--output_path", required=True)
+    parser.add_argument("--t5_dir", default="",
+                        help="converted flax T5 encoder ckpt dir "
+                             "(bins/convert_checkpoint.py --model "
+                             "t5_encoder) — on-device text conditioning")
     parser.add_argument("--vae_ckpt", default="",
                         help="AutoencoderKL checkpoint dir (defaults to "
                              "cfg.train.vae_ckpt)")
@@ -116,10 +120,27 @@ def main():
             num_heads=m.get("num_heads", 8) if m else 8,
             text_dim=m.get("text_dim", 768) if m else 768,
         ))
-        text_emb = encode_text(
-            [args.text], model.cfg.text_dim,
-            m.get("text_backend", "auto") if m else "auto",
-        )
+        if args.t5_dir:
+            # on-device flax T5 conditioning (reference loads torch
+            # t5-base on the host, audioldm_inference.py:60-61); weights
+            # via `bins/convert_checkpoint.py --model t5_encoder`
+            from amphion_tpu.modules.t5 import T5Config, T5Encoder
+            from amphion_tpu.runtime.checkpoint import CheckpointManager
+            from amphion_tpu.text.t5_tokenize import t5_tokenize
+
+            t5_tree, _, _ = CheckpointManager(args.t5_dir).restore_raw()
+            t5_params = t5_tree["params"]
+            tcfg = m.get("t5", None) if m else None
+            t5_mod = T5Encoder(T5Config(**dict(tcfg)) if tcfg else T5Config())
+            ids, tok_mask = t5_tokenize([args.text])
+            text_emb = encode_text(
+                [args.text], model.cfg.text_dim, "t5_native",
+                t5=(t5_mod, t5_params), token_ids=ids, token_mask=tok_mask)
+        else:
+            text_emb = encode_text(
+                [args.text], model.cfg.text_dim,
+                m.get("text_backend", "auto") if m else "auto",
+            )
         z = audioldm_sample(
             model, params, text_emb,
             (1, lt, lf, vae.cfg.latent_channels), jax.random.key(args.seed),
