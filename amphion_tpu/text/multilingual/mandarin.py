@@ -22,7 +22,20 @@ from __future__ import annotations
 
 import re
 
-from amphion_tpu.text.multilingual.pinyin_data import CHAR_PINYIN, WORD_PINYIN
+from amphion_tpu.text.multilingual.pinyin_data import (
+    CHAR_PINYIN as _BASE_CHAR_PINYIN,
+)
+from amphion_tpu.text.multilingual.pinyin_data import WORD_PINYIN as _BASE_WORDS
+from amphion_tpu.text.multilingual.polyphone_inventory import (
+    POLY_CHAR_DEFAULTS,
+    POLY_WORDS,
+)
+
+# effective lexicons: the frequency-ranked base tables extended with the
+# polyphone-inventory realizations (reference polydict.json grounding —
+# see polyphone_inventory.py); base entries win on collision.
+CHAR_PINYIN = {**POLY_CHAR_DEFAULTS, **_BASE_CHAR_PINYIN}
+WORD_PINYIN = {**POLY_WORDS, **_BASE_WORDS}
 
 _INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l",
              "g", "k", "h", "j", "q", "x", "r", "z", "c", "s"]

@@ -94,6 +94,32 @@ def _roofline(flops, nbytes, dt_per_iter):
     return out
 
 
+def _cost_analysis_scanned(whole, body, trips: int):
+    """Corrected (flops, bytes) for a program whose hot path is a
+    `lax.scan`: XLA's cost_analysis counts the scan body ONCE, not
+    × trip count (the round-3 `ssl` rows published MFU 0.54% for a
+    program actually at ~13% — a ~24× undercount). whole/body are
+    (flops, bytes) pairs; result = whole + (trips-1) × body."""
+    return (whole[0] + (trips - 1) * body[0],
+            whole[1] + (trips - 1) * body[1])
+
+
+def _repeats(default: int = 5) -> int:
+    return int(os.environ.get("AMPHION_BENCH_REPEATS", default))
+
+
+def _median_spread(values):
+    """Median + spread fields — the honest estimator convention for any
+    repeated measurement (round-3 verdict: a min-of-N headline is not).
+    Returns (median, extra_fields)."""
+    v = sorted(float(x) for x in values)
+    med = v[len(v) // 2] if len(v) % 2 else 0.5 * (
+        v[len(v) // 2 - 1] + v[len(v) // 2])
+    return med, {"repeats": len(v), "spread_min": round(v[0], 4),
+                 "spread_max": round(v[-1], 4),
+                 "all_repeats": [round(x, 4) for x in v]}
+
+
 def _param_bytes(params) -> int:
     return sum(int(np.prod(p.shape)) * p.dtype.itemsize
                for p in jax.tree_util.tree_leaves(params))
@@ -202,17 +228,19 @@ def bench_maskgct_rtf() -> None:
         return codes
 
     _fence(run(jax.random.key(2)))  # compile
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    rtfs = []
+    for i in range(_repeats()):
+        t0 = time.perf_counter()
         _fence(run(jax.random.key(3 + i)))
-    dt = (time.perf_counter() - t0) / n_iters
-    rtf = dt / 10.0  # 10 s of audio
+        rtfs.append((time.perf_counter() - t0) / 10.0)  # 10 s of audio
+    rtf, spread = _median_spread(rtfs)
+    dt = rtf * 10.0
     # iterative mask-predict: every sampler step re-reads the full weights
     # (T2S 25 steps ×2 CFG passes + S2A 16+7 steps)
     pb = _param_bytes(t2s_params) * 50 + _param_bytes(s2a_params) * 23
-    _emit("maskgct_zero_shot_rtf", rtf, "RTF (lower better)",
-          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
+    _emit("maskgct_zero_shot_rtf", rtf, "RTF (median, lower better)",
+          0.1 / max(rtf, 1e-9),
+          extra={**_weight_stream(pb, 1, dt), **spread})
 
 
 
@@ -485,12 +513,13 @@ def bench_valle_rtf(compute_dtype="bfloat16") -> None:
         return nar(params, toks, jnp.ones((1, new), jnp.float32))
 
     _fence(run(jax.random.key(2)))
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    rtfs = []
+    for i in range(_repeats()):
+        t0 = time.perf_counter()
         _fence(run(jax.random.key(3 + i)))
-    dt = (time.perf_counter() - t0) / n_iters
-    rtf = dt / 10.0
+        rtfs.append((time.perf_counter() - t0) / 10.0)
+    rtf, spread = _median_spread(rtfs)
+    dt = rtf * 10.0
     suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
     # AR decode re-reads only the AR subtree every token (750 steps, at the
     # decode dtype); the 7 NAR passes re-read only the NAR subtree (f32
@@ -502,8 +531,9 @@ def bench_valle_rtf(compute_dtype="bfloat16") -> None:
     nar_b = _param_bytes({k: v for k, v in params.items()
                           if k in ("nar", "nar_head")})
     pb = ar_b / 4 * itemsize * new + nar_b * 7
-    _emit(f"valle_zero_shot_rtf{suffix}", rtf, "RTF (lower better)",
-          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
+    _emit(f"valle_zero_shot_rtf{suffix}", rtf, "RTF (median, lower better)",
+          0.1 / max(rtf, 1e-9), extra={**_weight_stream(pb, 1, dt),
+                                       **spread})
 
 
 def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
@@ -564,12 +594,13 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
         return voc_fwd(voc_params, mel)
 
     _fence(run(jax.random.key(2)))
-    n_iters = 3
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    rtfs = []
+    for i in range(_repeats()):
+        t0 = time.perf_counter()
         _fence(run(jax.random.key(3 + i)))
-    dt = (time.perf_counter() - t0) / n_iters
-    rtf = dt / 10.0
+        rtfs.append((time.perf_counter() - t0) / 10.0)
+    rtf, spread = _median_spread(rtfs)
+    dt = rtf * 10.0
     if os.environ.get("AMPHION_BENCH_STAGES"):
         def _stage(fn, *a):
             _fence(fn(*a))
@@ -594,8 +625,9 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
     # AR re-reads weights per token (500); FM 32 ODE steps; Vocos 1 pass
     pb = (_param_bytes(ar_params) / 4 * itemsize * 500
           + _param_bytes(fm_params) * 32 + _param_bytes(voc_params))
-    _emit(f"vevo_zero_shot_rtf{suffix}", rtf, "RTF (lower better)",
-          0.1 / max(rtf, 1e-9), extra=_weight_stream(pb, 1, dt))
+    _emit(f"vevo_zero_shot_rtf{suffix}", rtf, "RTF (median, lower better)",
+          0.1 / max(rtf, 1e-9), extra={**_weight_stream(pb, 1, dt),
+                                       **spread})
 
 
 def bench_flash_attention() -> None:
@@ -692,7 +724,24 @@ def bench_ssl_extract() -> None:
         _fence(fwd(params, wav, nv))
     dt = (time.perf_counter() - t0) / n_iters
     xrt = b * secs / dt
-    fl, by = _cost_analysis(fwd, params, wav, nv)
+    # roofline: cost_analysis counts the 17-trip layer scan body ONCE —
+    # cost one layer separately and add (trips-1)× (round-3 fix; the
+    # old rows published 0.54% MFU for a ~13%-MFU program)
+    whole = _cost_analysis(fwd, params, wav, nv)
+    from amphion_tpu.models.ssl_encoders import _W2VBertLayer
+
+    layer = _W2VBertLayer(cfg)
+    feats_b = seamless_fbank(wav, num_valid_samples=nv)
+    h0 = jnp.zeros((b, feats_b.shape[1], cfg.hidden))
+    m0 = jnp.ones((b, feats_b.shape[1]))
+
+    @jax.jit
+    def one_layer(lp, h, m):
+        with jax.default_matmul_precision("float32"):
+            return layer.apply({"params": lp}, h, m)
+
+    body = _cost_analysis(one_layer, params["layers_0"], h0, m0)
+    fl, by = _cost_analysis_scanned(whole, body, trips=17)
     _emit("ssl_extract_xrt", xrt, "x realtime (w2v-bert-2.0-class)",
           xrt / 1.0, extra=_roofline(fl, by, dt))
 
