@@ -583,6 +583,12 @@ def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     int4 before the call, so pass int4 directly inside scans to keep the
     conversion out of the hot loop (quantize_llama_params does)."""
     interpret = _resolve_interpret(interpret)
+    import os as _os
+
+    # A/B knobs for the decode-GEMV block shape (see BENCHMARKS.md —
+    # the v5e weight-stream efficiency is block-shape sensitive at B=1)
+    block_n = int(_os.environ.get("AMPHION_INT4_BLOCK_N", block_n))
+    block_k = int(_os.environ.get("AMPHION_INT4_BLOCK_K", block_k))
     b, k_dim = x.shape
     k2, n = w_q.shape
     assert k2 == k_dim and k_dim % group == 0
