@@ -42,6 +42,15 @@ class _Pending:
     t_enqueue: float
 
 
+def _percentile(sorted_vals: list, q: float) -> float:
+    """Nearest-rank percentile on a pre-sorted list (0 if empty)."""
+    if not sorted_vals:
+        return 0.0
+    k = min(len(sorted_vals) - 1, max(0, int(round(
+        q / 100.0 * (len(sorted_vals) - 1)))))
+    return float(sorted_vals[k])
+
+
 @dataclass
 class BatcherStats:
     submitted: int = 0
@@ -50,10 +59,14 @@ class BatcherStats:
     batches: int = 0
     batch_sizes: list = field(default_factory=list)
     wait_ms: list = field(default_factory=list)
+    # end-to-end per-request latency (enqueue → result set), the number
+    # a serving layer lives on (VERDICT r3 #7: tail percentiles)
+    latency_ms: list = field(default_factory=list)
 
     def snapshot(self) -> dict:
         sizes = self.batch_sizes[-200:]
         waits = self.wait_ms[-200:]
+        lats = sorted(self.latency_ms[-512:])
         return {
             "submitted": self.submitted,
             "completed": self.completed,
@@ -62,6 +75,9 @@ class BatcherStats:
             "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
             "max_batch": max(sizes) if sizes else 0,
             "mean_wait_ms": (sum(waits) / len(waits)) if waits else 0.0,
+            "latency_ms_p50": round(_percentile(lats, 50), 1),
+            "latency_ms_p95": round(_percentile(lats, 95), 1),
+            "latency_ms_p99": round(_percentile(lats, 99), 1),
         }
 
 
@@ -167,8 +183,10 @@ class MicroBatcher:
                 self.stats.batches += 1
                 self.stats.batch_sizes.append(len(batch))
                 continue
+            t_done = time.monotonic()
             for p, r in zip(batch, results):
                 p.future.set_result(r)
+                self.stats.latency_ms.append((t_done - p.t_enqueue) * 1e3)
             self.stats.completed += len(batch)
             self.stats.batches += 1
             self.stats.batch_sizes.append(len(batch))

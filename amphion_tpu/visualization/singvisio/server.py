@@ -212,6 +212,56 @@ def step_trajectory(step_dir: str | Path) -> dict:
             "cluster": [int(a) for a in assign]}
 
 
+def step_projection(step_dir: str | Path) -> dict:
+    """The reference app's *touch map* (`webpage/resources/function.js`
+    touch_map): a 2-D projection of the per-step latents/mels across the
+    diffusion trajectory, clickable to select steps. PCA via SVD on the
+    centered flattened mels; points carry the step index and the k-means
+    cluster used by the key-step picker."""
+    step_dir = Path(step_dir)
+    files = sorted(step_dir.glob("step_*.npy"))
+    feats = np.stack([np.load(f).reshape(-1) for f in files])
+    mu = feats.mean(axis=0, keepdims=True)
+    x = feats - mu
+    # economy SVD on (n_steps, D): n_steps is small, D large → run SVD on
+    # the (n, n) gram for stability/speed
+    g = x @ x.T
+    w, v = np.linalg.eigh(g)
+    order = np.argsort(w)[::-1]
+    w, v = np.maximum(w[order], 0.0), v[:, order]
+    xy = v[:, :2] * np.sqrt(w[:2])[None, :]
+    tot = float(w.sum()) or 1.0
+    k = min(6, len(files))
+    assign, _ = _kmeans(feats, k)
+    return {
+        "x": [float(a) for a in xy[:, 0]],
+        "y": [float(a) for a in xy[:, 1]],
+        "step": list(range(len(files))),
+        "cluster": [int(a) for a in assign],
+        "var_explained": [float(w[0] / tot), float(w[1] / tot)
+                          ] if len(w) >= 2 else [1.0, 0.0],
+    }
+
+
+def metric_histogram(step_dir: str | Path, metric: str = "mcd_to_final",
+                     bins: int = 16) -> dict:
+    """The reference app's metric histogram view: distribution of a
+    per-step metric over the trajectory."""
+    if metric == "mcd_to_final":
+        vals = np.asarray(step_metrics(step_dir)["mcd_to_final"])
+    else:
+        tr = step_trajectory(step_dir)
+        if metric not in tr:
+            raise KeyError(metric)
+        vals = np.asarray(tr[metric])
+    counts, edges = np.histogram(vals, bins=bins)
+    return {"metric": metric,
+            "edges": [float(e) for e in edges],
+            "counts": [int(c) for c in counts],
+            "mean": float(vals.mean()), "min": float(vals.min()),
+            "max": float(vals.max())}
+
+
 _PAGE = """<!doctype html><html><head><title>SingVisio (amphion_tpu)</title>
 <style>
 body{font-family:sans-serif;margin:1.5em;background:#16161e;color:#ddd}
@@ -259,15 +309,56 @@ select{background:#2a2a3a;color:#ddd;border:1px solid #555;padding:3px}
    <p class=lbl>quality vs step: MCD to final (dB) — A solid, B dashed</p>
    <canvas id=mcd width=520 height=140></canvas></div>
  </div>
+ <div class=row>
+  <div class=col>
+   <p class=lbl>projection map (PCA of step mels — click a point to jump;
+   diamond = current step)</p>
+   <canvas id=proj width=420 height=300></canvas></div>
+  <div class=col>
+   <p class=lbl>metric histogram:
+    <select id=hsel><option>mcd_to_final</option>
+     <option>dist_to_final</option><option>step_delta</option></select>
+   </p>
+   <canvas id=hist width=420 height=300></canvas></div>
+ </div>
 </div>
 <script>
-let UID=null,UIDB=null,NST=0,KEYS=[],TRAJ=null,MCD=null,MCDB=null;
-fetch('/api/experiments').then(r=>r.json()).then(exps=>{
- const d=document.getElementById('exps'),bs=document.getElementById('bsel');
- exps.forEach(e=>{const b=document.createElement('button');b.textContent=e;
+let UID=null,UIDB=null,NST=0,KEYS=[],TRAJ=null,MCD=null,MCDB=null,PROJ=null;
+let ALLEXPS=[];
+function expParts(e){const p=e.split('__');
+ return p.length>=3?{model:p[0],dataset:p[1],uid:e}
+  :(p.length==2?{model:p[0],dataset:'-',uid:e}
+    :{model:'-',dataset:'-',uid:e});}
+function renderExps(){
+ const d=document.getElementById('exps');d.innerHTML='';
+ const ms=document.getElementById('msel'),ds=document.getElementById('dsel');
+ const fm=ms?ms.value:'',fd=ds?ds.value:'';
+ const bs=document.getElementById('bsel');bs.innerHTML='<option value="">(none)</option>';
+ ALLEXPS.forEach(e=>{const p=expParts(e);
+  if(fm&&fm!='(all)'&&p.model!=fm)return;
+  if(fd&&fd!='(all)'&&p.dataset!=fd)return;
+  const b=document.createElement('button');b.textContent=e;
   b.onclick=()=>load(e,b);d.appendChild(b);
   const o=document.createElement('option');o.value=e;o.textContent=e;
-  bs.appendChild(o);});
+  bs.appendChild(o);});}
+fetch('/api/experiments').then(r=>r.json()).then(exps=>{
+ ALLEXPS=exps;
+ // multi-run mode: model/dataset dropdowns from model__dataset__uid names
+ const models=[...new Set(exps.map(e=>expParts(e).model))],
+       dsets=[...new Set(exps.map(e=>expParts(e).dataset))];
+ if(models.length>1||dsets.length>1){
+  const bar=document.createElement('p');bar.className='lbl';
+  bar.innerHTML='model: <select id=msel></select> dataset: '+
+   '<select id=dsel></select>';
+  document.getElementById('exps').before(bar);
+  const ms=document.getElementById('msel'),ds=document.getElementById('dsel');
+  ['(all)',...models].forEach(m=>{const o=document.createElement('option');
+   o.textContent=m;ms.appendChild(o);});
+  ['(all)',...dsets].forEach(m=>{const o=document.createElement('option');
+   o.textContent=m;ds.appendChild(o);});
+  ms.onchange=renderExps;ds.onchange=renderExps;}
+ renderExps();
+ const bs=document.getElementById('bsel');
  bs.onchange=()=>{UIDB=bs.value||null;MCDB=null;
   if(UIDB)fetch('/api/metrics?uid='+UIDB).then(r=>r.json())
     .then(m=>{MCDB=m.mcd_to_final;drawMcd();});
@@ -287,7 +378,46 @@ function load(uid,btn){UID=uid;
    im.title='step '+k;im.onclick=()=>{s.value=k;refresh();};t.appendChild(im);});
   fetch('/api/trajectory?uid='+uid).then(r=>r.json()).then(tr=>{TRAJ=tr;drawTraj();});
   fetch('/api/metrics?uid='+uid).then(r=>r.json()).then(m=>{MCD=m.mcd_to_final;drawMcd();});
+  fetch('/api/projection?uid='+uid).then(r=>r.json()).then(p=>{PROJ=p;drawProj();});
+  drawHist();
   refresh();});}
+document.getElementById('hsel').onchange=()=>drawHist();
+function projXY(c){const xs=PROJ.x,ys=PROJ.y;
+ const x0=Math.min(...xs),x1=Math.max(...xs),
+       y0=Math.min(...ys),y1=Math.max(...ys);
+ return i=>[14+(c.width-28)*(xs[i]-x0)/Math.max(x1-x0,1e-9),
+            c.height-14-(c.height-28)*(ys[i]-y0)/Math.max(y1-y0,1e-9)];}
+function drawProj(cur){if(!PROJ)return;
+ const c=document.getElementById('proj'),ctx=c.getContext('2d');
+ ctx.clearRect(0,0,c.width,c.height);
+ const XY=projXY(c),n=PROJ.x.length;
+ ctx.strokeStyle='#444';ctx.beginPath();
+ for(let i=0;i<n;i++){const[x,y]=XY(i);i?ctx.lineTo(x,y):ctx.moveTo(x,y);}
+ ctx.stroke();
+ for(let i=0;i<n;i++){const[x,y]=XY(i);
+  ctx.fillStyle=PAL[PROJ.cluster[i]%PAL.length];
+  ctx.beginPath();ctx.arc(x,y,4,0,7);ctx.fill();}
+ if(cur!=null){const[x,y]=XY(cur);ctx.strokeStyle='#fff';ctx.lineWidth=2;
+  ctx.beginPath();ctx.moveTo(x,y-8);ctx.lineTo(x+8,y);ctx.lineTo(x,y+8);
+  ctx.lineTo(x-8,y);ctx.closePath();ctx.stroke();ctx.lineWidth=1;}
+ c.onclick=ev=>{const r=c.getBoundingClientRect(),
+   mx=ev.clientX-r.left,my=ev.clientY-r.top;let best=0,bd=1e18;
+  for(let i=0;i<n;i++){const[x,y]=XY(i),d=(x-mx)**2+(y-my)**2;
+   if(d<bd){bd=d;best=i;}}
+  document.getElementById('slider').value=PROJ.step[best];refresh();};}
+function drawHist(){if(!UID)return;
+ const metric=document.getElementById('hsel').value;
+ fetch('/api/histogram?uid='+UID+'&metric='+metric).then(r=>r.json())
+ .then(h=>{const c=document.getElementById('hist'),ctx=c.getContext('2d');
+  ctx.clearRect(0,0,c.width,c.height);
+  const n=h.counts.length,hi=Math.max(...h.counts,1);
+  for(let i=0;i<n;i++){const x=12+(c.width-24)*i/n,
+    w=(c.width-24)/n-2,ht=(c.height-40)*h.counts[i]/hi;
+   ctx.fillStyle='#4d96ff';ctx.fillRect(x,c.height-24-ht,w,ht);}
+  ctx.fillStyle='#9a9ab8';ctx.font='11px sans-serif';
+  ctx.fillText(h.edges[0].toFixed(2),8,c.height-8);
+  ctx.fillText(h.edges[n].toFixed(2),c.width-60,c.height-8);
+  ctx.fillText(metric+'  mean '+h.mean.toFixed(2),12,14);});}
 document.getElementById('f0chk').onchange=()=>refresh();
 function refresh(){const step=+document.getElementById('slider').value;
  document.getElementById('stepno').textContent=step;
@@ -301,7 +431,7 @@ function refresh(){const step=+document.getElementById('slider').value;
   document.getElementById('bigB').src='/api/mel.png?uid='+UIDB+'&step='+step;
   document.getElementById('bigD').src='/api/diff.png?uid_a='+UID+
    '&uid_b='+UIDB+'&step_a='+step+'&step_b='+step;}
- drawTraj(step);drawMcd(step);
+ drawTraj(step);drawMcd(step);drawProj(step);
  const want=document.getElementById('f0chk').checked;
  drawF0('f0A',want?UID:null,step,big);
  drawF0('f0B',(want&&showB)?UIDB:null,step,document.getElementById('bigB'));}
@@ -401,6 +531,12 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
         elif url.path == "/api/trajectory":
             self._json(step_trajectory(self.root / q["uid"]))
+        elif url.path == "/api/projection":
+            self._json(step_projection(self.root / q["uid"]))
+        elif url.path == "/api/histogram":
+            self._json(metric_histogram(
+                self.root / q["uid"], q.get("metric", "mcd_to_final"),
+                int(q.get("bins", 16))))
         elif url.path == "/api/metrics":
             self._json(step_metrics(self.root / q["uid"]))
         elif url.path == "/api/f0":

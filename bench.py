@@ -332,6 +332,90 @@ def bench_maskgct_serving(batch_sizes=None) -> None:
                  "throughput_multiplier_vs_b1": round(mult, 2)})
 
 
+def bench_serving_latency(qps_points=None, duration_s=None) -> None:
+    """Latency vs LOAD (VERDICT r3 #7): an open-loop Poisson arrival
+    process drives the MaskGCT zero-shot backend through the real
+    MicroBatcher (batch rung ladder 1/2/4/8, 30 ms coalescing window) at
+    several QPS; reports p50/p95/p99 end-to-end per-request latency per
+    operating point. Single-chip capacity is ~3 req/s (BENCHMARKS.md),
+    so the ladder spans under-load → near-capacity; the tail blowing up
+    at the top rung is the queueing signature the table exists to show."""
+    from amphion_tpu.models.tts.maskgct.maskgct import (
+        MaskGCTS2A, MaskGCTT2S, S2AConfig, T2SConfig,
+    )
+    from amphion_tpu.models.tts.maskgct.ragged_sampling import (
+        s2a_sample_ragged, t2s_sample_ragged,
+    )
+    from amphion_tpu.serving.batcher import MicroBatcher
+    from amphion_tpu.serving.loadgen import run_load
+
+    t2s = MaskGCTT2S(T2SConfig(hidden=1024, num_layers=16, num_heads=16,
+                               codebook_size=8192, phone_vocab=256))
+    s2a = MaskGCTS2A(S2AConfig(hidden=1024, num_layers=16, num_heads=16,
+                               codebook_size=1024, num_quantizers=8,
+                               cond_codebook_size=8192))
+    r = jax.random.key(0)
+    lp, lt, lphone = 150, 500, 64
+    t2s_params = t2s.init(r, jnp.zeros((1, lp), jnp.int32), jnp.ones((1, lp)),
+                          jnp.zeros((1, lphone), jnp.int32),
+                          jnp.ones((1, lphone)), jax.random.key(1),
+                          method=MaskGCTT2S.compute_loss)["params"]
+    s2a_params = s2a.init(r, jnp.zeros((1, 8, lp + lt), jnp.int32),
+                          jnp.ones((1, lp + lt)),
+                          jnp.zeros((1, lp + lt), jnp.int32),
+                          jax.random.key(1),
+                          method=MaskGCTS2A.compute_loss)["params"]
+    rungs = (1, 2, 4, 8)
+
+    def run_rung(b, seeds):
+        plen = jnp.full((b,), lp, jnp.int32)
+        tlen = jnp.full((b,), lt, jnp.int32)
+        phlen = jnp.full((b,), lphone, jnp.int32)
+        keys = jax.vmap(jax.random.key)(seeds.astype(jnp.uint32))
+        sem = t2s_sample_ragged(t2s, t2s_params,
+                                jnp.zeros((b, lp), jnp.int32), plen,
+                                jnp.zeros((b, lphone), jnp.int32), phlen,
+                                tlen, keys, lt, n_steps=25, cfg=2.5)
+        return s2a_sample_ragged(s2a, s2a_params,
+                                 jnp.zeros((b, lp + lt), jnp.int32),
+                                 jnp.zeros((b, 8, lp), jnp.int32),
+                                 plen, tlen, keys, lt,
+                                 first_layer_steps=16)
+
+    def run_batch(bucket, payloads):
+        n = len(payloads)
+        rung = next(x for x in rungs if x >= n)
+        seeds = np.asarray(list(payloads) + [0] * (rung - n))
+        codes = run_rung(rung, jnp.asarray(seeds))
+        _fence(codes)
+        return [np.asarray(codes[i]) for i in range(n)]
+
+    for b in rungs:  # pre-compile every rung outside the timed window
+        _fence(run_rung(b, jnp.arange(b)))
+        print(f"# rung {b} compiled", file=sys.stderr)
+
+    mb = MicroBatcher(run_batch, bucket_fn=lambda p: 0, max_batch=8,
+                      max_wait_ms=30.0)
+    qps_points = qps_points or tuple(
+        float(x) for x in os.environ.get(
+            "AMPHION_BENCH_QPS", "0.5,1.5,3.0").split(","))
+    duration_s = duration_s or float(
+        os.environ.get("AMPHION_BENCH_LOAD_S", "20"))
+    rows = []
+    for qi, qps in enumerate(qps_points):
+        res = run_load(mb.submit, lambda i: 1000 * qi + i, qps=qps,
+                       duration_s=duration_s, seed=qi)
+        rows.append(res.row())
+        print(f"# qps {qps}: {res.row()}", file=sys.stderr)
+    mb.shutdown()
+    mid = rows[min(1, len(rows) - 1)]
+    _emit("serving_latency_maskgct_p95_ms", mid["p95_ms"],
+          f"p95 end-to-end latency at {mid['qps_target']} qps "
+          "(10 s utterances, Poisson open loop)",
+          1.0, extra={"latency_vs_load": rows,
+                      "batcher": mb.stats.snapshot()})
+
+
 def bench_valle_serving(batch_sizes=None, compute_dtype="bfloat16") -> None:
     """Batched VALL-E serving: B concurrent zero-shot requests through one
     ragged AR prefill + decode scan + NAR fill (models/tts/valle/valle.py
@@ -911,6 +995,7 @@ _SUITE = {
     "serving_valle": bench_valle_serving,
     "serving_vevo": bench_vevo_serving,
     "serving_vevo_int4": lambda: bench_vevo_serving(compute_dtype="int4"),
+    "serving_latency": bench_serving_latency,
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
     "valle_int4": lambda: bench_valle_rtf("int4"),

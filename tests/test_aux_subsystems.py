@@ -409,3 +409,42 @@ def test_singvisio_comparative_views(tmp_path, rng):
     voiced = f0[f0 > 0]
     assert len(voiced) > 10
     assert abs(np.median(voiced) - 220) < 12, np.median(voiced)
+
+
+def test_singvisio_projection_and_histogram(tmp_path, rng):
+    """Round-4 signature views (VERDICT r3 #5; ref SingVisio function.js
+    touch_map + histogram): 2-D PCA projection of the step trajectory
+    (clickable map) and the per-step metric histogram."""
+    from amphion_tpu.visualization.singvisio.server import (
+        dump_diffusion_steps,
+        metric_histogram,
+        step_projection,
+    )
+
+    final = rng.standard_normal((24, 16)).astype(np.float32)
+    mels = [final + rng.standard_normal(final.shape).astype(np.float32)
+            * (1 - i / 7) for i in range(7)] + [final]
+    out = dump_diffusion_steps(mels, tmp_path, "uttP")
+
+    proj = step_projection(out)
+    assert len(proj["x"]) == len(proj["y"]) == 8
+    assert proj["step"] == list(range(8))
+    assert len(proj["cluster"]) == 8
+    # PCA on a denoising trajectory: the first axis captures most of the
+    # monotone noise-shrink variance
+    assert proj["var_explained"][0] > proj["var_explained"][1] >= 0.0
+    assert 0.0 < sum(proj["var_explained"]) <= 1.0 + 1e-6
+    # early (noisy) steps sit far from the final step in the map
+    d0 = (proj["x"][0] - proj["x"][-1]) ** 2 + (proj["y"][0]
+                                                - proj["y"][-1]) ** 2
+    d6 = (proj["x"][6] - proj["x"][-1]) ** 2 + (proj["y"][6]
+                                                - proj["y"][-1]) ** 2
+    assert d0 > d6
+
+    for metric in ("mcd_to_final", "dist_to_final", "step_delta"):
+        h = metric_histogram(out, metric, bins=8)
+        assert len(h["counts"]) == 8 and len(h["edges"]) == 9
+        assert sum(h["counts"]) == 8  # every step binned
+        assert h["min"] <= h["mean"] <= h["max"]
+    with pytest.raises(KeyError):
+        metric_histogram(out, "nope")

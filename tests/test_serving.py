@@ -368,3 +368,52 @@ def test_serve_http_concurrent_sine():
         assert snap["completed"] == 5
     finally:
         httpd.shutdown()
+
+def test_batcher_latency_percentiles():
+    """End-to-end per-request latency lands in stats with p50/p95/p99
+    (VERDICT r3 #7)."""
+    import time as _time
+
+    def run_batch(bucket, payloads):
+        _time.sleep(0.02)
+        return payloads
+
+    mb = MicroBatcher(run_batch, bucket_fn=lambda p: 0, max_batch=4,
+                      max_wait_ms=5.0)
+    futs = [mb.submit(i) for i in range(12)]
+    for f in futs:
+        f.result(timeout=10)
+    snap = mb.stats.snapshot()
+    mb.shutdown()
+    assert snap["latency_ms_p50"] >= 20.0  # at least one 20 ms batch
+    assert snap["latency_ms_p99"] >= snap["latency_ms_p95"] \
+        >= snap["latency_ms_p50"]
+    # 12 requests over >= 3 sequential 20 ms batches: p99 sees queueing
+    assert snap["latency_ms_p99"] > snap["latency_ms_p50"]
+
+
+def test_poisson_loadgen_tail_grows_with_load():
+    """Open-loop Poisson drive: at a rate beyond service capacity the
+    tail latency must grow (queueing delay) — the property the
+    latency-vs-load table in docs/serving.md measures."""
+    import time as _time
+
+    from amphion_tpu.serving.loadgen import run_load
+
+    def run_batch(bucket, payloads):
+        _time.sleep(0.05)  # capacity: 20 req/s at max_batch=1
+        return payloads
+
+    mb = MicroBatcher(run_batch, bucket_fn=lambda p: 0, max_batch=1,
+                      max_wait_ms=0.0)
+    light = run_load(mb.submit, lambda i: i, qps=4.0, duration_s=1.5,
+                     seed=0)
+    heavy = run_load(mb.submit, lambda i: i, qps=40.0, duration_s=1.5,
+                     seed=1)
+    mb.shutdown()
+    assert light.n_ok > 0 and heavy.n_ok > 0
+    assert light.latency_ms_p50 >= 50.0
+    # over capacity → queue builds → p95 far above the service time
+    assert heavy.latency_ms_p95 > light.latency_ms_p95 * 2
+    row = heavy.row()
+    assert set(row) >= {"qps_target", "p50_ms", "p95_ms", "p99_ms"}
