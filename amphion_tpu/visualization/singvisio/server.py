@@ -280,7 +280,11 @@ select{background:#2a2a3a;color:#ddd;border:1px solid #555;padding:3px}
 .overlay{position:relative;display:inline-block}
 .overlay canvas{position:absolute;left:0;top:0;background:transparent;
  border:none;pointer-events:none}
-</style></head><body><h2>SingVisio — diffusion step explorer</h2>
+#tourbox{position:fixed;z-index:9;background:#2a2a4a;border:2px solid #5a5aff;
+ border-radius:8px;padding:12px;max-width:340px;box-shadow:0 4px 24px #000}
+.hl{outline:3px solid #5a5aff;outline-offset:3px}
+</style></head><body><h2>SingVisio — diffusion step explorer
+ <button id=tourbtn style="float:right">guided tour</button></h2>
 <div id=exps></div>
 <div id=controls style="display:none">
  <p class=lbl>compare with:
@@ -418,6 +422,45 @@ function drawHist(){if(!UID)return;
   ctx.fillText(h.edges[0].toFixed(2),8,c.height-8);
   ctx.fillText(h.edges[n].toFixed(2),c.width-60,c.height-8);
   ctx.fillText(metric+'  mean '+h.mean.toFixed(2),12,14);});}
+// guided tour (the reference webpage ships an intro-js walkthrough;
+// this is a dependency-free equivalent stepping through every view)
+const TOUR=[['#exps','Pick an experiment. With model__dataset__uid '+
+  'naming the model/dataset dropdowns filter runs (multi-run mode).'],
+ ['#slider','Drag through the denoising trajectory. The mel heatmap, '+
+  'overlays and every chart track the selected step.'],
+ ['#thumbs','Key steps: one k-means representative per mel cluster — '+
+  'click a thumbnail to jump.'],
+ ['#bsel','Compare with a second run: side-by-side mels plus the A−B '+
+  'difference heatmap.'],
+ ['#traj','Denoising trajectory: L2 distance to the final mel, '+
+  'colored by cluster; diamonds mark key steps.'],
+ ['#mcd','Quality vs step: MCD to the final mel. A solid, B dashed.'],
+ ['#proj','Projection map (touch map): 2-D PCA of the step mels. '+
+  'Click any point to jump to that step.'],
+ ['#hist','Metric histogram: distribution of the selected per-step '+
+  'metric over the trajectory.']];
+let tourI=-1;
+function tourStep(di){
+ document.querySelectorAll('.hl').forEach(e=>e.classList.remove('hl'));
+ const old=document.getElementById('tourbox');if(old)old.remove();
+ tourI+=di;
+ if(tourI<0||tourI>=TOUR.length){tourI=-1;return;}
+ const[sel,txt]=TOUR[tourI],el=document.querySelector(sel);
+ if(!el){tourStep(di);return;}
+ el.classList.add('hl');el.scrollIntoView({block:'center'});
+ const r=el.getBoundingClientRect(),box=document.createElement('div');
+ box.id='tourbox';
+ box.style.left=Math.min(innerWidth-360,r.left)+'px';
+ box.style.top=Math.min(innerHeight-140,r.bottom+10)+'px';
+ box.innerHTML='<b>'+(tourI+1)+'/'+TOUR.length+'</b> '+txt+'<br>'+
+  '<button onclick="tourStep(-1)">back</button> '+
+  '<button onclick="tourStep(1)">next</button> '+
+  '<button onclick="tourI=99;tourStep(1)">done</button>';
+ document.body.appendChild(box);}
+document.getElementById('tourbtn').onclick=()=>{tourI=-1;
+ if(document.getElementById('controls').style.display=='none'&&ALLEXPS.length)
+  load(ALLEXPS[0],document.querySelector('#exps button'));
+ tourStep(1);};
 document.getElementById('f0chk').onchange=()=>refresh();
 function refresh(){const step=+document.getElementById('slider').value;
  document.getElementById('stepno').textContent=step;
