@@ -15,8 +15,10 @@ r = jax.random.key(0)
 ar = ARTransformer(ARTransformerConfig(
     input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
     num_heads=16, intermediate=6144, max_position=4096))
-content = jnp.zeros((1, 650), jnp.int32)
-cmask = jnp.ones((1, 650), jnp.float32)
+import os as _os
+CLEN = int(_os.environ.get("AMPHION_AB_CONTENT", "650"))
+content = jnp.zeros((1, CLEN), jnp.int32)
+cmask = jnp.ones((1, CLEN), jnp.float32)
 out0 = jnp.zeros((1, 500), jnp.int32)
 omask = jnp.ones((1, 500), jnp.float32)
 params = ar.init(r, content, cmask, out0, omask, method=ARTransformer.loss)["params"]
@@ -32,5 +34,5 @@ for i in range(5):
     ts.append(time.perf_counter()-t0)
 ts.sort()
 print(json.dumps({"cfg": {k: os.environ.get(k, "") for k in
-    ("AMPHION_INT4_BLOCK_N","AMPHION_INT4_BLOCK_K")},
+    ("AMPHION_INT4_BLOCK_N","AMPHION_INT4_BLOCK_K","AMPHION_AB_CONTENT","AMPHION_KV_QUANT")},
     "ar_500tok_median_s": round(ts[2],4), "all": [round(t,4) for t in ts]}))

@@ -164,6 +164,12 @@ class ARTransformer(nn.Module):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.total_vocab, c.hidden)
         self.decoder = LlamaDecoder(c.llama())
+        # The head streams (hidden × total_vocab ≈ 25 MB bf16 at Vevo
+        # scale) every decode step — quantizing it looked like a ~20 ms
+        # win on paper, but A/B-measured NEUTRAL on v5e (0.6412 vs
+        # 0.6387 s/500 tok int4): XLA overlaps the bf16 head stream with
+        # the step's other work, while the 9-program int4 GEMV adds its
+        # own fixed cost. Kept bf16 — no speed win, no logit error.
         self.lm_head = nn.Dense(c.total_vocab, use_bias=False)
         if c.use_global_timbre:
             self.timbre_encoder = GlobalTimbreEncoder(

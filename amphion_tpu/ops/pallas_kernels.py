@@ -572,8 +572,8 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group, sub):
 
 
 def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
-                       group: int = 128, block_n: int = 512,
-                       block_k: int = 512,
+                       group: int = 128, block_n: int = 1024,
+                       block_k: int = 1536,
                        interpret: bool | None = None) -> jax.Array:
     """x (B, K) @ dequant-int4(w_q (K, N), scale (K/group, N)) → (B, N) f32.
 
@@ -581,7 +581,13 @@ def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     lives in HBM as native int4 — half the decode-weight bytes of int8.
     ``w_q`` may be passed as int8 (test convenience); it is converted to
     int4 before the call, so pass int4 directly inside scans to keep the
-    conversion out of the hot loop (quantize_llama_params does)."""
+    conversion out of the hot loop (quantize_llama_params does).
+
+    Default block shape (1024, 1536) is the round-4 v5e sweep winner for
+    the B=1 decode GEMV: full-K blocks for the 1536-wide projections cut
+    the Vevo AR stage 0.736 → 0.639 s/500 tok (13%) vs the old
+    (512, 512); N=2048/K=1536 and whole-matrix blocks failed to compile.
+    Override with AMPHION_INT4_BLOCK_N / _K for A/Bs."""
     interpret = _resolve_interpret(interpret)
     import os as _os
 
