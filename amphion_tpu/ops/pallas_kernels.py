@@ -484,8 +484,15 @@ def int8_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     alone gave ~2x on VALL-E). This kernel streams the weight matrix from
     HBM as int8 tiles and dequantizes in VMEM registers — guaranteed
     int8-bytes-per-step traffic, immune to XLA hoisting a dequantized
-    copy out of the decode scan. Accumulation is f32."""
+    copy out of the decode scan. Accumulation is f32.
+
+    Block-shape A/B knobs mirror the int4 kernel's (whose (1024, 1536)
+    sweep win cut the Vevo AR 13%): AMPHION_INT8_BLOCK_N / _K."""
     interpret = _resolve_interpret(interpret)
+    import os as _os
+
+    block_n = int(_os.environ.get("AMPHION_INT8_BLOCK_N", block_n))
+    block_k = int(_os.environ.get("AMPHION_INT8_BLOCK_K", block_k))
     b, k_dim = x.shape
     k2, n = w_q.shape
     assert k2 == k_dim and scale.shape == (n,)
