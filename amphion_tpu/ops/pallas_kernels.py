@@ -476,7 +476,7 @@ def _int8_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, k_tiles):
 
 
 def int8_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
-                       block_n: int = 512, block_k: int = 512,
+                       block_n: int = 1024, block_k: int = 1536,
                        interpret: bool | None = None) -> jax.Array:
     """x (B, K) @ dequant(w_q (K, N), scale (N,)) → (B, N) f32.
 
@@ -486,8 +486,10 @@ def int8_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     int8-bytes-per-step traffic, immune to XLA hoisting a dequantized
     copy out of the decode scan. Accumulation is f32.
 
-    Block-shape A/B knobs mirror the int4 kernel's (whose (1024, 1536)
-    sweep win cut the Vevo AR 13%): AMPHION_INT8_BLOCK_N / _K."""
+    Default block shape (1024, 1536) mirrors the int4 sweep winner and
+    was A/B-confirmed for int8 on the Vevo AR (median RTF 0.1256 →
+    0.1093, docs/bench_r4_raw.jsonl). AMPHION_INT8_BLOCK_N / _K
+    override for A/Bs."""
     interpret = _resolve_interpret(interpret)
     import os as _os
 
