@@ -55,11 +55,13 @@ class ARTransformerConfig:
     timbre_hidden: int = 512
     timbre_heads: int = 4
     timbre_layers: int = 4
-    # decode-time weight-only quantization ("none" | "int8") — see
-    # ar_transformer_generate(compute_dtype="int8"); kv_quant adds the
-    # int8 KV cache — OPT-IN and off by default: the cache re-read rivals
-    # the weight stream on paper, but measured on v5e the unfused dequant
-    # costs more than the byte saving (see _quantize_for_decode)
+    # decode-time weight-only quantization ("none" | "int8" | "int4") —
+    # see ar_transformer_generate(compute_dtype=...); kv_quant adds the
+    # int8 KV cache. Default False HERE (training/eval configs), but
+    # _quantize_for_decode turns it ON for quantized decode via the
+    # scale-after-dot formulation, which measured FASTER (0.733 vs
+    # 0.746 s/500 tok) — the earlier dequantize-the-cache variant was
+    # the slower one (0.85 s). AMPHION_KV_QUANT=0 disables for A/B.
     decode_quant: str = "none"
     kv_quant: bool = False
     remat: bool = False  # rematerialize decoder blocks (memory lever)
