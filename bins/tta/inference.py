@@ -125,7 +125,6 @@ def main():
             # t5-base on the host, audioldm_inference.py:60-61); weights
             # via `bins/convert_checkpoint.py --model t5_encoder`
             from amphion_tpu.modules.t5 import T5Config, T5Encoder
-            from amphion_tpu.runtime.checkpoint import CheckpointManager
             from amphion_tpu.text.t5_tokenize import t5_tokenize
 
             t5_tree, _, _ = CheckpointManager(args.t5_dir).restore_raw()
