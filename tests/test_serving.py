@@ -366,6 +366,9 @@ def test_serve_http_concurrent_sine():
         ) as r:
             snap = json.loads(r.read())
         assert snap["completed"] == 5
+        # tail-latency percentiles surface through the endpoint (r4)
+        assert snap["latency_ms_p99"] >= snap["latency_ms_p95"] \
+            >= snap["latency_ms_p50"] > 0
     finally:
         httpd.shutdown()
 
