@@ -714,6 +714,64 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
                                        **spread})
 
 
+def bench_vevo_spec_cost(draft_layers=5, k=4) -> None:
+    """Honest cost model for self-speculative Vevo AR decode (the r3
+    lever (a)). The SPEEDUP depends on draft acceptance, which random
+    bench weights cannot exhibit (~chance) — so this bench measures what
+    it honestly can on hardware: worst-case (zero-acceptance)
+    speculative RTF at full scale, plus the plain-decode baseline, and
+    derives the breakeven/projected-speedup curve
+    speedup(α) = (α·k+1) · t_step / t_iter from the measured per-
+    iteration cost. Exactness (tokens == plain greedy) is CPU-property-
+    tested in tests/test_speculative.py."""
+    from amphion_tpu.models.vc.ar_transformer import (
+        ARTransformer, ARTransformerConfig, ar_transformer_generate,
+    )
+    from amphion_tpu.models.vc.speculative import (
+        ar_transformer_generate_speculative,
+    )
+
+    r = jax.random.key(0)
+    ar = ARTransformer(ARTransformerConfig(
+        input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
+        num_heads=16, intermediate=6144, max_position=4096))
+    content = jnp.zeros((1, 650), jnp.int32)
+    params = ar.init(r, content, jnp.ones((1, 650)),
+                     jnp.zeros((1, 500), jnp.int32), jnp.ones((1, 500)),
+                     method=ARTransformer.loss)["params"]
+    n_new = 500
+
+    def plain(rng):
+        return ar_transformer_generate(ar, params, content, rng,
+                                       max_new=n_new, top_k=1,
+                                       compute_dtype="int4")[0]
+
+    def spec():
+        return ar_transformer_generate_speculative(
+            ar, params, content, max_new=n_new,
+            draft_layers=draft_layers, k=k, compute_dtype="int4")[0]
+
+    _fence(plain(jax.random.key(2)))
+    t0 = time.perf_counter(); _fence(plain(jax.random.key(3)))
+    t_plain = time.perf_counter() - t0
+    _fence(spec())
+    t0 = time.perf_counter(); _fence(spec())
+    t_spec_worst = time.perf_counter() - t0
+    t_step = t_plain / n_new
+    # zero-acceptance: every iteration emits 1 token → n_new iterations
+    t_iter = t_spec_worst / n_new
+    curve = {f"alpha_{a:.2f}": round((a * k + 1) * t_step / t_iter, 3)
+             for a in (0.0, 0.25, 0.5, 0.75, 1.0)}
+    breakeven = max(0.0, (t_iter / t_step - 1.0) / k)
+    _emit("vevo_spec_decode_worst_case_s", t_spec_worst,
+          f"s/500 tok at ZERO acceptance (draft {draft_layers}L, k={k}; "
+          "plain {:.3f} s)".format(t_plain), t_plain / t_spec_worst,
+          extra={"t_step_ms": round(t_step * 1e3, 3),
+                 "t_iter_ms": round(t_iter * 1e3, 3),
+                 "projected_speedup_vs_acceptance": curve,
+                 "breakeven_acceptance": round(breakeven, 3)})
+
+
 def bench_flash_attention() -> None:
     """Fused flash attention vs the dense einsum path at training shape
     (B=8, L=2048, H=16, D=64, causal+padding mask, forward).
@@ -1002,6 +1060,7 @@ _SUITE = {
     "vevo": bench_vevo_rtf,
     "vevo_int8": lambda: bench_vevo_rtf("int8"),
     "vevo_int4": lambda: bench_vevo_rtf("int4"),
+    "vevo_spec_cost": bench_vevo_spec_cost,
     "flash": bench_flash_attention,
     "ssl": bench_ssl_extract,
 }
