@@ -71,3 +71,35 @@ def test_speculative_quantized_path_compiles(tiny_ar):
     assert toks.shape == (1, 8)
     assert (toks >= 0).all() and (toks < model.cfg.total_vocab).all()
     assert 0 <= int(n[0]) <= 8
+
+
+def test_valle_speculative_matches_plain_greedy():
+    from amphion_tpu.models.tts.valle.valle import (
+        VALLE,
+        VALLEConfig,
+        ar_generate,
+    )
+    from amphion_tpu.models.vc.speculative import (
+        valle_ar_generate_speculative,
+    )
+
+    cfg = VALLEConfig(num_phones=17, audio_vocab=23, num_quantizers=2,
+                      hidden=32, num_layers=3, num_heads=2,
+                      max_position=256)
+    model = VALLE(cfg)
+    rng = np.random.default_rng(4)
+    phones = jnp.asarray(rng.integers(1, 17, (1, 6)), jnp.int32)
+    prompt = jnp.asarray(rng.integers(0, 23, (1, 5)), jnp.int32)
+    params = model.init(
+        jax.random.key(0), phones, jnp.ones((1, 6)),
+        jnp.asarray(rng.integers(0, 23, (1, 2, 5))), jnp.ones((1, 5)),
+        jax.random.key(1), method=VALLE.train_loss)["params"]
+
+    ref_toks, ref_len = ar_generate(model, params, phones, prompt,
+                                    jax.random.key(2), max_new=10,
+                                    top_k=1, compute_dtype="float32")
+    toks, n = valle_ar_generate_speculative(
+        model, params, phones, prompt, max_new=10, draft_layers=2, k=3,
+        compute_dtype="float32")
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
+    assert int(n[0]) == int(ref_len[0])
