@@ -46,65 +46,130 @@ from amphion_tpu.models.vc.ar_transformer import (
 from amphion_tpu.modules.llama import LlamaDecoder
 
 
-def _speculative_core(*, caches, pref_len, first_logits, draft_step,
-                      verify, eos_id, max_new, k):
-    """Generic B=1 greedy speculative loop.
+def _filtered(logits, temperature, top_k, top_p):
+    from amphion_tpu.ops.sampling import top_k_filter, top_p_filter
 
-    draft_step(last (1,), dcaches, pos) -> (next (1,), dcaches)
+    l = logits.astype(jnp.float32) / max(temperature, 1e-6)
+    return top_p_filter(top_k_filter(l, top_k), top_p)
+
+
+def _speculative_core(*, caches, pref_len, first_logits, draft_step,
+                      verify, eos_id, max_new, k, rng=None,
+                      temperature=1.0, top_k=0, top_p=1.0):
+    """Generic B=1 speculative loop.
+
+    draft_step(last (1,), dcaches, pos) -> (logits (1, V), dcaches)
     verify(chunk (1, k+1), caches, idx) -> (logits (1, k+1, V), caches)
-    Returns (tokens (1, max_new), gen_len (1,)).
-    """
-    last = jnp.argmax(first_logits.astype(jnp.float32), axis=-1)  # (1,)
+
+    ``rng=None`` → GREEDY verification (emits exactly the full model's
+    argmax tokens). With ``rng``, standard speculative SAMPLING
+    (Leviathan/Chen): draft token x_j ~ q_j is accepted with probability
+    min(1, p_j(x_j)/q_j(x_j)); the first rejection resamples from the
+    residual max(p−q, 0)/Z; all-accepted earns a bonus draw from p_k —
+    the emitted sequence is distributed EXACTLY as plain sampling from
+    the full model (distribution-level test in tests/test_speculative.py).
+    Returns (tokens (1, max_new), gen_len (1,))."""
+    sampled = rng is not None
+
+    def pick(lg, key):
+        if not sampled:
+            return jnp.argmax(lg.astype(jnp.float32), axis=-1)
+        return jax.random.categorical(
+            key, _filtered(lg, temperature, top_k, top_p), axis=-1)
+
+    if sampled:
+        rng, r0 = jax.random.split(rng)
+    else:
+        r0 = None
+    last = pick(first_logits, r0)  # (1,)
 
     def body(carry, _):
-        caches, idx, last, n_gen, done = carry
+        if sampled:
+            caches, idx, last, n_gen, done, key = carry
+            keys = jax.random.split(key, k + 4)
+            key_next, kd, ku, ky = keys[0], keys[1:k + 1], keys[k + 1], \
+                keys[k + 2]
+        else:
+            caches, idx, last, n_gen, done = carry
 
         dcaches = caches
         dlast = last
-        drafts = []
+        drafts, dlogits = [], []
         for j in range(k):
-            dlast, dcaches = draft_step(dlast, dcaches, idx + j)
+            dl, dcaches = draft_step(dlast, dcaches, idx + j)
+            dlast = pick(dl, kd[j] if sampled else None)
             drafts.append(dlast)
+            dlogits.append(dl[0])
         drafts = jnp.stack(drafts, axis=1)  # (1, k)
 
         chunk = jnp.concatenate([last[:, None], drafts], axis=1)
         logits, caches = verify(chunk, caches, idx)
-        targets = jnp.argmax(logits.astype(jnp.float32), axis=-1)
 
-        match = (drafts == targets[:, :k])
-        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)[0]
+        if not sampled:
+            targets = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            match = (drafts == targets[:, :k])
+            m = jnp.sum(jnp.cumprod(match.astype(jnp.int32),
+                                    axis=1), axis=1)[0]
+            emit_tok = targets[0]
+            last_new = targets[0, jnp.minimum(m, k)][None]
+        else:
+            p = jax.nn.softmax(_filtered(logits[0], temperature, top_k,
+                                         top_p), axis=-1)  # (k+1, V)
+            q = jax.nn.softmax(_filtered(jnp.stack(dlogits), temperature,
+                                         top_k, top_p), axis=-1)  # (k, V)
+            x = drafts[0]  # (k,)
+            px = jnp.take_along_axis(p[:k], x[:, None], axis=1)[:, 0]
+            qx = jnp.take_along_axis(q, x[:, None], axis=1)[:, 0]
+            u = jax.random.uniform(ku, (k,))
+            acc = u < px / jnp.maximum(qx, 1e-30)
+            m = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
+            # token at position m: residual resample (rejection) or the
+            # bonus draw from p_k (all accepted; residual q = 0)
+            p_sel = p[m]
+            q_sel = jnp.where(m < k,
+                              q[jnp.minimum(m, k - 1)], jnp.zeros_like(p_sel))
+            res = jnp.maximum(p_sel - q_sel, 0.0)
+            res = jnp.where(jnp.sum(res) > 1e-12, res, p_sel)
+            y = jax.random.categorical(ky, jnp.log(res + 1e-30))
+            emit_tok = jnp.where(jnp.arange(k + 1) < m, jnp.pad(x, (0, 1)),
+                                 y)
+            last_new = y[None]
+
         emit_n = m + 1
         pos_in = jnp.arange(k + 1)
         emit_mask = (pos_in <= m) & (n_gen + pos_in < max_new) & (~done)
-        is_eos = targets[0] == eos_id
+        is_eos = emit_tok == eos_id
         eos_before = jnp.cumsum(
             jnp.concatenate([jnp.zeros((1,), jnp.int32),
                              is_eos.astype(jnp.int32)[:-1]])) > 0
         emit_mask = emit_mask & (~eos_before)
         # plain generate writes 0 in the EOS slot (tok_clean) and does
         # not count it in gen_len — mirror exactly for token identity
-        emitted = jnp.where(emit_mask & (~is_eos), targets[0], -1)
+        emitted = jnp.where(emit_mask & (~is_eos), emit_tok, -1)
         wrote = jnp.sum((emit_mask & (~is_eos)).astype(jnp.int32))
         done_new = done | jnp.any(is_eos & emit_mask) | (
             n_gen + jnp.sum(emit_mask.astype(jnp.int32)) >= max_new)
 
-        last_new = targets[0, jnp.minimum(m, k)][None]
         idx_new = jnp.where(done, idx, idx + emit_n)
         out_pos = jnp.where(emit_mask, n_gen + jnp.cumsum(
             emit_mask.astype(jnp.int32)) - 1, max_new + k)  # drop slot
         n_gen_new = jnp.where(done, n_gen, n_gen + wrote)
-        return ((caches, idx_new,
-                 jnp.where(done, last, last_new), n_gen_new, done_new),
-                (emitted, out_pos))
+        new_carry = (caches, idx_new, jnp.where(done, last, last_new),
+                     n_gen_new, done_new)
+        if sampled:
+            new_carry = new_carry + (key_next,)
+        return new_carry, (emitted, out_pos)
 
-    # the prefill logits' argmax IS the first emitted token (plain
+    # the prefill logits' pick IS the first emitted token (plain
     # generate's step i=0 consumes them the same way)
     first_eos = last[0] == eos_id
     out0 = jnp.where(first_eos, 0, last[0])
     n_gen0 = jnp.where(first_eos, 0, 1).astype(jnp.int32)
     init = (caches, pref_len, last, n_gen0, first_eos)
-    (_, _, _, n_gen, _), (em, pos) = jax.lax.scan(
-        body, init, None, length=max_new)
+    if sampled:
+        init = init + (rng,)
+    carry, (em, pos) = jax.lax.scan(body, init, None, length=max_new)
+    n_gen = carry[3]
     out = jnp.zeros((max_new + k + 1,), jnp.int32)
     out = out.at[0].set(out0)
     out = out.at[pos.reshape(-1)].set(
@@ -137,27 +202,39 @@ def _head(m: ARTransformer, h):
 
 
 @functools.lru_cache(maxsize=16)
-def _spec_jitted(model, max_new, draft_layers, k, compute_dtype):
+def _spec_jitted(model, max_new, draft_layers, k, compute_dtype,
+                 temperature, top_k, top_p, sampled):
     core = functools.partial(
         _ar_speculative_impl, model, max_new=max_new,
-        draft_layers=draft_layers, k=k, compute_dtype=compute_dtype)
+        draft_layers=draft_layers, k=k, compute_dtype=compute_dtype,
+        temperature=temperature, top_k=top_k, top_p=top_p)
+    if not sampled:
+        core = functools.partial(core, rng=None)
     return jax.jit(core)
 
 
 def ar_transformer_generate_speculative(
-        model: ARTransformer, params, input_tokens,
+        model: ARTransformer, params, input_tokens, rng=None,
         max_new: int = 1024, draft_layers: int = 5, k: int = 4,
+        temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
         compute_dtype: str = "bfloat16"):
-    """Greedy zero-shot decode, token-identical to greedy
-    `ar_transformer_generate` (top_k=1). Returns
-    (tokens (1, max_new), gen_len (1,))."""
+    """Speculative zero-shot decode. rng=None → greedy, token-identical
+    to greedy `ar_transformer_generate` (top_k=1); with rng → exact
+    speculative sampling under the same temperature/top-k/top-p
+    transform as `sample_logits`. Returns (tokens (1, max_new),
+    gen_len (1,))."""
     assert input_tokens.shape[0] == 1, "speculative decode is B=1"
-    return _spec_jitted(model, max_new, draft_layers, k, compute_dtype)(
-        params, input_tokens)
+    fn = _spec_jitted(model, max_new, draft_layers, k, compute_dtype,
+                      float(temperature), int(top_k), float(top_p),
+                      rng is not None)
+    if rng is None:
+        return fn(params, input_tokens)
+    return fn(params, input_tokens, rng=rng)
 
 
 def _ar_speculative_impl(model, params, input_tokens, *, max_new,
-                         draft_layers, k, compute_dtype):
+                         draft_layers, k, compute_dtype, rng=None,
+                         temperature=1.0, top_k=0, top_p=1.0):
     model, params, dt = _quantize_for_decode(model, params, compute_dtype)
     c = model.cfg
     b, li = input_tokens.shape
@@ -177,8 +254,7 @@ def _ar_speculative_impl(model, params, input_tokens, *, max_new,
         h, sub = draft.apply({"params": dparams}, h, caches=sub,
                              cache_index=pos)
         dl = model.apply({"params": params}, h[:, -1], method=_head)
-        return (jnp.argmax(dl.astype(jnp.float32), axis=-1),
-                list(sub) + list(dcaches[draft_layers:]))
+        return dl, list(sub) + list(dcaches[draft_layers:])
 
     def verify(chunk, caches, idx):
         return model.apply({"params": params}, chunk, caches, idx,
@@ -187,7 +263,8 @@ def _ar_speculative_impl(model, params, input_tokens, *, max_new,
     return _speculative_core(
         caches=caches, pref_len=pref_len, first_logits=logits,
         draft_step=draft_step, verify=verify, eos_id=c.eos_id,
-        max_new=max_new, k=k)
+        max_new=max_new, k=k, rng=rng, temperature=temperature,
+        top_k=top_k, top_p=top_p)
 
 
 # ---------------------------------------------------------------------------
@@ -196,22 +273,32 @@ def _ar_speculative_impl(model, params, input_tokens, *, max_new,
 
 
 @functools.lru_cache(maxsize=16)
-def _valle_spec_jitted(model, max_new, draft_layers, k, compute_dtype):
+def _valle_spec_jitted(model, max_new, draft_layers, k, compute_dtype,
+                       temperature, top_k, top_p, sampled):
     core = functools.partial(
         _valle_speculative_impl, model, max_new=max_new,
-        draft_layers=draft_layers, k=k, compute_dtype=compute_dtype)
+        draft_layers=draft_layers, k=k, compute_dtype=compute_dtype,
+        temperature=temperature, top_k=top_k, top_p=top_p)
+    if not sampled:
+        core = functools.partial(core, rng=None)
     return jax.jit(core)
 
 
 def valle_ar_generate_speculative(
-        model, params, phones, prompt_tokens,
+        model, params, phones, prompt_tokens, rng=None,
         max_new: int = 512, draft_layers: int = 4, k: int = 4,
+        temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
         compute_dtype: str = "bfloat16"):
-    """Greedy VALL-E AR continuation, token-identical to greedy
-    `valle.ar_generate` (top_k=1)."""
+    """Speculative VALL-E AR continuation: greedy (rng=None,
+    token-identical to greedy `valle.ar_generate`) or exact speculative
+    sampling (with rng)."""
     assert phones.shape[0] == 1, "speculative decode is B=1"
-    return _valle_spec_jitted(model, max_new, draft_layers, k,
-                              compute_dtype)(params, phones, prompt_tokens)
+    fn = _valle_spec_jitted(model, max_new, draft_layers, k,
+                            compute_dtype, float(temperature), int(top_k),
+                            float(top_p), rng is not None)
+    if rng is None:
+        return fn(params, phones, prompt_tokens)
+    return fn(params, phones, prompt_tokens, rng=rng)
 
 
 def _valle_verify(m, toks, caches, cache_index):
@@ -225,7 +312,9 @@ def _valle_head(m, h):
 
 
 def _valle_speculative_impl(model, params, phones, prompt_tokens, *,
-                            max_new, draft_layers, k, compute_dtype):
+                            max_new, draft_layers, k, compute_dtype,
+                            rng=None, temperature=1.0, top_k=0,
+                            top_p=1.0):
     from amphion_tpu.models.tts.valle.valle import VALLE, _prep_decode
 
     model, params, dt = _prep_decode(model, params, compute_dtype)
@@ -248,8 +337,7 @@ def _valle_speculative_impl(model, params, phones, prompt_tokens, *,
         h, sub = draft.apply({"params": dparams}, h, caches=sub,
                              cache_index=pos)
         dl = model.apply({"params": params}, h[:, -1], method=_valle_head)
-        return (jnp.argmax(dl.astype(jnp.float32), axis=-1),
-                list(sub) + list(dcaches[draft_layers:]))
+        return dl, list(sub) + list(dcaches[draft_layers:])
 
     def verify(chunk, caches, idx):
         return model.apply({"params": params}, chunk, caches, idx,
@@ -258,4 +346,5 @@ def _valle_speculative_impl(model, params, phones, prompt_tokens, *,
     return _speculative_core(
         caches=caches, pref_len=lp + lt, first_logits=logits,
         draft_step=draft_step, verify=verify, eos_id=c.eos_id,
-        max_new=max_new, k=k)
+        max_new=max_new, k=k, rng=rng, temperature=temperature,
+        top_k=top_k, top_p=top_p)

@@ -103,3 +103,34 @@ def test_valle_speculative_matches_plain_greedy():
         compute_dtype="float32")
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
     assert int(n[0]) == int(ref_len[0])
+
+
+def test_speculative_sampling_matches_plain_distribution(tiny_ar):
+    """Speculative SAMPLING (rejection scheme) must reproduce the plain
+    sampler's distribution — compare empirical marginals of the first
+    two emitted tokens over many seeds (deterministic seed list, total
+    variation bound sized to the sampling noise)."""
+    model, params, content = tiny_ar
+    N = 3000
+    V = model.cfg.total_vocab
+
+    plain = jax.jit(lambda key: ar_transformer_generate(
+        model, params, content, key, max_new=2, temperature=1.0,
+        top_k=8, compute_dtype="float32")[0][0])
+    spec = jax.jit(lambda key: ar_transformer_generate_speculative(
+        model, params, content, rng=key, max_new=2, draft_layers=2, k=2,
+        temperature=1.0, top_k=8, compute_dtype="float32")[0][0])
+
+    counts = {"plain": np.zeros((2, V)), "spec": np.zeros((2, V))}
+    for i in range(N):
+        a = np.asarray(plain(jax.random.key(i)))
+        b = np.asarray(spec(jax.random.key(100000 + i)))
+        for t in range(2):
+            counts["plain"][t, a[t]] += 1
+            counts["spec"][t, b[t]] += 1
+    for t in range(2):
+        pa = counts["plain"][t] / N
+        pb = counts["spec"][t] / N
+        tv = 0.5 * np.abs(pa - pb).sum()
+        # top_k=8 → ≤8 support points; TV noise ~ sqrt(8/N) ≈ 0.05
+        assert tv < 0.08, (t, tv)
