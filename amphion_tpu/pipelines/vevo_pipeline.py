@@ -89,11 +89,27 @@ class VevoPipeline:
 
     # -- stages (ref vevo_utils.py:403-600) ---------------------------------
 
-    def ar_stage(self, input_tokens: np.ndarray, rng, max_new=2048, **sample_kw):
-        tokens, lengths = ar_transformer_generate(
-            self.ar, self.params["ar"], jnp.asarray(input_tokens)[None], rng,
-            max_new=max_new, **sample_kw,
-        )
+    def ar_stage(self, input_tokens: np.ndarray, rng, max_new=2048,
+                 speculative: int = 0, draft_layers: int = 5, **sample_kw):
+        """AR content→content-style decode. ``speculative=k`` switches to
+        self-speculative decode (models/vc/speculative.py — exact same
+        output distribution; greedy draft of k tokens verified per full
+        pass; pays off when the early-exit draft's acceptance is high,
+        see BENCHMARKS.md cost model). 0 = plain scan decode."""
+        if speculative > 0:
+            from amphion_tpu.models.vc.speculative import (
+                ar_transformer_generate_speculative,
+            )
+
+            tokens, lengths = ar_transformer_generate_speculative(
+                self.ar, self.params["ar"],
+                jnp.asarray(input_tokens)[None], rng=rng, max_new=max_new,
+                draft_layers=draft_layers, k=speculative, **sample_kw)
+        else:
+            tokens, lengths = ar_transformer_generate(
+                self.ar, self.params["ar"], jnp.asarray(input_tokens)[None],
+                rng, max_new=max_new, **sample_kw,
+            )
         n = int(lengths[0])
         return np.asarray(tokens)[0, :n]
 
