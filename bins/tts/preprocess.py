@@ -31,6 +31,42 @@ def extract_codes(utts, out_dir, cfg, codec_ckpt, logger):
     from amphion_tpu.utils.tokenizer import AudioTokenizer
 
     m = cfg.model.get("codec", None)
+    if m and m.get("type", "") == "encodec":
+        # the reference pipeline's token space (utils/tokenizer.py:18 —
+        # EnCodec 24 kHz @6 kbps); ckpt from
+        # `bins/convert_checkpoint.py --model encodec`
+        from amphion_tpu.models.codec.encodec import (
+            EncodecConfig, EncodecModel,
+        )
+
+        ecfg = EncodecConfig(n_q=m.get("num_quantizers", 8))
+        ecodec = EncodecModel(ecfg)
+        if codec_ckpt:
+            from amphion_tpu.runtime.checkpoint import CheckpointManager
+
+            tree, epoch, step = CheckpointManager(codec_ckpt).restore_raw()
+            eparams = tree["params"]
+            logger.info(f"encodec restored from epoch {epoch} step {step}")
+        else:
+            logger.warning("no --codec_ckpt: RANDOM EnCodec weights "
+                           "(smoke-test only)")
+            eparams = ecodec.init(
+                jax.random.key(0),
+                np.zeros((1, ecfg.hop * 4), np.float32))["params"]
+        tok = AudioTokenizer(ecodec, eparams, ecfg.sample_rate)
+        code_dir = Path(out_dir) / "codes"
+        code_dir.mkdir(parents=True, exist_ok=True)
+        bucket = ecfg.hop * 64
+        for u in utts:
+            x, _ = load_wav(u.path, sr=ecfg.sample_rate)
+            t = max(len(x) // ecfg.hop * ecfg.hop, ecfg.hop)
+            n = t // ecfg.hop
+            padded = np.zeros(((t + bucket - 1) // bucket) * bucket,
+                              np.float32)
+            padded[:t] = x[:t]
+            codes = tok.encode(padded)[0][:, :n]  # (Q, N)
+            np.save(code_dir / f"{u.uid}.npy", codes.astype(np.int32))
+        return
     codec_cfg = CodecConfig(
         sample_rate=cfg.preprocess.sample_rate,
         strides=tuple(m.strides) if m else (2, 4, 5, 6),

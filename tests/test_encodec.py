@@ -172,3 +172,33 @@ def test_valle_ref_encodec_end_to_end(torch_encodec, flax_encodec):
 
 
 from amphion_tpu.models.codec.encodec import EncodecModel as EncodecModelType
+
+
+def test_extract_codes_encodec_backend(tmp_path):
+    """bins/tts/preprocess.extract_codes with model.codec.type="encodec"
+    tokenizes a corpus into the reference VALL-E token space."""
+    import types
+
+    from amphion_tpu.data.audio_io import save_wav
+    from amphion_tpu.utils.config import JsonHParams
+    from amphion_tpu.utils.logging import get_logger
+    from bins.tts.preprocess import extract_codes
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    utts = []
+    for i in range(2):
+        x = rng.standard_normal(2400).astype(np.float32) * 0.2
+        save_wav(wav_dir / f"u{i}.wav", x, 24000)
+        utts.append(types.SimpleNamespace(uid=f"u{i}",
+                                          path=str(wav_dir / f"u{i}.wav")))
+    cfg = JsonHParams(**{
+        "preprocess": {"sample_rate": 24000},
+        "model": {"codec": {"type": "encodec", "num_quantizers": 8}},
+    })
+    extract_codes(utts, tmp_path, cfg, "", get_logger("t"))
+    codes = np.load(tmp_path / "codes" / "u0.npy")
+    assert codes.shape[0] == 8 and codes.shape[1] == 2400 // 320
+    assert codes.dtype == np.int32
+    assert (codes >= 0).all() and (codes < 1024).all()
