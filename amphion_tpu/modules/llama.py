@@ -118,10 +118,16 @@ class LlamaConfig:
 
 class RMSNorm(nn.Module):
     eps: float = 1e-6
+    # passthrough: return (x, scale) UNNORMALIZED — lets a fused Pallas
+    # matmul apply the norm as an in-kernel prologue (param path is
+    # unchanged, so checkpoints are oblivious)
+    passthrough: bool = False
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        if self.passthrough:
+            return x, scale
         var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         return (x * jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
 
@@ -205,7 +211,7 @@ class QDense4(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rms_scale=None):
         from amphion_tpu.ops.pallas_kernels import int4_matmul_pallas
 
         k_in = x.shape[-1]
@@ -217,7 +223,8 @@ class QDense4(nn.Module):
             "scale", nn.initializers.ones, (k_in // g, self.features))
         x2 = x.reshape(-1, k_in)
         out = int4_matmul_pallas(x2.astype(jnp.float32), kernel_q, scale,
-                                 group=g)
+                                 group=g, rms_scale=rms_scale,
+                                 rms_eps=1e-6)
         return out.reshape(*x.shape[:-1], self.features).astype(x.dtype)
 
 
@@ -338,17 +345,24 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias=None, positions=None, cache=None,
-                 cache_index=None, kv_mask=None, causal=False):
+                 cache_index=None, kv_mask=None, causal=False,
+                 rms_scale=None):
         """x: (B, T, D). If ``cache`` is given, T is the new-token count and
         keys/values are appended at ``cache_index``; returns updated cache.
         With ``cfg.use_flash`` (and no cache/bias) the padding mask and
         causality go to the fused kernel as ``kv_mask``/``causal`` instead
-        of an additive bias."""
+        of an additive bias. With ``rms_scale`` (int4 fused path), x is the
+        UN-normalized block input and the RMSNorm runs as an in-kernel
+        prologue of the qkv matmul."""
         c = self.cfg
         b, t, _ = x.shape
         nq = c.num_heads * c.head_dim
         nkv = c.kv_heads * c.head_dim
-        if c.decode_quant != "none" and c.fused_quant_proj:
+        if (rms_scale is not None and c.decode_quant == "int4"
+                and c.fused_quant_proj):
+            qkv = QDense4(nq + 2 * nkv, name="qkv_proj")(x, rms_scale)
+            q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
+        elif c.decode_quant != "none" and c.fused_quant_proj:
             qkv = _proj(c, nq + 2 * nkv, "qkv_proj")(x)
             q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
         else:
@@ -503,9 +517,13 @@ class LlamaMLP(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rms_scale=None):
         c = self.cfg
-        if c.decode_quant != "none" and c.fused_quant_proj:
+        if (rms_scale is not None and c.decode_quant == "int4"
+                and c.fused_quant_proj):
+            gu = QDense4(2 * c.ffn_dim, name="gateup_proj")(x, rms_scale)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        elif c.decode_quant != "none" and c.fused_quant_proj:
             gu = _proj(c, 2 * c.ffn_dim, "gateup_proj")(x)
             gate, up = jnp.split(gu, 2, axis=-1)
         else:
@@ -521,14 +539,25 @@ class LlamaBlock(nn.Module):
     def __call__(self, x, cond=None, bias=None, positions=None, cache=None,
                  cache_index=None, kv_mask=None, causal=False):
         c = self.cfg
+        # fused-RMSNorm decode (A/B knob): the norm runs as an in-kernel
+        # prologue of the int4 qkv/gateup Pallas matmuls — two fewer XLA
+        # kernels per layer per step. Exactness test in test_pallas.py.
+        fuse_rms = (cache is not None and c.decode_quant == "int4"
+                    and c.fused_quant_proj and not c.adaptive
+                    and os.environ.get("AMPHION_FUSED_RMS") == "1")
+        in_scale = post_scale = None
         if c.adaptive:
             assert cond is not None
             h = AdaptiveRMSNorm(name="input_norm")(x, cond)
+        elif fuse_rms:
+            h, in_scale = RMSNorm(name="input_norm",
+                                  passthrough=True)(x)
         else:
             h = RMSNorm(name="input_norm")(x)
         attn_out = LlamaAttention(c, name="attn")(
             h, bias=bias, positions=positions, cache=cache,
-            cache_index=cache_index, kv_mask=kv_mask, causal=causal
+            cache_index=cache_index, kv_mask=kv_mask, causal=causal,
+            rms_scale=in_scale
         )
         if cache is not None:
             attn_out, new_cache = attn_out
@@ -537,9 +566,12 @@ class LlamaBlock(nn.Module):
         x = x + attn_out
         if c.adaptive:
             h = AdaptiveRMSNorm(name="post_norm")(x, cond)
+        elif fuse_rms:
+            h, post_scale = RMSNorm(name="post_norm",
+                                    passthrough=True)(x)
         else:
             h = RMSNorm(name="post_norm")(x)
-        x = x + LlamaMLP(c, name="mlp")(h)
+        x = x + LlamaMLP(c, name="mlp")(h, rms_scale=post_scale)
         return (x, new_cache) if cache is not None else x
 
 

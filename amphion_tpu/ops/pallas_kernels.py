@@ -580,9 +580,32 @@ def _int4_matmul_kernel(x_ref, w_ref, s_ref, o_ref, *, group, sub):
     o_ref[...] += acc
 
 
+def _int4_matmul_rms_kernel(x_ref, w_ref, s_ref, g_ref, o_ref, *, group,
+                            sub, eps):
+    """`_int4_matmul_kernel` with an RMSNorm PROLOGUE fused in: the
+    program sees the FULL K row (grid has no k dimension), so the
+    row-mean normalization is computable in-kernel — one fewer XLA
+    kernel + one fewer VMEM round trip per projection in the decode
+    step. g_ref: (1, K) norm scale."""
+    x = x_ref[...].astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    xn = (x * jax.lax.rsqrt(var + eps) * g_ref[...]).astype(jnp.bfloat16)
+    acc = jnp.zeros_like(o_ref)
+    for i in range(sub):
+        w = w_ref[i * group:(i + 1) * group, :].astype(jnp.bfloat16)
+        s = s_ref[pl.ds(i, 1), :].astype(jnp.float32)
+        acc += jnp.dot(
+            xn[:, i * group:(i + 1) * group], w,
+            preferred_element_type=jnp.float32,
+        ) * s
+    o_ref[...] = acc
+
+
 def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
                        group: int = 128, block_n: int = 1024,
                        block_k: int = 1536,
+                       rms_scale: jax.Array | None = None,
+                       rms_eps: float = 1e-5,
                        interpret: bool | None = None) -> jax.Array:
     """x (B, K) @ dequant-int4(w_q (K, N), scale (K/group, N)) → (B, N) f32.
 
@@ -619,6 +642,39 @@ def int4_matmul_pallas(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     sub = block_k // group
     block_b = min(512, b)  # see int8 kernel: batched prefill VMEM OOM
     grid = (pl.cdiv(b, block_b), pl.cdiv(n, block_n), k_dim // block_k)
+    if rms_scale is not None:
+        # fused RMSNorm prologue: needs the whole K row in one program
+        if block_k != k_dim:
+            # fall back to norm-outside (still exact) when K is tiled
+            xf = x.astype(jnp.float32)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            x = (xf * jax.lax.rsqrt(var + rms_eps)
+                 * rms_scale[None, :]).astype(x.dtype)
+        else:
+            kern = functools.partial(_int4_matmul_rms_kernel, group=group,
+                                     sub=sub, eps=rms_eps)
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+                grid=(pl.cdiv(b, block_b), pl.cdiv(n, block_n), 1),
+                in_specs=[
+                    pl.BlockSpec((block_b, block_k),
+                                 lambda r, i, j: (r, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block_k, block_n),
+                                 lambda r, i, j: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k_dim // group, block_n),
+                                 lambda r, i, j: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, k_dim), lambda r, i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((block_b, block_n),
+                                       lambda r, i, j: (r, i),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(x, w_q, scale, rms_scale[None, :])
     kern = functools.partial(_int4_matmul_kernel, group=group, sub=sub)
     return pl.pallas_call(
         kern,

@@ -540,3 +540,55 @@ def test_decode_attention_int8_kernel(rng):
             p /= p.sum()
             np.testing.assert_allclose(out[b, h], p @ vd[b, h],
                                        atol=2e-5)
+
+
+def test_int4_fused_rms_prologue_matches_unfused(rng, monkeypatch):
+    """AMPHION_FUSED_RMS=1: the RMSNorm runs inside the int4 qkv/gateup
+    Pallas kernels — decode output must match the unfused path."""
+    import dataclasses
+
+    from amphion_tpu.modules.llama import (
+        LlamaConfig,
+        LlamaDecoder,
+        quantize_llama_params,
+    )
+
+    cfg = LlamaConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                      num_heads=2, max_position=64)
+    dec = LlamaDecoder(cfg)
+    x = jnp.asarray(rng.standard_normal((1, 5, 32)).astype(np.float32))
+    params = dec.init(jax.random.key(0), x)["params"]
+    qcfg = dataclasses.replace(cfg, decode_quant="int4", kv_quant=True)
+    qdec = LlamaDecoder(qcfg)
+    qparams = quantize_llama_params(params, "int4")
+
+    def decode(env):
+        monkeypatch.setenv("AMPHION_FUSED_RMS", env)
+        caches = qdec.init_cache(1, 8)
+        h, caches = qdec.apply({"params": qparams}, x[:, :4],
+                               caches=caches, cache_index=0)
+        h2, _ = qdec.apply({"params": qparams}, x[:, 4:5], caches=caches,
+                           cache_index=4)
+        return np.asarray(h2)
+
+    base = decode("0")
+    fused = decode("1")
+    np.testing.assert_allclose(fused, base, atol=2e-2, rtol=1e-2)
+    # and the kernel-level primitive agrees with norm-then-matmul
+    from amphion_tpu.ops.pallas_kernels import (
+        int4_matmul_pallas,
+        quantize_weight_int4,
+    )
+
+    k, n = 64, 96
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    wq, sc = quantize_weight_int4(w, group=32)
+    xx = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((k,)).astype(np.float32))
+    var = jnp.mean(xx * xx, axis=-1, keepdims=True)
+    xn = xx * jax.lax.rsqrt(var + 1e-6) * g[None]
+    want = int4_matmul_pallas(xn, wq, sc, group=32, block_k=32)
+    got = int4_matmul_pallas(xx, wq, sc, group=32, block_k=64,
+                             rms_scale=g, rms_eps=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=1e-2)
