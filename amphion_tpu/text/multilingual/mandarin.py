@@ -165,7 +165,7 @@ def pinyin_to_ipa(syl: str) -> list[str] | None:
 
 def _char_pinyin(word: str, char_lexicon: dict | None,
                  word_lexicon: dict | None, prev_word: str = "",
-                 next_word: str = "") -> list[str] | None:
+                 next_word: str = "", poly_model=None) -> list[str] | None:
     """Pinyin syllables for one jieba word via lexicons; None if any char OOV.
 
     Lookup order: whole-word lexicon hit → greedy longest sub-word match
@@ -196,15 +196,39 @@ def _char_pinyin(word: str, char_lexicon: dict | None,
             i = j
             continue
         # caller-supplied char lexicon FIRST (user override wins), then
-        # the context rules, then built-in defaults (advisor r3).
+        # the context rules, then (optionally) the trained context
+        # classifier for out-of-lexicon polyphones, then defaults.
         py = ((char_lexicon or {}).get(word[i])
               or disambiguate(word[i], word, i, prev_word, next_word)
+              or _model_reading(poly_model, word, i, prev_word, next_word)
               or CHAR_PINYIN.get(word[i]))
         if py is None:
             return None
         syls.append(py.split()[0])
         i += 1
     return syls
+
+
+def _model_reading(poly_model, word: str, i: int, prev_word: str,
+                   next_word: str) -> str | None:
+    """Optional trained classifier layer (`polyphone_model`): consulted
+    only for inventory polyphones the lexicon/rules did not resolve —
+    the role the reference fills with its ONNX BERT
+    (chinese_model_g2p.py). poly_model = (module, params)."""
+    if poly_model is None:
+        return None
+    from amphion_tpu.text.multilingual.polyphone_inventory import INVENTORY
+
+    ch = word[i]
+    if ch not in INVENTORY or len(INVENTORY[ch]) < 2:
+        return None
+    from amphion_tpu.text.multilingual.polyphone_model import (
+        predict_reading,
+    )
+
+    sent = prev_word + word + next_word
+    return predict_reading(poly_model[0], poly_model[1], sent,
+                           len(prev_word) + i)
 
 
 def _tone_sandhi(words: list[list[str]]) -> list[list[str]]:
@@ -224,10 +248,15 @@ def _tone_sandhi(words: list[list[str]]) -> list[list[str]]:
 
 
 def chinese_to_pinyin(text: str, char_lexicon: dict | None = None,
-                      word_lexicon: dict | None = None) -> list[list[str]]:
+                      word_lexicon: dict | None = None,
+                      poly_model=None) -> list[list[str]]:
     """hanzi (or tone-digit pinyin) -> per-word pinyin syllables
     (lexical readings, PRE tone-sandhi — the polyphone-accuracy surface;
-    `chinese_to_ipa` applies sandhi + IPA on top)."""
+    `chinese_to_ipa` applies sandhi + IPA on top).
+
+    ``poly_model``: optional (module, params) from
+    `polyphone_model.train_classifier` — consulted for inventory
+    polyphones between the context rules and the char defaults."""
     import jieba
 
     # don't confuse pinyin tone digits (ni3) with numbers to verbalize
@@ -251,7 +280,8 @@ def chinese_to_pinyin(text: str, char_lexicon: dict | None = None,
         if _PINYIN_WORD_RE.match(w):
             words_pinyin.append(_PINYIN_SYL_RE.findall(w))
             continue
-        syls = _char_pinyin(w, char_lexicon, word_lexicon, prev_w, next_w)
+        syls = _char_pinyin(w, char_lexicon, word_lexicon, prev_w, next_w,
+                            poly_model)
         if syls is None:
             # per-char fallback: keep what we know, skip unknown hanzi
             syls = []

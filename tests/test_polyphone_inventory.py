@@ -144,3 +144,28 @@ def test_poly_words_realize_in_g2p():
         flat = [s for w in chinese_to_pinyin(text) for s in w]
         for syl in expect:
             assert syl in flat, (text, expect, flat)
+
+
+def test_classifier_wired_into_g2p():
+    """chinese_to_pinyin consults the trained classifier for inventory
+    polyphones the lexicon/rules leave unresolved."""
+    from amphion_tpu.text.multilingual.mandarin import chinese_to_pinyin
+    from amphion_tpu.text.multilingual.polyphone_inventory import INVENTORY
+    from amphion_tpu.text.multilingual.polyphone_model import (
+        READING_ID,
+        READINGS,
+        PolyphoneClassifier,
+        polyphone_dataset,
+        train_classifier,
+    )
+
+    # tiny model trained on a handful of samples — wiring test only
+    samples = polyphone_dataset(
+        [{"重担": "zhong4 dan4", "重量": "zhong4 liang4"}],
+        templates=("{W}",))
+    model, params = train_classifier(samples, steps=30)
+    # a word NOT in any lexicon, containing an inventory char (重):
+    # the classifier layer must produce SOME inventory reading
+    out = chinese_to_pinyin("重犇", poly_model=(model, params))
+    flat = [s for w in out for s in w]
+    assert any(s in INVENTORY["重"] for s in flat), flat
