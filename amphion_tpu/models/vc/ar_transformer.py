@@ -279,7 +279,8 @@ class ARTransformer(nn.Module):
         return self.lm_head(h[:, -1]), caches, x.shape[1]
 
     def prefill_ragged(self, input_tokens, input_len, caches, kv_valid,
-                       prompt_output_tokens=None, prompt_output_len=None):
+                       prompt_output_tokens=None, prompt_output_len=None,
+                       cache_index=0):
         """Ragged prefill for batched serving: B requests with per-sample
         content lengths packed RIGHT-aligned
         ``[pad | IN_BOS inputs_i IN_EOS | OUT_BOS (prompt outputs_i)]``
@@ -288,7 +289,14 @@ class ARTransformer(nn.Module):
         right-padded raw content ids + ``input_len`` (B,); the optional
         output-stream prompt (style prompting, ref vc ar_model.py:240-300)
         is right-padded ``prompt_output_tokens`` (B, Lo_max) +
-        ``prompt_output_len`` (B,)."""
+        ``prompt_output_len`` (B,).
+
+        ``cache_index`` offsets the packed window inside a larger cache:
+        the window writes K/V at ``[cache_index, cache_index + l0)`` and
+        RoPE positions shift with it (relative distances — and therefore
+        the math — are unchanged). The continuous-batching engine
+        (`serving/continuous.py`) uses this to admit a new request into a
+        live decode at the shared write cursor."""
         from amphion_tpu.ops.ragged import pack_segments_right
 
         c = self.cfg
@@ -310,7 +318,7 @@ class ARTransformer(nn.Module):
             [in_ids, jnp.concatenate(out_ids, axis=1)],
             [input_len.astype(jnp.int32) + 2, out_lens])
         h, caches = self.decoder(self.embed_tokens(ids), caches=caches,
-                                 cache_index=0, kv_valid=kv_valid)
+                                 cache_index=cache_index, kv_valid=kv_valid)
         return self.lm_head(h[:, -1]), caches, ids.shape[1]
 
     def step(self, token, caches, cache_index, kv_valid=None):

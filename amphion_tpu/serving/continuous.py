@@ -1,0 +1,313 @@
+"""Continuous batching for the AR decode families (beyond-reference).
+
+The static micro-batchers in `serving/service.py` gate requests on a
+wait-window: a request that arrives while a batch is decoding waits for
+the whole batch to finish. For weight-HBM-bound AR decode that leaves
+the chip idle per-request-wise — the weight stream that batching is
+supposed to amortize is only amortized across requests that happened to
+arrive in the same window.
+
+`ContinuousARBatcher` keeps S decode *slots* live inside ONE compiled
+decode program and admits new requests mid-flight (vLLM-style continuous
+batching, re-designed for XLA's static-shape world):
+
+- All slots share one KV cache (leading dim S) and ONE scalar write
+  cursor `cur`: every decode step writes each slot's K/V at position
+  `cur`. Slots never attend each other — attention is within-row, so
+  per-slot state is just its `kv_valid` row.
+- A new request is admitted *between* decode chunks by a right-aligned
+  offset prefill (`ARTransformer.prefill_ragged(cache_index=cur - l0)`):
+  its packed prompt lands at `[cur - l0, cur)` so its stream is
+  contiguous with the shared cursor, and its `kv_valid` row masks both
+  the pad prefix and the previous occupant's junk. Right-aligned
+  placement is exact under RoPE — scores depend only on relative
+  distance (`ops/ragged.py`).
+- Decode runs in chunks of `chunk` steps (one jitted `lax.scan`); the
+  host harvests tokens, retires finished slots (EOS or per-request cap)
+  and admits queued requests from a small per-bucket admission program.
+  Small state (logits, rng keys, done flags) round-trips host<->device
+  per chunk (~100 KB); the KV cache stays device-resident and is donated
+  across calls.
+- Capacity epochs instead of cache compaction: admission requires
+  `cur + max_new <= capacity`, so an admitted request always fits. When
+  the cursor runs out, the engine drains the active slots and resets
+  `cur` to the base offset. (Compaction would need shifted-storage RoPE
+  bookkeeping; the drain costs a few percent utilization and keeps the
+  decode program trivial.)
+
+Token-exactness: with per-request rng keys the engine reproduces
+`ar_transformer_generate_ragged` (and therefore solo decode —
+tests/test_ragged_vevo.py) token-for-token regardless of admission
+order, because a slot's sampling stream splits once per step from its
+own key and its attention view is identical to a solo right-aligned run
+(tests/test_continuous_batching.py).
+
+The reference has no serving layer at all (closest: one-shot
+`models/vc/vevo/vevo_utils.py:403` inference); this module is our-bar
+work, like `serving/service.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amphion_tpu.models.vc.ar_transformer import (
+    ARTransformer,
+    _quantize_for_decode,
+)
+from amphion_tpu.modules.llama import LlamaDecoder
+from amphion_tpu.ops.ragged import split_each
+from amphion_tpu.ops.sampling import sample_logits
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    content: np.ndarray  # (L,) raw content ids
+    rng: jax.Array  # per-request key — decouples sampling from scheduling
+    max_new: int
+    submit_t: float = 0.0
+    admit_t: float = 0.0
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: _Request | None = None
+    tokens: list[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+
+
+def _chunk_impl(model, temperature, top_k, top_p, chunk,
+                params, caches, kv_valid, logits, rngs, done, cur):
+    """One compiled chunk: `chunk` decode steps for all S slots.
+
+    Mirrors `_ar_generate_ragged_impl`'s scan body exactly (same rng
+    split discipline, same EOS freezing) so slot streams are
+    token-identical to the one-shot ragged decode."""
+    c = model.cfg
+
+    def body(carry, i):
+        caches, logits, rngs, done = carry
+        rngs, r = split_each(rngs, 2)
+        tok = jax.vmap(
+            lambda k, lg: sample_logits(k, lg, temperature, top_k, top_p)
+        )(r, logits.astype(jnp.float32))
+        done_new = done | (tok == c.eos_id)
+        tok_clean = jnp.where(done_new, 0, tok)
+        logits_new, caches_new = model.apply(
+            {"params": params}, tok_clean, caches, cur + i, kv_valid,
+            method=ARTransformer.step,
+        )
+        return (caches_new, logits_new, rngs, done_new), (tok_clean,
+                                                          done_new)
+
+    init = (caches, logits, rngs, done)
+    (caches, logits, rngs, done), (toks, dones) = jax.lax.scan(
+        body, init, jnp.arange(chunk))
+    return (caches, logits, rngs, done, jnp.moveaxis(toks, 0, 1),
+            jnp.moveaxis(dones, 0, 1))
+
+
+def _admit_impl(model, params, caches, kv_valid, logits, content,
+                content_len, slot, cur):
+    """Prefill `content` (1, Lb) right-aligned at the shared cursor and
+    scatter the slot row of (caches, kv_valid, logits).
+
+    The packed window is `l0 = Lb + 3` wide (IN_BOS + content + IN_EOS +
+    OUT_BOS); K/V land at `[cur - l0, cur)`. The row's new validity is
+    `[cur - (content_len + 3), capacity)` — pad prefix AND the slot's
+    previous occupant are masked out; positions >= cur become readable
+    only as the decode cursor writes them (the step path's
+    `pos_k <= cache_index` bound, `modules/llama.py`)."""
+    l0 = content.shape[1] + 3
+    cap = kv_valid.shape[1]
+    row_caches = jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), caches)
+    packed = content_len + 3
+    row_valid = (jnp.arange(cap)[None, :] >= cur - packed)
+    new_logits, row_caches, _ = model.apply(
+        {"params": params}, content, content_len[None], row_caches,
+        row_valid, method=ARTransformer.prefill_ragged,
+        cache_index=cur - l0,
+    )
+    caches = jax.tree_util.tree_map(
+        lambda full, row: jax.lax.dynamic_update_slice_in_dim(
+            full, row, slot, axis=0),
+        caches, row_caches)
+    kv_valid = jax.lax.dynamic_update_slice_in_dim(
+        kv_valid, row_valid, slot, axis=0)
+    logits = jax.lax.dynamic_update_slice_in_dim(
+        logits, new_logits.astype(logits.dtype), slot, axis=0)
+    return caches, kv_valid, logits
+
+
+class ContinuousARBatcher:
+    """Slot-based continuous batching over an `ARTransformer`.
+
+    Synchronous driver: `submit()` enqueues, `step_chunk()` admits +
+    decodes one chunk and returns newly finished requests, `run()` loops
+    until drained. A server thread can call `step_chunk()` in its loop;
+    the whole engine is single-threaded by design (one TPU program at a
+    time anyway).
+    """
+
+    def __init__(self, model: ARTransformer, params, *, slots: int = 4,
+                 capacity: int = 2048, chunk: int = 16,
+                 buckets: tuple[int, ...] = (64, 128, 256),
+                 max_new: int = 256, temperature: float = 1.0,
+                 top_k: int = 40, top_p: float = 1.0,
+                 compute_dtype: str = "bfloat16"):
+        assert not model.cfg.use_global_timbre, \
+            "continuous batching supports the plain VC layout"
+        model, params, dt = _quantize_for_decode(model, params,
+                                                 compute_dtype)
+        self.model, self.params = model, params
+        self.S, self.capacity, self.chunk = slots, capacity, chunk
+        self.buckets = tuple(sorted(buckets))
+        self.base = self.buckets[-1] + 3  # admission needs cur >= l0
+        assert self.base + max_new <= capacity, \
+            "capacity must fit the largest prompt bucket + max_new"
+        self.default_max_new = max_new
+
+        self._chunk_fn = jax.jit(
+            functools.partial(_chunk_impl, model, temperature, top_k,
+                              top_p, chunk),
+            donate_argnums=(1,))
+        self._admit_fns = {
+            lb: jax.jit(
+                functools.partial(_admit_impl, model, self.params),
+                donate_argnums=(0,))
+            for lb in self.buckets
+        }
+
+        self.caches = LlamaDecoder(model.cfg.llama()).init_cache(
+            slots, capacity, dtype=dt)
+        # idle rows keep cache slot 0 attendable: a fully-masked softmax
+        # row is NaN and its garbage would churn through the idle row's
+        # own stream (never read, but keep the arithmetic finite anyway —
+        # `LlamaDecoder.__call__` docstring has the same rule for pads)
+        self.kv_valid = jnp.zeros((slots, capacity), bool).at[:, 0].set(True)
+        self.logits = jnp.zeros((slots, model.cfg.total_vocab),
+                                jnp.float32)
+        self.rngs = jax.random.split(jax.random.key(0), slots)
+        self.cur = self.base
+        self.slots = [_Slot(finished=True) for _ in range(slots)]
+        self.queue: list[_Request] = []
+        self._next_rid = 0
+        self.completed: dict[int, np.ndarray] = {}
+        self.latency_s: dict[int, float] = {}
+
+    # ------------------------------------------------------------- API
+    def submit(self, content: np.ndarray, rng: jax.Array,
+               max_new: int | None = None) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.queue.append(_Request(rid, np.asarray(content, np.int32), rng,
+                                   max_new or self.default_max_new,
+                                   submit_t=time.perf_counter()))
+        return rid
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds bucket "
+                         f"{self.buckets[-1]}")
+
+    def _admit(self, slot_idx: int, req: _Request) -> None:
+        lb = self._bucket(len(req.content))
+        buf = np.zeros((1, lb), np.int32)
+        buf[0, :len(req.content)] = req.content
+        self.caches, self.kv_valid, self.logits = self._admit_fns[lb](
+            self.caches, self.kv_valid, self.logits, jnp.asarray(buf),
+            jnp.asarray(len(req.content), jnp.int32),
+            jnp.asarray(slot_idx, jnp.int32),
+            jnp.asarray(self.cur, jnp.int32))
+        self.rngs = self.rngs.at[slot_idx].set(req.rng)
+        req.admit_t = time.perf_counter()
+        self.slots[slot_idx] = _Slot(req=req)
+
+    def _retire(self, idx: int, n_keep: int | None = None) -> None:
+        s = self.slots[idx]
+        toks = s.tokens if n_keep is None else s.tokens[:n_keep]
+        self.completed[s.req.rid] = np.asarray(toks, np.int32)
+        self.latency_s[s.req.rid] = time.perf_counter() - s.req.submit_t
+        self.slots[idx] = _Slot(finished=True)
+
+    def step_chunk(self) -> list[int]:
+        """Admit queued requests, decode one chunk, retire finished
+        slots. Returns the rids completed this call."""
+        # epoch rollover: when nothing is in flight and the cursor can't
+        # host another full request, reset to base (drain-and-reset — see
+        # module docstring for why not compaction)
+        idle = all(s.req is None for s in self.slots)
+        if idle and self.queue and \
+                self.cur + self.queue[0].max_new > self.capacity:
+            self.cur = self.base
+            self.kv_valid = (jnp.zeros_like(self.kv_valid)
+                             .at[:, 0].set(True))
+        for i in range(self.S):
+            if self.slots[i].req is None and self.queue and \
+                    self.cur + self.queue[0].max_new <= self.capacity:
+                self._admit(i, self.queue.pop(0))
+
+        if all(s.req is None for s in self.slots):
+            return []
+
+        done_in = jnp.asarray(
+            [s.req is None or s.finished for s in self.slots])
+        (self.caches, self.logits, self.rngs, done, toks,
+         dones) = self._chunk_fn(
+            self.params, self.caches, self.kv_valid, self.logits,
+            self.rngs, done_in, jnp.asarray(self.cur, jnp.int32))
+        self.cur += self.chunk
+        toks = np.asarray(toks)
+        done = np.asarray(done)
+        dones = np.asarray(dones)  # (S, chunk) done AFTER each step
+
+        finished = []
+        for i, s in enumerate(self.slots):
+            if s.req is None:
+                continue
+            # steps where the slot was already frozen emit placeholder 0s
+            # (ragged-decode `gen_len` convention: the EOS step itself is
+            # not counted) — count only pre-EOS steps as real tokens
+            n_prev = len(s.tokens)
+            s.tokens.extend(int(t) for t in toks[i])
+            n_real = n_prev + int(np.sum(~dones[i]))
+            if done[i]:
+                finished.append(s.req.rid)
+                self._retire(i, n_real)
+            elif len(s.tokens) >= s.req.max_new:
+                finished.append(s.req.rid)
+                self._retire(i, min(s.req.max_new, n_real))
+        return finished
+
+    def run(self, max_chunks: int = 10_000) -> dict[int, np.ndarray]:
+        """Drive until queue and slots drain; returns {rid: tokens}."""
+        for _ in range(max_chunks):
+            if not self.queue and all(s.req is None for s in self.slots):
+                break
+            self.step_chunk()
+        return dict(self.completed)
+
+    # --------------------------------------------------------- metrics
+    def stats(self) -> dict:
+        lats = sorted(self.latency_s.values())
+
+        def pct(p):
+            return lats[min(len(lats) - 1,
+                            int(p / 100 * len(lats)))] if lats else 0.0
+
+        return {"completed": len(self.completed),
+                "queued": len(self.queue),
+                "active": sum(s.req is not None for s in self.slots),
+                "cursor": self.cur,
+                "p50_s": pct(50), "p95_s": pct(95), "p99_s": pct(99)}
