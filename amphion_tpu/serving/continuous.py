@@ -180,10 +180,12 @@ class ContinuousARBatcher:
             functools.partial(_chunk_impl, model, temperature, top_k,
                               top_p, chunk),
             donate_argnums=(1,))
+        # params is a jit ARGUMENT, never a closure capture — closed-over
+        # trees bake into the HLO as constants (the `ssl` bench's 2.3 GB
+        # remote-compile failure, BENCHMARKS.md measurement notes)
         self._admit_fns = {
-            lb: jax.jit(
-                functools.partial(_admit_impl, model, self.params),
-                donate_argnums=(0,))
+            lb: jax.jit(functools.partial(_admit_impl, model),
+                        donate_argnums=(1,))
             for lb in self.buckets
         }
 
@@ -226,7 +228,8 @@ class ContinuousARBatcher:
         buf = np.zeros((1, lb), np.int32)
         buf[0, :len(req.content)] = req.content
         self.caches, self.kv_valid, self.logits = self._admit_fns[lb](
-            self.caches, self.kv_valid, self.logits, jnp.asarray(buf),
+            self.params, self.caches, self.kv_valid, self.logits,
+            jnp.asarray(buf),
             jnp.asarray(len(req.content), jnp.int32),
             jnp.asarray(slot_idx, jnp.int32),
             jnp.asarray(self.cur, jnp.int32))

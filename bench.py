@@ -1041,6 +1041,125 @@ def bench_train_maskgct() -> None:
           xrt / 1.0, extra=_roofline(fl, by, dt / n_iters))
 
 
+def bench_continuous_ar() -> None:
+    """Continuous batching vs static window batching, SAME Poisson trace
+    (`serving/continuous.py` — beyond-reference serving). Vevo-scale AR
+    decode (780M-class, bf16): requests arrive open-loop at
+    `AMPHION_BENCH_CQPS` (default "1.5,3.0") req/s; the continuous engine
+    admits them into live decode slots at chunk boundaries, the static
+    comparator coalesces them into up-to-4 batches behind a 50 ms window
+    and runs the one-shot ragged decode per batch. Reports p50/p95
+    end-to-end latency per rung for both schedulers. The win comes from
+    not making a request wait out the in-flight batch: static worst-case
+    queue time is a whole batch span; continuous bounds it at one chunk."""
+    from amphion_tpu.models.vc.ar_transformer import (
+        ARTransformer, ARTransformerConfig, ar_transformer_generate_ragged,
+    )
+    from amphion_tpu.serving.continuous import ContinuousARBatcher
+
+    r = jax.random.key(0)
+    ar = ARTransformer(ARTransformerConfig(
+        input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
+        num_heads=16, intermediate=6144, max_position=4096))
+    toks0 = jnp.zeros((1, 8), jnp.int32)
+    m0 = jnp.ones((1, 8), jnp.float32)
+    ar_params = ar.init(r, toks0, m0, toks0, m0,
+                        method=ARTransformer.loss)["params"]
+    lc, new, slots, chunk = 650, 500, 4, 32
+    content = np.zeros((lc,), np.int32)
+
+    qps_pts = tuple(float(x) for x in os.environ.get(
+        "AMPHION_BENCH_CQPS", "1.5,3.0").split(","))
+    n_req = int(os.environ.get("AMPHION_BENCH_CREQ", "12"))
+
+    def make_engine():
+        return ContinuousARBatcher(
+            ar, ar_params, slots=slots, capacity=4096, chunk=chunk,
+            buckets=(lc,), max_new=new, top_k=40,
+            compute_dtype="bfloat16")
+
+    # prime compiles (admission + chunk; static ragged B=4)
+    eng = make_engine()
+    eng.submit(content, jax.random.key(1), max_new=chunk)
+    eng.run()
+    keys4 = jax.vmap(jax.random.key)(jnp.arange(4, dtype=jnp.uint32))
+    c4 = jnp.zeros((4, lc), jnp.int32)
+    l4 = jnp.full((4,), lc, jnp.int32)
+    _fence(ar_transformer_generate_ragged(
+        ar, ar_params, c4, l4, keys4, max_new=new, top_k=40,
+        compute_dtype="bfloat16"))
+
+    rows = {}
+    for qps in qps_pts:
+        trace = np.random.default_rng(0).exponential(1.0 / qps,
+                                                     n_req).cumsum()
+
+        # --- continuous: cooperative open loop ------------------------
+        eng = make_engine()
+        rid_arr, fin, nxt = {}, {}, 0
+        t0 = time.perf_counter()
+        while len(fin) < n_req:
+            now = time.perf_counter() - t0
+            while nxt < n_req and trace[nxt] <= now:
+                rid = eng.submit(content, jax.random.key(100 + nxt),
+                                 max_new=new)
+                rid_arr[rid] = trace[nxt]
+                nxt += 1
+            if eng.queue or any(s.req is not None for s in eng.slots):
+                for rid in eng.step_chunk():
+                    fin[rid] = time.perf_counter() - t0
+            elif nxt < n_req:
+                time.sleep(max(0.0, trace[nxt] - now))
+        cont_mk = max(fin.values())
+        cont_lat = sorted(fin[r_] - rid_arr[r_] for r_ in fin)
+
+        # --- static: 50 ms window, up-to-4 batches, same trace --------
+        fin2, nxt = {}, 0
+        t0 = time.perf_counter()
+        while nxt < n_req:
+            now = time.perf_counter() - t0
+            if trace[nxt] > now:
+                time.sleep(trace[nxt] - now)
+            time.sleep(0.05)  # coalescing window
+            now = time.perf_counter() - t0
+            batch = [i for i in range(nxt, n_req)
+                     if trace[i] <= now][:4]
+            ks = jax.vmap(jax.random.key)(
+                jnp.asarray([100 + i for i in batch] + [0] * (4 - len(batch)),
+                            jnp.uint32))
+            _fence(ar_transformer_generate_ragged(
+                ar, ar_params, c4, l4, ks, max_new=new, top_k=40,
+                compute_dtype="bfloat16"))
+            done_t = time.perf_counter() - t0
+            for i in batch:
+                fin2[i] = done_t
+            nxt = batch[-1] + 1
+        stat_mk = max(fin2.values())
+        stat_lat = sorted(fin2[i] - trace[i] for i in fin2)
+
+        def pct(v, p):
+            return v[min(len(v) - 1, int(p / 100 * len(v)))]
+
+        rows[qps] = {
+            "cont_p50_s": round(pct(cont_lat, 50), 3),
+            "cont_p95_s": round(pct(cont_lat, 95), 3),
+            "cont_req_s": round(n_req / cont_mk, 3),
+            "static_p50_s": round(pct(stat_lat, 50), 3),
+            "static_p95_s": round(pct(stat_lat, 95), 3),
+            "static_req_s": round(n_req / stat_mk, 3),
+        }
+        print(f"# continuous vs static @ {qps} qps: {rows[qps]}",
+              file=sys.stderr)
+
+    top = rows[max(qps_pts)]
+    _emit("continuous_ar_p95_s", top["cont_p95_s"],
+          "p95 end-to-end latency (s) at %.1f qps, continuous batching"
+          % max(qps_pts),
+          top["static_p95_s"] / max(top["cont_p95_s"], 1e-9),
+          extra={"rows_by_qps": {str(k): v for k, v in rows.items()},
+                 "n_req": n_req, "slots": slots, "chunk": chunk})
+
+
 _SUITE = {
     "mel": bench_mel,
     "bigvgan": bench_bigvgan,
@@ -1054,6 +1173,7 @@ _SUITE = {
     "serving_vevo": bench_vevo_serving,
     "serving_vevo_int4": lambda: bench_vevo_serving(compute_dtype="int4"),
     "serving_latency": bench_serving_latency,
+    "continuous": bench_continuous_ar,
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
     "valle_int4": lambda: bench_valle_rtf("int4"),
