@@ -73,6 +73,7 @@ class _Request:
     content: np.ndarray  # (L,) raw content ids
     rng: jax.Array  # per-request key — decouples sampling from scheduling
     max_new: int
+    prompt_output: np.ndarray | None = None  # style prompt (Vevo-Voice)
     submit_t: float = 0.0
     admit_t: float = 0.0
 
@@ -105,36 +106,51 @@ def _chunk_impl(model, temperature, top_k, top_p, chunk,
             {"params": params}, tok_clean, caches, cur + i, kv_valid,
             method=ARTransformer.step,
         )
-        return (caches_new, logits_new, rngs, done_new), (tok_clean,
-                                                          done_new)
+        # bf16 decode emits bf16 logits; the carry (and sampling) stay f32
+        return (caches_new, logits_new.astype(logits.dtype), rngs,
+                done_new), (tok_clean, done_new)
 
     init = (caches, logits, rngs, done)
     (caches, logits, rngs, done), (toks, dones) = jax.lax.scan(
         body, init, jnp.arange(chunk))
-    return (caches, logits, rngs, done, jnp.moveaxis(toks, 0, 1),
-            jnp.moveaxis(dones, 0, 1))
+    # ONE packed host fetch per chunk: [tokens | done-after-step] (S, 2k).
+    # Through the axon tunnel every device->host fetch pays the ~35-50 ms
+    # dispatch floor (BENCHMARKS.md measurement notes) — three separate
+    # fetches per chunk tripled the scheduler overhead.
+    packed = jnp.concatenate(
+        [jnp.moveaxis(toks, 0, 1),
+         jnp.moveaxis(dones, 0, 1).astype(jnp.int32)], axis=1)
+    return caches, logits, rngs, done, packed
 
 
-def _admit_impl(model, params, caches, kv_valid, logits, content,
-                content_len, slot, cur):
+def _admit_impl(model, params, caches, kv_valid, logits, done, content,
+                content_len, slot, cur, prompt_out=None,
+                prompt_out_len=None):
     """Prefill `content` (1, Lb) right-aligned at the shared cursor and
     scatter the slot row of (caches, kv_valid, logits).
 
-    The packed window is `l0 = Lb + 3` wide (IN_BOS + content + IN_EOS +
-    OUT_BOS); K/V land at `[cur - l0, cur)`. The row's new validity is
-    `[cur - (content_len + 3), capacity)` — pad prefix AND the slot's
+    The packed window is `l0 = Lb + 3 (+ Lo)` wide (IN_BOS + content +
+    IN_EOS + OUT_BOS + optional style-prompt output stream, the
+    Vevo-Voice protocol); K/V land at `[cur - l0, cur)`. The row's new
+    validity starts at `cur - packed_len` — pad prefix AND the slot's
     previous occupant are masked out; positions >= cur become readable
     only as the decode cursor writes them (the step path's
     `pos_k <= cache_index` bound, `modules/llama.py`)."""
     l0 = content.shape[1] + 3
+    packed = content_len + 3
+    if prompt_out is not None:
+        l0 = l0 + prompt_out.shape[1]
+        packed = packed + prompt_out_len
     cap = kv_valid.shape[1]
     row_caches = jax.tree_util.tree_map(
         lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), caches)
-    packed = content_len + 3
     row_valid = (jnp.arange(cap)[None, :] >= cur - packed)
     new_logits, row_caches, _ = model.apply(
         {"params": params}, content, content_len[None], row_caches,
         row_valid, method=ARTransformer.prefill_ragged,
+        prompt_output_tokens=prompt_out,
+        prompt_output_len=(None if prompt_out_len is None
+                           else prompt_out_len[None]),
         cache_index=cur - l0,
     )
     caches = jax.tree_util.tree_map(
@@ -145,7 +161,8 @@ def _admit_impl(model, params, caches, kv_valid, logits, content,
         kv_valid, row_valid, slot, axis=0)
     logits = jax.lax.dynamic_update_slice_in_dim(
         logits, new_logits.astype(logits.dtype), slot, axis=0)
-    return caches, kv_valid, logits
+    done = done.at[slot].set(False)
+    return caches, kv_valid, logits, done
 
 
 class ContinuousARBatcher:
@@ -161,6 +178,7 @@ class ContinuousARBatcher:
     def __init__(self, model: ARTransformer, params, *, slots: int = 4,
                  capacity: int = 2048, chunk: int = 16,
                  buckets: tuple[int, ...] = (64, 128, 256),
+                 out_buckets: tuple[int, ...] = (),
                  max_new: int = 256, temperature: float = 1.0,
                  top_k: int = 40, top_p: float = 1.0,
                  compute_dtype: str = "bfloat16"):
@@ -171,7 +189,10 @@ class ContinuousARBatcher:
         self.model, self.params = model, params
         self.S, self.capacity, self.chunk = slots, capacity, chunk
         self.buckets = tuple(sorted(buckets))
-        self.base = self.buckets[-1] + 3  # admission needs cur >= l0
+        self.out_buckets = tuple(sorted(out_buckets))
+        # admission needs cur >= the largest packed window l0
+        self.base = (self.buckets[-1] + 3
+                     + (self.out_buckets[-1] if self.out_buckets else 0))
         assert self.base + max_new <= capacity, \
             "capacity must fit the largest prompt bucket + max_new"
         self.default_max_new = max_new
@@ -182,12 +203,12 @@ class ContinuousARBatcher:
             donate_argnums=(1,))
         # params is a jit ARGUMENT, never a closure capture — closed-over
         # trees bake into the HLO as constants (the `ssl` bench's 2.3 GB
-        # remote-compile failure, BENCHMARKS.md measurement notes)
-        self._admit_fns = {
-            lb: jax.jit(functools.partial(_admit_impl, model),
-                        donate_argnums=(1,))
-            for lb in self.buckets
-        }
+        # remote-compile failure, BENCHMARKS.md measurement notes).
+        # One admission program per (content bucket, style bucket | None)
+        # pair — jit specializes on the padded shapes at first use.
+        self._admit_fn = jax.jit(functools.partial(_admit_impl, model),
+                                 donate_argnums=(1,),
+                                 static_argnames=())
 
         self.caches = LlamaDecoder(model.cfg.llama()).init_cache(
             slots, capacity, dtype=dt)
@@ -199,6 +220,7 @@ class ContinuousARBatcher:
         self.logits = jnp.zeros((slots, model.cfg.total_vocab),
                                 jnp.float32)
         self.rngs = jax.random.split(jax.random.key(0), slots)
+        self.done = jnp.ones((slots,), bool)  # device-resident freeze flags
         self.cur = self.base
         self.slots = [_Slot(finished=True) for _ in range(slots)]
         self.queue: list[_Request] = []
@@ -208,31 +230,48 @@ class ContinuousARBatcher:
 
     # ------------------------------------------------------------- API
     def submit(self, content: np.ndarray, rng: jax.Array,
-               max_new: int | None = None) -> int:
+               max_new: int | None = None,
+               prompt_output: np.ndarray | None = None) -> int:
+        """Enqueue a request. ``prompt_output`` is the optional
+        output-stream style prompt (the Vevo-Voice protocol — ref
+        `models/vc/vevo/vevo_utils.py:403`: content + style-reference
+        output prefix -> style-rewritten tokens)."""
         rid = self._next_rid
         self._next_rid += 1
+        po = (None if prompt_output is None
+              else np.asarray(prompt_output, np.int32))
         self.queue.append(_Request(rid, np.asarray(content, np.int32), rng,
                                    max_new or self.default_max_new,
+                                   prompt_output=po,
                                    submit_t=time.perf_counter()))
         return rid
 
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
+    def _bucket(self, n: int, ladder=None) -> int:
+        for b in (ladder or self.buckets):
             if n <= b:
                 return b
         raise ValueError(f"prompt length {n} exceeds bucket "
-                         f"{self.buckets[-1]}")
+                         f"{(ladder or self.buckets)[-1]}")
 
     def _admit(self, slot_idx: int, req: _Request) -> None:
         lb = self._bucket(len(req.content))
         buf = np.zeros((1, lb), np.int32)
         buf[0, :len(req.content)] = req.content
-        self.caches, self.kv_valid, self.logits = self._admit_fns[lb](
+        if req.prompt_output is not None:
+            lo = self._bucket(len(req.prompt_output), self.out_buckets)
+            pbuf = np.zeros((1, lo), np.int32)
+            pbuf[0, :len(req.prompt_output)] = req.prompt_output
+            po = jnp.asarray(pbuf)
+            polen = jnp.asarray(len(req.prompt_output), jnp.int32)
+        else:
+            po = polen = None
+        self.caches, self.kv_valid, self.logits, self.done = self._admit_fn(
             self.params, self.caches, self.kv_valid, self.logits,
-            jnp.asarray(buf),
+            self.done, jnp.asarray(buf),
             jnp.asarray(len(req.content), jnp.int32),
             jnp.asarray(slot_idx, jnp.int32),
-            jnp.asarray(self.cur, jnp.int32))
+            jnp.asarray(self.cur, jnp.int32),
+            prompt_out=po, prompt_out_len=polen)
         self.rngs = self.rngs.at[slot_idx].set(req.rng)
         req.admit_t = time.perf_counter()
         self.slots[slot_idx] = _Slot(req=req)
@@ -256,6 +295,7 @@ class ContinuousARBatcher:
             self.cur = self.base
             self.kv_valid = (jnp.zeros_like(self.kv_valid)
                              .at[:, 0].set(True))
+            self.done = jnp.ones_like(self.done)
         for i in range(self.S):
             if self.slots[i].req is None and self.queue and \
                     self.cur + self.queue[0].max_new <= self.capacity:
@@ -264,16 +304,15 @@ class ContinuousARBatcher:
         if all(s.req is None for s in self.slots):
             return []
 
-        done_in = jnp.asarray(
-            [s.req is None or s.finished for s in self.slots])
-        (self.caches, self.logits, self.rngs, done, toks,
-         dones) = self._chunk_fn(
+        (self.caches, self.logits, self.rngs, self.done,
+         packed) = self._chunk_fn(
             self.params, self.caches, self.kv_valid, self.logits,
-            self.rngs, done_in, jnp.asarray(self.cur, jnp.int32))
+            self.rngs, self.done, jnp.asarray(self.cur, jnp.int32))
         self.cur += self.chunk
-        toks = np.asarray(toks)
-        done = np.asarray(done)
-        dones = np.asarray(dones)  # (S, chunk) done AFTER each step
+        packed = np.asarray(packed)  # the chunk's ONE host fetch
+        toks = packed[:, :self.chunk]
+        dones = packed[:, self.chunk:].astype(bool)  # done AFTER each step
+        done = dones[:, -1]
 
         finished = []
         for i, s in enumerate(self.slots):

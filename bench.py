@@ -1065,7 +1065,13 @@ def bench_continuous_ar() -> None:
     m0 = jnp.ones((1, 8), jnp.float32)
     ar_params = ar.init(r, toks0, m0, toks0, m0,
                         method=ARTransformer.loss)["params"]
-    lc, new, slots, chunk = 650, 500, 4, 32
+    lc, new, slots = 650, 500, 4
+    chunk = int(os.environ.get("AMPHION_BENCH_CCHUNK", "64"))
+    # capacity sets the padded KV read per step (the engine's intrinsic
+    # overhead vs a right-sized one-shot batch): 2048 halves it vs 4096
+    # at the cost of more frequent drain epochs (probe: 13.2 ms/step at
+    # cap 4096 bf16 = weights 1.56 GB + padded KV 2.0 GB per step)
+    cap = int(os.environ.get("AMPHION_BENCH_CCAP", "2048"))
     content = np.zeros((lc,), np.int32)
 
     qps_pts = tuple(float(x) for x in os.environ.get(
@@ -1074,7 +1080,7 @@ def bench_continuous_ar() -> None:
 
     def make_engine():
         return ContinuousARBatcher(
-            ar, ar_params, slots=slots, capacity=4096, chunk=chunk,
+            ar, ar_params, slots=slots, capacity=cap, chunk=chunk,
             buckets=(lc,), max_new=new, top_k=40,
             compute_dtype="bfloat16")
 
@@ -1087,7 +1093,7 @@ def bench_continuous_ar() -> None:
     l4 = jnp.full((4,), lc, jnp.int32)
     _fence(ar_transformer_generate_ragged(
         ar, ar_params, c4, l4, keys4, max_new=new, top_k=40,
-        compute_dtype="bfloat16"))
+        compute_dtype="bfloat16")[0])
 
     rows = {}
     for qps in qps_pts:
@@ -1129,7 +1135,7 @@ def bench_continuous_ar() -> None:
                             jnp.uint32))
             _fence(ar_transformer_generate_ragged(
                 ar, ar_params, c4, l4, ks, max_new=new, top_k=40,
-                compute_dtype="bfloat16"))
+                compute_dtype="bfloat16")[0])
             done_t = time.perf_counter() - t0
             for i in batch:
                 fin2[i] = done_t

@@ -133,6 +133,31 @@ def test_per_request_caps(ar_setup):
     np.testing.assert_array_equal(done[r2], w2)
 
 
+def test_style_prompted_requests_exact(ar_setup):
+    """Vevo-Voice protocol: requests carrying an output-stream style
+    prompt decode token-identically to the prompted ragged decode, mixed
+    in the same slots with unprompted requests."""
+    model, params = ar_setup
+    rng = np.random.default_rng(3)
+    c1, c2 = _contents(rng, 2)
+    po = rng.integers(0, CFG.output_vocab, size=6).astype(np.int32)
+    k1, k2 = jax.random.key(401), jax.random.key(402)
+    eng = _engine(model, params, out_buckets=(8,))
+    r1 = eng.submit(c1, k1, max_new=16, prompt_output=po)
+    r2 = eng.submit(c2, k2, max_new=16)  # unprompted, same engine
+    done = eng.run()
+
+    toks, n = ar_transformer_generate_ragged(
+        model, params, c1[None], jnp.asarray([len(c1)]), k1[None],
+        max_new=16, top_k=4, compute_dtype="float32",
+        prompt_output_tokens=po[None],
+        prompt_output_len=jnp.asarray([len(po)]))
+    want1 = np.asarray(toks[0])[:int(n[0])]
+    np.testing.assert_array_equal(done[r1], want1)
+    want2 = _oracle(model, params, c2, k2, 16)
+    np.testing.assert_array_equal(done[r2], want2)
+
+
 def test_greedy_mode(ar_setup):
     """temperature<=0 decodes greedily (rng-independent) — the mode the
     exactness story of speculative decode and serving replays rely on."""
