@@ -11,29 +11,33 @@ arrive in the same window.
 decode program and admits new requests mid-flight (vLLM-style continuous
 batching, re-designed for XLA's static-shape world):
 
-- All slots share one KV cache (leading dim S) and ONE scalar write
-  cursor `cur`: every decode step writes each slot's K/V at position
-  `cur`. Slots never attend each other — attention is within-row, so
-  per-slot state is just its `kv_valid` row.
+- Every slot owns an independent KV-cache row (leading dim S) and its
+  OWN write cursor: the chunked decode `vmap`s the single-token step
+  over the slot axis, so `cache_index` is a scalar per lane (per-row
+  `dynamic_update_slice`, per-row RoPE positions, per-row
+  `pos_k <= cursor` bounds all fall out of the vmap). Slots never attend
+  each other — attention is within-row.
 - A new request is admitted *between* decode chunks by a right-aligned
-  offset prefill (`ARTransformer.prefill_ragged(cache_index=cur - l0)`):
-  its packed prompt lands at `[cur - l0, cur)` so its stream is
-  contiguous with the shared cursor, and its `kv_valid` row masks both
-  the pad prefix and the previous occupant's junk. Right-aligned
-  placement is exact under RoPE — scores depend only on relative
-  distance (`ops/ragged.py`).
+  prefill into its slot's row (`ARTransformer.prefill_ragged` on a
+  1-row cache slice): the packed prompt lands at `[0, l0)`, the slot's
+  cursor resets to `l0`, and its `kv_valid` row masks both the pad
+  prefix and the previous occupant's junk. Right-aligned placement is
+  exact under RoPE — scores depend only on relative distance
+  (`ops/ragged.py`).
+- Per-slot cursors mean NO shared-capacity epochs: a slot's capacity is
+  exactly `max_bucket + 3 + max_new`, reads are bounded by that (the
+  same cache footprint as the one-shot ragged batcher), idle slots burn
+  nothing anyone else needs, and a freed slot is re-admittable
+  immediately. (An earlier shared-cursor design serialized badly at low
+  load — idle slots burned the shared capacity and late arrivals
+  waited out a full drain.)
 - Decode runs in chunks of `chunk` steps (one jitted `lax.scan`); the
-  host harvests tokens, retires finished slots (EOS or per-request cap)
-  and admits queued requests from a small per-bucket admission program.
-  Small state (logits, rng keys, done flags) round-trips host<->device
-  per chunk (~100 KB); the KV cache stays device-resident and is donated
-  across calls.
-- Capacity epochs instead of cache compaction: admission requires
-  `cur + max_new <= capacity`, so an admitted request always fits. When
-  the cursor runs out, the engine drains the active slots and resets
-  `cur` to the base offset. (Compaction would need shifted-storage RoPE
-  bookkeeping; the drain costs a few percent utilization and keeps the
-  decode program trivial.)
+  host harvests ONE packed (tokens|done) fetch per chunk (~a few KB;
+  through the axon tunnel every fetch pays the ~35-50 ms dispatch
+  floor, so one matters), retires finished slots (EOS or per-request
+  cap — caps are host-side, so per-request lengths need NO extra
+  compiles), and admits queued requests via a per-bucket admission
+  program. The KV cache stays device-resident and donated across calls.
 
 Token-exactness: with per-request rng keys the engine reproduces
 `ar_transformer_generate_ragged` (and therefore solo decode —
@@ -87,32 +91,42 @@ class _Slot:
 
 def _chunk_impl(model, temperature, top_k, top_p, chunk,
                 params, caches, kv_valid, logits, rngs, done, cur):
-    """One compiled chunk: `chunk` decode steps for all S slots.
+    """One compiled chunk: `chunk` decode steps for all S slots, each at
+    its OWN cursor (`cur` is (S,); the step is vmapped over slots so
+    `cache_index` is a scalar per lane).
 
     Mirrors `_ar_generate_ragged_impl`'s scan body exactly (same rng
     split discipline, same EOS freezing) so slot streams are
     token-identical to the one-shot ragged decode."""
     c = model.cfg
 
-    def body(carry, i):
-        caches, logits, rngs, done = carry
+    def step_row(tok, cache_row, valid_row, idx):
+        # re-add the batch dim the vmap stripped; the model sees B=1
+        row = jax.tree_util.tree_map(lambda a: a[None], cache_row)
+        lg, row = model.apply(
+            {"params": params}, tok[None], row, idx, valid_row[None],
+            method=ARTransformer.step,
+        )
+        return lg[0], jax.tree_util.tree_map(lambda a: a[0], row)
+
+    vstep = jax.vmap(step_row)
+
+    def body(carry, _):
+        caches, logits, rngs, done, cur = carry
         rngs, r = split_each(rngs, 2)
         tok = jax.vmap(
             lambda k, lg: sample_logits(k, lg, temperature, top_k, top_p)
         )(r, logits.astype(jnp.float32))
         done_new = done | (tok == c.eos_id)
         tok_clean = jnp.where(done_new, 0, tok)
-        logits_new, caches_new = model.apply(
-            {"params": params}, tok_clean, caches, cur + i, kv_valid,
-            method=ARTransformer.step,
-        )
+        logits_new, caches_new = vstep(tok_clean, caches, kv_valid, cur)
         # bf16 decode emits bf16 logits; the carry (and sampling) stay f32
         return (caches_new, logits_new.astype(logits.dtype), rngs,
-                done_new), (tok_clean, done_new)
+                done_new, cur + 1), (tok_clean, done_new)
 
-    init = (caches, logits, rngs, done)
-    (caches, logits, rngs, done), (toks, dones) = jax.lax.scan(
-        body, init, jnp.arange(chunk))
+    init = (caches, logits, rngs, done, cur)
+    (caches, logits, rngs, done, cur), (toks, dones) = jax.lax.scan(
+        body, init, None, length=chunk)
     # ONE packed host fetch per chunk: [tokens | done-after-step] (S, 2k).
     # Through the axon tunnel every device->host fetch pays the ~35-50 ms
     # dispatch floor (BENCHMARKS.md measurement notes) — three separate
@@ -120,22 +134,24 @@ def _chunk_impl(model, temperature, top_k, top_p, chunk,
     packed = jnp.concatenate(
         [jnp.moveaxis(toks, 0, 1),
          jnp.moveaxis(dones, 0, 1).astype(jnp.int32)], axis=1)
-    return caches, logits, rngs, done, packed
+    return caches, logits, rngs, done, cur, packed
 
 
-def _admit_impl(model, params, caches, kv_valid, logits, done, content,
-                content_len, slot, cur, prompt_out=None,
+def _admit_impl(model, params, caches, kv_valid, logits, done, cur,
+                content, content_len, slot, prompt_out=None,
                 prompt_out_len=None):
-    """Prefill `content` (1, Lb) right-aligned at the shared cursor and
-    scatter the slot row of (caches, kv_valid, logits).
+    """Prefill `content` (1, Lb) right-aligned into slot `slot`'s row and
+    scatter the row of (caches, kv_valid, logits); reset the slot's
+    cursor to the window end.
 
     The packed window is `l0 = Lb + 3 (+ Lo)` wide (IN_BOS + content +
     IN_EOS + OUT_BOS + optional style-prompt output stream, the
-    Vevo-Voice protocol); K/V land at `[cur - l0, cur)`. The row's new
-    validity starts at `cur - packed_len` — pad prefix AND the slot's
-    previous occupant are masked out; positions >= cur become readable
-    only as the decode cursor writes them (the step path's
-    `pos_k <= cache_index` bound, `modules/llama.py`)."""
+    Vevo-Voice protocol); K/V land at `[0, l0)` and the slot's cursor
+    becomes `l0`. The row's new validity starts at `l0 - packed_len` —
+    pad prefix AND the slot's previous occupant are masked out;
+    positions >= l0 become readable only as the slot's cursor writes
+    them (the step path's `pos_k <= cache_index` bound,
+    `modules/llama.py`)."""
     l0 = content.shape[1] + 3
     packed = content_len + 3
     if prompt_out is not None:
@@ -144,14 +160,14 @@ def _admit_impl(model, params, caches, kv_valid, logits, done, content,
     cap = kv_valid.shape[1]
     row_caches = jax.tree_util.tree_map(
         lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), caches)
-    row_valid = (jnp.arange(cap)[None, :] >= cur - packed)
+    row_valid = (jnp.arange(cap)[None, :] >= l0 - packed)
     new_logits, row_caches, _ = model.apply(
         {"params": params}, content, content_len[None], row_caches,
         row_valid, method=ARTransformer.prefill_ragged,
         prompt_output_tokens=prompt_out,
         prompt_output_len=(None if prompt_out_len is None
                            else prompt_out_len[None]),
-        cache_index=cur - l0,
+        cache_index=0,
     )
     caches = jax.tree_util.tree_map(
         lambda full, row: jax.lax.dynamic_update_slice_in_dim(
@@ -162,7 +178,27 @@ def _admit_impl(model, params, caches, kv_valid, logits, done, content,
     logits = jax.lax.dynamic_update_slice_in_dim(
         logits, new_logits.astype(logits.dtype), slot, axis=0)
     done = done.at[slot].set(False)
-    return caches, kv_valid, logits, done
+    cur = cur.at[slot].set(l0)
+    return caches, kv_valid, logits, done, cur
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_jitted(model, temperature, top_k, top_p, chunk):
+    # params is a jit ARGUMENT, never a closure capture — closed-over
+    # trees bake into the HLO as constants (the `ssl` bench's 2.3 GB
+    # remote-compile failure, BENCHMARKS.md measurement notes)
+    return jax.jit(
+        functools.partial(_chunk_impl, model, temperature, top_k, top_p,
+                          chunk),
+        donate_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=16)
+def _admit_jitted(model):
+    # one specialization per (content bucket, style bucket | None) pair —
+    # jit specializes on the padded shapes at first use
+    return jax.jit(functools.partial(_admit_impl, model),
+                   donate_argnums=(1,))
 
 
 class ContinuousARBatcher:
@@ -176,7 +212,7 @@ class ContinuousARBatcher:
     """
 
     def __init__(self, model: ARTransformer, params, *, slots: int = 4,
-                 capacity: int = 2048, chunk: int = 16,
+                 capacity: int | None = None, chunk: int = 16,
                  buckets: tuple[int, ...] = (64, 128, 256),
                  out_buckets: tuple[int, ...] = (),
                  max_new: int = 256, temperature: float = 1.0,
@@ -187,41 +223,41 @@ class ContinuousARBatcher:
         model, params, dt = _quantize_for_decode(model, params,
                                                  compute_dtype)
         self.model, self.params = model, params
-        self.S, self.capacity, self.chunk = slots, capacity, chunk
+        self.S, self.chunk = slots, chunk
         self.buckets = tuple(sorted(buckets))
         self.out_buckets = tuple(sorted(out_buckets))
-        # admission needs cur >= the largest packed window l0
+        # per-slot capacity: the largest packed window + the decode run.
+        # Cursors are per slot, so this is also the per-step KV read
+        # bound — the same cache footprint as the one-shot ragged decode.
         self.base = (self.buckets[-1] + 3
                      + (self.out_buckets[-1] if self.out_buckets else 0))
-        assert self.base + max_new <= capacity, \
-            "capacity must fit the largest prompt bucket + max_new"
+        need = self.base + max_new + chunk  # cap-retired slots coast to
+        # the next chunk boundary before reuse; give them room
+        self.capacity = max(capacity or 0, need)
         self.default_max_new = max_new
 
-        self._chunk_fn = jax.jit(
-            functools.partial(_chunk_impl, model, temperature, top_k,
-                              top_p, chunk),
-            donate_argnums=(1,))
-        # params is a jit ARGUMENT, never a closure capture — closed-over
-        # trees bake into the HLO as constants (the `ssl` bench's 2.3 GB
-        # remote-compile failure, BENCHMARKS.md measurement notes).
-        # One admission program per (content bucket, style bucket | None)
-        # pair — jit specializes on the padded shapes at first use.
-        self._admit_fn = jax.jit(functools.partial(_admit_impl, model),
-                                 donate_argnums=(1,),
-                                 static_argnames=())
+        # module-level lru_cache'd jit wrappers: a FRESH engine instance
+        # must reuse the live executables — new jit objects lose the
+        # in-memory cache, and re-loading the big chunk program through
+        # the axon tunnel costs ~50 s (measured) even with the persistent
+        # compile cache warm. Same pattern as `_ar_generate_jitted`.
+        self._chunk_fn = _chunk_jitted(model, temperature, top_k, top_p,
+                                       chunk)
+        self._admit_fn = _admit_jitted(model)
 
         self.caches = LlamaDecoder(model.cfg.llama()).init_cache(
-            slots, capacity, dtype=dt)
+            slots, self.capacity, dtype=dt)
         # idle rows keep cache slot 0 attendable: a fully-masked softmax
         # row is NaN and its garbage would churn through the idle row's
         # own stream (never read, but keep the arithmetic finite anyway —
         # `LlamaDecoder.__call__` docstring has the same rule for pads)
-        self.kv_valid = jnp.zeros((slots, capacity), bool).at[:, 0].set(True)
+        self.kv_valid = (jnp.zeros((slots, self.capacity), bool)
+                         .at[:, 0].set(True))
         self.logits = jnp.zeros((slots, model.cfg.total_vocab),
                                 jnp.float32)
         self.rngs = jax.random.split(jax.random.key(0), slots)
         self.done = jnp.ones((slots,), bool)  # device-resident freeze flags
-        self.cur = self.base
+        self.cur = jnp.ones((slots,), jnp.int32)  # per-slot write cursors
         self.slots = [_Slot(finished=True) for _ in range(slots)]
         self.queue: list[_Request] = []
         self._next_rid = 0
@@ -238,6 +274,10 @@ class ContinuousARBatcher:
         output prefix -> style-rewritten tokens)."""
         rid = self._next_rid
         self._next_rid += 1
+        if (max_new or self.default_max_new) + self.base + self.chunk \
+                > self.capacity:
+            raise ValueError("max_new exceeds the engine's per-slot "
+                             "capacity — raise capacity/max_new at init")
         po = (None if prompt_output is None
               else np.asarray(prompt_output, np.int32))
         self.queue.append(_Request(rid, np.asarray(content, np.int32), rng,
@@ -265,12 +305,12 @@ class ContinuousARBatcher:
             polen = jnp.asarray(len(req.prompt_output), jnp.int32)
         else:
             po = polen = None
-        self.caches, self.kv_valid, self.logits, self.done = self._admit_fn(
+        (self.caches, self.kv_valid, self.logits, self.done,
+         self.cur) = self._admit_fn(
             self.params, self.caches, self.kv_valid, self.logits,
-            self.done, jnp.asarray(buf),
+            self.done, self.cur, jnp.asarray(buf),
             jnp.asarray(len(req.content), jnp.int32),
             jnp.asarray(slot_idx, jnp.int32),
-            jnp.asarray(self.cur, jnp.int32),
             prompt_out=po, prompt_out_len=polen)
         self.rngs = self.rngs.at[slot_idx].set(req.rng)
         req.admit_t = time.perf_counter()
@@ -285,30 +325,19 @@ class ContinuousARBatcher:
 
     def step_chunk(self) -> list[int]:
         """Admit queued requests, decode one chunk, retire finished
-        slots. Returns the rids completed this call."""
-        # epoch rollover: when nothing is in flight and the cursor can't
-        # host another full request, reset to base (drain-and-reset — see
-        # module docstring for why not compaction)
-        idle = all(s.req is None for s in self.slots)
-        if idle and self.queue and \
-                self.cur + self.queue[0].max_new > self.capacity:
-            self.cur = self.base
-            self.kv_valid = (jnp.zeros_like(self.kv_valid)
-                             .at[:, 0].set(True))
-            self.done = jnp.ones_like(self.done)
+        slots. Returns the rids completed this call. Per-slot cursors
+        mean a free slot is ALWAYS admissible — no capacity gate."""
         for i in range(self.S):
-            if self.slots[i].req is None and self.queue and \
-                    self.cur + self.queue[0].max_new <= self.capacity:
+            if self.slots[i].req is None and self.queue:
                 self._admit(i, self.queue.pop(0))
 
         if all(s.req is None for s in self.slots):
             return []
 
-        (self.caches, self.logits, self.rngs, self.done,
+        (self.caches, self.logits, self.rngs, self.done, self.cur,
          packed) = self._chunk_fn(
             self.params, self.caches, self.kv_valid, self.logits,
-            self.rngs, self.done, jnp.asarray(self.cur, jnp.int32))
-        self.cur += self.chunk
+            self.rngs, self.done, self.cur)
         packed = np.asarray(packed)  # the chunk's ONE host fetch
         toks = packed[:, :self.chunk]
         dones = packed[:, self.chunk:].astype(bool)  # done AFTER each step
@@ -351,5 +380,5 @@ class ContinuousARBatcher:
         return {"completed": len(self.completed),
                 "queued": len(self.queue),
                 "active": sum(s.req is not None for s in self.slots),
-                "cursor": self.cur,
+                "cursors": np.asarray(self.cur).tolist(),
                 "p50_s": pct(50), "p95_s": pct(95), "p99_s": pct(99)}

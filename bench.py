@@ -1044,14 +1044,15 @@ def bench_train_maskgct() -> None:
 def bench_continuous_ar() -> None:
     """Continuous batching vs static window batching, SAME Poisson trace
     (`serving/continuous.py` — beyond-reference serving). Vevo-scale AR
-    decode (780M-class, bf16): requests arrive open-loop at
-    `AMPHION_BENCH_CQPS` (default "1.5,3.0") req/s; the continuous engine
-    admits them into live decode slots at chunk boundaries, the static
-    comparator coalesces them into up-to-4 batches behind a 50 ms window
-    and runs the one-shot ragged decode per batch. Reports p50/p95
-    end-to-end latency per rung for both schedulers. The win comes from
-    not making a request wait out the in-flight batch: static worst-case
-    queue time is a whole batch span; continuous bounds it at one chunk."""
+    decode (780M-class, bf16): requests with VARIABLE generation lengths
+    (uniform 128-500 tokens — real workloads are length-skewed) arrive
+    open-loop at `AMPHION_BENCH_CQPS` req/s. The continuous engine admits
+    each into a live per-cursor decode slot at a chunk boundary and
+    retires it at ITS OWN cap (host-side — no per-length compiles); the
+    static comparator coalesces arrivals into up-to-4 batches behind a
+    50 ms window and pays its one compiled 500-step scan per batch
+    (exactly what `serving/VevoService._run_batch` does, max_new fixed).
+    Reports p50/p95 end-to-end latency + req/s per rung for both."""
     from amphion_tpu.models.vc.ar_transformer import (
         ARTransformer, ARTransformerConfig, ar_transformer_generate_ragged,
     )
@@ -1067,20 +1068,16 @@ def bench_continuous_ar() -> None:
                         method=ARTransformer.loss)["params"]
     lc, new, slots = 650, 500, 4
     chunk = int(os.environ.get("AMPHION_BENCH_CCHUNK", "64"))
-    # capacity sets the padded KV read per step (the engine's intrinsic
-    # overhead vs a right-sized one-shot batch): 2048 halves it vs 4096
-    # at the cost of more frequent drain epochs (probe: 13.2 ms/step at
-    # cap 4096 bf16 = weights 1.56 GB + padded KV 2.0 GB per step)
-    cap = int(os.environ.get("AMPHION_BENCH_CCAP", "2048"))
     content = np.zeros((lc,), np.int32)
 
     qps_pts = tuple(float(x) for x in os.environ.get(
-        "AMPHION_BENCH_CQPS", "1.5,3.0").split(","))
+        "AMPHION_BENCH_CQPS", "1.0,2.0").split(","))
     n_req = int(os.environ.get("AMPHION_BENCH_CREQ", "12"))
+    lens = np.random.default_rng(7).integers(128, new + 1, size=n_req)
 
     def make_engine():
         return ContinuousARBatcher(
-            ar, ar_params, slots=slots, capacity=cap, chunk=chunk,
+            ar, ar_params, slots=slots, chunk=chunk,
             buckets=(lc,), max_new=new, top_k=40,
             compute_dtype="bfloat16")
 
@@ -1108,7 +1105,7 @@ def bench_continuous_ar() -> None:
             now = time.perf_counter() - t0
             while nxt < n_req and trace[nxt] <= now:
                 rid = eng.submit(content, jax.random.key(100 + nxt),
-                                 max_new=new)
+                                 max_new=int(lens[nxt]))
                 rid_arr[rid] = trace[nxt]
                 nxt += 1
             if eng.queue or any(s.req is not None for s in eng.slots):
