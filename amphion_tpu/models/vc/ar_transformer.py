@@ -294,9 +294,12 @@ class ARTransformer(nn.Module):
         ``cache_index`` offsets the packed window inside a larger cache:
         the window writes K/V at ``[cache_index, cache_index + l0)`` and
         RoPE positions shift with it (relative distances — and therefore
-        the math — are unchanged). The continuous-batching engine
-        (`serving/continuous.py`) uses this to admit a new request into a
-        live decode at the shared write cursor."""
+        the math — are unchanged). The per-slot continuous-batching
+        engine (`serving/continuous.py`) admits each request at the
+        start of its OWN cache row, so it always passes ``cache_index=0``
+        and the admitted window lands at ``[0, l0)``; a nonzero offset
+        is exercised by the ragged-placement tests and kept for callers
+        that pack multiple windows into one row."""
         from amphion_tpu.ops.ragged import pack_segments_right
 
         c = self.cfg

@@ -120,9 +120,15 @@ def _chunk_impl(model, temperature, top_k, top_p, chunk,
         done_new = done | (tok == c.eos_id)
         tok_clean = jnp.where(done_new, 0, tok)
         logits_new, caches_new = vstep(tok_clean, caches, kv_valid, cur)
+        # Frozen lanes (EOS'd, or cap-retired via the host-set flag) stop
+        # advancing their cursor: the lane still computes (vmap runs all
+        # lanes regardless) but its K/V writes stay put, it can never run
+        # past capacity into clamped writes, and stats()['cursors'] stays
+        # truthful. Lanes are independent, so active slots are unaffected.
+        cur_new = jnp.where(done_new, cur, cur + 1)
         # bf16 decode emits bf16 logits; the carry (and sampling) stay f32
         return (caches_new, logits_new.astype(logits.dtype), rngs,
-                done_new, cur + 1), (tok_clean, done_new)
+                done_new, cur_new), (tok_clean, done_new)
 
     init = (caches, logits, rngs, done, cur)
     (caches, logits, rngs, done, cur), (toks, dones) = jax.lax.scan(
@@ -274,24 +280,43 @@ class ContinuousARBatcher:
         output prefix -> style-rewritten tokens)."""
         rid = self._next_rid
         self._next_rid += 1
-        if (max_new or self.default_max_new) + self.base + self.chunk \
-                > self.capacity:
-            raise ValueError("max_new exceeds the engine's per-slot "
-                             "capacity — raise capacity/max_new at init")
+        content = np.asarray(content, np.int32)
+        self._bucket(len(content))  # raise NOW, not at admit time
         po = (None if prompt_output is None
               else np.asarray(prompt_output, np.int32))
-        self.queue.append(_Request(rid, np.asarray(content, np.int32), rng,
+        window = self._bucket(len(content)) + 3
+        if po is not None:
+            if not self.out_buckets:
+                raise ValueError(
+                    "style-prompted request on an engine built without "
+                    "out_buckets — pass out_buckets=(...) at init (the "
+                    "content ladder must NOT be reused for the style "
+                    "stream: per-slot capacity was sized without it)")
+            window += self._bucket(len(po), self.out_buckets)
+        if (max_new or self.default_max_new) + window + self.chunk \
+                > self.capacity:
+            raise ValueError("max_new + packed window exceeds the "
+                             "engine's per-slot capacity — raise "
+                             "capacity/max_new at init")
+        self.queue.append(_Request(rid, content, rng,
                                    max_new or self.default_max_new,
                                    prompt_output=po,
                                    submit_t=time.perf_counter()))
         return rid
 
     def _bucket(self, n: int, ladder=None) -> int:
-        for b in (ladder or self.buckets):
+        # NB: `ladder if ... is not None`, NOT `ladder or` — an empty
+        # out_buckets tuple must NOT silently fall back to the content
+        # ladder (the engine's per-slot capacity was sized without a
+        # style stream; overflowing it clamps K/V writes onto the last
+        # cache slot and corrupts tokens silently).
+        ladder = self.buckets if ladder is None else ladder
+        if not ladder:
+            raise ValueError("empty bucket ladder")
+        for b in ladder:
             if n <= b:
                 return b
-        raise ValueError(f"prompt length {n} exceeds bucket "
-                         f"{(ladder or self.buckets)[-1]}")
+        raise ValueError(f"prompt length {n} exceeds bucket {ladder[-1]}")
 
     def _admit(self, slot_idx: int, req: _Request) -> None:
         lb = self._bucket(len(req.content))
@@ -344,6 +369,7 @@ class ContinuousARBatcher:
         done = dones[:, -1]
 
         finished = []
+        cap_frozen: list[int] = []
         for i, s in enumerate(self.slots):
             if s.req is None:
                 continue
@@ -355,10 +381,24 @@ class ContinuousARBatcher:
             n_real = n_prev + int(np.sum(~dones[i]))
             if done[i]:
                 finished.append(s.req.rid)
-                self._retire(i, n_real)
+                # the cap still binds even when EOS fires in the chunk
+                # where the cap is crossed (max_new not chunk-aligned):
+                # a solo stream truncated at its own cap must match
+                self._retire(i, min(s.req.max_new, n_real))
             elif len(s.tokens) >= s.req.max_new:
                 finished.append(s.req.rid)
                 self._retire(i, min(s.req.max_new, n_real))
+                # freeze the device-side flag too: without it a
+                # cap-retired slot keeps sampling+stepping at full rate
+                # every chunk until readmission (wasted decode compute
+                # at partial occupancy, and its cursor keeps climbing so
+                # stats()['cursors'] misleads). EOS-retired slots froze
+                # themselves inside the chunk; do the same here.
+                cap_frozen.append(i)
+        if cap_frozen:
+            mask = np.zeros((self.S,), bool)
+            mask[cap_frozen] = True
+            self.done = self.done | jnp.asarray(mask)  # fixed (S,) shape
         return finished
 
     def run(self, max_chunks: int = 10_000) -> dict[int, np.ndarray]:
