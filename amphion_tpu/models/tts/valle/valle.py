@@ -516,7 +516,15 @@ def _nar_generate_ragged_jitted(model, compute_dtype):
 def nar_generate_ragged(model, params, phones, phone_len, tokens0,
                         target_len, prompt_tokens_all, prompt_len,
                         compute_dtype="bfloat16"):
-    """Ragged batched NAR stage (greedy, one compiled program per bucket)."""
+    """Ragged batched NAR stage (greedy, one compiled program per bucket).
+
+    int8/int4 requests map to bf16 here: weight-only AR-decode
+    quantization does not apply to the NAR's plain forward passes, and
+    naively casting params to an integer dtype would silently destroy
+    them (the bug this guard fixes — `valle_generate_ragged` forwards
+    the AR compute_dtype verbatim)."""
+    if compute_dtype in ("int8", "int4"):
+        compute_dtype = "bfloat16"
     fn = _nar_generate_ragged_jitted(model, compute_dtype)
     return fn(params, jnp.asarray(phones), jnp.asarray(phone_len),
               jnp.asarray(tokens0), jnp.asarray(target_len),

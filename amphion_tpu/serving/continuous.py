@@ -89,23 +89,26 @@ class _Slot:
     finished: bool = False
 
 
-def _chunk_impl(model, temperature, top_k, top_p, chunk,
-                params, caches, kv_valid, logits, rngs, done, cur):
+def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
+                chunk, params, caches, kv_valid, logits, rngs, done, cur):
     """One compiled chunk: `chunk` decode steps for all S slots, each at
     its OWN cursor (`cur` is (S,); the step is vmapped over slots so
     `cache_index` is a scalar per lane).
 
-    Mirrors `_ar_generate_ragged_impl`'s scan body exactly (same rng
-    split discipline, same EOS freezing) so slot streams are
-    token-identical to the one-shot ragged decode."""
-    c = model.cfg
+    Generic over the AR family: ``step_method`` is the model's
+    single-token decode method (`ARTransformer.step` or `VALLE.ar_step`
+    — identical ``(token, caches, cache_index, kv_valid)`` signatures)
+    and ``eos_id`` its stop token. Mirrors the family's
+    `_ar_generate_ragged_impl` scan body exactly (same rng split
+    discipline, same EOS freezing) so slot streams are token-identical
+    to the one-shot ragged decode."""
 
     def step_row(tok, cache_row, valid_row, idx):
         # re-add the batch dim the vmap stripped; the model sees B=1
         row = jax.tree_util.tree_map(lambda a: a[None], cache_row)
         lg, row = model.apply(
             {"params": params}, tok[None], row, idx, valid_row[None],
-            method=ARTransformer.step,
+            method=step_method,
         )
         return lg[0], jax.tree_util.tree_map(lambda a: a[0], row)
 
@@ -117,7 +120,7 @@ def _chunk_impl(model, temperature, top_k, top_p, chunk,
         tok = jax.vmap(
             lambda k, lg: sample_logits(k, lg, temperature, top_k, top_p)
         )(r, logits.astype(jnp.float32))
-        done_new = done | (tok == c.eos_id)
+        done_new = done | (tok == eos_id)
         tok_clean = jnp.where(done_new, 0, tok)
         logits_new, caches_new = vstep(tok_clean, caches, kv_valid, cur)
         # Frozen lanes (EOS'd, or cap-retired via the host-set flag) stop
@@ -189,13 +192,14 @@ def _admit_impl(model, params, caches, kv_valid, logits, done, cur,
 
 
 @functools.lru_cache(maxsize=16)
-def _chunk_jitted(model, temperature, top_k, top_p, chunk):
+def _chunk_jitted(model, step_method, eos_id, temperature, top_k, top_p,
+                  chunk):
     # params is a jit ARGUMENT, never a closure capture — closed-over
     # trees bake into the HLO as constants (the `ssl` bench's 2.3 GB
     # remote-compile failure, BENCHMARKS.md measurement notes)
     return jax.jit(
-        functools.partial(_chunk_impl, model, temperature, top_k, top_p,
-                          chunk),
+        functools.partial(_chunk_impl, model, step_method, eos_id,
+                          temperature, top_k, top_p, chunk),
         donate_argnums=(1,))
 
 
@@ -204,6 +208,43 @@ def _admit_jitted(model):
     # one specialization per (content bucket, style bucket | None) pair —
     # jit specializes on the padded shapes at first use
     return jax.jit(functools.partial(_admit_impl, model),
+                   donate_argnums=(1,))
+
+
+def _admit_valle_impl(model, params, caches, kv_valid, logits, done, cur,
+                      phones, phone_len, prompt, prompt_len, slot):
+    """VALL-E admission: right-aligned ``[pad | phones_i | prompt_i]``
+    prefilled into slot `slot`'s row (`VALLE.ar_prefill_ragged` — writes
+    at the start of the row, exact under RoPE); same scatter/cursor/
+    validity mechanics as `_admit_impl`."""
+    from amphion_tpu.models.tts.valle.valle import VALLE
+
+    l0 = phones.shape[1] + prompt.shape[1]
+    packed = phone_len + prompt_len
+    cap = kv_valid.shape[1]
+    row_caches = jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0), caches)
+    row_valid = (jnp.arange(cap)[None, :] >= l0 - packed)
+    new_logits, row_caches = model.apply(
+        {"params": params}, phones, phone_len[None], prompt,
+        prompt_len[None], row_caches, row_valid,
+        method=VALLE.ar_prefill_ragged)
+    caches = jax.tree_util.tree_map(
+        lambda full, row: jax.lax.dynamic_update_slice_in_dim(
+            full, row, slot, axis=0),
+        caches, row_caches)
+    kv_valid = jax.lax.dynamic_update_slice_in_dim(
+        kv_valid, row_valid, slot, axis=0)
+    logits = jax.lax.dynamic_update_slice_in_dim(
+        logits, new_logits.astype(logits.dtype), slot, axis=0)
+    done = done.at[slot].set(False)
+    cur = cur.at[slot].set(l0)
+    return caches, kv_valid, logits, done, cur
+
+
+@functools.lru_cache(maxsize=16)
+def _admit_valle_jitted(model):
+    return jax.jit(functools.partial(_admit_valle_impl, model),
                    donate_argnums=(1,))
 
 
@@ -247,8 +288,9 @@ class ContinuousARBatcher:
         # in-memory cache, and re-loading the big chunk program through
         # the axon tunnel costs ~50 s (measured) even with the persistent
         # compile cache warm. Same pattern as `_ar_generate_jitted`.
-        self._chunk_fn = _chunk_jitted(model, temperature, top_k, top_p,
-                                       chunk)
+        self._chunk_fn = _chunk_jitted(model, ARTransformer.step,
+                                       model.cfg.eos_id, temperature,
+                                       top_k, top_p, chunk)
         self._admit_fn = _admit_jitted(model)
 
         self.caches = LlamaDecoder(model.cfg.llama()).init_cache(
@@ -422,3 +464,95 @@ class ContinuousARBatcher:
                 "active": sum(s.req is not None for s in self.slots),
                 "cursors": np.asarray(self.cur).tolist(),
                 "p50_s": pct(50), "p95_s": pct(95), "p99_s": pct(99)}
+
+
+class ContinuousValleBatcher(ContinuousARBatcher):
+    """Continuous batching over `VALLE`'s AR (codebook-0) stage.
+
+    Same per-slot-cursor mechanics as the base engine (which this
+    inherits wholesale — `step_chunk`/`run`/`stats` are family-
+    agnostic); only admission differs: a request is ``(phones, prompt
+    codebook-0 tokens)`` and the packed window is the right-aligned
+    ``[pad | phones_i | prompt_i]`` of `VALLE.ar_prefill_ragged` (ref
+    `valle.py:371-436` ragged decode — the one-shot comparator these
+    slot streams are token-identical to). NAR refinement + codec decode
+    are single forward passes, not weight-streaming loops, so they run
+    OUTSIDE the engine per completed request
+    (`serving/continuous_service.py`)."""
+
+    def __init__(self, model, params, *, slots: int = 4,
+                 capacity: int | None = None, chunk: int = 16,
+                 phone_buckets: tuple[int, ...] = (64, 128, 256),
+                 prompt_buckets: tuple[int, ...] = (128, 256),
+                 max_new: int = 768, temperature: float = 1.0,
+                 top_k: int = 50, top_p: float = 1.0,
+                 compute_dtype: str = "bfloat16"):
+        from amphion_tpu.models.tts.valle.valle import VALLE, _prep_decode
+
+        model, params, dt = _prep_decode(model, params, compute_dtype)
+        self.model, self.params = model, params
+        self.S, self.chunk = slots, chunk
+        self.buckets = tuple(sorted(phone_buckets))
+        self.out_buckets = tuple(sorted(prompt_buckets))
+        self.base = self.buckets[-1] + self.out_buckets[-1]
+        need = self.base + max_new + chunk
+        self.capacity = max(capacity or 0, need)
+        self.default_max_new = max_new
+        self._chunk_fn = _chunk_jitted(model, VALLE.ar_step,
+                                       model.cfg.eos_id, temperature,
+                                       top_k, top_p, chunk)
+        self._admit_fn = _admit_valle_jitted(model)
+        self.caches = LlamaDecoder(model.cfg.llama(False)).init_cache(
+            slots, self.capacity, dtype=dt)
+        self.kv_valid = (jnp.zeros((slots, self.capacity), bool)
+                         .at[:, 0].set(True))
+        self.logits = jnp.zeros((slots, model.cfg.audio_vocab + 1),
+                                jnp.float32)
+        self.rngs = jax.random.split(jax.random.key(0), slots)
+        self.done = jnp.ones((slots,), bool)
+        self.cur = jnp.ones((slots,), jnp.int32)
+        self.slots = [_Slot(finished=True) for _ in range(slots)]
+        self.queue: list[_Request] = []
+        self._next_rid = 0
+        self.completed: dict[int, np.ndarray] = {}
+        self.latency_s: dict[int, float] = {}
+
+    def submit(self, phones: np.ndarray, prompt_tokens: np.ndarray,
+               rng: jax.Array, max_new: int | None = None) -> int:
+        """Enqueue (phones, codebook-0 prompt tokens). The prompt stream
+        is REQUIRED (zero-shot VALL-E always enrolls a prompt; pass a
+        length-1 array for promptless smoke tests)."""
+        rid = self._next_rid
+        self._next_rid += 1
+        phones = np.asarray(phones, np.int32)
+        prompt = np.asarray(prompt_tokens, np.int32)
+        window = (self._bucket(len(phones))
+                  + self._bucket(len(prompt), self.out_buckets))
+        if (max_new or self.default_max_new) + window + self.chunk \
+                > self.capacity:
+            raise ValueError("max_new + packed window exceeds the "
+                             "engine's per-slot capacity — raise "
+                             "capacity/max_new at init")
+        self.queue.append(_Request(rid, phones, rng,
+                                   max_new or self.default_max_new,
+                                   prompt_output=prompt,
+                                   submit_t=time.perf_counter()))
+        return rid
+
+    def _admit(self, slot_idx: int, req: _Request) -> None:
+        lb = self._bucket(len(req.content))
+        lo = self._bucket(len(req.prompt_output), self.out_buckets)
+        pbuf = np.zeros((1, lb), np.int32)
+        pbuf[0, :len(req.content)] = req.content
+        tbuf = np.zeros((1, lo), np.int32)
+        tbuf[0, :len(req.prompt_output)] = req.prompt_output
+        (self.caches, self.kv_valid, self.logits, self.done,
+         self.cur) = self._admit_fn(
+            self.params, self.caches, self.kv_valid, self.logits,
+            self.done, self.cur, jnp.asarray(pbuf),
+            jnp.asarray(len(req.content), jnp.int32), jnp.asarray(tbuf),
+            jnp.asarray(len(req.prompt_output), jnp.int32),
+            jnp.asarray(slot_idx, jnp.int32))
+        self.rngs = self.rngs.at[slot_idx].set(req.rng)
+        req.admit_t = time.perf_counter()
+        self.slots[slot_idx] = _Slot(req=req)

@@ -1,0 +1,296 @@
+"""Continuous-batching serving backends — the production AR path.
+
+Round 4 measured the continuous engine (`serving/continuous.py`) at
+1.48× better p50 / 1.33× better p95 than the static window batcher at
+2 qps on the same Poisson trace, equal throughput (BENCHMARKS.md
+`continuous` table); this module puts that engine in the HTTP serving
+path. `bins/serve.py --batcher continuous` (the default for the AR
+backends) builds these services instead of the window ones.
+
+Design:
+
+- `EngineDriver` owns a continuous engine on ONE background thread (the
+  engine is single-threaded by design — one TPU program at a time) and
+  exposes a blocking `submit_wait` that any number of HTTP handler
+  threads call concurrently. A request is admitted at the next CHUNK
+  boundary of the live decode — no wait-window, no drain — which is
+  exactly where the p50 win over the window batcher comes from.
+- `VevoContinuousService` / `ValleContinuousService` subclass the window
+  services (`serving/service.py`) and override ONLY dispatch: the shared
+  `_prepare_request` front end feeds the engine for the AR stage, and
+  the non-AR stages (Vevo's 32-step FM + Vocos, VALL-E's NAR + codec
+  decode) run per completed request. Those stages are single forward
+  passes / compute-bound ODE loops, not weight-streaming token loops —
+  continuous batching has nothing to amortize there (BENCHMARKS.md: FM
+  is ~75% MFU at B=1; mask-predict throughput FALLS with batch).
+- Per-request RNG keys use the SAME fold_in discipline as the window
+  path, so a request's token stream is bit-identical whichever
+  dispatcher served it (asserted in tests/test_continuous_service.py).
+
+The reference has no serving layer at all (closest: the one-shot
+`models/vc/vevo/vevo_utils.py:403` inference call); this is our-bar
+work like the rest of `serving/`.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import jax
+import numpy as np
+
+from amphion_tpu.serving.continuous import (
+    ContinuousARBatcher,
+    ContinuousValleBatcher,
+)
+from amphion_tpu.serving.service import (
+    VALLEService,
+    VevoService,
+    _pad_to,
+    _VevoCoreRequest,
+)
+
+
+def _ladder_tuple(step: int, cap: int) -> tuple[int, ...]:
+    """Bucket ladder as an explicit tuple: step, 2*step, ..., cap."""
+    rungs = list(range(step, cap, step)) + [cap]
+    return tuple(sorted(set(rungs)))
+
+
+class EngineDriver:
+    """Thread-safe blocking facade over a continuous engine.
+
+    `submit_wait(*engine_submit_args)` enqueues into the engine (on the
+    driver thread, at the next chunk boundary) and blocks the calling
+    thread until that request's tokens are ready. Errors raised by the
+    engine's `submit` (over-long prompt, capacity) propagate to the
+    caller. `stats()` is cheap and safe from any thread.
+    """
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._cv = threading.Condition()
+        self._inbox: list[tuple[tuple, dict, dict]] = []
+        self._waiters: dict[int, dict] = {}
+        self._latencies: list[float] = []
+        self._stop = False
+        self._admitted = 0
+        self._chunks = 0
+        self._occ_sum = 0
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="continuous-engine")
+        self._thread.start()
+
+    def submit_wait(self, *args, timeout: float | None = None,
+                    **kw) -> np.ndarray:
+        box: dict = {"ev": threading.Event()}
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("engine driver is shut down")
+            self._inbox.append((args, kw, box))
+            self._cv.notify()
+        if not box["ev"].wait(timeout):
+            raise TimeoutError("request timed out in the continuous engine")
+        if "error" in box:
+            raise box["error"]
+        return box["tokens"]
+
+    def shutdown(self, wait: bool = True) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        if wait:
+            self._thread.join(timeout=60)
+
+    def _busy(self) -> bool:
+        e = self.engine
+        return bool(e.queue) or any(s.req is not None for s in e.slots)
+
+    def _loop(self) -> None:
+        e = self.engine
+        while True:
+            with self._cv:
+                while not self._inbox and not self._busy() and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    # fail fast for anyone still waiting
+                    err = RuntimeError("engine driver shut down")
+                    for _, _, box in self._inbox:
+                        box["error"] = err
+                        box["ev"].set()
+                    for box in self._waiters.values():
+                        box["error"] = err
+                        box["ev"].set()
+                    return
+                pending, self._inbox = self._inbox, []
+            for args, kw, box in pending:
+                try:
+                    rid = e.submit(*args, **kw)
+                    self._waiters[rid] = box
+                    self._admitted += 1
+                except Exception as exc:  # over-long prompt, capacity, ...
+                    box["error"] = exc
+                    box["ev"].set()
+            if not self._busy():
+                continue
+            finished = e.step_chunk()
+            self._chunks += 1
+            self._occ_sum += (sum(s.req is not None for s in e.slots)
+                              + len(finished))
+            for rid in finished:
+                box = self._waiters.pop(rid, None)
+                tokens = e.completed.pop(rid, None)
+                lat = e.latency_s.pop(rid, 0.0)
+                with self._cv:
+                    self._latencies.append(lat)
+                    del self._latencies[:-4096]  # bounded history
+                if box is not None:
+                    box["tokens"] = tokens
+                    box["ev"].set()
+
+    def stats(self) -> dict:
+        with self._cv:
+            lats = sorted(self._latencies)
+            inbox = len(self._inbox)
+            waiting = len(self._waiters)
+
+        def pct(p):
+            return (lats[min(len(lats) - 1, int(p / 100 * len(lats)))]
+                    if lats else 0.0)
+
+        return {
+            "batcher": "continuous",
+            "slots": self.engine.S,
+            "chunk": self.engine.chunk,
+            "admitted": self._admitted,
+            "in_flight": waiting,
+            "driver_inbox": inbox,
+            "chunks": self._chunks,
+            "mean_slot_occupancy": round(
+                self._occ_sum / max(self._chunks, 1), 3),
+            "ar_p50_s": round(pct(50), 4),
+            "ar_p95_s": round(pct(95), 4),
+            "ar_p99_s": round(pct(99), 4),
+        }
+
+
+class VevoContinuousService(VevoService):
+    """Vevo VC serving with the continuous engine on the AR stage.
+
+    ``mode="voice"`` (AR style rewrite + FM): the AR decode — the
+    weight-HBM-bound stage where batching matters — runs in the
+    continuous engine's slots; the FM + Vocos tail runs per completed
+    request (compute-bound, nothing to amortize). ``mode="timbre"`` has
+    no AR stage at all; it runs the FM tail directly (for timbre-heavy
+    workloads the window batcher's FM batching is equivalent — measured
+    FM is ~75% MFU at B=1, BENCHMARKS.md).
+    """
+
+    def __init__(self, pipeline, *, slots: int = 4, chunk: int = 64,
+                 **kw):
+        self.slots_n, self.chunk = slots, chunk
+        super().__init__(pipeline, **kw)
+
+    def _init_dispatch(self, max_batch, max_wait_ms):
+        del max_batch, max_wait_ms  # window-batcher knobs
+        if self.pipe.params.get("ar") is None:
+            self.driver = None  # timbre-only deployment
+            return
+        engine = ContinuousARBatcher(
+            self.pipe.ar, self.pipe.params["ar"], slots=self.slots_n,
+            chunk=self.chunk,
+            buckets=_ladder_tuple(self.len_step, self.max_content_len),
+            out_buckets=_ladder_tuple(self.len_step, self.max_prompt_len),
+            max_new=self.max_new, temperature=self.temperature,
+            top_k=self.top_k, compute_dtype=self.compute_dtype)
+        self.driver = EngineDriver(engine)
+
+    def synthesize(self, src_audio: np.ndarray, ref_audio: np.ndarray,
+                   mode: str = "timbre", seed: int = 0) -> np.ndarray:
+        req = self._prepare_request(src_audio, ref_audio, mode, seed)
+        if mode == "voice":
+            if self.driver is None:
+                raise RuntimeError("voice mode needs AR weights")
+            # same per-request key split as the window path's _run_batch
+            key_ar = jax.random.fold_in(jax.random.key(seed), 1)
+            toks = self.driver.submit_wait(
+                req.content, key_ar, max_new=self.max_new,
+                prompt_output=req.prompt_out)
+            empty = np.zeros((0,), np.int32)
+            req = _VevoCoreRequest(
+                "timbre", empty, empty,
+                np.asarray(toks, np.int32), req.fm_prompt_tokens,
+                req.fm_prompt_mel, seed)
+        # FM + vocoder tail, solo (B=1 program per length bucket)
+        lt = self._ladder(len(req.target_style), self.max_new)
+        lp = self._ladder(len(req.fm_prompt_tokens), self.max_prompt_len)
+        return self._run_batch(("timbre", (lt,), lp), [req])[0]
+
+    def stats(self) -> dict:
+        return (self.driver.stats() if self.driver is not None
+                else {"batcher": "continuous", "ar": None})
+
+    def shutdown(self) -> None:
+        if self.driver is not None:
+            self.driver.shutdown()
+
+
+class ValleContinuousService(VALLEService):
+    """Zero-shot VALL-E serving with the continuous engine on the AR
+    stage; the greedy NAR fill + codec decode run per completed request
+    (plain forward passes — `ContinuousValleBatcher` docstring)."""
+
+    def __init__(self, model, params, tokenizer, g2p, symbol_table, *,
+                 slots: int = 4, chunk: int = 64, **kw):
+        self.slots_n, self.chunk = slots, chunk
+        super().__init__(model, params, tokenizer, g2p, symbol_table, **kw)
+
+    def _init_dispatch(self, max_batch, max_wait_ms):
+        del max_batch, max_wait_ms
+        engine = ContinuousValleBatcher(
+            self.model, self.params, slots=self.slots_n, chunk=self.chunk,
+            phone_buckets=_ladder_tuple(self.len_step, self.max_phone_len),
+            prompt_buckets=_ladder_tuple(self.len_step, self.max_prompt_len),
+            max_new=self.max_new, temperature=self.temperature,
+            top_k=self.top_k, compute_dtype=self.compute_dtype)
+        self.driver = EngineDriver(engine)
+
+    def synthesize(self, prompt_audio: np.ndarray, prompt_text: str,
+                   target_text: str, seed: int = 0) -> np.ndarray:
+        from amphion_tpu.models.tts.valle.valle import nar_generate_ragged
+
+        req = self._prepare_request(prompt_audio, prompt_text,
+                                    target_text, seed)
+        # window path: keys = vmap(jax.random.key)(seeds)
+        toks0 = self.driver.submit_wait(
+            req.phone_ids, req.prompt_codes[0], jax.random.key(seed),
+            max_new=self.max_new)
+        gen_len = max(len(toks0), 1)
+
+        from amphion_tpu.serving.batcher import bucket_ladder
+
+        lph = bucket_ladder(len(req.phone_ids), self.len_step,
+                            self.max_phone_len)
+        lp = bucket_ladder(req.prompt_codes.shape[1], self.len_step,
+                           self.max_prompt_len)
+        lt = bucket_ladder(gen_len, self.len_step, self.max_new)
+        tokens0 = np.zeros((1, lt), np.int32)
+        tokens0[0, :len(toks0)] = toks0
+        codes = nar_generate_ragged(
+            self.model, self.params,
+            _pad_to(req.phone_ids, lph)[None],
+            np.asarray([len(req.phone_ids)], np.int32), tokens0,
+            np.asarray([gen_len], np.int32),
+            _pad_to(req.prompt_codes, lp, axis=1)[None],
+            np.asarray([req.prompt_codes.shape[1]], np.int32),
+            compute_dtype=self.compute_dtype)
+        wav = self.tokenizer.decode(
+            np.asarray(codes), lengths=np.asarray([gen_len], np.int32))
+        spf = wav.shape[-1] / codes.shape[-1]
+        return wav[0, : int(round(gen_len * spf))]
+
+    def stats(self) -> dict:
+        return self.driver.stats()
+
+    def shutdown(self) -> None:
+        self.driver.shutdown()

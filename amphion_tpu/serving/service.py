@@ -223,6 +223,11 @@ class VALLEService:
         self.top_k = top_k
         self.compute_dtype = compute_dtype
         self._frontend_lock = threading.Lock()
+        self._init_dispatch(max_batch, max_wait_ms)
+
+    def _init_dispatch(self, max_batch, max_wait_ms):
+        """Window `MicroBatcher` dispatcher; `ValleContinuousService`
+        overrides with the continuous engine."""
         self.batcher = MicroBatcher(
             self._run_batch, self._bucket_of, max_batch=max_batch,
             max_wait_ms=max_wait_ms,
@@ -238,13 +243,18 @@ class VALLEService:
 
     def synthesize(self, prompt_audio: np.ndarray, prompt_text: str,
                    target_text: str, seed: int = 0) -> np.ndarray:
+        return self.batcher(self._prepare_request(
+            prompt_audio, prompt_text, target_text, seed))
+
+    def _prepare_request(self, prompt_audio, prompt_text, target_text,
+                         seed) -> _ValleCoreRequest:
         with self._frontend_lock:
             ids = self.g2p.to_ids(prompt_text + " " + target_text,
                                   self.symbol_table)
         phone_ids = np.asarray(ids, np.int32)[: self.max_phone_len]
         codes = self.tokenizer.encode(prompt_audio)[0]  # (Q, Lp)
         codes = codes[:, : self.max_prompt_len].astype(np.int32)
-        return self.batcher(_ValleCoreRequest(phone_ids, codes, seed))
+        return _ValleCoreRequest(phone_ids, codes, seed)
 
     def stats(self) -> dict:
         return self.batcher.stats.snapshot()
@@ -330,6 +340,12 @@ class VevoService:
         self._frontend_lock = threading.Lock()
         self._voc_jit = jax.jit(
             lambda prm, m, fl: pipeline.vocoder.apply({"params": prm}, m, fl))
+        self._init_dispatch(max_batch, max_wait_ms)
+
+    def _init_dispatch(self, max_batch, max_wait_ms):
+        """Build the request dispatcher — the window `MicroBatcher` here;
+        `VevoContinuousService` overrides this with the continuous
+        engine (`serving/continuous_service.py`)."""
         self.batcher = MicroBatcher(
             self._run_batch, self._bucket_of, max_batch=max_batch,
             max_wait_ms=max_wait_ms,
@@ -358,6 +374,14 @@ class VevoService:
 
     def synthesize(self, src_audio: np.ndarray, ref_audio: np.ndarray,
                    mode: str = "timbre", seed: int = 0) -> np.ndarray:
+        return self.batcher(self._prepare_request(src_audio, ref_audio,
+                                                  mode, seed))
+
+    def _prepare_request(self, src_audio, ref_audio, mode, seed
+                         ) -> _VevoCoreRequest:
+        """Front-end token/mel extraction (serialized — the extractors
+        are single compiled programs); shared by the window and
+        continuous dispatch paths."""
         assert mode in ("timbre", "voice")
         empty = np.zeros((0,), np.int32)
         with self._frontend_lock:
@@ -387,8 +411,8 @@ class VevoService:
                 content = prompt_out = empty
                 target = self.pipe.style_tokens(
                     src_audio)[: self.max_new].astype(np.int32)
-        return self.batcher(_VevoCoreRequest(
-            mode, content, prompt_out, target, ptok, pmel, seed))
+        return _VevoCoreRequest(
+            mode, content, prompt_out, target, ptok, pmel, seed)
 
     def stats(self) -> dict:
         return self.batcher.stats.snapshot()

@@ -20,6 +20,16 @@ API (same schema as the demo server, plus stats):
 Backends: ``--backend maskgct`` (batched real pipeline) and
 ``--backend sine`` (threads through a MicroBatcher too, so the batching
 plumbing is smoke-testable without checkpoints).
+
+Dispatchers (``--batcher``): the AR backends (valle, vevo) default to
+**continuous batching** (`serving/continuous_service.py`) — requests
+join a live per-slot decode at chunk boundaries instead of waiting for
+a batch window; measured 1.48× better p50 / 1.33× better p95 than the
+static window batcher at 2 qps on the same Poisson trace
+(BENCHMARKS.md). ``--batcher window`` restores the static
+micro-batcher. ``GET /api/stats`` reports the active dispatcher's
+metrics (slot occupancy, admissions, AR latency percentiles for
+continuous; batch-size/wait histograms for window).
 """
 
 from __future__ import annotations
@@ -152,12 +162,23 @@ def _build_valle_service(args):
         num_heads=m.num_heads if m else 16,
         max_position=m.get("max_position", 4096) if m else 4096,
     ))
-    svc = VALLEService(
-        model, params, tok, g2p, symbols, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms, len_step=args.len_step,
-        max_phone_len=args.max_phone_len, max_prompt_len=args.max_prompt_len,
-        max_new=args.max_new, compute_dtype=args.compute_dtype,
+    common = dict(
+        len_step=args.len_step, max_phone_len=args.max_phone_len,
+        max_prompt_len=args.max_prompt_len, max_new=args.max_new,
+        compute_dtype=args.compute_dtype,
     )
+    if args.batcher == "continuous":
+        from amphion_tpu.serving.continuous_service import (
+            ValleContinuousService,
+        )
+
+        svc = ValleContinuousService(
+            model, params, tok, g2p, symbols, slots=args.slots,
+            chunk=args.chunk, **common)
+    else:
+        svc = VALLEService(
+            model, params, tok, g2p, symbols, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, **common)
 
     def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
               src_audio=None):
@@ -197,12 +218,22 @@ def _build_vevo_service(args):
     if mode == "voice" and pipe.params["ar"] is None:
         raise SystemExit("--vevo_mode voice needs AR weights "
                          "(--ar_exp or --weights_dir)")
-    svc = VevoService(
-        pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    common = dict(
         len_step=args.len_step, max_prompt_len=args.max_prompt_len,
         max_new=args.max_new, flow_matching_steps=args.fm_steps,
         compute_dtype=args.compute_dtype,
     )
+    if args.batcher == "continuous":
+        from amphion_tpu.serving.continuous_service import (
+            VevoContinuousService,
+        )
+
+        svc = VevoContinuousService(
+            pipe, slots=args.slots, chunk=args.chunk, **common)
+    else:
+        svc = VevoService(
+            pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            **common)
 
     def synth(prompt_audio, prompt_text, target_text, target_sec, seed,
               src_audio=None):
@@ -286,6 +317,22 @@ def main():
     ap.add_argument("--semantic_ckpt", default=None)
     ap.add_argument("--codec_ckpt", default=None)
     ap.add_argument("--weights_dir", default=None)
+    ap.add_argument("--batcher", default="continuous",
+                    choices=["continuous", "window"],
+                    help="AR-backend dispatcher (valle/vevo): "
+                         "'continuous' (default) admits requests into a "
+                         "live per-slot decode at chunk boundaries — "
+                         "measured 1.48x better p50 than 'window' at "
+                         "2 qps on the same Poisson trace "
+                         "(BENCHMARKS.md); 'window' is the static "
+                         "micro-batcher. maskgct/sine always use the "
+                         "window batcher (mask-predict does not gain "
+                         "from batching — measured)")
+    ap.add_argument("--slots", type=int, default=4,
+                    help="continuous engine decode slots")
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="continuous engine decode chunk (steps between "
+                         "admission points)")
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=50.0)
     ap.add_argument("--len_step", type=int, default=64)
@@ -314,6 +361,11 @@ def main():
     ap.add_argument("--vocoder_ckpt", default="")
     args = ap.parse_args()
 
+    if args.batcher == "continuous" and args.backend in ("maskgct", "sine"):
+        print(f"NOTE: backend '{args.backend}' has no AR decode stage; "
+              "falling back to the window batcher (continuous batching "
+              "applies to the valle/vevo AR backends)")
+        args.batcher = "window"
     build = {"sine": _build_sine_service,
              "maskgct": _build_maskgct_service,
              "valle": _build_valle_service,

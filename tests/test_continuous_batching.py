@@ -172,6 +172,67 @@ def test_greedy_mode(ar_setup):
     np.testing.assert_array_equal(a, b)
 
 
+VALLE_CFG = None  # built lazily — import cost
+
+
+@pytest.fixture(scope="module")
+def valle_setup():
+    from amphion_tpu.models.tts.valle.valle import VALLE, VALLEConfig
+
+    cfg = VALLEConfig(num_phones=16, audio_vocab=32, num_quantizers=2,
+                      hidden=32, num_layers=2, num_heads=2,
+                      max_position=512)
+    model = VALLE(cfg)
+    phones = jnp.zeros((1, 6), jnp.int32)
+    toks = jnp.zeros((1, 2, 8), jnp.int32)
+    params = model.init(jax.random.key(0), phones,
+                        jnp.ones((1, 6), jnp.float32), toks,
+                        jnp.ones((1, 8), jnp.float32), jax.random.key(1),
+                        method=VALLE.train_loss)["params"]
+    return model, params, cfg
+
+
+def test_valle_continuous_matches_ragged(valle_setup):
+    """`ContinuousValleBatcher` slot streams are token-identical to
+    `ar_generate_ragged` (VALL-E's one-shot comparator), including
+    mid-flight admission."""
+    from amphion_tpu.models.tts.valle.valle import ar_generate_ragged
+    from amphion_tpu.serving.continuous import ContinuousValleBatcher
+
+    model, params, cfg = valle_setup
+    rng = np.random.default_rng(5)
+    phs = [rng.integers(0, cfg.num_phones, size=int(rng.integers(3, 8)))
+           .astype(np.int32) for _ in range(3)]
+    prompts = [rng.integers(0, cfg.audio_vocab,
+                            size=int(rng.integers(2, 7))).astype(np.int32)
+               for _ in range(3)]
+    keys = [jax.random.key(600 + i) for i in range(3)]
+
+    eng = ContinuousValleBatcher(
+        model, params, slots=2, capacity=256, chunk=8,
+        phone_buckets=(8,), prompt_buckets=(8,), max_new=24,
+        top_k=8, compute_dtype="float32")
+    rids = [eng.submit(phs[0], prompts[0], keys[0]),
+            eng.submit(phs[1], prompts[1], keys[1])]
+    eng.step_chunk()
+    rids.append(eng.submit(phs[2], prompts[2], keys[2]))
+    done = eng.run()
+
+    for rid, ph, pr, key in zip(rids, phs, prompts, keys):
+        lb, lo = 8, 8
+        phones = np.zeros((1, lb), np.int32)
+        phones[0, :len(ph)] = ph
+        prompt = np.zeros((1, lo), np.int32)
+        prompt[0, :len(pr)] = pr
+        toks, n = ar_generate_ragged(
+            model, params, phones, np.asarray([len(ph)], np.int32),
+            prompt, np.asarray([len(pr)], np.int32), key[None],
+            max_new=24, top_k=8, compute_dtype="float32")
+        want = np.asarray(toks[0])[:int(n[0])]
+        np.testing.assert_array_equal(done[rid], want,
+                                      err_msg=f"request {rid} diverged")
+
+
 def test_stats_shape(ar_setup):
     model, params = ar_setup
     eng = _engine(model, params)

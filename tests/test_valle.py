@@ -190,3 +190,29 @@ def test_ar_generate_int4_runs(rng):
                              compute_dtype="int4")
     assert toks.shape == (1, 4)
     assert int(toks.max()) <= cfg.audio_vocab
+
+
+def test_nar_generate_ragged_int8_matches_bf16(valle_setup):
+    """Regression (round 5): `nar_generate_ragged(compute_dtype="int8")`
+    used to cast the NAR params to LITERAL int8 — silently destroying
+    them (the AR weight-only quantization does not apply to the NAR's
+    plain forward passes). It must now run the bf16 program instead and
+    return the same greedy codes."""
+    from amphion_tpu.models.tts.valle.valle import nar_generate_ragged
+
+    model, params, batch = valle_setup
+    rng = np.random.default_rng(3)
+    phones = np.asarray(batch["phones"])
+    phone_len = np.asarray([phones.shape[1]] * 2, np.int32)
+    tokens0 = rng.integers(0, 32, (2, 6)).astype(np.int32)
+    target_len = np.asarray([6, 4], np.int32)
+    prompts = rng.integers(0, 32, (2, TINY.num_quantizers, 5)).astype(np.int32)
+    prompt_len = np.asarray([5, 3], np.int32)
+
+    want = nar_generate_ragged(model, params, phones, phone_len, tokens0,
+                               target_len, prompts, prompt_len,
+                               compute_dtype="bfloat16")
+    got = nar_generate_ragged(model, params, phones, phone_len, tokens0,
+                              target_len, prompts, prompt_len,
+                              compute_dtype="int8")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
