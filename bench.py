@@ -1041,24 +1041,250 @@ def bench_train_maskgct() -> None:
           xrt / 1.0, extra=_roofline(fl, by, dt / n_iters))
 
 
-def bench_continuous_ar() -> None:
-    """Continuous batching vs static window batching, SAME Poisson trace
-    (`serving/continuous.py` — beyond-reference serving). Vevo-scale AR
-    decode (780M-class, bf16): requests with VARIABLE generation lengths
-    (uniform 128-500 tokens — real workloads are length-skewed) arrive
-    open-loop at `AMPHION_BENCH_CQPS` req/s. The continuous engine admits
-    each into a live per-cursor decode slot at a chunk boundary and
-    retires it at ITS OWN cap (host-side — no per-length compiles); the
-    static comparator coalesces arrivals into up-to-4 batches behind a
-    50 ms window and pays its one compiled 500-step scan per batch
-    (exactly what `serving/VevoService._run_batch` does, max_new fixed).
-    Reports p50/p95 end-to-end latency + req/s per rung for both."""
-    from amphion_tpu.models.vc.ar_transformer import (
-        ARTransformer, ARTransformerConfig, ar_transformer_generate_ragged,
+def _build_bench_ar_family(family):
+    """(model, params, submit_args_fn, static_run_fn_factory, meta) for
+    the continuous-vs-static harness. `family` is "vevo" (780M-class
+    `ARTransformer`, the Vevo AR stage) or "valle" (the 12-layer VALL-E
+    AR stage). Both comparisons are AR-stage-only on BOTH sides — the
+    non-AR tails (FM, NAR) are identical whichever dispatcher ran."""
+    r = jax.random.key(0)
+    if family == "vevo":
+        from amphion_tpu.models.vc.ar_transformer import (
+            ARTransformer, ARTransformerConfig,
+            ar_transformer_generate_ragged,
+        )
+        from amphion_tpu.serving.continuous import ContinuousARBatcher
+
+        ar = ARTransformer(ARTransformerConfig(
+            input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
+            num_heads=16, intermediate=6144, max_position=4096))
+        toks0 = jnp.zeros((1, 8), jnp.int32)
+        m0 = jnp.ones((1, 8), jnp.float32)
+        params = ar.init(r, toks0, m0, toks0, m0,
+                         method=ARTransformer.loss)["params"]
+        lc, new = 650, 500
+        content = np.zeros((lc,), np.int32)
+
+        def make_engine(slots, chunk, dtype):
+            return ContinuousARBatcher(
+                ar, params, slots=slots, chunk=chunk, buckets=(lc,),
+                max_new=new, top_k=40, compute_dtype=dtype)
+
+        def submit(eng, i, cap):
+            return eng.submit(content, jax.random.key(100 + i),
+                              max_new=cap)
+
+        c4 = jnp.zeros((4, lc), jnp.int32)
+        l4 = jnp.full((4,), lc, jnp.int32)
+
+        def static_run(keys, dtype):
+            _fence(ar_transformer_generate_ragged(
+                ar, params, c4, l4, keys, max_new=new, top_k=40,
+                compute_dtype=dtype)[0])
+
+        return make_engine, submit, static_run, {"family": "vevo",
+                                                 "max_new": new}
+
+    from amphion_tpu.models.tts.valle.valle import (
+        VALLE, VALLEConfig, ar_generate_ragged,
     )
-    from amphion_tpu.serving.continuous import ContinuousARBatcher
+    from amphion_tpu.serving.continuous import ContinuousValleBatcher
+
+    model = VALLE(VALLEConfig(
+        num_phones=256, audio_vocab=1024, num_quantizers=8, hidden=1024,
+        num_layers=12, num_heads=16, max_position=4096))
+    lph, lp, new = 64, 225, 750  # 3 s prompt + 10 s target @ 75 Hz
+    params = model.init(
+        r, jnp.zeros((1, lph), jnp.int32), jnp.ones((1, lph)),
+        jnp.zeros((1, 8, lp), jnp.int32), jnp.ones((1, lp)),
+        jax.random.key(1), method=VALLE.train_loss)["params"]
+    phones = np.zeros((lph,), np.int32)
+    prompt = np.zeros((lp,), np.int32)
+
+    def make_engine(slots, chunk, dtype):
+        return ContinuousValleBatcher(
+            model, params, slots=slots, chunk=chunk, phone_buckets=(lph,),
+            prompt_buckets=(lp,), max_new=new, top_k=50,
+            compute_dtype=dtype)
+
+    def submit(eng, i, cap):
+        return eng.submit(phones, prompt, jax.random.key(100 + i),
+                          max_new=cap)
+
+    ph4 = jnp.zeros((4, lph), jnp.int32)
+    phl4 = jnp.full((4,), lph, jnp.int32)
+    pr4 = jnp.zeros((4, lp), jnp.int32)
+    prl4 = jnp.full((4,), lp, jnp.int32)
+
+    def static_run(keys, dtype):
+        _fence(ar_generate_ragged(
+            model, params, ph4, phl4, pr4, prl4, keys, max_new=new,
+            top_k=50, compute_dtype=dtype)[0])
+
+    return make_engine, submit, static_run, {"family": "valle",
+                                             "max_new": new}
+
+
+def _pctl(v, p):
+    return v[min(len(v) - 1, int(p / 100 * len(v)))]
+
+
+def _drive_continuous(make_engine, submit, trace, lens, slots, chunk,
+                      dtype):
+    """Cooperative open-loop drive of the continuous engine over a fixed
+    arrival trace; returns sorted end-to-end latencies + makespan."""
+    n_req = len(trace)
+    eng = make_engine(slots, chunk, dtype)
+    rid_arr, fin, nxt = {}, {}, 0
+    t0 = time.perf_counter()
+    while len(fin) < n_req:
+        now = time.perf_counter() - t0
+        while nxt < n_req and trace[nxt] <= now:
+            rid = submit(eng, nxt, int(lens[nxt]))
+            rid_arr[rid] = trace[nxt]
+            nxt += 1
+        if eng.queue or any(s.req is not None for s in eng.slots):
+            for rid in eng.step_chunk():
+                fin[rid] = time.perf_counter() - t0
+        elif nxt < n_req:
+            time.sleep(max(0.0, trace[nxt] - now))
+    return sorted(fin[k] - rid_arr[k] for k in fin), max(fin.values())
+
+
+def _drive_static(static_run, trace, dtype):
+    """Window comparator: 50 ms coalescing, up-to-4 batches, one full
+    max_new-step compiled scan per batch (`VevoService._run_batch`
+    semantics — per-request lengths come from EOS, not the program)."""
+    n_req = len(trace)
+    fin2, nxt = {}, 0
+    t0 = time.perf_counter()
+    while nxt < n_req:
+        now = time.perf_counter() - t0
+        if trace[nxt] > now:
+            time.sleep(trace[nxt] - now)
+        time.sleep(0.05)  # coalescing window
+        now = time.perf_counter() - t0
+        batch = [i for i in range(nxt, n_req) if trace[i] <= now][:4]
+        ks = jax.vmap(jax.random.key)(
+            jnp.asarray([100 + i for i in batch] + [0] * (4 - len(batch)),
+                        jnp.uint32))
+        static_run(ks, dtype)
+        done_t = time.perf_counter() - t0
+        for i in batch:
+            fin2[i] = done_t
+        nxt = batch[-1] + 1
+    return sorted(fin2[i] - trace[i] for i in fin2), max(fin2.values())
+
+
+def bench_continuous_ar(family="vevo", dtypes=("bfloat16",)) -> None:
+    """Continuous batching vs static window batching, SAME Poisson trace
+    (`serving/continuous.py` — beyond-reference serving; now the default
+    dispatcher in `bins/serve.py`). AR decode at production scale with
+    VARIABLE per-request generation lengths (uniform 128..max_new —
+    real workloads are length-skewed): requests arrive open-loop at each
+    `AMPHION_BENCH_CQPS` rung and BOTH dispatchers replay the identical
+    trace. The continuous engine admits each request into a live
+    per-cursor decode slot at a chunk boundary and retires it at its own
+    cap (host-side — no per-length compiles); the static comparator
+    coalesces arrivals into up-to-4 batches behind a 50 ms window and
+    pays one compiled max_new-step scan per batch. Reports p50/p95/p99
+    end-to-end latency + req/s per rung for both; with multiple
+    ``dtypes`` the same trace also answers the quantization crossover
+    ("quantize single-stream, serve batches bf16" — does it survive
+    per-slot occupancy?)."""
+    make_engine, submit, static_run, meta = _build_bench_ar_family(family)
+    new = meta["max_new"]
+    slots = int(os.environ.get("AMPHION_BENCH_CSLOTS", "4"))
+    chunk = int(os.environ.get("AMPHION_BENCH_CCHUNK", "64"))
+    qps_pts = tuple(float(x) for x in os.environ.get(
+        "AMPHION_BENCH_CQPS", "0.5,1.0,2.0,4.0").split(","))
+    n_req = int(os.environ.get("AMPHION_BENCH_CREQ", "100"))
+    lens = np.random.default_rng(7).integers(128, new + 1, size=n_req)
+
+    # prime compiles once per dtype (admission + chunk + static ragged)
+    for dt_s in dtypes:
+        eng = make_engine(slots, chunk, dt_s)
+        submit(eng, 0, chunk)
+        eng.run()
+        static_run(jax.vmap(jax.random.key)(
+            jnp.arange(4, dtype=jnp.uint32)), dt_s)
+
+    rows = {}
+    for qps in qps_pts:
+        trace = np.random.default_rng(0).exponential(1.0 / qps,
+                                                     n_req).cumsum()
+        for dt_s in dtypes:
+            tag = "" if len(dtypes) == 1 else f"_{dt_s}"
+            cont_lat, cont_mk = _drive_continuous(
+                make_engine, submit, trace, lens, slots, chunk, dt_s)
+            stat_lat, stat_mk = _drive_static(static_run, trace, dt_s)
+            rows.setdefault(qps, {}).update({
+                f"cont{tag}_p50_s": round(_pctl(cont_lat, 50), 3),
+                f"cont{tag}_p95_s": round(_pctl(cont_lat, 95), 3),
+                f"cont{tag}_p99_s": round(_pctl(cont_lat, 99), 3),
+                f"cont{tag}_req_s": round(n_req / cont_mk, 3),
+                f"static{tag}_p50_s": round(_pctl(stat_lat, 50), 3),
+                f"static{tag}_p95_s": round(_pctl(stat_lat, 95), 3),
+                f"static{tag}_p99_s": round(_pctl(stat_lat, 99), 3),
+                f"static{tag}_req_s": round(n_req / stat_mk, 3),
+            })
+            print(f"# [{family}/{dt_s}] continuous vs static @ {qps} qps: "
+                  f"{rows[qps]}", file=sys.stderr)
+
+    top = rows[max(qps_pts)]
+    k50 = "cont_p50_s" if len(dtypes) == 1 else f"cont_{dtypes[0]}_p50_s"
+    s50 = k50.replace("cont", "static", 1)
+    _emit(f"continuous_{family}_p50_s", top[k50],
+          "p50 end-to-end latency (s) at %.1f qps, continuous batching"
+          % max(qps_pts),
+          top[s50] / max(top[k50], 1e-9),
+          extra={"rows_by_qps": {str(k): v for k, v in rows.items()},
+                 "n_req": n_req, "slots": slots, "chunk": chunk,
+                 "family": family, "dtypes": list(dtypes)})
+
+
+def bench_continuous_http() -> None:
+    """END-TO-END HTTP serving: the full Vevo voice pipeline (780M-class
+    AR + 32-step FM + Vocos, random weights) behind the real
+    `bins/serve.py` ThreadingHTTPServer, driven by the Poisson HTTP
+    loadgen (`bins/loadgen.py` machinery) — the SAME fixed trace against
+    `--batcher continuous` and `--batcher window`. This measures the
+    shipped product path: base64-WAV request in, WAV out, front-end
+    token extraction + AR + FM + vocoder + HTTP overhead all included.
+    Request audio lengths vary (4-8 s), qps rungs from
+    `AMPHION_BENCH_HQPS` (the full pipeline sustains well under 1 qps on
+    one chip — the AR+FM tail is ~2-3 s of device time per request)."""
+    from amphion_tpu.models.codec.repcodec import RepCodec, RepCodecConfig
+    from amphion_tpu.models.vc.ar_transformer import (
+        ARTransformer, ARTransformerConfig,
+    )
+    from amphion_tpu.models.vc.flow_matching_transformer import (
+        FlowMatchingTransformer, FMTConfig,
+    )
+    from amphion_tpu.models.vocoders.vocos import VocosConfig, VocosGenerator
+    from amphion_tpu.ops.mel import MelConfig, mel_spectrogram
+    from amphion_tpu.pipelines.vevo_pipeline import VevoPipeline
+    from amphion_tpu.serving.continuous_service import VevoContinuousService
+    from amphion_tpu.serving.loadgen import (
+        http_synthesize_submit, poisson_arrivals, run_trace,
+    )
+    from amphion_tpu.serving.service import VevoService
+    from bins import serve as serve_mod
+    from bins.loadgen import make_request_factory
+    import threading
 
     r = jax.random.key(0)
+    mel_cfg = MelConfig(sample_rate=16000, n_fft=1024, win_size=1024,
+                        hop_size=320, n_mel=80, fmax=8000.0)
+    content_tok = RepCodec(RepCodecConfig(
+        feature_dim=80, hidden=128, codebook_size=32, codebook_dim=8,
+        num_blocks=2))
+    style_tok = RepCodec(RepCodecConfig(
+        feature_dim=80, hidden=128, codebook_size=8192, codebook_dim=8,
+        num_blocks=2))
+    feats = jnp.zeros((1, 20, 80))
+    ct_params = content_tok.init(r, feats)["params"]
+    st_params = style_tok.init(r, feats)["params"]
     ar = ARTransformer(ARTransformerConfig(
         input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
         num_heads=16, intermediate=6144, max_position=4096))
@@ -1066,101 +1292,84 @@ def bench_continuous_ar() -> None:
     m0 = jnp.ones((1, 8), jnp.float32)
     ar_params = ar.init(r, toks0, m0, toks0, m0,
                         method=ARTransformer.loss)["params"]
-    lc, new, slots = 650, 500, 4
-    chunk = int(os.environ.get("AMPHION_BENCH_CCHUNK", "64"))
-    content = np.zeros((lc,), np.int32)
+    fm = FlowMatchingTransformer(FMTConfig(hidden=1024, num_layers=16))
+    mel0 = jnp.zeros((1, 10, 80))
+    fm_params = fm.init(r, mel0, jnp.zeros((1, 10), jnp.int32),
+                        jnp.ones((1, 10)).at[:, 4:].set(0.0),
+                        jnp.ones((1, 10)), jax.random.key(1),
+                        method=FlowMatchingTransformer.loss)["params"]
+    voc = VocosGenerator(VocosConfig(dim=1280, intermediate_dim=4096,
+                                     num_layers=24, n_mel=80))
+    voc_params = voc.init(r, jnp.zeros((1, 16, 80)))["params"]
+
+    def ssl(audio, sample_rate):
+        t = max(len(audio) // mel_cfg.hop_size * mel_cfg.hop_size,
+                mel_cfg.hop_size)
+        return np.asarray(mel_spectrogram(
+            jnp.asarray(audio[:t])[None], mel_cfg)).transpose(0, 2, 1)[0]
+
+    pipe = VevoPipeline(
+        content_tokenizer=content_tok, style_tokenizer=style_tok,
+        ar=ar, fm=fm, vocoder=voc,
+        params={"content_tokenizer": ct_params,
+                "style_tokenizer": st_params, "ar": ar_params,
+                "fm": fm_params, "vocoder": voc_params},
+        hubert_extractor=ssl, mel_cfg=mel_cfg)
 
     qps_pts = tuple(float(x) for x in os.environ.get(
-        "AMPHION_BENCH_CQPS", "1.0,2.0").split(","))
-    n_req = int(os.environ.get("AMPHION_BENCH_CREQ", "12"))
-    lens = np.random.default_rng(7).integers(128, new + 1, size=n_req)
-
-    def make_engine():
-        return ContinuousARBatcher(
-            ar, ar_params, slots=slots, chunk=chunk,
-            buckets=(lc,), max_new=new, top_k=40,
-            compute_dtype="bfloat16")
-
-    # prime compiles (admission + chunk; static ragged B=4)
-    eng = make_engine()
-    eng.submit(content, jax.random.key(1), max_new=chunk)
-    eng.run()
-    keys4 = jax.vmap(jax.random.key)(jnp.arange(4, dtype=jnp.uint32))
-    c4 = jnp.zeros((4, lc), jnp.int32)
-    l4 = jnp.full((4,), lc, jnp.int32)
-    _fence(ar_transformer_generate_ragged(
-        ar, ar_params, c4, l4, keys4, max_new=new, top_k=40,
-        compute_dtype="bfloat16")[0])
+        "AMPHION_BENCH_HQPS", "0.25,0.5").split(","))
+    n_req = int(os.environ.get("AMPHION_BENCH_HREQ", "50"))
+    svc_kw = dict(len_step=128, max_content_len=512, max_prompt_len=256,
+                  max_new=500, flow_matching_steps=32, cfg_scale=1.0,
+                  compute_dtype="bfloat16")
 
     rows = {}
-    for qps in qps_pts:
-        trace = np.random.default_rng(0).exponential(1.0 / qps,
-                                                     n_req).cumsum()
+    for batcher in ("continuous", "window"):
+        if batcher == "continuous":
+            svc = VevoContinuousService(pipe, slots=4, chunk=64, **svc_kw)
+        else:
+            svc = VevoService(pipe, max_batch=4, max_wait_ms=50.0,
+                              **svc_kw)
 
-        # --- continuous: cooperative open loop ------------------------
-        eng = make_engine()
-        rid_arr, fin, nxt = {}, {}, 0
-        t0 = time.perf_counter()
-        while len(fin) < n_req:
-            now = time.perf_counter() - t0
-            while nxt < n_req and trace[nxt] <= now:
-                rid = eng.submit(content, jax.random.key(100 + nxt),
-                                 max_new=int(lens[nxt]))
-                rid_arr[rid] = trace[nxt]
-                nxt += 1
-            if eng.queue or any(s.req is not None for s in eng.slots):
-                for rid in eng.step_chunk():
-                    fin[rid] = time.perf_counter() - t0
-            elif nxt < n_req:
-                time.sleep(max(0.0, trace[nxt] - now))
-        cont_mk = max(fin.values())
-        cont_lat = sorted(fin[r_] - rid_arr[r_] for r_ in fin)
+        def synth(prompt_audio, prompt_text, target_text, target_sec,
+                  seed, src_audio=None):
+            return svc.synthesize(src_audio, prompt_audio, mode="voice",
+                                  seed=seed), 16000
 
-        # --- static: 50 ms window, up-to-4 batches, same trace --------
-        fin2, nxt = {}, 0
-        t0 = time.perf_counter()
-        while nxt < n_req:
-            now = time.perf_counter() - t0
-            if trace[nxt] > now:
-                time.sleep(trace[nxt] - now)
-            time.sleep(0.05)  # coalescing window
-            now = time.perf_counter() - t0
-            batch = [i for i in range(nxt, n_req)
-                     if trace[i] <= now][:4]
-            ks = jax.vmap(jax.random.key)(
-                jnp.asarray([100 + i for i in batch] + [0] * (4 - len(batch)),
-                            jnp.uint32))
-            _fence(ar_transformer_generate_ragged(
-                ar, ar_params, c4, l4, ks, max_new=new, top_k=40,
-                compute_dtype="bfloat16")[0])
-            done_t = time.perf_counter() - t0
-            for i in batch:
-                fin2[i] = done_t
-            nxt = batch[-1] + 1
-        stat_mk = max(fin2.values())
-        stat_lat = sorted(fin2[i] - trace[i] for i in fin2)
-
-        def pct(v, p):
-            return v[min(len(v) - 1, int(p / 100 * len(v)))]
-
-        rows[qps] = {
-            "cont_p50_s": round(pct(cont_lat, 50), 3),
-            "cont_p95_s": round(pct(cont_lat, 95), 3),
-            "cont_req_s": round(n_req / cont_mk, 3),
-            "static_p50_s": round(pct(stat_lat, 50), 3),
-            "static_p95_s": round(pct(stat_lat, 95), 3),
-            "static_req_s": round(n_req / stat_mk, 3),
-        }
-        print(f"# continuous vs static @ {qps} qps: {rows[qps]}",
-              file=sys.stderr)
+        httpd = serve_mod.serve(synth, svc.stats, "vevo", port=0,
+                                input_sr=16000)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{port}"
+        submit = http_synthesize_submit(url, timeout_s=900.0)
+        make = make_request_factory("vevo", 16000, seed=42,
+                                    min_sec=4.0, max_sec=8.0)
+        try:
+            # warmup request compiles every program (not timed)
+            submit(make(0))
+            for qps in qps_pts:
+                arrivals = poisson_arrivals(qps, n_req, seed=42)
+                res = run_trace(submit, make, arrivals,
+                                drain_timeout_s=1800.0)
+                row = res.row()
+                rows.setdefault(qps, {})[batcher] = row
+                print(f"# [http/{batcher}] @ {qps} qps: {row}",
+                      file=sys.stderr)
+        finally:
+            httpd.shutdown()
+            if hasattr(svc, "shutdown"):
+                svc.shutdown()
+            elif hasattr(svc, "batcher"):
+                svc.batcher.shutdown()
 
     top = rows[max(qps_pts)]
-    _emit("continuous_ar_p95_s", top["cont_p95_s"],
-          "p95 end-to-end latency (s) at %.1f qps, continuous batching"
-          % max(qps_pts),
-          top["static_p95_s"] / max(top["cont_p95_s"], 1e-9),
+    _emit("continuous_http_p50_s",
+          top["continuous"]["p50_ms"] / 1e3,
+          "p50 end-to-end HTTP latency (s) at %.2f qps, full Vevo voice "
+          "pipeline, continuous batching" % max(qps_pts),
+          top["window"]["p50_ms"] / max(top["continuous"]["p50_ms"], 1e-9),
           extra={"rows_by_qps": {str(k): v for k, v in rows.items()},
-                 "n_req": n_req, "slots": slots, "chunk": chunk})
+                 "n_req": n_req})
 
 
 _SUITE = {
@@ -1177,6 +1386,10 @@ _SUITE = {
     "serving_vevo_int4": lambda: bench_vevo_serving(compute_dtype="int4"),
     "serving_latency": bench_serving_latency,
     "continuous": bench_continuous_ar,
+    "continuous_valle": lambda: bench_continuous_ar(family="valle"),
+    "continuous_crossover": lambda: bench_continuous_ar(
+        family="vevo", dtypes=("bfloat16", "int4")),
+    "continuous_http": bench_continuous_http,
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
     "valle_int4": lambda: bench_valle_rtf("int4"),

@@ -283,3 +283,35 @@ def test_http_continuous_vevo():
     finally:
         httpd.shutdown()
         svc.shutdown()
+
+
+def test_http_loadgen_trace_roundtrip():
+    """`bins/loadgen.py` machinery against the sine backend: a fixed
+    Poisson trace driven through HTTP returns per-request latencies and
+    the server's stats snapshot."""
+    import argparse
+
+    from amphion_tpu.serving.loadgen import (
+        http_synthesize_submit,
+        poisson_arrivals,
+        run_trace,
+    )
+    from bins import serve as serve_mod
+    from bins.loadgen import make_request_factory
+
+    args = argparse.Namespace(max_batch=4, max_wait_ms=20.0)
+    synth, stats, input_sr = serve_mod._build_sine_service(args)
+    httpd = serve_mod.serve(synth, stats, "sine", port=0, input_sr=input_sr)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        submit = http_synthesize_submit(f"http://127.0.0.1:{port}")
+        make = make_request_factory("tts", 24000, seed=0,
+                                    min_sec=0.2, max_sec=0.4)
+        arrivals = poisson_arrivals(20.0, 6, seed=0)
+        res = run_trace(submit, make, arrivals, drain_timeout_s=60.0)
+        assert res.n_ok == 6 and res.n_err == 0
+        assert len(res.lat_ms) == 6
+        assert res.latency_ms_p99 >= res.latency_ms_p50 > 0
+    finally:
+        httpd.shutdown()
