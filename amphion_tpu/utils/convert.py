@@ -3293,3 +3293,46 @@ def hf_t5_encoder_to_flax(sd: Mapping[str, np.ndarray],
             }
         params[f"block_{i}"] = blk
     return params
+
+
+def clap_text_to_flax(sd: Mapping[str, np.ndarray],
+                      num_layers: int = 12) -> dict:
+    """Vendored open_clip CLAP text tower (reference
+    `models/tta/picoaudio/picoaudio/audioldm/clap/open_clip/model.py:
+    476-497` — token/positional embeddings, `text_branch.resblocks.*`
+    packed-QKV attention blocks, `ln_final`, the 2-layer
+    `text_projection`) → `modules/clap_text.ClapTextEncoder` params.
+    Keys may carry a `module.` DDP prefix (the published checkpoints
+    do)."""
+    def g(n):
+        if n not in sd and f"module.{n}" in sd:
+            n = f"module.{n}"
+        return np.asarray(sd[n])
+
+    def ln(n):
+        return {"scale": g(f"{n}.weight"), "bias": g(f"{n}.bias")}
+
+    params: dict = {
+        "token_embedding": embedding_to_flax(g("token_embedding.weight")),
+        "positional_embedding": g("positional_embedding"),
+        "ln_final": ln("ln_final"),
+        "proj_fc1": linear_to_dense(g("text_projection.0.weight"),
+                                    g("text_projection.0.bias")),
+        "proj_fc2": linear_to_dense(g("text_projection.2.weight"),
+                                    g("text_projection.2.bias")),
+    }
+    for i in range(num_layers):
+        p = f"text_branch.resblocks.{i}"
+        params[f"block_{i}"] = {
+            "ln_1": ln(f"{p}.ln_1"),
+            "in_proj": linear_to_dense(g(f"{p}.attn.in_proj_weight"),
+                                       g(f"{p}.attn.in_proj_bias")),
+            "out_proj": linear_to_dense(g(f"{p}.attn.out_proj.weight"),
+                                        g(f"{p}.attn.out_proj.bias")),
+            "ln_2": ln(f"{p}.ln_2"),
+            "c_fc": linear_to_dense(g(f"{p}.mlp.c_fc.weight"),
+                                    g(f"{p}.mlp.c_fc.bias")),
+            "c_proj": linear_to_dense(g(f"{p}.mlp.c_proj.weight"),
+                                      g(f"{p}.mlp.c_proj.bias")),
+        }
+    return params

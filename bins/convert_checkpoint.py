@@ -152,6 +152,11 @@ _MODELS = {
     # --kw gated=True for t5-v1.1 checkpoints
     "t5_encoder": dict(fn=C.hf_t5_encoder_to_flax,
                        defaults={"num_layers": 12}, wrap=_wrap_params),
+    # open_clip CLAP text tower (the reference PicoAudio's ClapText
+    # conditioning; ref .../audioldm/clap/open_clip/model.py:476-497) —
+    # pass the CLAP checkpoint's state dict; DDP `module.` prefixes OK
+    "clap_text": dict(fn=C.clap_text_to_flax,
+                      defaults={"num_layers": 12}, wrap=_wrap_params),
     "dualcodec": dict(fn=C.dualcodec_to_flax,
                       defaults={"strides": (2, 4, 5, 8), "n_codebooks": 8,
                                 "convnext_layers": 12}, wrap=_wrap_params),

@@ -38,6 +38,18 @@ def main():
                              "'event1__on1-off1_on2-off2--event2__on1-off1' "
                              "(seconds)")
     parser.add_argument("--output_path", required=True)
+    parser.add_argument("--clap_dir", default="",
+                        help="converted CLAP text tower checkpoint dir "
+                             "(`bins/convert_checkpoint.py --model "
+                             "clap_text`): PicoAudio's ClapText variant "
+                             "conditions on --text through it (ref "
+                             "controllable_diffusion.py:349); for "
+                             "AudioLDM it is an alternative --text "
+                             "conditioner")
+    parser.add_argument("--clap_bpe", default="",
+                        help="path to the CLIP bpe_simple_vocab_16e6"
+                             ".txt.gz merges file (zero-egress: supply "
+                             "locally; the reference vendors it)")
     parser.add_argument("--t5_dir", default="",
                         help="converted flax T5 encoder ckpt dir "
                              "(bins/convert_checkpoint.py --model "
@@ -74,6 +86,31 @@ def main():
     ds = 2 ** (len(vae.cfg.channel_mults) - 1)
     lt = -(-args.duration_frames // ds)
     lf = -(-mel_cfg.n_mel // ds)
+
+    def clap_context(text_dim: int):
+        """--text -> CLAP text embedding, width-matched to the UNet's
+        cross-attn dim by repeat_interleave — EXACTLY the reference's
+        ClapText context construction (controllable_diffusion.py:354:
+        `event_info.repeat_interleave(2, -1).unsqueeze(1)`)."""
+        assert args.text, "--clap_dir conditioning needs --text"
+        assert args.clap_bpe, "--clap_dir needs --clap_bpe (merges file)"
+        from amphion_tpu.modules.clap_text import (
+            ClapBPETokenizer,
+            ClapTextConfig,
+            ClapTextEncoder,
+            clap_text_embed,
+        )
+
+        clap_tree, _, _ = CheckpointManager(args.clap_dir).restore_raw()
+        ccfg = cfg.model.get("clap_text", None)
+        clap = ClapTextEncoder(
+            ClapTextConfig(**dict(ccfg)) if ccfg else ClapTextConfig())
+        toks = ClapBPETokenizer(args.clap_bpe)(
+            [args.text], context_length=clap.cfg.context_length)
+        emb = clap_text_embed(clap, clap_tree["params"], toks)  # (1, 512)
+        rep = max(text_dim // emb.shape[-1], 1)
+        return jnp.repeat(emb, rep, axis=-1)[:, None, :]  # (1, 1, D)
+
     if model_type == "PicoAudio":
         assert args.onset_str, "PicoAudio needs --onset_str"
         from amphion_tpu.models.tta.picoaudio import (
@@ -104,10 +141,13 @@ def main():
             event_classes=m.get("event_classes", max(len(events), 1)) if m
             else max(len(events), 1),
         ))
+        text_emb = (clap_context(model.cfg.ldm.text_dim)
+                    if args.clap_dir else None)  # ClapText variant (B,1,D)
         z = picoaudio_sample(
             model, params, jnp.asarray(roll[None]), np.asarray([first]),
             (1, lt, lf, vae.cfg.latent_channels), jax.random.key(args.seed),
             num_steps=args.num_steps, guidance_scale=args.guidance_scale,
+            text_emb=text_emb,
         )
     else:
         assert args.text, "AudioLDM needs --text"
@@ -120,7 +160,11 @@ def main():
             num_heads=m.get("num_heads", 8) if m else 8,
             text_dim=m.get("text_dim", 768) if m else 768,
         ))
-        if args.t5_dir:
+        if args.clap_dir:
+            # CLAP text conditioning knob (single pooled token; the
+            # ClapText context protocol, controllable_diffusion.py:354)
+            text_emb = clap_context(model.cfg.text_dim)
+        elif args.t5_dir:
             # on-device flax T5 conditioning (reference loads torch
             # t5-base on the host, audioldm_inference.py:60-61); weights
             # via `bins/convert_checkpoint.py --model t5_encoder`
