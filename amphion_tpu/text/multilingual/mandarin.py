@@ -227,8 +227,9 @@ def _model_reading(poly_model, word: str, i: int, prev_word: str,
     )
 
     sent = prev_word + word + next_word
-    return predict_reading(poly_model[0], poly_model[1], sent,
-                           len(prev_word) + i)
+    return predict_reading(
+        poly_model[0], poly_model[1], sent, len(prev_word) + i,
+        word_span=(len(prev_word), len(prev_word) + len(word)))
 
 
 def _tone_sandhi(words: list[list[str]]) -> list[list[str]]:
