@@ -68,7 +68,15 @@ def _speculative_core(*, caches, pref_len, first_logits, draft_step,
     residual max(p−q, 0)/Z; all-accepted earns a bonus draw from p_k —
     the emitted sequence is distributed EXACTLY as plain sampling from
     the full model (distribution-level test in tests/test_speculative.py).
-    Returns (tokens (1, max_new), gen_len (1,))."""
+    Returns (tokens (1, max_new), gen_len (1,), n_iters (1,)).
+
+    The outer loop is a `lax.while_loop` with EARLY EXIT (round 5;
+    the round-4 fixed-trip `lax.scan` ran max_new iterations regardless
+    of acceptance, so accepted drafts could never shorten wall-clock —
+    the whole point of speculation). Each iteration emits ≥1 true
+    token, so iterations ≈ tokens / (mean accepted + 1); ``n_iters``
+    is returned so callers can compute the measured acceptance rate
+    α = (gen_len/n_iters − 1)/k (the `vevo_spec_accept` bench)."""
     sampled = rng is not None
 
     def pick(lg, key):
@@ -83,14 +91,14 @@ def _speculative_core(*, caches, pref_len, first_logits, draft_step,
         r0 = None
     last = pick(first_logits, r0)  # (1,)
 
-    def body(carry, _):
+    def body(carry):
         if sampled:
-            caches, idx, last, n_gen, done, key = carry
+            caches, idx, last, n_gen, done, out, iters, key = carry
             keys = jax.random.split(key, k + 4)
             key_next, kd, ku, ky = keys[0], keys[1:k + 1], keys[k + 1], \
                 keys[k + 2]
         else:
-            caches, idx, last, n_gen, done = carry
+            caches, idx, last, n_gen, done, out, iters = carry
 
         dcaches = caches
         dlast = last
@@ -154,27 +162,31 @@ def _speculative_core(*, caches, pref_len, first_logits, draft_step,
         out_pos = jnp.where(emit_mask, n_gen + jnp.cumsum(
             emit_mask.astype(jnp.int32)) - 1, max_new + k)  # drop slot
         n_gen_new = jnp.where(done, n_gen, n_gen + wrote)
+        out = out.at[out_pos].set(jnp.maximum(emitted, 0), mode="drop")
         new_carry = (caches, idx_new, jnp.where(done, last, last_new),
-                     n_gen_new, done_new)
+                     n_gen_new, done_new, out, iters + 1)
         if sampled:
             new_carry = new_carry + (key_next,)
-        return new_carry, (emitted, out_pos)
+        return new_carry
 
     # the prefill logits' pick IS the first emitted token (plain
     # generate's step i=0 consumes them the same way)
     first_eos = last[0] == eos_id
-    out0 = jnp.where(first_eos, 0, last[0])
+    out = jnp.zeros((max_new + k + 1,), jnp.int32)
+    out = out.at[0].set(jnp.where(first_eos, 0, last[0]))
     n_gen0 = jnp.where(first_eos, 0, 1).astype(jnp.int32)
-    init = (caches, pref_len, last, n_gen0, first_eos)
+    done0 = first_eos | (n_gen0 >= max_new)
+    init = (caches, pref_len, last, n_gen0, done0, out,
+            jnp.zeros((), jnp.int32))
     if sampled:
         init = init + (rng,)
-    carry, (em, pos) = jax.lax.scan(body, init, None, length=max_new)
-    n_gen = carry[3]
-    out = jnp.zeros((max_new + k + 1,), jnp.int32)
-    out = out.at[0].set(out0)
-    out = out.at[pos.reshape(-1)].set(
-        jnp.maximum(em.reshape(-1), 0), mode="drop")
-    return out[None, :max_new], n_gen[None]
+
+    def cond(carry):
+        return (~carry[4]) & (carry[6] < max_new)
+
+    carry = jax.lax.while_loop(cond, body, init)
+    n_gen, out, n_iters = carry[3], carry[5], carry[6]
+    return out[None, :max_new], n_gen[None], n_iters[None]
 
 
 def _draft_decoder(llama_cfg, decoder_params, draft_layers):
@@ -217,19 +229,27 @@ def ar_transformer_generate_speculative(
         model: ARTransformer, params, input_tokens, rng=None,
         max_new: int = 1024, draft_layers: int = 5, k: int = 4,
         temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
-        compute_dtype: str = "bfloat16"):
+        compute_dtype: str = "bfloat16", return_iters: bool = False):
     """Speculative zero-shot decode. rng=None → greedy, token-identical
     to greedy `ar_transformer_generate` (top_k=1); with rng → exact
     speculative sampling under the same temperature/top-k/top-p
     transform as `sample_logits`. Returns (tokens (1, max_new),
-    gen_len (1,))."""
+    gen_len (1,)); with ``return_iters`` also the while-loop trip count
+    (1,) — acceptance α = (gen_len/n_iters − 1)/k.
+
+    Measured tuning guidance (vevo_spec_accept bench, overfit model,
+    single v5e chip — BENCHMARKS.md speculative section): speedup needs
+    α ≳ 0.5; the early-exit draft tracks the full model only when the
+    model is confident, so on real checkpoints measure α on YOUR data
+    before enabling (`VevoPipeline(speculative=k)`); k=4,
+    draft_layers=5 is the measured sweet spot at high α."""
     assert input_tokens.shape[0] == 1, "speculative decode is B=1"
     fn = _spec_jitted(model, max_new, draft_layers, k, compute_dtype,
                       float(temperature), int(top_k), float(top_p),
                       rng is not None)
-    if rng is None:
-        return fn(params, input_tokens)
-    return fn(params, input_tokens, rng=rng)
+    out = (fn(params, input_tokens) if rng is None
+           else fn(params, input_tokens, rng=rng))
+    return out if return_iters else out[:2]
 
 
 def _ar_speculative_impl(model, params, input_tokens, *, max_new,
@@ -288,7 +308,7 @@ def valle_ar_generate_speculative(
         model, params, phones, prompt_tokens, rng=None,
         max_new: int = 512, draft_layers: int = 4, k: int = 4,
         temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
-        compute_dtype: str = "bfloat16"):
+        compute_dtype: str = "bfloat16", return_iters: bool = False):
     """Speculative VALL-E AR continuation: greedy (rng=None,
     token-identical to greedy `valle.ar_generate`) or exact speculative
     sampling (with rng)."""
@@ -296,9 +316,9 @@ def valle_ar_generate_speculative(
     fn = _valle_spec_jitted(model, max_new, draft_layers, k,
                             compute_dtype, float(temperature), int(top_k),
                             float(top_p), rng is not None)
-    if rng is None:
-        return fn(params, phones, prompt_tokens)
-    return fn(params, phones, prompt_tokens, rng=rng)
+    out = (fn(params, phones, prompt_tokens) if rng is None
+           else fn(params, phones, prompt_tokens, rng=rng))
+    return out if return_iters else out[:2]
 
 
 def _valle_verify(m, toks, caches, cache_index):

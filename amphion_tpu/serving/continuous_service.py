@@ -226,6 +226,36 @@ class VevoContinuousService(VevoService):
         lp = self._ladder(len(req.fm_prompt_tokens), self.max_prompt_len)
         return self._run_batch(("timbre", (lt,), lp), [req])[0]
 
+    def prewarm(self) -> None:
+        """Compile the engine's bucket surface before serving traffic:
+        one admission per (content, style) bucket pair + one decode
+        chunk + the FM tail at the max_new bucket. A first request in a
+        fresh bucket otherwise pays that compile inline — through the
+        axon tunnel that is tens of seconds added to an unlucky
+        request's latency (`bins/serve.py --prewarm`)."""
+        if self.driver is None:
+            return
+        eng = self.driver.engine
+        for lb in eng.buckets:
+            for lo in eng.out_buckets or (0,):
+                po = (np.zeros(lo, np.int32) if lo else None)
+                self.driver.submit_wait(
+                    np.zeros(lb, np.int32), jax.random.key(0),
+                    max_new=eng.chunk, prompt_output=po)
+        empty = np.zeros((0,), np.int32)
+        lt = self._ladder(self.max_new, self.max_new)
+        for lp in {self._ladder(1, self.max_prompt_len),
+                   self._ladder(self.max_prompt_len,
+                                self.max_prompt_len)}:
+            csf = self.pipe.fm.cfg.cond_scale_factor
+            req = _VevoCoreRequest(
+                "timbre", empty, empty,
+                np.zeros(self.max_new, np.int32),
+                np.zeros(lp, np.int32),
+                np.zeros((lp * csf, self.pipe.fm.cfg.n_mel), np.float32),
+                0)
+            self._run_batch(("timbre", (lt,), lp), [req])
+
     def stats(self) -> dict:
         return (self.driver.stats() if self.driver is not None
                 else {"batcher": "continuous", "ar": None})
@@ -288,6 +318,17 @@ class ValleContinuousService(VALLEService):
             np.asarray(codes), lengths=np.asarray([gen_len], np.int32))
         spf = wav.shape[-1] / codes.shape[-1]
         return wav[0, : int(round(gen_len * spf))]
+
+    def prewarm(self) -> None:
+        """Compile the (phone, prompt) admission bucket surface + one
+        decode chunk (see `VevoContinuousService.prewarm`). The NAR +
+        codec tail compiles per generated-length bucket on first use."""
+        eng = self.driver.engine
+        for lph in eng.buckets:
+            for lp in eng.out_buckets:
+                self.driver.submit_wait(
+                    np.zeros(lph, np.int32), np.zeros(lp, np.int32),
+                    jax.random.key(0), max_new=eng.chunk)
 
     def stats(self) -> dict:
         return self.driver.stats()

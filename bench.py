@@ -749,17 +749,20 @@ def bench_vevo_spec_cost(draft_layers=5, k=4) -> None:
     def spec():
         return ar_transformer_generate_speculative(
             ar, params, content, max_new=n_new,
-            draft_layers=draft_layers, k=k, compute_dtype="int4")[0]
+            draft_layers=draft_layers, k=k, compute_dtype="int4",
+            return_iters=True)
 
     _fence(plain(jax.random.key(2)))
     t0 = time.perf_counter(); _fence(plain(jax.random.key(3)))
     t_plain = time.perf_counter() - t0
-    _fence(spec())
-    t0 = time.perf_counter(); _fence(spec())
+    _fence(spec()[0])
+    t0 = time.perf_counter(); out = spec(); _fence(out[0])
     t_spec_worst = time.perf_counter() - t0
     t_step = t_plain / n_new
-    # zero-acceptance: every iteration emits 1 token → n_new iterations
-    t_iter = t_spec_worst / n_new
+    # random weights ≈ zero acceptance, but use the loop's OWN trip
+    # count (while-loop early exit, round 5) rather than assuming n_new
+    n_iters = int(out[2][0])
+    t_iter = t_spec_worst / max(n_iters, 1)
     curve = {f"alpha_{a:.2f}": round((a * k + 1) * t_step / t_iter, 3)
              for a in (0.0, 0.25, 0.5, 0.75, 1.0)}
     breakeven = max(0.0, (t_iter / t_step - 1.0) / k)
@@ -770,6 +773,127 @@ def bench_vevo_spec_cost(draft_layers=5, k=4) -> None:
                  "t_iter_ms": round(t_iter * 1e3, 3),
                  "projected_speedup_vs_acceptance": curve,
                  "breakeven_acceptance": round(breakeven, 3)})
+
+
+def bench_vevo_spec_accept() -> None:
+    """MEASURED speculative acceptance + end-to-end speedup (VERDICT r4
+    missing #2 / task #3): overfit a small-but-real AR model on a
+    deterministic continuation task (output = content cycled) until the
+    early-exit draft has real signal, then sweep (draft_layers, k) on
+    hardware. α is computed from the decode loop's OWN iteration count
+    (`return_iters`; α = (gen/iters − 1)/k), and end-to-end tokens/s is
+    compared against plain greedy decode of the same model — the
+    while-loop early exit (round 5) is what converts acceptance into
+    wall-clock. Also validates the r4 cost model speedup(α) =
+    (αk+1)·t_step/t_iter against the measured point."""
+    import optax
+
+    from amphion_tpu.models.vc.ar_transformer import (
+        ARTransformer, ARTransformerConfig, ar_transformer_generate,
+    )
+    from amphion_tpu.models.vc.speculative import (
+        ar_transformer_generate_speculative,
+    )
+
+    cfg = ARTransformerConfig(
+        input_vocab=64, output_vocab=256, hidden=1024, num_layers=12,
+        num_heads=16, intermediate=4096, max_position=2048)
+    ar = ARTransformer(cfg)
+    rng = np.random.default_rng(0)
+    lc, new = 32, 256
+    content1 = rng.integers(0, cfg.input_vocab, (1, lc))
+    target1 = (content1[:, np.arange(new) % lc] % cfg.output_vocab)
+    b = 8
+    content = jnp.asarray(np.repeat(content1, b, 0))
+    target = jnp.asarray(np.repeat(target1, b, 0))
+    cm = jnp.ones((b, lc), jnp.float32)
+    om = jnp.ones((b, new), jnp.float32)
+    params = ar.init(jax.random.key(0), content[:1], cm[:1], target[:1],
+                     om[:1], method=ARTransformer.loss)["params"]
+    tx = optax.adam(3e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt):
+        def loss_fn(p):
+            l, aux = ar.apply({"params": p}, content, cm, target, om,
+                              method=ARTransformer.loss)
+            return l, aux
+
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, l, aux["ar_acc"]
+
+    acc = 0.0
+    for i in range(600):
+        params, opt, l, acc = train_step(params, opt)
+        if i % 100 == 0:
+            print(f"# overfit step {i}: loss {float(l):.4f} "
+                  f"acc {float(acc):.3f}", file=sys.stderr)
+        if float(acc) > 0.999 and float(l) < 0.02:
+            break
+    print(f"# overfit done: teacher-forced acc {float(acc):.4f}",
+          file=sys.stderr)
+
+    c1 = jnp.asarray(content1)
+
+    def plain():
+        return ar_transformer_generate(
+            ar, params, c1, jax.random.key(1), max_new=new, top_k=1,
+            compute_dtype="bfloat16")[0]
+
+    _fence(plain())
+    reps = 5
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fence(plain())
+        ts.append(time.perf_counter() - t0)
+    t_plain = float(np.median(ts))
+    t_step = t_plain / new
+
+    rows = {}
+    best = None
+    for d in (3, 5, 8):
+        for k in (2, 4, 8):
+            def spec():
+                return ar_transformer_generate_speculative(
+                    ar, params, c1, max_new=new, draft_layers=d, k=k,
+                    compute_dtype="bfloat16", return_iters=True)
+
+            toks, gen, iters = spec()
+            _fence(toks)
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = spec()
+                _fence(out[0])
+                ts.append(time.perf_counter() - t0)
+            t_spec = float(np.median(ts))
+            g, it = int(gen[0]), int(iters[0])
+            alpha = max(0.0, (g / max(it, 1) - 1.0)) / k
+            t_iter = t_spec / max(it, 1)
+            speedup = t_plain / t_spec
+            pred = (alpha * k + 1) * t_step / t_iter
+            rows[f"d{d}_k{k}"] = {
+                "alpha": round(alpha, 3), "iters": it, "gen": g,
+                "speedup": round(speedup, 3),
+                "cost_model_speedup": round(pred, 3),
+                "t_spec_s": round(t_spec, 4),
+            }
+            print(f"# spec d={d} k={k}: α={alpha:.3f} iters={it} "
+                  f"speedup {speedup:.3f} (model {pred:.3f})",
+                  file=sys.stderr)
+            if best is None or speedup > rows[best]["speedup"]:
+                best = f"d{d}_k{k}"
+
+    _emit("vevo_spec_accept_speedup", rows[best]["speedup"],
+          f"measured speculative speedup vs plain greedy at α="
+          f"{rows[best]['alpha']} ({best}, overfit 12L model, 256 tok)",
+          rows[best]["speedup"],
+          extra={"rows": rows, "best": best,
+                 "t_plain_s": round(t_plain, 4),
+                 "teacher_forced_acc": round(float(acc), 4)})
 
 
 def bench_flash_attention() -> None:
@@ -1345,8 +1469,24 @@ def bench_continuous_http() -> None:
         make = make_request_factory("vevo", 16000, seed=42,
                                     min_sec=4.0, max_sec=8.0)
         try:
-            # warmup request compiles every program (not timed)
-            submit(make(0))
+            # compile-surface warmup (untimed): per content bucket,
+            # bursts of 4/3/2/1 concurrent same-length requests — the
+            # window batcher compiles one program per (B, bucket), the
+            # continuous engine one admission program per bucket plus
+            # the shared chunk + FM programs. A first request otherwise
+            # pays a 45-90 s tunnel compile mid-trace; production
+            # servers pre-warm (serving services expose `prewarm()`).
+            import concurrent.futures as cf
+
+            for sec in (4.0, 8.0):
+                wmake = make_request_factory("vevo", 16000, seed=7,
+                                             min_sec=sec, max_sec=sec)
+                for nb in (4, 3, 2, 1):
+                    with cf.ThreadPoolExecutor(nb) as ex:
+                        list(ex.map(lambda i: submit(wmake(i)),
+                                    range(nb)))
+                print(f"# [{batcher}] warmed bucket for {sec}s audio",
+                      file=sys.stderr)
             for qps in qps_pts:
                 arrivals = poisson_arrivals(qps, n_req, seed=42)
                 res = run_trace(submit, make, arrivals,
@@ -1397,6 +1537,7 @@ _SUITE = {
     "vevo_int8": lambda: bench_vevo_rtf("int8"),
     "vevo_int4": lambda: bench_vevo_rtf("int4"),
     "vevo_spec_cost": bench_vevo_spec_cost,
+    "vevo_spec_accept": bench_vevo_spec_accept,
     "flash": bench_flash_attention,
     "ssl": bench_ssl_extract,
 }

@@ -46,6 +46,7 @@ from bins.demo_server import PAGE, _decode_wav_bytes, _encode_wav_bytes
 
 _seed_lock = threading.Lock()
 _seed_counter = [0]
+_PREWARM = [None]  # set by builders whose service exposes prewarm()
 
 
 def _next_seed() -> int:
@@ -175,6 +176,7 @@ def _build_valle_service(args):
         svc = ValleContinuousService(
             model, params, tok, g2p, symbols, slots=args.slots,
             chunk=args.chunk, **common)
+        _PREWARM[0] = svc.prewarm
     else:
         svc = VALLEService(
             model, params, tok, g2p, symbols, max_batch=args.max_batch,
@@ -230,6 +232,7 @@ def _build_vevo_service(args):
 
         svc = VevoContinuousService(
             pipe, slots=args.slots, chunk=args.chunk, **common)
+        _PREWARM[0] = svc.prewarm
     else:
         svc = VevoService(
             pipe, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
@@ -330,6 +333,10 @@ def main():
                          "from batching — measured)")
     ap.add_argument("--slots", type=int, default=4,
                     help="continuous engine decode slots")
+    ap.add_argument("--prewarm", action="store_true",
+                    help="compile the bucket surface before listening "
+                         "(continuous backends): avoids tens-of-seconds "
+                         "first-request compile latency per new bucket")
     ap.add_argument("--chunk", type=int, default=64,
                     help="continuous engine decode chunk (steps between "
                          "admission points)")
@@ -371,6 +378,11 @@ def main():
              "valle": _build_valle_service,
              "vevo": _build_vevo_service}[args.backend]
     synth, stats, input_sr = build(args)
+    if args.prewarm and _PREWARM[0] is not None:
+        print("prewarming compile surface (one admission per bucket "
+              "pair + decode chunk + tails)...")
+        _PREWARM[0]()
+        print("prewarm done")
     httpd = serve(synth, stats, args.backend, args.port, args.host,
                   input_sr=input_sr)
     print(f"batched serving on http://{args.host}:{args.port} "

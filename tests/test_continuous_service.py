@@ -315,3 +315,20 @@ def test_http_loadgen_trace_roundtrip():
         assert res.latency_ms_p99 >= res.latency_ms_p50 > 0
     finally:
         httpd.shutdown()
+
+
+def test_prewarm_compiles_bucket_surface(vevo_pair, valle_pair):
+    """prewarm() drives every admission bucket pair + the FM/NAR tails
+    without error, and serving still works afterwards."""
+    _, vevo_cont = vevo_pair
+    vevo_cont.prewarm()
+    out = vevo_cont.synthesize(_audio(31), _audio(2, 2400), mode="voice",
+                               seed=77)
+    assert out.ndim == 1 and len(out) > 0
+    _, valle_cont = valle_pair
+    valle_cont.prewarm()
+    prompt = (np.random.default_rng(4).standard_normal(8 * 24)
+              .astype(np.float32) * 0.2)
+    out2 = valle_cont.synthesize(prompt, "prompt words", "short text",
+                                 seed=78)
+    assert out2.ndim == 1 and len(out2) > 0
