@@ -295,7 +295,9 @@ class ValleContinuousService(VALLEService):
         toks0 = self.driver.submit_wait(
             req.phone_ids, req.prompt_codes[0], jax.random.key(seed),
             max_new=self.max_new)
-        gen_len = max(len(toks0), 1)
+        n_gen = len(toks0)  # may be 0 (immediate EOS) — the NAR sees
+        # the TRUE gen_len, exactly like `valle_generate_ragged`
+        dec_len = max(n_gen, 1)
 
         from amphion_tpu.serving.batcher import bucket_ladder
 
@@ -303,21 +305,21 @@ class ValleContinuousService(VALLEService):
                             self.max_phone_len)
         lp = bucket_ladder(req.prompt_codes.shape[1], self.len_step,
                            self.max_prompt_len)
-        lt = bucket_ladder(gen_len, self.len_step, self.max_new)
+        lt = bucket_ladder(dec_len, self.len_step, self.max_new)
         tokens0 = np.zeros((1, lt), np.int32)
-        tokens0[0, :len(toks0)] = toks0
+        tokens0[0, :n_gen] = toks0
         codes = nar_generate_ragged(
             self.model, self.params,
             _pad_to(req.phone_ids, lph)[None],
             np.asarray([len(req.phone_ids)], np.int32), tokens0,
-            np.asarray([gen_len], np.int32),
+            np.asarray([n_gen], np.int32),
             _pad_to(req.prompt_codes, lp, axis=1)[None],
             np.asarray([req.prompt_codes.shape[1]], np.int32),
             compute_dtype=self.compute_dtype)
         wav = self.tokenizer.decode(
-            np.asarray(codes), lengths=np.asarray([gen_len], np.int32))
+            np.asarray(codes), lengths=np.asarray([dec_len], np.int32))
         spf = wav.shape[-1] / codes.shape[-1]
-        return wav[0, : int(round(gen_len * spf))]
+        return wav[0, : int(round(dec_len * spf))]
 
     def prewarm(self) -> None:
         """Compile the (phone, prompt) admission bucket surface + one

@@ -45,6 +45,23 @@ def _pad_to(arr: np.ndarray, length: int, axis: int = 0) -> np.ndarray:
     return np.pad(arr, pad)
 
 
+def _pad_audio_grid(audio: np.ndarray, sr: int, grid_s: float) -> np.ndarray:
+    """Pad inbound request audio up to a ``grid_s``-second grid.
+
+    The front-end extractor programs (mel, tokenizers, codecs) are
+    jitted per input LENGTH — unbounded request lengths would mean a
+    fresh XLA compile per request (tens of seconds through the axon
+    tunnel, measured in the `continuous_http` bench). Gridding bounds
+    the compile surface to (max_len/grid) programs; the trailing zeros
+    are trailing silence. ``grid_s<=0`` disables."""
+    audio = np.asarray(audio, np.float32)
+    if grid_s <= 0:
+        return audio
+    g = max(int(grid_s * sr), 1)
+    m = max(g, -(-len(audio) // g) * g)
+    return np.pad(audio, (0, m - len(audio)))
+
+
 @dataclass
 class _CoreRequest:
     prompt_semantic: np.ndarray  # (Lp,) int
@@ -65,8 +82,10 @@ class MaskGCTService:
     def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 50.0,
                  len_step: int = 64, max_prompt_len: int = 512,
                  max_target_len: int = 1024, max_phone_len: int = 512,
-                 t2s_kwargs: dict | None = None, s2a_kwargs: dict | None = None):
+                 t2s_kwargs: dict | None = None, s2a_kwargs: dict | None = None,
+                 audio_grid_s: float = 0.5):
         self.pipeline = pipeline
+        self.audio_grid_s = audio_grid_s
         self.len_step = len_step
         self.max_prompt_len = max_prompt_len
         self.max_target_len = max_target_len
@@ -100,6 +119,8 @@ class MaskGCTService:
                    seed: int = 0) -> np.ndarray:
         """Blocking single request; batches with concurrent callers."""
         p = self.pipeline
+        prompt_audio = _pad_audio_grid(prompt_audio, p.sample_rate,
+                                       self.audio_grid_s)
         with self._frontend_lock:
             if p.symbol_table is None:
                 p.symbol_table = p.g2p.build_symbol_table(
@@ -209,7 +230,9 @@ class VALLEService:
                  len_step: int = 64, max_phone_len: int = 256,
                  max_prompt_len: int = 512, max_new: int = 768,
                  temperature: float = 1.0, top_k: int = 50,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "bfloat16",
+                 audio_grid_s: float = 0.5):
+        self.audio_grid_s = audio_grid_s
         self.model = model
         self.params = params
         self.tokenizer = tokenizer  # utils.tokenizer.AudioTokenizer
@@ -248,6 +271,9 @@ class VALLEService:
 
     def _prepare_request(self, prompt_audio, prompt_text, target_text,
                          seed) -> _ValleCoreRequest:
+        prompt_audio = _pad_audio_grid(prompt_audio,
+                                       self.tokenizer.sample_rate,
+                                       self.audio_grid_s)
         with self._frontend_lock:
             ids = self.g2p.to_ids(prompt_text + " " + target_text,
                                   self.symbol_table)
@@ -326,8 +352,10 @@ class VevoService:
                  max_prompt_len: int = 512, max_new: int = 1024,
                  flow_matching_steps: int = 32, cfg_scale: float = 0.0,
                  temperature: float = 1.0, top_k: int = 40,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "bfloat16",
+                 audio_grid_s: float = 0.5):
         self.pipe = pipeline
+        self.audio_grid_s = audio_grid_s
         self.len_step = len_step
         self.max_content_len = max_content_len
         self.max_prompt_len = max_prompt_len
@@ -383,6 +411,9 @@ class VevoService:
         are single compiled programs); shared by the window and
         continuous dispatch paths."""
         assert mode in ("timbre", "voice")
+        sr = self.pipe.mel_cfg.sample_rate
+        src_audio = _pad_audio_grid(src_audio, sr, self.audio_grid_s)
+        ref_audio = _pad_audio_grid(ref_audio, sr, self.audio_grid_s)
         empty = np.zeros((0,), np.int32)
         with self._frontend_lock:
             # one style-tokenizer pass over ref_audio serves both the FM

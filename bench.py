@@ -1487,11 +1487,26 @@ def bench_continuous_http() -> None:
                                     range(nb)))
                 print(f"# [{batcher}] warmed bucket for {sec}s audio",
                       file=sys.stderr)
+            # remaining extractor length-grid points (0.5 s grid)
+            for sec in np.arange(4.5, 8.0, 0.5):
+                wmake = make_request_factory("vevo", 16000, seed=7,
+                                             min_sec=float(sec),
+                                             max_sec=float(sec))
+                submit(wmake(0))
+            print(f"# [{batcher}] warmup complete", file=sys.stderr)
             for qps in qps_pts:
                 arrivals = poisson_arrivals(qps, n_req, seed=42)
                 res = run_trace(submit, make, arrivals,
                                 drain_timeout_s=1800.0)
                 row = res.row()
+                try:
+                    import urllib.request
+
+                    with urllib.request.urlopen(url + "/api/stats",
+                                                timeout=10) as r:
+                        row["server_stats"] = json.loads(r.read())
+                except Exception:
+                    pass
                 rows.setdefault(qps, {})[batcher] = row
                 print(f"# [http/{batcher}] @ {qps} qps: {row}",
                       file=sys.stderr)

@@ -53,14 +53,20 @@ def _synthetic(seed: int, seconds: float, sr: int) -> np.ndarray:
 
 
 def make_request_factory(mode: str, sr: int, seed: int,
-                         min_sec: float, max_sec: float):
+                         min_sec: float, max_sec: float,
+                         grid_s: float = 0.5):
     """(i) -> JSON payload; request lengths drawn uniformly per index
     (real workloads are length-skewed — same convention as the
-    `continuous` bench)."""
-    rng = np.random.default_rng(seed)
+    `continuous` bench). Deterministic PER INDEX (so two servers can be
+    driven with byte-identical request streams) and quantized to a
+    ``grid_s`` length grid (matching the serving front end's
+    audio-grid padding — bounded extractor compile surface)."""
 
     def make(i: int) -> dict:
-        sec = float(rng.uniform(min_sec, max_sec))
+        r = np.random.default_rng((seed << 20) ^ (i + 1))
+        sec = float(r.uniform(min_sec, max_sec))
+        if grid_s > 0:
+            sec = min_sec + round((sec - min_sec) / grid_s) * grid_s
         if mode == "vevo":
             return {"prompt_wav": _wav_b64(_synthetic(1000 + seed, 2.0, sr), sr),
                     "src_wav": _wav_b64(_synthetic(i, sec, sr), sr),
