@@ -53,6 +53,18 @@ def mask_prob_schedule(t: jax.Array) -> jax.Array:
     return jnp.sin(t * jnp.pi / 2.0)
 
 
+# Unmasking schedules for the reverse pass: fraction of target positions
+# still masked after the step at time t. "sin" is the reference's
+# (`maskgct_t2s.py:110`; step COUNT is already config in the reference —
+# `maskgct_t2s.py:226` — the schedule shape is the matching knob for the
+# latency/quality frontier, BENCHMARKS.md maskgct_frontier).
+_UNMASK_SCHEDULES = {
+    "sin": lambda t: np.sin(t * np.pi / 2.0),
+    "linear": lambda t: t,
+    "pow2": lambda t: t * t,  # front-loads commitment (fewer late masks)
+}
+
+
 @dataclass(frozen=True)
 class T2SConfig:
     hidden: int = 1024
@@ -163,13 +175,13 @@ import functools
 
 @functools.lru_cache(maxsize=64)
 def _t2s_sample_jitted(model, target_len, n_steps, temp, filter_thres, cfg,
-                       rescale_cfg, compute_dtype):
+                       rescale_cfg, compute_dtype, schedule="sin"):
     """Memoized jitted sampler per (model, static config) — calling the scan
     eagerly costs ~100x through the TPU tunnel (measured RTF 2.1 vs 0.02)."""
     core = functools.partial(
         _t2s_sample_impl, model, target_len=target_len, n_steps=n_steps,
         temp=temp, filter_thres=filter_thres, cfg=cfg, rescale_cfg=rescale_cfg,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, schedule=schedule,
     )
     return jax.jit(core)
 
@@ -187,13 +199,15 @@ def t2s_sample(
     cfg: float = 1.0,
     rescale_cfg: float = 0.75,
     compute_dtype: str = "bfloat16",
+    schedule: str = "sin",
 ):
     """Iterative mask-predict decoding, fully jit-compiled (one program).
     bf16 by default: each of the 25 steps re-reads every weight from HBM;
-    sampling/confidence math stays f32."""
+    sampling/confidence math stays f32. ``n_steps`` and ``schedule`` span
+    the latency/quality frontier (BENCHMARKS.md maskgct_frontier)."""
     fn = _t2s_sample_jitted(
         model, target_len, n_steps, temp, filter_thres, cfg, rescale_cfg,
-        compute_dtype,
+        compute_dtype, schedule,
     )
     return fn(params, prompt_tokens, phone_id, rng)
 
@@ -211,6 +225,7 @@ def _t2s_sample_impl(
     cfg: float = 1.0,
     rescale_cfg: float = 0.75,
     compute_dtype: str = "bfloat16",
+    schedule: str = "sin",
 ):
     """Iterative mask-predict decoding as a single lax.scan."""
     dt = jnp.dtype(compute_dtype)
@@ -220,8 +235,9 @@ def _t2s_sample_impl(
     b = prompt_tokens.shape[0]
     t_list = np.asarray([1.0 - i / n_steps for i in range(n_steps + 1)], np.float32)
     # number of tokens still masked after each step
+    sched = _UNMASK_SCHEDULES[schedule]
     next_mask_nums = np.asarray(
-        [int(np.sin(t * np.pi / 2) * target_len) for t in t_list[1:]], np.int32
+        [int(sched(t) * target_len) for t in t_list[1:]], np.int32
     )
 
     seq0 = jnp.zeros((b, target_len), jnp.int32)

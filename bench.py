@@ -896,6 +896,117 @@ def bench_vevo_spec_accept() -> None:
                  "teacher_forced_acc": round(float(acc), 4)})
 
 
+def bench_maskgct_frontier() -> None:
+    """MaskGCT T2S latency-quality frontier (VERDICT r4 #8): the
+    round-4 plateau analysis showed batching cannot help T2S (MXU
+    already fed at B=1), so the remaining lever is the STEP SCHEDULE.
+    Sweep n_steps × unmasking schedule on a partially-trained
+    production-scale T2S (a from-scratch model on a synthetic
+    phone→token task — enough structure that iterative refinement
+    matters, which random weights cannot provide), reporting per-config
+    RTF and a quality proxy: token agreement with the 50-step sin
+    sampler on the same per-seed rng (the reference's own step count is
+    config, `maskgct_t2s.py:226`). Serving configs can then pick a
+    point deliberately."""
+    import optax
+
+    from amphion_tpu.models.tts.maskgct.maskgct import (
+        MaskGCTT2S, T2SConfig, t2s_sample,
+    )
+
+    cfg = T2SConfig(hidden=1024, num_layers=16, num_heads=16,
+                    codebook_size=8192, phone_vocab=256, max_position=1024)
+    model = MaskGCTT2S(cfg)
+    rng = np.random.default_rng(0)
+    b, t_len, lph = 8, 200, 50
+    phones_b = rng.integers(0, cfg.phone_vocab, (b, lph))
+    # deterministic position-dependent mapping — learnable but not
+    # trivially; limited training leaves calibrated uncertainty
+    pos = np.arange(t_len)
+    x0_b = ((phones_b[:, pos % lph] * 31 + pos[None] * 7) %
+            cfg.codebook_size)
+    x0 = jnp.asarray(x0_b)
+    xm = jnp.ones((b, t_len), jnp.float32)
+    ph = jnp.asarray(phones_b)
+    pm = jnp.ones((b, lph), jnp.float32)
+    params = model.init(jax.random.key(0), x0, xm, ph, pm,
+                        jax.random.key(1),
+                        method=MaskGCTT2S.compute_loss)["params"]
+    tx = optax.adam(2e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, r):
+        def loss_fn(p):
+            l, aux = model.apply({"params": p}, x0, xm, ph, pm, r,
+                                 method=MaskGCTT2S.compute_loss)
+            return l, aux
+
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, l, aux["t2s_acc"]
+
+    steps_train = int(os.environ.get("AMPHION_BENCH_FTRAIN", "400"))
+    for i in range(steps_train):
+        params, opt, l, acc = train_step(params, opt, jax.random.key(10 + i))
+        if i % 100 == 0:
+            print(f"# t2s partial-train {i}: loss {float(l):.3f} "
+                  f"acc {float(acc):.3f}", file=sys.stderr)
+    print(f"# t2s trained: masked acc {float(acc):.3f}", file=sys.stderr)
+
+    lp, tgt = 25, 200
+    prompt = jnp.asarray(x0_b[:1, :lp])
+    phone1 = jnp.asarray(phones_b[:1])
+    seeds = [jax.random.key(900 + s) for s in range(4)]
+
+    def run(n_steps, schedule, key):
+        return t2s_sample(model, params, prompt, phone1, tgt, key,
+                          n_steps=n_steps, schedule=schedule,
+                          compute_dtype="bfloat16")
+
+    # 50-step sin reference outputs per seed
+    refs = [np.asarray(run(50, "sin", s)) for s in seeds]
+    _fence(refs[0][0, 0])
+    t0 = time.perf_counter()
+    _fence(run(50, "sin", seeds[0]))
+    t_ref = time.perf_counter() - t0
+    audio_s = tgt / 50.0  # semantic tokens at 50 Hz
+    rows = {"s50_sin": {"rtf": round(t_ref / audio_s, 4),
+                        "agreement": 1.0}}
+    truth = np.asarray(x0_b[:1, :tgt])
+    rows["s50_sin"]["task_acc"] = round(
+        float(np.mean(refs[0] == truth)), 3)
+
+    for schedule in ("sin", "linear", "pow2"):
+        for n in (25, 16, 12, 8):
+            outs = [np.asarray(run(n, schedule, s)) for s in seeds]
+            _fence(outs[0][0, 0])
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _fence(run(n, schedule, seeds[0]))
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
+            agree = float(np.mean([np.mean(o == r)
+                                   for o, r in zip(outs, refs)]))
+            rows[f"s{n}_{schedule}"] = {
+                "rtf": round(dt / audio_s, 4),
+                "agreement": round(agree, 3),
+                "task_acc": round(float(np.mean(outs[0] == truth)), 3),
+            }
+            print(f"# frontier {n} steps/{schedule}: RTF "
+                  f"{dt / audio_s:.4f} agree {agree:.3f}",
+                  file=sys.stderr)
+
+    best16 = rows["s16_sin"]
+    _emit("maskgct_t2s_frontier_rtf_s16", best16["rtf"],
+          "T2S RTF at 16 steps (sin), agreement %.3f vs 50-step"
+          % best16["agreement"],
+          rows["s50_sin"]["rtf"] / max(best16["rtf"], 1e-9),
+          extra={"rows": rows, "target_len": tgt,
+                 "train_masked_acc": round(float(acc), 3)})
+
+
 def bench_flash_attention() -> None:
     """Fused flash attention vs the dense einsum path at training shape
     (B=8, L=2048, H=16, D=64, causal+padding mask, forward).
@@ -1094,6 +1205,96 @@ def bench_train_hifigan(compute_dtype="float32", batch=16,
         suffix += f"_b{batch}"
     _emit(f"hifigan_train_xrt{suffix}", xrt, "x realtime audio/sec trained",
           xrt / 1.0, extra=_roofline(fl, by, dt / n_iters))
+
+
+def bench_bf16_gan_bandwidth() -> None:
+    """Close-or-explain the bf16 GAN-training bandwidth gap (VERDICT r4
+    #7: `train_hifigan_bf16` attains 481 GB/s where f32 attains
+    615 GB/s, so bf16 buys 1.13× of a 1.45× byte-bound ceiling). The
+    experiment isolates WHERE attained bandwidth drops: (a) the
+    generator FORWARD alone f32 vs bf16 at training shapes, and (b)
+    single conv stacks at wide (512) vs narrow (32) channel counts —
+    HiFiGAN's upsampling ladder halves channels per stage, and the TPU's
+    native bf16 tile is (16, 128) vs f32's (8, 128): narrow-channel
+    convs leave more of every bf16 tile as padding, so the USEFUL-byte
+    bandwidth (what cost analysis counts) falls even when the raw HBM
+    streams are saturated. Emits per-case attained GB/s so BENCHMARKS.md
+    can state the cause with numbers."""
+    from amphion_tpu.models.vocoders.hifigan import (
+        HiFiGANConfig, HiFiGANGenerator,
+    )
+
+    cfg = HiFiGANConfig()
+    gen = HiFiGANGenerator(cfg)
+    rng = jax.random.key(0)
+    b, frames = 16, 64
+    mel = jax.random.normal(rng, (b, frames, cfg.n_mel), jnp.float32)
+    params32 = gen.init(rng, mel[:1, :8])["params"]
+    rows = {}
+
+    for dt_s in ("float32", "bfloat16"):
+        dt = jnp.dtype(dt_s)
+        params = jax.tree_util.tree_map(lambda p: p.astype(dt), params32)
+        x = mel.astype(dt)
+        fwd = jax.jit(lambda p, m: gen.apply({"params": p}, m))
+        _fence(fwd(params, x))
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fwd(params, x)
+        _fence(out)
+        dtt = (time.perf_counter() - t0) / n
+        fl, by = _cost_analysis(fwd, params, x)
+        rows[f"gen_fwd_{dt_s}"] = {
+            "ms": round(dtt * 1e3, 2),
+            "gbps": round(by / dtt / 1e9, 1),
+            "tflops": round(fl / dtt / 1e12, 2),
+            "gbytes": round(by / 1e9, 3),
+        }
+        print(f"# gen fwd {dt_s}: {rows[f'gen_fwd_{dt_s}']}",
+              file=sys.stderr)
+
+    # isolated conv stacks: wide vs narrow channels, both dtypes
+    import flax.linen as nn
+
+    for ch, t_len in ((512, 2048), (32, 32768)):
+        class _Stack(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for i in range(8):
+                    x = nn.Conv(ch, (7,), padding="SAME")(x)
+                    x = nn.leaky_relu(x, 0.1)
+                return x
+
+        stack = _Stack()
+        xs32 = jax.random.normal(rng, (4, t_len, ch), jnp.float32)
+        ps32 = stack.init(rng, xs32[:1, :64])["params"]
+        for dt_s in ("float32", "bfloat16"):
+            dt = jnp.dtype(dt_s)
+            ps = jax.tree_util.tree_map(lambda p: p.astype(dt), ps32)
+            xin = xs32.astype(dt)
+            f = jax.jit(lambda p, a: stack.apply({"params": p}, a))
+            _fence(f(ps, xin))
+            n = 20
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = f(ps, xin)
+            _fence(out)
+            dtt = (time.perf_counter() - t0) / n
+            fl, by = _cost_analysis(f, ps, xin)
+            rows[f"conv{ch}_{dt_s}"] = {
+                "ms": round(dtt * 1e3, 2),
+                "gbps": round(by / dtt / 1e9, 1),
+                "tflops": round(fl / dtt / 1e12, 2),
+            }
+            print(f"# conv ch={ch} {dt_s}: {rows[f'conv{ch}_{dt_s}']}",
+                  file=sys.stderr)
+
+    spd = (rows["gen_fwd_float32"]["ms"]
+           / max(rows["gen_fwd_bfloat16"]["ms"], 1e-9))
+    _emit("bf16_gan_fwd_speedup", spd,
+          "HiFiGAN generator forward bf16 speedup over f32 (train shapes)",
+          spd, extra={"rows": rows})
 
 
 def bench_train_maskgct() -> None:
@@ -1553,6 +1754,8 @@ _SUITE = {
     "vevo_int4": lambda: bench_vevo_rtf("int4"),
     "vevo_spec_cost": bench_vevo_spec_cost,
     "vevo_spec_accept": bench_vevo_spec_accept,
+    "maskgct_frontier": bench_maskgct_frontier,
+    "bf16_gan_bandwidth": bench_bf16_gan_bandwidth,
     "flash": bench_flash_attention,
     "ssl": bench_ssl_extract,
 }
