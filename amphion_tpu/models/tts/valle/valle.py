@@ -284,32 +284,42 @@ def ar_generate(model, params, phones, prompt_tokens, rng, max_new=512,
     )
 
 
-def _prep_decode(model, params, compute_dtype):
-    """Cast params for decode; for int8/int4, quantize the AR projections
-    (Pallas streaming matmul) while activations and scales stay bf16/f32."""
+def _decode_model_dtype(model, compute_dtype):
+    """(model', dt) half of decode prep — host metadata only (see
+    `ar_transformer._decode_model_dtype`)."""
     c = model.cfg
     if compute_dtype in ("int8", "int4"):
         import dataclasses
-
-        from amphion_tpu.modules.llama import quantize_llama_params
-
         import os as _os
 
         model = VALLE(dataclasses.replace(
             c, decode_quant=compute_dtype,
             kv_quant=_os.environ.get("AMPHION_KV_QUANT", "1") != "0"))
+        return model, jnp.dtype(jnp.bfloat16)
+    return model, jnp.dtype(compute_dtype)
+
+
+def _decode_params(params, compute_dtype):
+    """Param half of decode prep (trace-safe — may run under jit)."""
+    if compute_dtype in ("int8", "int4"):
+        from amphion_tpu.modules.llama import quantize_llama_params
+
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
         # quantize AFTER the bf16 cast so the f32 scales stay f32
-        params = {**params,
-                  "ar": quantize_llama_params(params["ar"], compute_dtype)}
-    else:
-        dt = jnp.dtype(compute_dtype)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params
-        )
-    return model, params, dt
+        return {**params,
+                "ar": quantize_llama_params(params["ar"], compute_dtype)}
+    dt = jnp.dtype(compute_dtype)
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+
+
+def _prep_decode(model, params, compute_dtype):
+    """Cast params for decode; for int8/int4, quantize the AR projections
+    (Pallas streaming matmul) while activations and scales stay bf16/f32."""
+    model, dt = _decode_model_dtype(model, compute_dtype)
+    return model, _decode_params(params, compute_dtype), dt
 
 
 def _ar_generate_impl(

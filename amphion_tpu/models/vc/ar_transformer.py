@@ -412,36 +412,50 @@ def _ar_transformer_generate_impl(
     return jnp.moveaxis(toks, 0, 1), gen_len
 
 
-def _quantize_for_decode(model, params, compute_dtype):
-    """Shared decode-time dtype/quantization prep (bf16 | int8 | int4)."""
+def _decode_model_dtype(model, compute_dtype):
+    """(model', dt) half of decode prep — host-metadata only (no array
+    ops), so callers that must quantize INSIDE a jit (the continuous
+    engine: int4 arrays cannot cross the jit boundary on this stack)
+    can get the rebuilt model without touching params."""
     c = model.cfg
     if compute_dtype in ("int8", "int4"):
         import dataclasses
-
-        from amphion_tpu.modules.llama import quantize_llama_params
-
-        # int8 KV cache ON by default for quantized decode: the
-        # scale-after-dot formulation (scales applied to scores/probs,
-        # int8→bf16 convert fused inside the einsum operands) measured
-        # 0.733 vs 0.746 s/500 tok on the Vevo AR. The first, dequantize-
-        # the-cache formulation measured SLOWER (0.85 s) — see
-        # BENCHMARKS.md. AMPHION_KV_QUANT=0 disables for A/B.
         import os as _os
 
         model = ARTransformer(dataclasses.replace(
             c, decode_quant=compute_dtype,
             kv_quant=_os.environ.get("AMPHION_KV_QUANT", "1") != "0"))
+        return model, jnp.dtype(jnp.bfloat16)
+    return model, jnp.dtype(compute_dtype)
+
+
+def _decode_params(params, compute_dtype):
+    """Param half of decode prep (trace-safe — may run under jit)."""
+    if compute_dtype in ("int8", "int4"):
+        from amphion_tpu.modules.llama import quantize_llama_params
+
         dt = jnp.dtype(jnp.bfloat16)
         params = jax.tree_util.tree_map(
             lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
-        params = {**params,
-                  "decoder": quantize_llama_params(params["decoder"],
-                                                   compute_dtype)}
-    else:
-        dt = jnp.dtype(compute_dtype)
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
-    return model, params, dt
+        return {**params,
+                "decoder": quantize_llama_params(params["decoder"],
+                                                 compute_dtype)}
+    dt = jnp.dtype(compute_dtype)
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, params)
+
+
+def _quantize_for_decode(model, params, compute_dtype):
+    """Shared decode-time dtype/quantization prep (bf16 | int8 | int4).
+
+    int8 KV cache ON by default for quantized decode: the
+    scale-after-dot formulation (scales applied to scores/probs,
+    int8→bf16 convert fused inside the einsum operands) measured
+    0.733 vs 0.746 s/500 tok on the Vevo AR. The first, dequantize-
+    the-cache formulation measured SLOWER (0.85 s) — see BENCHMARKS.md.
+    AMPHION_KV_QUANT=0 disables for A/B."""
+    model, dt = _decode_model_dtype(model, compute_dtype)
+    return model, _decode_params(params, compute_dtype), dt
 
 
 @functools.lru_cache(maxsize=32)

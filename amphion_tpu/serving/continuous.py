@@ -44,7 +44,14 @@ Token-exactness: with per-request rng keys the engine reproduces
 tests/test_ragged_vevo.py) token-for-token regardless of admission
 order, because a slot's sampling stream splits once per step from its
 own key and its attention view is identical to a solo right-aligned run
-(tests/test_continuous_batching.py).
+(tests/test_continuous_batching.py, float32). In reduced-precision
+modes (bf16/int8/int4) the engine and the one-shot decoder are
+DIFFERENT XLA programs, so ULP-level fusion differences can flip a
+borderline sampled token (observed on TPU with tiny models); within the
+engine, results remain independent of admission order/batch company.
+Quantization itself runs inside a jitted prep (`_prep_engine_params`)
+so its scale reductions match the traced quantization of the one-shot
+decoders.
 
 The reference has no serving layer at all (closest: one-shot
 `models/vc/vevo/vevo_utils.py:403` inference); this module is our-bar
@@ -64,7 +71,8 @@ import numpy as np
 
 from amphion_tpu.models.vc.ar_transformer import (
     ARTransformer,
-    _quantize_for_decode,
+    _decode_model_dtype,
+    _decode_params,
 )
 from amphion_tpu.modules.llama import LlamaDecoder
 from amphion_tpu.ops.ragged import split_each
@@ -89,8 +97,42 @@ class _Slot:
     finished: bool = False
 
 
+def _restore_int4(params):
+    """Invert the engine's int8-at-rest storage of int4 weights (see
+    `_prep_engine_params`) inside a jitted program."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.int4) if p.dtype == jnp.int8 else p, params)
+
+
+def _prep_engine_params(decode_params_fn, params, compute_dtype):
+    """Decode-prep the param tree for ENGINE-resident storage.
+
+    The one-shot decoders quantize inside their own jit every call; the
+    engine quantizes ONCE here. For int4 the whole prep runs inside one
+    jitted program with the int4 leaves stored as int8 — an int4 (S4)
+    array can neither be passed to a jit nor touched eagerly on this
+    stack (JAX device_put-with-layout recursion, found by the round-5
+    continuous_crossover bench); `_restore_int4` casts back inside every
+    decode program (~1/chunk_len extra weight traffic)."""
+    def prep(p):
+        q = decode_params_fn(p, compute_dtype)
+        if compute_dtype == "int4":
+            q = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.int8) if x.dtype == jnp.int4 else x,
+                q)
+        return q
+
+    # jit the prep for EVERY mode: eager quantization computes max/abs
+    # scales with a different reduction order than the traced
+    # quantization the one-shot decoders run, and the ULP difference is
+    # enough to flip borderline sampled tokens vs the ragged comparator
+    # (observed for int8 on TPU).
+    return jax.jit(prep)(params), compute_dtype == "int4"
+
+
 def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
-                chunk, params, caches, kv_valid, logits, rngs, done, cur):
+                chunk, int4_storage, params, caches, kv_valid, logits,
+                rngs, done, cur):
     """One compiled chunk: `chunk` decode steps for all S slots, each at
     its OWN cursor (`cur` is (S,); the step is vmapped over slots so
     `cache_index` is a scalar per lane).
@@ -102,6 +144,9 @@ def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
     `_ar_generate_ragged_impl` scan body exactly (same rng split
     discipline, same EOS freezing) so slot streams are token-identical
     to the one-shot ragged decode."""
+
+    if int4_storage:
+        params = _restore_int4(params)
 
     def step_row(tok, cache_row, valid_row, idx):
         # re-add the batch dim the vmap stripped; the model sees B=1
@@ -146,8 +191,8 @@ def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
     return caches, logits, rngs, done, cur, packed
 
 
-def _admit_impl(model, params, caches, kv_valid, logits, done, cur,
-                content, content_len, slot, prompt_out=None,
+def _admit_impl(model, int4_storage, params, caches, kv_valid, logits,
+                done, cur, content, content_len, slot, prompt_out=None,
                 prompt_out_len=None):
     """Prefill `content` (1, Lb) right-aligned into slot `slot`'s row and
     scatter the row of (caches, kv_valid, logits); reset the slot's
@@ -161,6 +206,8 @@ def _admit_impl(model, params, caches, kv_valid, logits, done, cur,
     positions >= l0 become readable only as the slot's cursor writes
     them (the step path's `pos_k <= cache_index` bound,
     `modules/llama.py`)."""
+    if int4_storage:
+        params = _restore_int4(params)
     l0 = content.shape[1] + 3
     packed = content_len + 3
     if prompt_out is not None:
@@ -193,32 +240,35 @@ def _admit_impl(model, params, caches, kv_valid, logits, done, cur,
 
 @functools.lru_cache(maxsize=16)
 def _chunk_jitted(model, step_method, eos_id, temperature, top_k, top_p,
-                  chunk):
+                  chunk, int4_storage=False):
     # params is a jit ARGUMENT, never a closure capture — closed-over
     # trees bake into the HLO as constants (the `ssl` bench's 2.3 GB
     # remote-compile failure, BENCHMARKS.md measurement notes)
     return jax.jit(
         functools.partial(_chunk_impl, model, step_method, eos_id,
-                          temperature, top_k, top_p, chunk),
+                          temperature, top_k, top_p, chunk, int4_storage),
         donate_argnums=(1,))
 
 
 @functools.lru_cache(maxsize=16)
-def _admit_jitted(model):
+def _admit_jitted(model, int4_storage=False):
     # one specialization per (content bucket, style bucket | None) pair —
     # jit specializes on the padded shapes at first use
-    return jax.jit(functools.partial(_admit_impl, model),
+    return jax.jit(functools.partial(_admit_impl, model, int4_storage),
                    donate_argnums=(1,))
 
 
-def _admit_valle_impl(model, params, caches, kv_valid, logits, done, cur,
-                      phones, phone_len, prompt, prompt_len, slot):
+def _admit_valle_impl(model, int4_storage, params, caches, kv_valid,
+                      logits, done, cur, phones, phone_len, prompt,
+                      prompt_len, slot):
     """VALL-E admission: right-aligned ``[pad | phones_i | prompt_i]``
     prefilled into slot `slot`'s row (`VALLE.ar_prefill_ragged` — writes
     at the start of the row, exact under RoPE); same scatter/cursor/
     validity mechanics as `_admit_impl`."""
     from amphion_tpu.models.tts.valle.valle import VALLE
 
+    if int4_storage:
+        params = _restore_int4(params)
     l0 = phones.shape[1] + prompt.shape[1]
     packed = phone_len + prompt_len
     cap = kv_valid.shape[1]
@@ -243,8 +293,9 @@ def _admit_valle_impl(model, params, caches, kv_valid, logits, done, cur,
 
 
 @functools.lru_cache(maxsize=16)
-def _admit_valle_jitted(model):
-    return jax.jit(functools.partial(_admit_valle_impl, model),
+def _admit_valle_jitted(model, int4_storage=False):
+    return jax.jit(functools.partial(_admit_valle_impl, model,
+                                     int4_storage),
                    donate_argnums=(1,))
 
 
@@ -267,8 +318,9 @@ class ContinuousARBatcher:
                  compute_dtype: str = "bfloat16"):
         assert not model.cfg.use_global_timbre, \
             "continuous batching supports the plain VC layout"
-        model, params, dt = _quantize_for_decode(model, params,
-                                                 compute_dtype)
+        model, dt = _decode_model_dtype(model, compute_dtype)
+        params, self._int4_storage = _prep_engine_params(
+            _decode_params, params, compute_dtype)
         self.model, self.params = model, params
         self.S, self.chunk = slots, chunk
         self.buckets = tuple(sorted(buckets))
@@ -290,8 +342,9 @@ class ContinuousARBatcher:
         # compile cache warm. Same pattern as `_ar_generate_jitted`.
         self._chunk_fn = _chunk_jitted(model, ARTransformer.step,
                                        model.cfg.eos_id, temperature,
-                                       top_k, top_p, chunk)
-        self._admit_fn = _admit_jitted(model)
+                                       top_k, top_p, chunk,
+                                       self._int4_storage)
+        self._admit_fn = _admit_jitted(model, self._int4_storage)
 
         self.caches = LlamaDecoder(model.cfg.llama()).init_cache(
             slots, self.capacity, dtype=dt)
@@ -487,9 +540,12 @@ class ContinuousValleBatcher(ContinuousARBatcher):
                  max_new: int = 768, temperature: float = 1.0,
                  top_k: int = 50, top_p: float = 1.0,
                  compute_dtype: str = "bfloat16"):
-        from amphion_tpu.models.tts.valle.valle import VALLE, _prep_decode
+        from amphion_tpu.models.tts.valle import valle as _valle
+        from amphion_tpu.models.tts.valle.valle import VALLE
 
-        model, params, dt = _prep_decode(model, params, compute_dtype)
+        model, dt = _valle._decode_model_dtype(model, compute_dtype)
+        params, self._int4_storage = _prep_engine_params(
+            _valle._decode_params, params, compute_dtype)
         self.model, self.params = model, params
         self.S, self.chunk = slots, chunk
         self.buckets = tuple(sorted(phone_buckets))
@@ -500,8 +556,9 @@ class ContinuousValleBatcher(ContinuousARBatcher):
         self.default_max_new = max_new
         self._chunk_fn = _chunk_jitted(model, VALLE.ar_step,
                                        model.cfg.eos_id, temperature,
-                                       top_k, top_p, chunk)
-        self._admit_fn = _admit_valle_jitted(model)
+                                       top_k, top_p, chunk,
+                                       self._int4_storage)
+        self._admit_fn = _admit_valle_jitted(model, self._int4_storage)
         self.caches = LlamaDecoder(model.cfg.llama(False)).init_cache(
             slots, self.capacity, dtype=dt)
         self.kv_valid = (jnp.zeros((slots, self.capacity), bool)

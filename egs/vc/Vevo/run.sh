@@ -41,4 +41,14 @@ ar_flag=""
   ${text:+--text "$text"} --output_path "$output" \
   ${content_ckpt:+--content_ckpt "$content_ckpt"} \
   ${style_ckpt:+--style_ckpt "$style_ckpt"}
+# --stage 5: HTTP serving with continuous batching (the production
+# dispatcher — docs/serving.md); POST /api/synthesize with
+# {"src_wav": b64, "prompt_wav": b64}; GET /api/stats for slot metrics.
+# Drive load with: python -m bins.loadgen --url http://127.0.0.1:7860 \
+#   --mode vevo --qps 1 --n 100
+[ "$stage" -eq 5 ] && python -m bins.serve --backend vevo \
+  --batcher continuous --prewarm --vevo_mode "$task" --config "$config" \
+  --fm_exp "${exp_name}_fm" $ar_flag \
+  ${content_ckpt:+--content_ckpt "$content_ckpt"} \
+  ${style_ckpt:+--style_ckpt "$style_ckpt"}
 exit 0
