@@ -131,11 +131,21 @@ def _prep_engine_params(decode_params_fn, params, compute_dtype):
 
 
 def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
-                chunk, int4_storage, params, caches, kv_valid, logits,
-                rngs, done, cur):
-    """One compiled chunk: `chunk` decode steps for all S slots, each at
-    its OWN cursor (`cur` is (S,); the step is vmapped over slots so
-    `cache_index` is a scalar per lane).
+                chunk, int4_storage, s_active, params, caches, kv_valid,
+                logits, rngs, done, cur):
+    """One compiled chunk: `chunk` decode steps for the first
+    ``s_active`` slots, each at its OWN cursor (`cur` is (S,); the step
+    is vmapped over the lane axis so `cache_index` is a scalar per
+    lane).
+
+    ``s_active`` makes the chunk OCCUPANCY-ADAPTIVE (round 5): a
+    vmapped lane costs real weight+KV traffic whether or not its slot
+    holds a request (measured 5.13 ms/step at 4 lanes vs ~1.9 ms for a
+    one-shot B=1 step — the round-5 HTTP bench showed the window
+    batcher's B=1 programs beating a mostly-idle 4-lane engine), so the
+    engine compacts active slots into a prefix and runs the smallest
+    compiled rung that covers them. Lanes >= s_active pass through
+    untouched (donated buffers alias).
 
     Generic over the AR family: ``step_method`` is the model's
     single-token decode method (`ARTransformer.step` or `VALLE.ar_step`
@@ -147,6 +157,16 @@ def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
 
     if int4_storage:
         params = _restore_int4(params)
+
+    full = (caches, logits, rngs, done, cur)
+
+    def head(a):
+        return jax.lax.slice_in_dim(a, 0, s_active, axis=0)
+
+    caches = jax.tree_util.tree_map(head, caches)
+    kv_valid = head(kv_valid)
+    logits, rngs, done, cur = (head(logits), head(rngs), head(done),
+                               head(cur))
 
     def step_row(tok, cache_row, valid_row, idx):
         # re-add the batch dim the vmap stripped; the model sees B=1
@@ -181,10 +201,20 @@ def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
     init = (caches, logits, rngs, done, cur)
     (caches, logits, rngs, done, cur), (toks, dones) = jax.lax.scan(
         body, init, None, length=chunk)
-    # ONE packed host fetch per chunk: [tokens | done-after-step] (S, 2k).
-    # Through the axon tunnel every device->host fetch pays the ~35-50 ms
-    # dispatch floor (BENCHMARKS.md measurement notes) — three separate
-    # fetches per chunk tripled the scheduler overhead.
+    # write the stepped prefix back into the full-S buffers
+    fc, fl, fr, fd, fcur = full
+    caches = jax.tree_util.tree_map(
+        lambda f, n: jax.lax.dynamic_update_slice_in_dim(f, n, 0, axis=0),
+        fc, caches)
+    logits = jax.lax.dynamic_update_slice_in_dim(fl, logits, 0, axis=0)
+    rngs = jax.lax.dynamic_update_slice_in_dim(fr, rngs, 0, axis=0)
+    done = jax.lax.dynamic_update_slice_in_dim(fd, done, 0, axis=0)
+    cur = jax.lax.dynamic_update_slice_in_dim(fcur, cur, 0, axis=0)
+    # ONE packed host fetch per chunk: [tokens | done-after-step]
+    # (s_active, 2k). Through the axon tunnel every device->host fetch
+    # pays the ~35-50 ms dispatch floor (BENCHMARKS.md measurement
+    # notes) — three separate fetches per chunk tripled the scheduler
+    # overhead.
     packed = jnp.concatenate(
         [jnp.moveaxis(toks, 0, 1),
          jnp.moveaxis(dones, 0, 1).astype(jnp.int32)], axis=1)
@@ -240,14 +270,34 @@ def _admit_impl(model, int4_storage, params, caches, kv_valid, logits,
 
 @functools.lru_cache(maxsize=16)
 def _chunk_jitted(model, step_method, eos_id, temperature, top_k, top_p,
-                  chunk, int4_storage=False):
+                  chunk, int4_storage=False, s_active=4):
     # params is a jit ARGUMENT, never a closure capture — closed-over
     # trees bake into the HLO as constants (the `ssl` bench's 2.3 GB
     # remote-compile failure, BENCHMARKS.md measurement notes)
     return jax.jit(
         functools.partial(_chunk_impl, model, step_method, eos_id,
-                          temperature, top_k, top_p, chunk, int4_storage),
+                          temperature, top_k, top_p, chunk, int4_storage,
+                          s_active),
         donate_argnums=(1,))
+
+
+def _move_slot_impl(caches, kv_valid, logits, rngs, done, cur, src, dst):
+    """Copy slot row ``src`` → ``dst`` and idle ``src`` (compaction for
+    the occupancy-adaptive chunk — active lanes must form a prefix).
+    One program serves every (src, dst) pair (traced indices)."""
+    def mv(a):
+        return a.at[dst].set(a[src])
+
+    caches = jax.tree_util.tree_map(mv, caches)
+    kv_valid = mv(kv_valid)
+    logits = mv(logits)
+    rngs = mv(rngs)
+    done = done.at[dst].set(done[src]).at[src].set(True)
+    cur = cur.at[dst].set(cur[src])
+    return caches, kv_valid, logits, rngs, done, cur
+
+
+_move_slot_jit = jax.jit(_move_slot_impl, donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=16)
@@ -340,10 +390,9 @@ class ContinuousARBatcher:
         # in-memory cache, and re-loading the big chunk program through
         # the axon tunnel costs ~50 s (measured) even with the persistent
         # compile cache warm. Same pattern as `_ar_generate_jitted`.
-        self._chunk_fn = _chunk_jitted(model, ARTransformer.step,
-                                       model.cfg.eos_id, temperature,
-                                       top_k, top_p, chunk,
-                                       self._int4_storage)
+        self._chunk_spec = (model, ARTransformer.step, model.cfg.eos_id,
+                            temperature, top_k, top_p, chunk,
+                            self._int4_storage)
         self._admit_fn = _admit_jitted(model, self._int4_storage)
 
         self.caches = LlamaDecoder(model.cfg.llama()).init_cache(
@@ -364,6 +413,7 @@ class ContinuousARBatcher:
         self._next_rid = 0
         self.completed: dict[int, np.ndarray] = {}
         self.latency_s: dict[int, float] = {}
+        self.last_rung = 0  # lanes run by the most recent chunk
 
     # ------------------------------------------------------------- API
     def submit(self, content: np.ndarray, rng: jax.Array,
@@ -443,6 +493,45 @@ class ContinuousARBatcher:
         self.latency_s[s.req.rid] = time.perf_counter() - s.req.submit_t
         self.slots[idx] = _Slot(finished=True)
 
+    # ------------------------------------------ occupancy-adaptive run
+    def _rung(self, n_active: int) -> int:
+        """Smallest compiled lane count covering n_active (powers of
+        two up to S) — the cost of a chunk is ~linear in its lane count
+        whether or not lanes hold requests (`_chunk_impl` docstring)."""
+        r = 1
+        while r < n_active:
+            r *= 2
+        return min(r, self.S)
+
+    def _chunk_fn_for(self, s_active: int):
+        # module-level lru_cache'd jit wrappers (fresh engines must
+        # reuse live executables — reloading the big chunk program
+        # through the axon tunnel costs ~50 s, measured); one executable
+        # per rung, compiled lazily on first use at that occupancy
+        return _chunk_jitted(*self._chunk_spec, s_active=s_active)
+
+    def _compact(self) -> None:
+        """Move the highest active slot into the lowest free hole until
+        active slots form a prefix (admission fills lowest-free first,
+        so holes only come from retirement). Row moves are exact copies
+        — the moved request's stream continues bit-identically."""
+        while True:
+            act = [i for i, s in enumerate(self.slots)
+                   if s.req is not None]
+            if not act:
+                return
+            holes = [i for i in range(act[-1]) if self.slots[i].req is None]
+            if not holes:
+                return
+            src, dst = act[-1], holes[0]
+            (self.caches, self.kv_valid, self.logits, self.rngs,
+             self.done, self.cur) = _move_slot_jit(
+                self.caches, self.kv_valid, self.logits, self.rngs,
+                self.done, self.cur, jnp.asarray(src, jnp.int32),
+                jnp.asarray(dst, jnp.int32))
+            self.slots[dst] = self.slots[src]
+            self.slots[src] = _Slot(finished=True)
+
     def step_chunk(self) -> list[int]:
         """Admit queued requests, decode one chunk, retire finished
         slots. Returns the rids completed this call. Per-slot cursors
@@ -451,11 +540,14 @@ class ContinuousARBatcher:
             if self.slots[i].req is None and self.queue:
                 self._admit(i, self.queue.pop(0))
 
-        if all(s.req is None for s in self.slots):
+        n_active = sum(s.req is not None for s in self.slots)
+        if n_active == 0:
             return []
+        self._compact()  # active slots -> prefix [0, n_active)
+        s_run = self.last_rung = self._rung(n_active)
 
         (self.caches, self.logits, self.rngs, self.done, self.cur,
-         packed) = self._chunk_fn(
+         packed) = self._chunk_fn_for(s_run)(
             self.params, self.caches, self.kv_valid, self.logits,
             self.rngs, self.done, self.cur)
         packed = np.asarray(packed)  # the chunk's ONE host fetch
@@ -465,7 +557,7 @@ class ContinuousARBatcher:
 
         finished = []
         cap_frozen: list[int] = []
-        for i, s in enumerate(self.slots):
+        for i, s in enumerate(self.slots[:s_run]):
             if s.req is None:
                 continue
             # steps where the slot was already frozen emit placeholder 0s
@@ -515,6 +607,7 @@ class ContinuousARBatcher:
         return {"completed": len(self.completed),
                 "queued": len(self.queue),
                 "active": sum(s.req is not None for s in self.slots),
+                "last_rung": self.last_rung,
                 "cursors": np.asarray(self.cur).tolist(),
                 "p50_s": pct(50), "p95_s": pct(95), "p99_s": pct(99)}
 
@@ -554,10 +647,9 @@ class ContinuousValleBatcher(ContinuousARBatcher):
         need = self.base + max_new + chunk
         self.capacity = max(capacity or 0, need)
         self.default_max_new = max_new
-        self._chunk_fn = _chunk_jitted(model, VALLE.ar_step,
-                                       model.cfg.eos_id, temperature,
-                                       top_k, top_p, chunk,
-                                       self._int4_storage)
+        self._chunk_spec = (model, VALLE.ar_step, model.cfg.eos_id,
+                            temperature, top_k, top_p, chunk,
+                            self._int4_storage)
         self._admit_fn = _admit_valle_jitted(model, self._int4_storage)
         self.caches = LlamaDecoder(model.cfg.llama(False)).init_cache(
             slots, self.capacity, dtype=dt)

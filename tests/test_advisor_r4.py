@@ -103,13 +103,16 @@ def test_cap_retired_slot_freezes_on_device(ar_setup):
     eng.submit(c2, jax.random.key(22), max_new=32)  # keeps running
     eng.step_chunk()
     assert r1 in eng.completed  # retired in chunk 1 (cap or early EOS)
-    # slot 0 is now free; no queue — its device flag must be frozen
-    assert bool(np.asarray(eng.done)[0])
-    cur_after = int(np.asarray(eng.cur)[0])
+    # after retirement + compaction the live request occupies lane 0 and
+    # the VACATED lane 1 must be device-frozen: flag set, cursor parked
+    eng.step_chunk()  # triggers compaction before the chunk
+    assert eng.slots[1].req is None
+    assert bool(np.asarray(eng.done)[1])
+    cur_after = int(np.asarray(eng.cur)[1])
     eng.step_chunk()
     eng.step_chunk()
-    assert int(np.asarray(eng.cur)[0]) == cur_after, \
-        "cap-retired slot's cursor kept advancing"
+    assert int(np.asarray(eng.cur)[1]) == cur_after, \
+        "freed lane's cursor kept advancing"
 
 
 def test_frozen_cursor_preserves_exactness(ar_setup):

@@ -242,3 +242,43 @@ def test_stats_shape(ar_setup):
     st = eng.stats()
     assert st["completed"] == 1 and st["queued"] == 0
     assert st["p50_s"] > 0 and st["p99_s"] >= st["p50_s"]
+
+
+def test_occupancy_adaptive_rungs_and_compaction_exact(ar_setup):
+    """Round 5: the chunk runs the smallest lane rung covering the
+    active slots, compacting holes left by retirement — and every
+    stream stays token-exact through lane MOVES and rung changes."""
+    model, params = ar_setup
+    rng = np.random.default_rng(11)
+    contents = _contents(rng, 5)
+    keys = [jax.random.key(700 + i) for i in range(5)]
+    caps = [6, 28, 28, 20, 12]  # r0 retires early -> hole at lane 0
+    eng = _engine(model, params, slots=4, chunk=4)
+    rids = [eng.submit(contents[i], keys[i], max_new=caps[i])
+            for i in range(3)]
+    eng.step_chunk()
+    assert eng.last_rung == 4  # 3 active -> rung 4
+    # drive until the short request retires, leaving a hole
+    while rids[0] not in eng.completed:
+        eng.step_chunk()
+    eng.step_chunk()
+    assert eng.last_rung == 2  # 2 active after compaction
+    rids.append(eng.submit(contents[3], keys[3], max_new=caps[3]))
+    rids.append(eng.submit(contents[4], keys[4], max_new=caps[4]))
+    done = eng.run()
+    assert eng.last_rung >= 1
+    for rid, content, key, cap in zip(rids, contents, keys, caps):
+        want = _oracle(model, params, content, key, 32)[:cap]
+        np.testing.assert_array_equal(done[rid], want,
+                                      err_msg=f"request {rid} diverged")
+
+
+def test_single_request_runs_one_lane(ar_setup):
+    """A solo request must run the 1-lane rung (the low-occupancy cost
+    fix: one lane ~= one-shot B=1 step cost)."""
+    model, params = ar_setup
+    eng = _engine(model, params)
+    eng.submit((np.arange(5) % CFG.input_vocab).astype(np.int32),
+               jax.random.key(3), max_new=8)
+    eng.step_chunk()
+    assert eng.last_rung == 1
