@@ -90,12 +90,22 @@ class VevoPipeline:
     # -- stages (ref vevo_utils.py:403-600) ---------------------------------
 
     def ar_stage(self, input_tokens: np.ndarray, rng, max_new=2048,
-                 speculative: int = 0, draft_layers: int = 5, **sample_kw):
+                 speculative: int = 0, draft_layers: int = 3, **sample_kw):
         """AR content→content-style decode. ``speculative=k`` switches to
         self-speculative decode (models/vc/speculative.py — exact same
         output distribution; greedy draft of k tokens verified per full
-        pass; pays off when the early-exit draft's acceptance is high,
-        see BENCHMARKS.md cost model). 0 = plain scan decode."""
+        pass; the early-exit while-loop converts acceptance into fewer
+        iterations). 0 = plain scan decode.
+
+        Measured tuning (BENCHMARKS.md vevo_spec_accept, single v5e, a
+        12-layer model at α≈0.99): SHALLOW drafts win — draft_layers=3
+        with k=8 gave 3.13× over plain greedy; d=5 only 1.7-1.8×; d=8
+        barely breaks even. Speedup is acceptance-dependent
+        (speedup(α) ≈ (αk+1)·t_step/t_iter, validated within ~15% on
+        hardware) — measure α on YOUR checkpoint first via
+        ``ar_transformer_generate_speculative(..., return_iters=True)``:
+        α = (gen_len/n_iters − 1)/k; below the breakeven α
+        (~(t_iter/t_step − 1)/k) keep ``speculative=0``."""
         if speculative > 0:
             from amphion_tpu.models.vc.speculative import (
                 ar_transformer_generate_speculative,
