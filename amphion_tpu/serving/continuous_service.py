@@ -148,6 +148,23 @@ class EngineDriver:
                     box["tokens"] = tokens
                     box["ev"].set()
 
+    def prewarm_rungs(self, submit_args_fn) -> None:
+        """Compile every occupancy rung's chunk program: S concurrent
+        dummy requests with STAGGERED caps drain occupancy S→1, hitting
+        each rung on the way down (`continuous.py` runs the smallest
+        compiled rung covering the active slots — a rung first seen
+        under live traffic would compile inline)."""
+        import concurrent.futures as cf
+
+        s = self.engine.S
+        with cf.ThreadPoolExecutor(s) as ex:
+            futs = [ex.submit(self.submit_wait, *submit_args_fn(),
+                              max_new=min(self.engine.chunk * (i + 1),
+                                          self.engine.default_max_new))
+                    for i in range(s)]
+            for f in futs:
+                f.result()
+
     def stats(self) -> dict:
         with self._cv:
             lats = sorted(self._latencies)
@@ -242,6 +259,9 @@ class VevoContinuousService(VevoService):
                 self.driver.submit_wait(
                     np.zeros(lb, np.int32), jax.random.key(0),
                     max_new=eng.chunk, prompt_output=po)
+        self.driver.prewarm_rungs(
+            lambda: (np.zeros(eng.buckets[0], np.int32),
+                     jax.random.key(0)))
         empty = np.zeros((0,), np.int32)
         lt = self._ladder(self.max_new, self.max_new)
         for lp in {self._ladder(1, self.max_prompt_len),
@@ -331,6 +351,10 @@ class ValleContinuousService(VALLEService):
                 self.driver.submit_wait(
                     np.zeros(lph, np.int32), np.zeros(lp, np.int32),
                     jax.random.key(0), max_new=eng.chunk)
+        self.driver.prewarm_rungs(
+            lambda: (np.zeros(eng.buckets[0], np.int32),
+                     np.zeros(eng.out_buckets[0], np.int32),
+                     jax.random.key(0)))
 
     def stats(self) -> dict:
         return self.driver.stats()

@@ -1526,10 +1526,13 @@ def bench_continuous_ar(family="vevo", dtypes=("bfloat16",)) -> None:
     n_req = int(os.environ.get("AMPHION_BENCH_CREQ", "100"))
     lens = np.random.default_rng(7).integers(128, new + 1, size=n_req)
 
-    # prime compiles once per dtype (admission + chunk + static ragged)
+    # prime compiles once per dtype: admission + EVERY occupancy rung's
+    # chunk program (staggered caps drain occupancy S -> 1, compiling
+    # each rung on the way down) + the static ragged comparator
     for dt_s in dtypes:
         eng = make_engine(slots, chunk, dt_s)
-        submit(eng, 0, chunk)
+        for i in range(slots):
+            submit(eng, i, chunk * (i + 1))
         eng.run()
         static_run(jax.vmap(jax.random.key)(
             jnp.arange(4, dtype=jnp.uint32)), dt_s)
