@@ -38,6 +38,15 @@ batching, re-designed for XLA's static-shape world):
   cap — caps are host-side, so per-request lengths need NO extra
   compiles), and admits queued requests via a per-bucket admission
   program. The KV cache stays device-resident and donated across calls.
+- The chunk is OCCUPANCY-ADAPTIVE (round 5): a vmapped lane costs real
+  weight+KV traffic whether or not it holds a request, so active slots
+  are compacted into a prefix (`_compact` — exact row moves) and the
+  chunk runs the smallest power-of-two lane rung covering them
+  (`_rung`). A solo request therefore pays ~a one-shot B=1 step, not
+  the full-S step (the round-5 HTTP bench caught the window batcher's
+  B=1 programs beating a mostly-idle fixed-4-lane engine). Rung
+  programs compile lazily; `prewarm`/bench priming drain a staggered
+  batch through every rung up front.
 
 Token-exactness: with per-request rng keys the engine reproduces
 `ar_transformer_generate_ragged` (and therefore solo decode —
