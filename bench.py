@@ -1571,6 +1571,81 @@ def bench_continuous_ar(family="vevo", dtypes=("bfloat16",)) -> None:
                  "family": family, "dtypes": list(dtypes)})
 
 
+def bench_chunk_cost() -> None:
+    """Per-rung chunk-step cost of the continuous engine (Vevo-scale AR
+    bf16): ms/step at occupancy 1/2/4/8 vs the one-shot ragged decode's
+    per-step cost at matching batch (prefill differenced out). This
+    quantifies the per-lane-cursor overhead that the occupancy-adaptive
+    rungs bound, and tells whether a shared-ring-cursor redesign (cheap
+    shared-index K/V writes) would pay at high occupancy."""
+    from amphion_tpu.models.vc.ar_transformer import (
+        ARTransformer, ARTransformerConfig, ar_transformer_generate_ragged,
+    )
+    from amphion_tpu.serving.continuous import ContinuousARBatcher
+
+    r = jax.random.key(0)
+    ar = ARTransformer(ARTransformerConfig(
+        input_vocab=32, output_vocab=8192, hidden=1536, num_layers=20,
+        num_heads=16, intermediate=6144, max_position=4096))
+    toks0 = jnp.zeros((1, 8), jnp.int32)
+    m0 = jnp.ones((1, 8), jnp.float32)
+    params = ar.init(r, toks0, m0, toks0, m0,
+                     method=ARTransformer.loss)["params"]
+    lc, chunk, slots = 650, 64, 8
+    content = np.zeros((lc,), np.int32)
+    eng = ContinuousARBatcher(ar, params, slots=slots, chunk=chunk,
+                              buckets=(lc,), max_new=2048,
+                              capacity=4000, top_k=40,
+                              compute_dtype="bfloat16")
+    rows = {}
+    for occ in (1, 2, 4, 8):
+        while sum(s.req is not None for s in eng.slots) < occ:
+            eng.submit(content, jax.random.key(100 + occ), max_new=2048)
+            eng.step_chunk()  # admit (+ compiles the rung on first use)
+        eng.step_chunk()  # warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            eng.step_chunk()
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        rows[f"occ{occ}"] = {"ms_per_step": round(dt / chunk * 1e3, 3),
+                             "ms_per_chunk": round(dt * 1e3, 1),
+                             "rung": eng.last_rung}
+        print(f"# chunk occ={occ} rung={eng.last_rung}: "
+              f"{dt / chunk * 1e3:.3f} ms/step", file=sys.stderr)
+
+    # one-shot ragged per-step cost at B, prefill differenced out
+    for b in (1, 4, 8):
+        cb = jnp.zeros((b, lc), jnp.int32)
+        lb = jnp.full((b,), lc, jnp.int32)
+        kb = jax.vmap(jax.random.key)(jnp.arange(b, dtype=jnp.uint32))
+
+        def run(n):
+            _fence(ar_transformer_generate_ragged(
+                ar, params, cb, lb, kb, max_new=n, top_k=40,
+                compute_dtype="bfloat16")[0])
+
+        run(128)
+        run(256)
+        t128, t256 = [], []
+        for _ in range(3):
+            t0 = time.perf_counter(); run(128)
+            t128.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); run(256)
+            t256.append(time.perf_counter() - t0)
+        step_ms = (np.median(t256) - np.median(t128)) / 128 * 1e3
+        rows[f"oneshot_b{b}"] = {"ms_per_step": round(float(step_ms), 3)}
+        print(f"# one-shot B={b}: {step_ms:.3f} ms/step", file=sys.stderr)
+
+    _emit("chunk_step_ms_occ1", rows["occ1"]["ms_per_step"],
+          "continuous chunk ms/step at occupancy 1 (vs one-shot B=1 "
+          f"{rows['oneshot_b1']['ms_per_step']})",
+          rows["oneshot_b1"]["ms_per_step"]
+          / max(rows["occ1"]["ms_per_step"], 1e-9),
+          extra={"rows": rows, "chunk": chunk})
+
+
 def bench_continuous_http() -> None:
     """END-TO-END HTTP serving: the full Vevo voice pipeline (780M-class
     AR + 32-step FM + Vocos, random weights) behind the real
@@ -1749,6 +1824,7 @@ _SUITE = {
     "continuous_crossover": lambda: bench_continuous_ar(
         family="vevo", dtypes=("bfloat16", "int4")),
     "continuous_http": bench_continuous_http,
+    "chunk_cost": bench_chunk_cost,
     "valle": bench_valle_rtf,
     "valle_int8": lambda: bench_valle_rtf("int8"),
     "valle_int4": lambda: bench_valle_rtf("int4"),
