@@ -1532,7 +1532,7 @@ def bench_continuous_ar(family="vevo", dtypes=("bfloat16",)) -> None:
     for dt_s in dtypes:
         eng = make_engine(slots, chunk, dt_s)
         for i in range(slots):
-            submit(eng, i, chunk * (i + 1))
+            submit(eng, i, min(chunk * (i + 1), new))
         eng.run()
         static_run(jax.vmap(jax.random.key)(
             jnp.arange(4, dtype=jnp.uint32)), dt_s)
