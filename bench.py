@@ -1591,16 +1591,21 @@ def bench_chunk_cost() -> None:
     m0 = jnp.ones((1, 8), jnp.float32)
     params = ar.init(r, toks0, m0, toks0, m0,
                      method=ARTransformer.loss)["params"]
+    # SERVING-shape capacity (an earlier cap-4000 probe tripled the
+    # per-lane KV read and made the chunk look 2.3x the one-shot step;
+    # at matched capacity the gap is ~0.5-1.2 ms/step and is tunnel
+    # dispatch+fetch, NOT the per-lane cursor: a shared-scalar-cursor
+    # variant measured 5.42 vs 5.43 ms/step at 4 lanes — the
+    # ring-cursor redesign is measured moot)
     lc, chunk, slots = 650, 64, 8
     content = np.zeros((lc,), np.int32)
     eng = ContinuousARBatcher(ar, params, slots=slots, chunk=chunk,
-                              buckets=(lc,), max_new=2048,
-                              capacity=4000, top_k=40,
+                              buckets=(lc,), max_new=500, top_k=40,
                               compute_dtype="bfloat16")
     rows = {}
     for occ in (1, 2, 4, 8):
         while sum(s.req is not None for s in eng.slots) < occ:
-            eng.submit(content, jax.random.key(100 + occ), max_new=2048)
+            eng.submit(content, jax.random.key(100 + occ), max_new=500)
             eng.step_chunk()  # admit (+ compiles the rung on first use)
         eng.step_chunk()  # warm
         ts = []
