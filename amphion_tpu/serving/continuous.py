@@ -149,9 +149,9 @@ def _chunk_impl(model, step_method, eos_id, temperature, top_k, top_p,
 
     ``s_active`` makes the chunk OCCUPANCY-ADAPTIVE (round 5): a
     vmapped lane costs real weight+KV traffic whether or not its slot
-    holds a request (measured 5.13 ms/step at 4 lanes vs ~1.9 ms for a
-    one-shot B=1 step — the round-5 HTTP bench showed the window
-    batcher's B=1 programs beating a mostly-idle 4-lane engine), so the
+    holds a request (a fixed 4-lane chunk made a mostly-idle engine
+    lose to the window batcher's B=1 programs in the round-5 HTTP
+    bench; with rungs, 1-lane ~= one-shot B=1 + tunnel fetch), so the
     engine compacts active slots into a prefix and runs the smallest
     compiled rung that covers them. Lanes >= s_active pass through
     untouched (donated buffers alias).

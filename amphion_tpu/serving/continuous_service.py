@@ -1,10 +1,10 @@
 """Continuous-batching serving backends — the production AR path.
 
-Round 4 measured the continuous engine (`serving/continuous.py`) at
-1.48× better p50 / 1.33× better p95 than the static window batcher at
-2 qps on the same Poisson trace, equal throughput (BENCHMARKS.md
-`continuous` table); this module puts that engine in the HTTP serving
-path. `bins/serve.py --batcher continuous` (the default for the AR
+The continuous engine (`serving/continuous.py`) measures 1.7-2.5×
+better p50 than the static window batcher at every load rung on the
+same Poisson trace with equal-or-better throughput (round-5 n=100
+sweeps, BENCHMARKS.md `continuous` tables); this module puts that
+engine in the HTTP serving path. `bins/serve.py --batcher continuous` (the default for the AR
 backends) builds these services instead of the window ones.
 
 Design:

@@ -24,9 +24,9 @@ plumbing is smoke-testable without checkpoints).
 Dispatchers (``--batcher``): the AR backends (valle, vevo) default to
 **continuous batching** (`serving/continuous_service.py`) — requests
 join a live per-slot decode at chunk boundaries instead of waiting for
-a batch window; measured 1.48× better p50 / 1.33× better p95 than the
-static window batcher at 2 qps on the same Poisson trace
-(BENCHMARKS.md). ``--batcher window`` restores the static
+a batch window; measured 1.7-2.5× better p50 than the static window
+batcher at every load rung on the same Poisson trace, +17-50% req/s at
+saturation (BENCHMARKS.md). ``--batcher window`` restores the static
 micro-batcher. ``GET /api/stats`` reports the active dispatcher's
 metrics (slot occupancy, admissions, AR latency percentiles for
 continuous; batch-size/wait histograms for window).
@@ -325,8 +325,8 @@ def main():
                     help="AR-backend dispatcher (valle/vevo): "
                          "'continuous' (default) admits requests into a "
                          "live per-slot decode at chunk boundaries — "
-                         "measured 1.48x better p50 than 'window' at "
-                         "2 qps on the same Poisson trace "
+                         "measured 1.7-2.5x better p50 than 'window' "
+                         "at every load on the same Poisson trace "
                          "(BENCHMARKS.md); 'window' is the static "
                          "micro-batcher. maskgct/sine always use the "
                          "window batcher (mask-predict does not gain "
