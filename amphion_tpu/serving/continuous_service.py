@@ -35,6 +35,7 @@ work like the rest of `serving/`.
 from __future__ import annotations
 
 import threading
+import time
 
 import jax
 import numpy as np
@@ -67,8 +68,21 @@ class EngineDriver:
     caller. `stats()` is cheap and safe from any thread.
     """
 
-    def __init__(self, engine):
+    def __init__(self, engine, solo_fn=None):
         self.engine = engine
+        # solo fast path: when the engine is fully idle and exactly one
+        # request is pending, run the family's ONE-SHOT B=1 ragged
+        # decode instead of the chunked engine — a lone request then
+        # pays the one-shot program (no per-chunk device->host fetches;
+        # closes the light-load gap to the window batcher measured in
+        # the round-5 HTTP bench). solo_fn returns None to decline
+        # (e.g. a per-request cap that differs from the service cap —
+        # one-shot programs compile per max_new); arrivals during a
+        # solo run wait it out, exactly like the window batcher, which
+        # is rare at the loads where the solo path triggers.
+        self.solo_fn = solo_fn
+        self.solo_enabled = solo_fn is not None
+        self._solo_served = 0
         self._cv = threading.Condition()
         self._inbox: list[tuple[tuple, dict, dict]] = []
         self._waiters: dict[int, dict] = {}
@@ -83,7 +97,7 @@ class EngineDriver:
 
     def submit_wait(self, *args, timeout: float | None = None,
                     **kw) -> np.ndarray:
-        box: dict = {"ev": threading.Event()}
+        box: dict = {"ev": threading.Event(), "t0": time.perf_counter()}
         with self._cv:
             if self._stop:
                 raise RuntimeError("engine driver is shut down")
@@ -123,6 +137,22 @@ class EngineDriver:
                         box["ev"].set()
                     return
                 pending, self._inbox = self._inbox, []
+            if (self.solo_enabled and len(pending) == 1
+                    and not self._waiters and not self._busy()):
+                args, kw, box = pending[0]
+                try:
+                    toks = self.solo_fn(*args, **kw)
+                except Exception:
+                    toks = None  # fall back to the engine path
+                if toks is not None:
+                    self._solo_served += 1
+                    with self._cv:
+                        self._latencies.append(
+                            time.perf_counter() - box["t0"])
+                        del self._latencies[:-4096]
+                    box["tokens"] = np.asarray(toks, np.int32)
+                    box["ev"].set()
+                    continue
             for args, kw, box in pending:
                 try:
                     rid = e.submit(*args, **kw)
@@ -157,13 +187,18 @@ class EngineDriver:
         import concurrent.futures as cf
 
         s = self.engine.S
-        with cf.ThreadPoolExecutor(s) as ex:
-            futs = [ex.submit(self.submit_wait, *submit_args_fn(),
-                              max_new=min(self.engine.chunk * (i + 1),
-                                          self.engine.default_max_new))
-                    for i in range(s)]
-            for f in futs:
-                f.result()
+        solo_was = self.solo_enabled
+        self.solo_enabled = False  # rung warmup must hit the ENGINE
+        try:
+            with cf.ThreadPoolExecutor(s) as ex:
+                futs = [ex.submit(self.submit_wait, *submit_args_fn(),
+                                  max_new=min(self.engine.chunk * (i + 1),
+                                              self.engine.default_max_new))
+                        for i in range(s)]
+                for f in futs:
+                    f.result()
+        finally:
+            self.solo_enabled = solo_was
 
     def stats(self) -> dict:
         with self._cv:
@@ -185,6 +220,7 @@ class EngineDriver:
             "chunks": self._chunks,
             "mean_slot_occupancy": round(
                 self._occ_sum / max(self._chunks, 1), 3),
+            "solo_served": self._solo_served,
             "ar_p50_s": round(pct(50), 4),
             "ar_p95_s": round(pct(95), 4),
             "ar_p99_s": round(pct(99), 4),
@@ -220,7 +256,40 @@ class VevoContinuousService(VevoService):
             out_buckets=_ladder_tuple(self.len_step, self.max_prompt_len),
             max_new=self.max_new, temperature=self.temperature,
             top_k=self.top_k, compute_dtype=self.compute_dtype)
-        self.driver = EngineDriver(engine)
+        self.driver = EngineDriver(engine, solo_fn=self._solo_decode)
+
+    def _solo_decode(self, content, rng, max_new=None,
+                     prompt_output=None):
+        """One-shot B=1 ragged decode for the driver's solo fast path
+        (same bucketed shapes + rng discipline as the engine, so the
+        token stream is identical); declines (None) when the
+        per-request cap differs from the service cap — one-shot
+        programs compile per max_new."""
+        from amphion_tpu.models.vc.ar_transformer import (
+            ar_transformer_generate_ragged,
+        )
+
+        if (max_new or self.max_new) != self.max_new:
+            return None
+        eng = self.driver.engine
+        lb = eng._bucket(len(content))
+        buf = np.zeros((1, lb), np.int32)
+        buf[0, :len(content)] = content
+        if prompt_output is not None:
+            lo = eng._bucket(len(prompt_output), eng.out_buckets)
+            pbuf = np.zeros((1, lo), np.int32)
+            pbuf[0, :len(prompt_output)] = prompt_output
+            po = pbuf
+            polen = np.asarray([len(prompt_output)], np.int32)
+        else:
+            po = polen = None
+        toks, n = ar_transformer_generate_ragged(
+            self.pipe.ar, self.pipe.params["ar"], buf,
+            np.asarray([len(content)], np.int32), rng[None],
+            max_new=self.max_new, temperature=self.temperature,
+            top_k=self.top_k, prompt_output_tokens=po,
+            prompt_output_len=polen, compute_dtype=self.compute_dtype)
+        return np.asarray(toks[0])[:int(n[0])]
 
     def synthesize(self, src_audio: np.ndarray, ref_audio: np.ndarray,
                    mode: str = "timbre", seed: int = 0) -> np.ndarray:
@@ -262,6 +331,15 @@ class VevoContinuousService(VevoService):
         self.driver.prewarm_rungs(
             lambda: (np.zeros(eng.buckets[0], np.int32),
                      jax.random.key(0)))
+        # solo fast-path programs: sequential submits on the idle
+        # engine route through `_solo_decode` (one-shot per bucket pair
+        # at the service cap)
+        for lb in eng.buckets:
+            for lo in eng.out_buckets or (0,):
+                po = (np.zeros(lo, np.int32) if lo else None)
+                self.driver.submit_wait(np.zeros(lb, np.int32),
+                                        jax.random.key(0),
+                                        prompt_output=po)
         empty = np.zeros((0,), np.int32)
         lt = self._ladder(self.max_new, self.max_new)
         for lp in {self._ladder(1, self.max_prompt_len),
@@ -303,7 +381,29 @@ class ValleContinuousService(VALLEService):
             prompt_buckets=_ladder_tuple(self.len_step, self.max_prompt_len),
             max_new=self.max_new, temperature=self.temperature,
             top_k=self.top_k, compute_dtype=self.compute_dtype)
-        self.driver = EngineDriver(engine)
+        self.driver = EngineDriver(engine, solo_fn=self._solo_decode)
+
+    def _solo_decode(self, phones, prompt_tokens, rng, max_new=None):
+        """One-shot B=1 VALL-E AR decode for the solo fast path (see
+        `VevoContinuousService._solo_decode`)."""
+        from amphion_tpu.models.tts.valle.valle import ar_generate_ragged
+
+        if (max_new or self.max_new) != self.max_new:
+            return None
+        eng = self.driver.engine
+        lph = eng._bucket(len(phones))
+        lp = eng._bucket(len(prompt_tokens), eng.out_buckets)
+        phb = np.zeros((1, lph), np.int32)
+        phb[0, :len(phones)] = phones
+        prb = np.zeros((1, lp), np.int32)
+        prb[0, :len(prompt_tokens)] = prompt_tokens
+        toks, n = ar_generate_ragged(
+            self.model, self.params, phb,
+            np.asarray([len(phones)], np.int32), prb,
+            np.asarray([len(prompt_tokens)], np.int32), rng[None],
+            max_new=self.max_new, temperature=self.temperature,
+            top_k=self.top_k, compute_dtype=self.compute_dtype)
+        return np.asarray(toks[0])[:int(n[0])]
 
     def synthesize(self, prompt_audio: np.ndarray, prompt_text: str,
                    target_text: str, seed: int = 0) -> np.ndarray:
@@ -355,6 +455,11 @@ class ValleContinuousService(VALLEService):
             lambda: (np.zeros(eng.buckets[0], np.int32),
                      np.zeros(eng.out_buckets[0], np.int32),
                      jax.random.key(0)))
+        for lph in eng.buckets:  # solo fast-path programs
+            for lp in eng.out_buckets:
+                self.driver.submit_wait(np.zeros(lph, np.int32),
+                                        np.zeros(lp, np.int32),
+                                        jax.random.key(0))
 
     def stats(self) -> dict:
         return self.driver.stats()

@@ -140,7 +140,9 @@ def test_vevo_continuous_concurrent_invariance(vevo_pair):
                                    err_msg=f"seed {s}")
     st = cont.stats()
     assert st["batcher"] == "continuous"
-    assert st["admitted"] >= 6 and st["mean_slot_occupancy"] > 0
+    # requests are served by the engine OR the solo fast path (a fast
+    # tiny model can drain concurrent arrivals one-at-a-time solo)
+    assert st["admitted"] + st["solo_served"] >= 6
 
 
 def test_vevo_continuous_overlong_request_errors(vevo_pair):
@@ -212,7 +214,8 @@ def test_valle_continuous_matches_window(valle_pair):
         assert a.shape == b.shape, (txt, seed)
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=txt)
     st = cont.stats()
-    assert st["batcher"] == "continuous" and st["admitted"] >= 2
+    assert st["batcher"] == "continuous"
+    assert st["admitted"] + st["solo_served"] >= 2
 
 
 def test_http_continuous_vevo():
@@ -278,7 +281,7 @@ def test_http_continuous_vevo():
                 f"http://127.0.0.1:{port}/api/stats", timeout=10) as r:
             st = json.loads(r.read())
         assert st["batcher"] == "continuous"
-        assert st["admitted"] >= 3 and st["chunks"] > 0
+        assert st["admitted"] + st["solo_served"] >= 3
         assert st["ar_p99_s"] >= st["ar_p50_s"] > 0
     finally:
         httpd.shutdown()
@@ -332,3 +335,33 @@ def test_prewarm_compiles_bucket_surface(vevo_pair, valle_pair):
     out2 = valle_cont.synthesize(prompt, "prompt words", "short text",
                                  seed=78)
     assert out2.ndim == 1 and len(out2) > 0
+
+
+def test_solo_fast_path_matches_engine(vevo_pair):
+    """An idle engine serves a lone request through the one-shot solo
+    path; the token stream (and waveform) is identical to the engine
+    path, and stats count the solo service."""
+    _, cont = vevo_pair
+    ref = _audio(2, 2400)
+    before = cont.driver._solo_served
+    a = cont.synthesize(_audio(41), ref, mode="voice", seed=91)
+    assert cont.driver._solo_served == before + 1
+    # force the engine path for the same request
+    cont.driver.solo_enabled = False
+    try:
+        b = cont.synthesize(_audio(41), ref, mode="voice", seed=91)
+    finally:
+        cont.driver.solo_enabled = True
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert cont.stats()["solo_served"] >= 1
+
+
+def test_solo_fast_path_valle(valle_pair):
+    window, cont = valle_pair
+    prompt = (np.random.default_rng(2).standard_normal(8 * 24)
+              .astype(np.float32) * 0.2)
+    before = cont.driver._solo_served
+    a = cont.synthesize(prompt, "prompt words", "short text", seed=93)
+    assert cont.driver._solo_served == before + 1
+    w = window.synthesize(prompt, "prompt words", "short text", seed=93)
+    np.testing.assert_allclose(a, w, atol=1e-5)
