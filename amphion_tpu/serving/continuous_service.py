@@ -68,8 +68,17 @@ class EngineDriver:
     caller. `stats()` is cheap and safe from any thread.
     """
 
-    def __init__(self, engine, solo_fn=None):
+    def __init__(self, engine, solo_fn=None, solo_gate=None):
         self.engine = engine
+        # solo_gate: extra host-side predicate consulted before taking
+        # the solo path — the services pass "service in-flight <= 1" so
+        # a lone AR request only goes solo when NOTHING else (including
+        # another request's FM/NAR tail on a different thread) is using
+        # the device. Without it, steady sub-saturation load can be
+        # served as back-to-back solos, forfeiting the weight-stream
+        # amortization and diverging (measured: 0.5 qps fell to 0.19
+        # achieved qps with p95 3 min).
+        self.solo_gate = solo_gate
         # solo fast path: when the engine is fully idle and exactly one
         # request is pending, run the family's ONE-SHOT B=1 ragged
         # decode instead of the chunked engine — a lone request then
@@ -138,7 +147,8 @@ class EngineDriver:
                     return
                 pending, self._inbox = self._inbox, []
             if (self.solo_enabled and len(pending) == 1
-                    and not self._waiters and not self._busy()):
+                    and not self._waiters and not self._busy()
+                    and (self.solo_gate is None or self.solo_gate())):
                 args, kw, box = pending[0]
                 try:
                     toks = self.solo_fn(*args, **kw)
@@ -256,7 +266,11 @@ class VevoContinuousService(VevoService):
             out_buckets=_ladder_tuple(self.len_step, self.max_prompt_len),
             max_new=self.max_new, temperature=self.temperature,
             top_k=self.top_k, compute_dtype=self.compute_dtype)
-        self.driver = EngineDriver(engine, solo_fn=self._solo_decode)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self.driver = EngineDriver(
+            engine, solo_fn=self._solo_decode,
+            solo_gate=lambda: self._inflight <= 1)
 
     def _solo_decode(self, content, rng, max_new=None,
                      prompt_output=None):
@@ -293,6 +307,15 @@ class VevoContinuousService(VevoService):
 
     def synthesize(self, src_audio: np.ndarray, ref_audio: np.ndarray,
                    mode: str = "timbre", seed: int = 0) -> np.ndarray:
+        with self._inflight_lock:
+            self._inflight += 1
+        try:
+            return self._synthesize(src_audio, ref_audio, mode, seed)
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
+
+    def _synthesize(self, src_audio, ref_audio, mode, seed):
         req = self._prepare_request(src_audio, ref_audio, mode, seed)
         if mode == "voice":
             if self.driver is None:
@@ -381,7 +404,11 @@ class ValleContinuousService(VALLEService):
             prompt_buckets=_ladder_tuple(self.len_step, self.max_prompt_len),
             max_new=self.max_new, temperature=self.temperature,
             top_k=self.top_k, compute_dtype=self.compute_dtype)
-        self.driver = EngineDriver(engine, solo_fn=self._solo_decode)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self.driver = EngineDriver(
+            engine, solo_fn=self._solo_decode,
+            solo_gate=lambda: self._inflight <= 1)
 
     def _solo_decode(self, phones, prompt_tokens, rng, max_new=None):
         """One-shot B=1 VALL-E AR decode for the solo fast path (see
@@ -407,6 +434,16 @@ class ValleContinuousService(VALLEService):
 
     def synthesize(self, prompt_audio: np.ndarray, prompt_text: str,
                    target_text: str, seed: int = 0) -> np.ndarray:
+        with self._inflight_lock:
+            self._inflight += 1
+        try:
+            return self._synthesize(prompt_audio, prompt_text,
+                                    target_text, seed)
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
+
+    def _synthesize(self, prompt_audio, prompt_text, target_text, seed):
         from amphion_tpu.models.tts.valle.valle import nar_generate_ragged
 
         req = self._prepare_request(prompt_audio, prompt_text,
