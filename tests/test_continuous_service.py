@@ -320,21 +320,43 @@ def test_http_loadgen_trace_roundtrip():
         httpd.shutdown()
 
 
-def test_prewarm_compiles_bucket_surface(vevo_pair, valle_pair):
-    """prewarm() drives every admission bucket pair + the FM/NAR tails
-    without error, and serving still works afterwards."""
-    _, vevo_cont = vevo_pair
-    vevo_cont.prewarm()
-    out = vevo_cont.synthesize(_audio(31), _audio(2, 2400), mode="voice",
-                               seed=77)
-    assert out.ndim == 1 and len(out) > 0
-    _, valle_cont = valle_pair
-    valle_cont.prewarm()
+def test_prewarm_compiles_bucket_surface():
+    """prewarm() drives every admission bucket pair, every occupancy
+    rung, the solo fast-path programs, and the FM tail without error,
+    and serving still works afterwards.
+
+    Uses a DEDICATED small-ladder service (2 content x 1 style buckets)
+    rather than the module fixture: prewarm compiles (admission + solo)
+    per bucket pair, and the fixture's 8x4 ladder piles ~70 fresh XLA
+    CPU programs onto a full-suite run's accumulated state — measured
+    to segfault the CPU client deep into the suite (passes in
+    isolation). Coverage is identical; the compile count is bounded."""
+    from amphion_tpu.serving.continuous_service import VevoContinuousService
+
+    pipe = _tiny_vevo_pipeline()
+    svc = VevoContinuousService(
+        pipe, slots=2, chunk=8, len_step=128, max_content_len=256,
+        max_prompt_len=128, max_new=16, flow_matching_steps=2,
+        cfg_scale=1.0, compute_dtype="float32")
+    try:
+        svc.prewarm()
+        st = svc.stats()
+        assert st["solo_served"] >= 1  # solo warms routed solo
+        out = svc.synthesize(_audio(31), _audio(2, 2400), mode="voice",
+                             seed=77)
+        assert out.ndim == 1 and len(out) > 0
+    finally:
+        svc.shutdown()
+
+
+def test_prewarm_valle(valle_pair):
+    """VALL-E prewarm on the fixture's small ladder (2x1 pairs)."""
+    _, cont = valle_pair
+    cont.prewarm()
     prompt = (np.random.default_rng(4).standard_normal(8 * 24)
               .astype(np.float32) * 0.2)
-    out2 = valle_cont.synthesize(prompt, "prompt words", "short text",
-                                 seed=78)
-    assert out2.ndim == 1 and len(out2) > 0
+    out = cont.synthesize(prompt, "prompt words", "short text", seed=78)
+    assert out.ndim == 1 and len(out) > 0
 
 
 def test_solo_fast_path_matches_engine(vevo_pair):
