@@ -240,7 +240,8 @@ def _fmt_cast_params(params, dt, quant):
 
 @functools.lru_cache(maxsize=32)
 def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
-                          rescale_cfg, compute_dtype, explicit_noise=False):
+                          rescale_cfg, compute_dtype, explicit_noise=False,
+                          solver="euler"):
     n_mel = model.cfg.n_mel
     h = 1.0 / num_steps
     model, dt, quant = _fmt_quant_prep(model, compute_dtype)
@@ -254,17 +255,30 @@ def _fmt_inference_jitted(model, b, lp, lt, num_steps, cfg_scale,
         pm = prompt_mel.astype(dt)
         xt0 = rng if explicit_noise else jax.random.normal(rng, (b, lt, n_mel))
 
-        def body(xt, i):
-            # midpoint times t = (i + 0.5)/n (ref fmt_model.py:260)
-            t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
+        def flow_at(xt, t):
             # two-pass CFG, NOT flow_eval_fused: measured on v5e at the
             # bench shape (B=1, Lp=281, Lt=938, 32 steps) the fused batch-2B
             # call is SLOWER — 0.627 s vs 0.343 s dense (the uncond row pads
             # Lt→Lp+Lt and the mask forces a bias-add attention path)
-            flow = model.apply(
+            return model.apply(
                 {"params": params}, xt.astype(dt), t, tokens, pm, cfg_scale,
                 rescale_cfg, method=FlowMatchingTransformer.flow_eval)
-            return xt + h * flow, None
+
+        if solver == "midpoint":
+            # explicit midpoint (RK2): 2 estimator evals per step — so the
+            # cost unit across solvers is EVALS, and midpoint at n steps
+            # costs the same as Euler at 2n. Second-order in h where the
+            # reference's midpoint-sampled Euler is first-order.
+            def body(xt, i):
+                t0 = i.astype(jnp.float32) * h * jnp.ones((b,))
+                k1 = flow_at(xt, t0)
+                k2 = flow_at(xt + 0.5 * h * k1, t0 + 0.5 * h)
+                return xt + h * k2, None
+        else:
+            def body(xt, i):
+                # midpoint times t = (i + 0.5)/n (ref fmt_model.py:260)
+                t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
+                return xt + h * flow_at(xt, t), None
 
         xt, _ = jax.lax.scan(body, xt0, jnp.arange(num_steps))
         return xt
@@ -283,20 +297,25 @@ def fmt_inference(
     rescale_cfg: float = 0.75,
     compute_dtype: str = "bfloat16",
     noise: jax.Array | None = None,
+    solver: str = "euler",
 ):
-    """Euler ODE from noise to mel with the reference's prompt-prefix + CFG
+    """ODE from noise to mel with the reference's prompt-prefix + CFG
     std-rescale protocol. Memoized self-jitting (eager loops dispatch
     op-by-op through the TPU tunnel). The estimator runs in
     ``compute_dtype`` (bf16 default — same decode lever as MaskGCT/VALL-E);
-    CFG std-rescale and the Euler state stay f32. ``noise`` (B, Lt, n_mel)
-    replaces the internally drawn x_0 (parity tests). Returns generated
-    target mel (B, Lt, n_mel)."""
+    CFG std-rescale and the integration state stay f32. ``noise``
+    (B, Lt, n_mel) replaces the internally drawn x_0 (parity tests).
+    ``solver``: "euler" (the reference's midpoint-sampled Euler,
+    fmt_model.py:260; 1 estimator eval/step) or "midpoint" (explicit RK2,
+    2 evals/step — compare at matched EVAL budget; see the `fm_frontier`
+    bench for the measured step/solver latency-quality frontier). Returns
+    generated target mel (B, Lt, n_mel)."""
     b = tokens.shape[0]
     lp = prompt_mel.shape[1]
     lt = tokens.shape[1] * model.cfg.cond_scale_factor - lp
     return _fmt_inference_jitted(
         model, b, lp, lt, num_steps, float(cfg_scale), float(rescale_cfg),
-        compute_dtype, noise is not None)(
+        compute_dtype, noise is not None, solver)(
         params, tokens, prompt_mel, rng if noise is None else noise)
 
 

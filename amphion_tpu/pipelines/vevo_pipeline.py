@@ -126,7 +126,12 @@ class VevoPipeline:
     def fm_stage(self, style_tokens: np.ndarray, prompt_audio: np.ndarray,
                  rng, flow_matching_steps: int = 32,
                  prompt_tokens: np.ndarray | None = None,
-                 compute_dtype: str = "bfloat16") -> jax.Array:
+                 compute_dtype: str = "bfloat16",
+                 solver: str = "euler") -> jax.Array:
+        """`flow_matching_steps`/`solver` trade latency for ODE fidelity —
+        see the measured `fm_frontier` table in BENCHMARKS.md (16 Euler
+        steps ≈ half the FM latency for little fidelity loss; the
+        reference pins 32, `vevo_utils.py:414`)."""
         prompt_mel = self._mel(prompt_audio)  # (1, Np, n_mel)
         csf = self.fm.cfg.cond_scale_factor
         # prompt token region carries the timbre reference's OWN
@@ -148,6 +153,7 @@ class VevoPipeline:
         return fmt_inference(
             self.fm, self.params["fm"], tok, prompt_mel, rng,
             num_steps=flow_matching_steps, compute_dtype=compute_dtype,
+            solver=solver,
         )
 
     def vocode(self, mel: jax.Array) -> np.ndarray:

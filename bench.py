@@ -1007,6 +1007,139 @@ def bench_maskgct_frontier() -> None:
                  "train_masked_acc": round(float(acc), 3)})
 
 
+def bench_fm_frontier() -> None:
+    """Vevo FM latency-quality frontier (the MaskGCT-frontier analog for
+    the OTHER flagship sampler): the 32-step CFG ODE is ~1/3 of the Vevo
+    int4 budget and compute-bound (quantization can't help), so the
+    remaining levers are the STEP COUNT and the INTEGRATOR. Train a
+    production-scale FMT (1024h/16L — the bench_vevo_rtf FM config) on a
+    synthetic deterministic token→mel task until the vector field has real
+    structure, then sweep ODE steps × solver:
+
+      - euler    = the reference's midpoint-sampled Euler
+                   (fmt_model.py:260), 1 estimator eval per step
+      - midpoint = explicit RK2, 2 evals per step (same cost unit: EVALS)
+
+    Quality proxy (per config, fixed x_0): mel RMSE vs the 256-step fine
+    solution, normalized by the fine solution's std — the FM equivalent of
+    the T2S token-agreement proxy — plus task RMSE vs the ground-truth
+    mel. RTF is measured separately at the production serving shape
+    (B=1, Lp=281, Lt=938, CFG two-pass, bf16)."""
+    import optax
+
+    from amphion_tpu.models.vc.flow_matching_transformer import (
+        FlowMatchingTransformer, FMTConfig, fmt_inference,
+    )
+
+    cfg = FMTConfig(token_vocab=512, hidden=1024, num_layers=16)
+    model = FlowMatchingTransformer(cfg)
+    rng = np.random.default_rng(0)
+    b, t_len, lp = 8, 240, 40
+    # deterministic token→mel mapping with context: learnable structure,
+    # so the learned field's ODE solution depends on integration accuracy
+    table = rng.standard_normal((cfg.token_vocab, cfg.n_mel)).astype(
+        np.float32)
+    tok_b = rng.integers(0, cfg.token_vocab, (b, t_len))
+    mel_b = table[tok_b] * 0.7 + 0.3 * table[np.roll(tok_b, 1, axis=1)]
+    mel = jnp.asarray(mel_b)
+    tokens = jnp.asarray(tok_b)
+    # prompt prefix on most rows; zero-prompt rows are the reference's
+    # uncond/CFG training case (loss drops the condition there)
+    pmask_np = np.zeros((b, t_len), np.float32)
+    pmask_np[:6, :lp] = 1.0
+    pmask = jnp.asarray(pmask_np)
+    xmask = jnp.ones((b, t_len), jnp.float32)
+    params = model.init(jax.random.key(0), mel, tokens, pmask, xmask,
+                        jax.random.key(1),
+                        method=FlowMatchingTransformer.loss)["params"]
+    tx = optax.adam(2e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, r):
+        def loss_fn(p):
+            l, _ = model.apply({"params": p}, mel, tokens, pmask, xmask, r,
+                               method=FlowMatchingTransformer.loss)
+            return l
+
+        l, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, l
+
+    steps_train = int(os.environ.get("AMPHION_BENCH_FTRAIN", "400"))
+    for i in range(steps_train):
+        params, opt, l = train_step(params, opt, jax.random.key(10 + i))
+        if i % 100 == 0:
+            print(f"# fm partial-train {i}: loss {float(l):.4f}",
+                  file=sys.stderr)
+    print(f"# fm trained: loss {float(l):.4f}", file=sys.stderr)
+
+    # --- quality at the trained shape (fixed x_0, first row, CFG on) ---
+    lt_q = t_len - lp
+    tok_q = tokens[:1]
+    pm_q = mel[:1, :lp]
+    noise = jnp.asarray(
+        rng.standard_normal((1, lt_q, cfg.n_mel)).astype(np.float32))
+
+    def run_q(n, solver):
+        return np.asarray(fmt_inference(
+            model, params, tok_q, pm_q, jax.random.key(9), num_steps=n,
+            cfg_scale=1.0, compute_dtype="bfloat16", noise=noise,
+            solver=solver))
+
+    fine = run_q(256, "euler")
+    _fence(fine[0, 0])
+    fine_std = float(np.std(fine))
+    truth = mel_b[:1, lp:]
+
+    grid = [("euler", n) for n in (32, 16, 12, 8, 4)] + \
+           [("midpoint", n) for n in (16, 8, 6, 4, 2)]
+    rows = {}
+    for solver, n in grid:
+        out = run_q(n, solver)
+        rows[f"{solver[0]}{n}"] = {
+            "evals": n * (2 if solver == "midpoint" else 1),
+            "rmse_vs_fine": round(
+                float(np.sqrt(np.mean((out - fine) ** 2))) / fine_std, 4),
+            "rmse_vs_task": round(
+                float(np.sqrt(np.mean((out - truth) ** 2))), 4),
+        }
+        print(f"# fm quality {solver}@{n}: {rows[f'{solver[0]}{n}']}",
+              file=sys.stderr)
+
+    # --- RTF at the production serving shape (bench_vevo_rtf FM stage) ---
+    lp_p, lt_p = 281, 938
+    tok_p = jnp.zeros((1, lp_p + lt_p), jnp.int32)
+    pm_p = jnp.zeros((1, lp_p, cfg.n_mel))
+    audio_s = 10.0
+
+    def run_p(n, solver, key):
+        return fmt_inference(model, params, tok_p, pm_p, key, num_steps=n,
+                             cfg_scale=1.0, compute_dtype="bfloat16",
+                             solver=solver)
+
+    for solver, n in grid:
+        _fence(run_p(n, solver, jax.random.key(5)))
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            _fence(run_p(n, solver, jax.random.key(6 + i)))
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        rows[f"{solver[0]}{n}"].update(
+            fm_s=round(dt, 4), fm_rtf=round(dt / audio_s, 4))
+        print(f"# fm rtf {solver}@{n}: {dt:.3f} s", file=sys.stderr)
+
+    e32, e16 = rows["e32"], rows["e16"]
+    _emit("fm_frontier_s_e16", e16["fm_s"],
+          "FM ODE s/10s-utt at 16 Euler steps (rmse-vs-fine %.3f; "
+          "32-step ref %.3f s @ %.3f)" % (
+              e16["rmse_vs_fine"], e32["fm_s"], e32["rmse_vs_fine"]),
+          e32["fm_s"] / max(e16["fm_s"], 1e-9),
+          extra={"rows": rows, "fine_std": round(fine_std, 4),
+                 "train_loss": round(float(l), 4)})
+
+
 def bench_flash_attention() -> None:
     """Fused flash attention vs the dense einsum path at training shape
     (B=8, L=2048, H=16, D=64, causal+padding mask, forward).
@@ -1289,6 +1422,71 @@ def bench_bf16_gan_bandwidth() -> None:
             }
             print(f"# conv ch={ch} {dt_s}: {rows[f'conv{ch}_{dt_s}']}",
                   file=sys.stderr)
+
+    # round-5 follow-up: is the wide-conv ~106 TF/s recoverable by
+    # re-expressing the k=7 conv as matmuls (im2col/tap-sum)? Measure
+    # (a) the tap-sum formulation y = Σ_j shift(x, j) @ W[j] at the same
+    # stack shape and (b) the PURE-matmul rate of the conv's own GEMM
+    # shape (M=B·T, K=C, N=C) — if the pure matmul is no faster, the
+    # conv kernel already sits at its shape's ceiling and retiling is moot.
+    ch, t_len, k_sz, n_lay = 512, 2048, 7, 8
+
+    class _TapSum(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(n_lay):
+                w = self.param(f"w{i}", nn.initializers.normal(0.02),
+                               (k_sz, ch, ch), jnp.float32).astype(x.dtype)
+                bb = self.param(f"b{i}", nn.initializers.zeros, (ch,),
+                                jnp.float32).astype(x.dtype)
+                t = x.shape[1]
+                xp = jnp.pad(x, ((0, 0), (k_sz // 2, k_sz // 2), (0, 0)))
+                y = bb
+                for j in range(k_sz):
+                    y = y + xp[:, j:j + t] @ w[j]
+                x = nn.leaky_relu(y, 0.1)
+            return x
+
+    ts = _TapSum()
+    xw32 = jax.random.normal(rng, (4, t_len, ch), jnp.float32)
+    tsp = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16),
+        ts.init(rng, xw32[:1, :64])["params"])
+    fts = jax.jit(lambda p, a: ts.apply({"params": p}, a))
+    xin = xw32.astype(jnp.bfloat16)
+    _fence(fts(tsp, xin))
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fts(tsp, xin)
+    _fence(out)
+    dtt = (time.perf_counter() - t0) / n
+    fl_conv = 2 * 4 * t_len * k_sz * ch * ch * n_lay
+    rows["conv512_tapsum_bfloat16"] = {
+        "ms": round(dtt * 1e3, 2), "tflops": round(fl_conv / dtt / 1e12, 1)}
+    print(f"# tapsum ch=512 bf16: {rows['conv512_tapsum_bfloat16']}",
+          file=sys.stderr)
+
+    m_eq = 4 * t_len
+    a_mm = jax.random.normal(rng, (m_eq, ch), jnp.float32).astype(jnp.bfloat16)
+    wms = [jax.random.normal(jax.random.key(7 + i), (ch, ch),
+                             jnp.float32).astype(jnp.bfloat16)
+           for i in range(k_sz * n_lay)]
+
+    @jax.jit
+    def fmm(a, ws):
+        return sum((a @ w).sum() for w in ws)
+
+    _fence(fmm(a_mm, wms))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fmm(a_mm, wms)
+    _fence(out)
+    dtt = (time.perf_counter() - t0) / n
+    rows["mm_equiv_bfloat16"] = {
+        "ms": round(dtt * 1e3, 2), "tflops": round(fl_conv / dtt / 1e12, 1)}
+    print(f"# pure-matmul equiv bf16: {rows['mm_equiv_bfloat16']}",
+          file=sys.stderr)
 
     spd = (rows["gen_fwd_float32"]["ms"]
            / max(rows["gen_fwd_bfloat16"]["ms"], 1e-9))
@@ -1839,6 +2037,7 @@ _SUITE = {
     "vevo_spec_cost": bench_vevo_spec_cost,
     "vevo_spec_accept": bench_vevo_spec_accept,
     "maskgct_frontier": bench_maskgct_frontier,
+    "fm_frontier": bench_fm_frontier,
     "bf16_gan_bandwidth": bench_bf16_gan_bandwidth,
     "flash": bench_flash_attention,
     "ssl": bench_ssl_extract,

@@ -126,7 +126,41 @@ def test_fmt_loss_overfit_and_inference(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_fmt_flow_eval_fused_matches_two_pass(rng):
+def test_fmt_midpoint_solver_convergence(rng):
+    """solver="midpoint" (explicit RK2, 2 estimator evals/step) must
+    converge to the same ODE terminal as the reference's midpoint-sampled
+    Euler and beat it at a MATCHED eval budget (second- vs first-order):
+    with fixed x_0, error vs a 256-step Euler reference must shrink with
+    step count, and midpoint@8 (16 evals) must beat Euler@16 (16 evals)."""
+    model = FlowMatchingTransformer(FMT_TINY)
+    b, t = 2, 12
+    mel = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    tokens = jnp.asarray(rng.integers(0, 16, (b, t)))
+    pmask = jnp.asarray(
+        np.stack([np.r_[np.ones(4), np.zeros(8)], np.zeros(12)])
+    ).astype(jnp.float32)
+    xmask = jnp.ones((b, t), jnp.float32)
+    params = model.init(
+        jax.random.key(0), mel, tokens, pmask, xmask, jax.random.key(1),
+        method=FlowMatchingTransformer.loss,
+    )["params"]
+    noise = jnp.asarray(rng.standard_normal((b, t - 4, 8)).astype(np.float32))
+
+    def run(n, solver):
+        return np.asarray(fmt_inference(
+            model, params, tokens, mel[:, :4], jax.random.key(9),
+            num_steps=n, cfg_scale=0.7, noise=noise, solver=solver))
+
+    ref = run(256, "euler")
+
+    def err(n, solver):
+        return float(np.sqrt(np.mean((run(n, solver) - ref) ** 2)))
+
+    assert np.isfinite(ref).all()
+    # convergence in step count for the new solver
+    assert err(16, "midpoint") < err(4, "midpoint")
+    # matched eval budget: RK2 @ n beats Euler @ 2n (measured ~4x here)
+    assert err(8, "midpoint") < err(16, "euler")
     """flow_eval_fused (one batch-2B estimator call per ODE step) must
     reproduce the reference two-pass CFG math of flow_eval exactly — the
     uncond row is right-padded under an attention mask, so valid positions
