@@ -666,6 +666,10 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
     # while the weight-bound AR stage drops to int8/int4. Override with
     # AMPHION_FM_DTYPE=int8|int4 to A/B that claim.
     fm_dtype = os.environ.get("AMPHION_FM_DTYPE", "bfloat16")
+    # FM step/solver knobs (fm_frontier bench measures the quality side;
+    # the reference pins 32 Euler steps, vevo_utils.py:414)
+    fm_steps = int(os.environ.get("AMPHION_FM_STEPS", "32"))
+    fm_solver = os.environ.get("AMPHION_FM_SOLVER", "euler")
 
     def run(rng):
         toks, _ = ar_transformer_generate(ar, ar_params, content, rng,
@@ -673,8 +677,8 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
                                           compute_dtype=compute_dtype)
         del toks  # frame-aligned tokens for FM are precomputed below
         mel = fmt_inference(fm, fm_params, tokens_full, prompt_mel, rng,
-                            num_steps=32, cfg_scale=1.0,
-                            compute_dtype=fm_dtype)
+                            num_steps=fm_steps, cfg_scale=1.0,
+                            compute_dtype=fm_dtype, solver=fm_solver)
         return voc_fwd(voc_params, mel)
 
     _fence(run(jax.random.key(2)))
@@ -696,11 +700,13 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
             ar, ar_params, content, r, max_new=500, top_k=40,
             compute_dtype=compute_dtype)[0], jax.random.key(9))
         t_fm = _stage(lambda r: fmt_inference(
-            fm, fm_params, tokens_full, prompt_mel, r, num_steps=32,
-            cfg_scale=1.0, compute_dtype=fm_dtype), jax.random.key(9))
+            fm, fm_params, tokens_full, prompt_mel, r, num_steps=fm_steps,
+            cfg_scale=1.0, compute_dtype=fm_dtype, solver=fm_solver),
+            jax.random.key(9))
         t_voc = _stage(voc_fwd, voc_params, mel0)
         print(json.dumps({"vevo_stages_s": {
-            "ar_500tok": round(t_ar, 4), "fm_32step_cfg": round(t_fm, 4),
+            "ar_500tok": round(t_ar, 4),
+            f"fm_{fm_solver}{fm_steps}_cfg": round(t_fm, 4),
             "vocos": round(t_voc, 4), "total_pipeline": round(dt, 4)}}),
             flush=True)
     suffix = "" if compute_dtype == "bfloat16" else f"_{compute_dtype}"
@@ -708,7 +714,7 @@ def bench_vevo_rtf(compute_dtype="bfloat16") -> None:
         compute_dtype, 2)
     # AR re-reads weights per token (500); FM 32 ODE steps; Vocos 1 pass
     pb = (_param_bytes(ar_params) / 4 * itemsize * 500
-          + _param_bytes(fm_params) * 32 + _param_bytes(voc_params))
+          + _param_bytes(fm_params) * fm_steps + _param_bytes(voc_params))
     _emit(f"vevo_zero_shot_rtf{suffix}", rtf, "RTF (median, lower better)",
           0.1 / max(rtf, 1e-9), extra={**_weight_stream(pb, 1, dt),
                                        **spread})
