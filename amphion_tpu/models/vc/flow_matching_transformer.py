@@ -322,7 +322,7 @@ def fmt_inference(
 @functools.lru_cache(maxsize=32)
 def _fmt_inference_ragged_jitted(model, b, lp_tok, lt_tok, num_steps,
                                  cfg_scale, rescale_cfg, compute_dtype,
-                                 explicit_noise=False):
+                                 explicit_noise=False, solver="euler"):
     from amphion_tpu.ops.ragged import (
         masked_std,
         pack_segments,
@@ -364,8 +364,7 @@ def _fmt_inference_ragged_jitted(model, b, lp_tok, lt_tok, num_steps,
                 lambda k: jax.random.normal(k, (lt, n_mel)))(rng)
             xt0 = xt0 * t_mask[..., None]
 
-        def body(xt, i):
-            t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
+        def flow_at(xt, t):
             x_full = pack_segments([pm, xt.astype(dt)], [p_len, t_len])
             flow_full = model.apply(
                 {"params": params}, x_full, t, cond, x_mask,
@@ -384,7 +383,18 @@ def _fmt_inference_ragged_jitted(model, b, lp_tok, lt_tok, num_steps,
                 rescaled = flow_cfg * pos_std / jnp.maximum(
                     masked_std(flow_cfg, t_valid), 1e-12)
                 flow = rescale_cfg * rescaled + (1 - rescale_cfg) * flow_cfg
-            return xt + h * flow * t_mask[..., None], None
+            return flow * t_mask[..., None]
+
+        if solver == "midpoint":
+            def body(xt, i):
+                t0 = i.astype(jnp.float32) * h * jnp.ones((b,))
+                k1 = flow_at(xt, t0)
+                k2 = flow_at(xt + 0.5 * h * k1, t0 + 0.5 * h)
+                return xt + h * k2, None
+        else:
+            def body(xt, i):
+                t = (i.astype(jnp.float32) + 0.5) * h * jnp.ones((b,))
+                return xt + h * flow_at(xt, t), None
 
         xt, _ = jax.lax.scan(body, xt0, jnp.arange(num_steps))
         return xt
@@ -406,6 +416,7 @@ def fmt_inference_ragged(
     rescale_cfg: float = 0.75,
     compute_dtype: str = "bfloat16",
     noise: jax.Array | None = None,
+    solver: str = "euler",
 ):
     """Ragged batched `fmt_inference`: B requests with per-sample prompt /
     target lengths share ONE compiled 32-step ODE (the serving path).
@@ -421,7 +432,7 @@ def fmt_inference_ragged(
     assert prompt_mel.shape[1] == lp_tok * model.cfg.cond_scale_factor
     fn = _fmt_inference_ragged_jitted(
         model, b, lp_tok, lt_tok, num_steps, float(cfg_scale),
-        float(rescale_cfg), compute_dtype, noise is not None)
+        float(rescale_cfg), compute_dtype, noise is not None, solver)
     return fn(params, jnp.asarray(prompt_tokens), jnp.asarray(prompt_tok_len),
               jnp.asarray(target_tokens), jnp.asarray(target_tok_len),
               jnp.asarray(prompt_mel), rngs if noise is None else noise)

@@ -350,7 +350,8 @@ class VevoService:
     def __init__(self, pipeline, max_batch: int = 8, max_wait_ms: float = 50.0,
                  len_step: int = 128, max_content_len: int = 1024,
                  max_prompt_len: int = 512, max_new: int = 1024,
-                 flow_matching_steps: int = 32, cfg_scale: float = 0.0,
+                 flow_matching_steps: int = 32, fm_solver: str = "euler",
+                 cfg_scale: float = 0.0,
                  temperature: float = 1.0, top_k: int = 40,
                  compute_dtype: str = "bfloat16",
                  audio_grid_s: float = 0.5):
@@ -361,6 +362,7 @@ class VevoService:
         self.max_prompt_len = max_prompt_len
         self.max_new = max_new
         self.fm_steps = flow_matching_steps
+        self.fm_solver = fm_solver
         self.cfg_scale = cfg_scale
         self.temperature = temperature
         self.top_k = top_k
@@ -499,7 +501,7 @@ class VevoService:
             self.pipe.fm, self.pipe.params["fm"], ptoks, plen, target, tlen,
             pmel, jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys),
             num_steps=self.fm_steps, cfg_scale=self.cfg_scale,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, solver=self.fm_solver)
         wav = np.asarray(self._voc_jit(
             self.pipe.params["vocoder"], mel,
             jnp.asarray(tlen, jnp.int32) * csf))

@@ -223,7 +223,7 @@ def _build_vevo_service(args):
     common = dict(
         len_step=args.len_step, max_prompt_len=args.max_prompt_len,
         max_new=args.max_new, flow_matching_steps=args.fm_steps,
-        compute_dtype=args.compute_dtype,
+        fm_solver=args.fm_solver, compute_dtype=args.compute_dtype,
     )
     if args.batcher == "continuous":
         from amphion_tpu.serving.continuous_service import (
@@ -354,6 +354,9 @@ def main():
                          "README.md:16-21): timbre = FM re-render, "
                          "voice = AR style rewrite + FM")
     ap.add_argument("--fm_steps", type=int, default=32)
+    ap.add_argument("--fm_solver", default="euler",
+                    choices=["euler", "midpoint"],
+                    help="FM ODE integrator (midpoint = RK2; see BENCHMARKS.md FM frontier)")
     ap.add_argument("--compute_dtype", default="bfloat16",
                     choices=["float32", "bfloat16", "int8", "int4"],
                     help="AR-decode dtype (valle/vevo backends). Measured "

@@ -196,6 +196,9 @@ def main():
     parser.add_argument("--target_src_duration_ratio", type=float,
                         default=1.0)
     parser.add_argument("--flow_matching_steps", type=int, default=32)
+    parser.add_argument("--fm_solver", default="euler",
+                        choices=["euler", "midpoint"],
+                        help="FM ODE integrator (BENCHMARKS.md FM frontier: midpoint = RK2, better fidelity per eval)")
     parser.add_argument("--max_new", type=int, default=2048)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -205,7 +208,8 @@ def main():
 
     pipe, has_vocoder = build_pipeline(args, cfg, logger)
     rng = jax.random.key(args.seed)
-    fm_kw = {"flow_matching_steps": args.flow_matching_steps}
+    fm_kw = {"flow_matching_steps": args.flow_matching_steps,
+             "solver": args.fm_solver}
     timbre_ref, _ = load_wav(args.timbre_ref, sr=p.sample_rate)
 
     if args.task == "fm":

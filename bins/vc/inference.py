@@ -194,6 +194,9 @@ def main():
     parser.add_argument("--hubert", action="store_true",
                         help="use locally cached HuBERT for SSL features")
     parser.add_argument("--flow_matching_steps", type=int, default=32)
+    parser.add_argument("--fm_solver", default="euler",
+                        choices=["euler", "midpoint"],
+                        help="FM ODE integrator: euler = reference 32-step protocol; midpoint = RK2, 2 evals/step (measured better fidelity per eval — BENCHMARKS.md FM frontier)")
     parser.add_argument("--max_new", type=int, default=2048)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -203,7 +206,8 @@ def main():
 
     pipe, has_vocoder = build_pipeline(args, cfg, logger)
     rng = jax.random.key(args.seed)
-    fm_kw = {"flow_matching_steps": args.flow_matching_steps}
+    fm_kw = {"flow_matching_steps": args.flow_matching_steps,
+             "solver": args.fm_solver}
 
     if args.task == "timbre":
         assert args.src_audio and args.timbre_ref, (

@@ -146,6 +146,33 @@ def test_fm_ragged_matches_fixed_at_exact_shape(fm_setup, cfg):
     np.testing.assert_allclose(rag, np.asarray(fixed), atol=2e-4)
 
 
+def test_fm_ragged_midpoint_matches_fixed(fm_setup):
+    """solver="midpoint" (RK2) through the ragged serving path must equal
+    the fixed-shape midpoint ODE at the exact shape (same x_0)."""
+    model, params = fm_setup
+    lp, lt = 4, 7
+    ptok = jax.random.randint(jax.random.key(1), (1, lp), 0, 16)
+    ttok = jax.random.randint(jax.random.key(2), (1, lt), 0, 16)
+    noise = jax.random.normal(jax.random.key(3), (1, lt, 8))
+    pm = jax.random.normal(jax.random.key(9), (1, lp, 8)) * 0.1
+    keys = jax.vmap(jax.random.key)(jnp.asarray([0], jnp.uint32))
+    rag = np.asarray(fmt_inference_ragged(
+        model, params, ptok, jnp.array([lp]), ttok, jnp.array([lt]), pm,
+        keys, num_steps=4, cfg_scale=1.0, compute_dtype="float32",
+        noise=noise, solver="midpoint"))
+    fixed = fmt_inference(
+        model, params, jnp.concatenate([ptok, ttok], axis=1),
+        jnp.asarray(pm), jax.random.key(0), num_steps=4, cfg_scale=1.0,
+        compute_dtype="float32", noise=noise, solver="midpoint")
+    np.testing.assert_allclose(rag, np.asarray(fixed), atol=2e-4)
+    # and it is a genuinely different integrator than euler
+    eul = fmt_inference(
+        model, params, jnp.concatenate([ptok, ttok], axis=1),
+        jnp.asarray(pm), jax.random.key(0), num_steps=4, cfg_scale=1.0,
+        compute_dtype="float32", noise=noise, solver="euler")
+    assert float(np.max(np.abs(np.asarray(eul) - np.asarray(fixed)))) > 1e-4
+
+
 def test_fm_ragged_pad_and_batch_invariance(fm_setup):
     model, params = fm_setup
     lp_max, lt_max = 6, 9
