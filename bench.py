@@ -1932,8 +1932,11 @@ def bench_continuous_http() -> None:
         "AMPHION_BENCH_HQPS", "0.25,0.5").split(","))
     n_req = int(os.environ.get("AMPHION_BENCH_HREQ", "50"))
     svc_kw = dict(len_step=128, max_content_len=512, max_prompt_len=256,
-                  max_new=500, flow_matching_steps=32, cfg_scale=1.0,
-                  compute_dtype="bfloat16")
+                  max_new=500,
+                  flow_matching_steps=int(
+                      os.environ.get("AMPHION_FM_STEPS", "32")),
+                  fm_solver=os.environ.get("AMPHION_FM_SOLVER", "euler"),
+                  cfg_scale=1.0, compute_dtype="bfloat16")
 
     rows = {}
     for batcher in ("continuous", "window"):
