@@ -68,11 +68,15 @@ class MaskGCTPipeline:
         )
 
     def text2semantic(self, prompt_semantic, phone_ids, target_len, rng,
-                      n_steps=25, cfg=2.5):
+                      n_steps=25, cfg=2.5, schedule="sin"):
+        """`n_steps`/`schedule` trade latency for refinement quality — see
+        the measured T2S frontier in BENCHMARKS.md (16 steps ≈ 1.38× RTF
+        for ~1 point of 50-step agreement; the step count is config in the
+        reference too, maskgct_t2s.py:226)."""
         return t2s_sample(
             self.t2s, self.params["t2s"], prompt_semantic,
             jnp.asarray(phone_ids)[None], target_len, rng, n_steps=n_steps,
-            cfg=cfg,
+            cfg=cfg, schedule=schedule,
         )
 
     def semantic2acoustic(self, semantic_tokens, prompt_acoustic, rng,
